@@ -1,0 +1,133 @@
+"""Vector kernels K1–K3 of the reference, as native Spark SQL expressions.
+
+Reference parity map (SURVEY.md §2.1):
+  * K1 ``cosine_similarity_int8``  (reference pythonvectordb.py:25-67)
+    -> :func:`cosine_similarity_int8` — score = cos(float query, dequantized
+    int8 vector) with the *post-quantization* norm recomputed per row
+    (pythonvectordb.py:57-63). The 1/127 dequant scale cancels between the
+    dot and the norm, so we compute on raw int8 values: exact integer
+    arithmetic, bit-reproducible across engines.
+  * K2 ``normalize_batch``         (pythonvectordb.py:70-99)
+    -> :func:`l2_normalize` — zero-norm rows stay zero (guard at :91-97).
+  * K3 ``quantize_batch``          (pythonvectordb.py:102-127)
+    -> :func:`quantize` — ``x*127`` clamped to [-128, 127] then truncated
+    toward zero (:119-125). Spark's float->tinyint cast truncates toward
+    zero, matching NumPy's ``np.int8`` conversion semantics exactly.
+
+All arithmetic is done in ``double``: inputs are float32 parquet columns,
+promoted exactly to double, and sequential left-to-right array folds
+(``F.aggregate``) make the result deterministic — independent of
+partitioning, which row-order-sensitive SUM aggregations are not. That
+determinism is what lets the DuckDB oracle hash-match.
+
+Everything here is a Column-in/Column-out expression: no UDFs, fully
+whole-stage-codegen'd, scales to 100 TB without Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ZERO_NORM_EPS = 1e-10  # reference pythonvectordb.py:91 (`norm < 1e-10` guard)
+
+
+def _d(col: Column | str) -> Column:
+    """Promote an array column to array<double> (exact for float32 inputs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product of two array columns, in double."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(col: Column | str) -> Column:
+    """L2 norm of an array column (double, sequential fold)."""
+    return F.sqrt(
+        F.aggregate(_d(col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def l2_normalize(col: Column | str) -> Column:
+    """K2: row-wise L2 normalization; zero-norm rows -> zero vector.
+
+    Mirrors reference ``normalize_batch`` (pythonvectordb.py:70-99) incl.
+    the ``norm < 1e-10 -> leave zeros`` branch (:91-97).
+    """
+    v = _d(col)
+    norm = l2_norm(v)
+    return F.when(norm < F.lit(ZERO_NORM_EPS), F.transform(v, lambda _: F.lit(0.0))).otherwise(
+        F.transform(v, lambda x: x / norm)
+    )
+
+
+def quantize(col: Column | str) -> Column:
+    """K3: symmetric int8 quantization of a (normalized) vector.
+
+    ``trunc(clamp(x*127, -128, 127))`` — truncation toward zero, matching
+    reference ``quantize_batch`` (pythonvectordb.py:119-125) where
+    ``np.int8(val)`` truncates. Spark's numeric->tinyint cast truncates
+    toward zero as well, so the mapping is exact.
+    """
+    return F.transform(
+        _d(col),
+        lambda x: F.greatest(F.lit(-128.0), F.least(F.lit(127.0), x * F.lit(127.0))).cast(
+            "tinyint"
+        ),
+    )
+
+
+def dequantize(col: Column | str) -> Column:
+    """Inverse of K3 at the storage scale: int8 -> float (x/127).
+
+    Matches reference ``get_vector`` dequantization (pythonvectordb.py:418-422).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double") / F.lit(127.0))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Plain float cosine similarity with zero-norm guards (score 0)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na < F.lit(ZERO_NORM_EPS)) | (nb < F.lit(ZERO_NORM_EPS)), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def cosine_similarity_int8(query: Column | str, qvec: Column | str) -> Column:
+    """K1: reference score semantics (pythonvectordb.py:25-67).
+
+    score = dot(query, v/127) / (||query|| * ||v/127||)
+          = dot(query, v)     / (||query|| * ||v||)        (1/127 cancels)
+
+    where ``v`` is the stored int8 vector. The stored-side dot/norm use
+    exact integer arithmetic (int8 values summed in long), so the only
+    FP-order-sensitive piece is the query-side fold — done sequentially in
+    double, deterministic across engines and partitionings.
+
+    Guards: zero-norm query -> all scores 0 (ref :46-48); zero-norm stored
+    vector -> score 0 (ref :62-65).
+    """
+    q = _d(query)
+    v = F.col(qvec) if isinstance(qvec, str) else qvec
+    qn = l2_norm(q)
+    # exact integer sum of squares of int8 values (fits easily in long)
+    v_sq = F.aggregate(
+        v, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x.cast("long")
+    )
+    d = F.aggregate(
+        F.zip_with(q, v, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        F.when(qn < F.lit(ZERO_NORM_EPS), F.lit(0.0))
+        .when(v_sq == F.lit(0), F.lit(0.0))
+        .otherwise(d / (qn * F.sqrt(v_sq.cast("double"))))
+    )

@@ -1,0 +1,224 @@
+"""Search operators: the reference's flagship read path (pythonvectordb.py:
+327-402) and its driver-mandated generalizations (SURVEY.md §2.12).
+
+Physical shape on a cluster
+---------------------------
+``knn_search``          Scan -> [Filter pushed into scan] -> Project(score)
+                        -> TakeOrderedAndProject(k).  Per-partition top-k
+                        heaps merge on the driver — the distributed analogue
+                        of the reference's ``argpartition`` partial select
+                        (pythonvectordb.py:147-151); no shuffle at all.
+``knn_join``            Broadcast the (small) query set, score each
+                        (query, vector) pair map-side, then a single
+                        shuffle for the per-query Window top-k.
+``ann_lsh_search``      Random-hyperplane signature buckets prune the scan:
+                        candidates = rows sharing the query's bucket; at
+                        100 TB the bucket id is a parquet partition key, so
+                        bucket pruning is partition pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pythonvectordb_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_int8,
+    dot,
+    l2_normalize,
+    quantize,
+)
+
+
+def _query_lit(query: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query])
+
+
+def with_qvec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the int8 storage column (normalize K2 -> quantize K3)."""
+    return df.withColumn("qvec", quantize(l2_normalize(vec_col)))
+
+
+def knn_search(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    pred: Column | None = None,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Reference ``search`` (pythonvectordb.py:327-402): brute-force exact
+    top-k by int8 cosine score.
+
+    predicate-first (ref :368-380): ``pred`` is applied *before* scoring so
+    Catalyst pushes it into the scan; score only survivors. Deterministic
+    tie-break on id (the reference's tie order is unstable, SURVEY §2.1 K4).
+    Returns (id, score) — the reference's result projection (:384-397).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")  # ref :347-348
+    if pred is not None:
+        df = df.filter(pred)
+    scored = df.select(
+        F.col(id_col),
+        cosine_similarity_int8(_query_lit(query), qvec_col).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def knn_search_float(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact float32-precision cosine top-k (no quantization) — the
+    brute-force baseline for the ANN variants."""
+    scored = df.select(
+        F.col(id_col),
+        cosine_similarity(_query_lit(query), vec_col).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def get_vector(df: DataFrame, vec_id, id_col: str = "vec_id", qvec_col: str = "qvec") -> DataFrame:
+    """Point lookup + dequantize (reference get_vector, pythonvectordb.py:
+    404-423): returns the stored vector as float (qvec/127)."""
+    from pythonvectordb_spark.functions.vector import dequantize
+
+    return df.filter(F.col(id_col) == F.lit(vec_id)).select(
+        F.col(id_col), dequantize(qvec_col).alias("vector")
+    )
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "qvec_query",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched multi-query exact knn ("similarity join", SURVEY §2.12).
+
+    Broadcast the query set, score every (query, row) pair map-side (no
+    shuffle), then one shuffle for the per-query Window top-k. At 1000
+    executors this is a single pass over the data regardless of |queries|.
+
+    ``queries`` must carry (query_id, query_vec: array<float/double>).
+    Returns (query_id, vec_id, score, rank).
+    """
+    pairs = data.join(F.broadcast(queries))
+    scored = pairs.select(
+        F.col(query_id),
+        F.col(data_id),
+        cosine_similarity_int8(F.col(query_vec), qvec_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(data_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate search: random-hyperplane LSH (public SimHash/LSH construction)
+# ---------------------------------------------------------------------------
+
+def lsh_signature(vec_col: str | Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
+    """Bit-signature = sign pattern of dot products against fixed random
+    hyperplanes. Emitted as a compact integer bucket id. Pure expressions,
+    deterministic given the literal hyperplanes."""
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        d = dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, _query_lit(h))
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_lsh_search(
+    df: DataFrame,
+    query: Sequence[float],
+    hyperplanes: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: score only rows whose LSH bucket matches the query's bucket.
+
+    At scale the signature is precomputed and used as a partition/bucket
+    key, turning candidate selection into partition pruning. Recall is
+    tunable via number of hyperplanes (fewer bits -> bigger buckets).
+    """
+    import math
+
+    qsig = 0
+    for i, h in enumerate(hyperplanes):
+        d = sum(float(a) * float(b) for a, b in zip(query, h))
+        if d >= 0:
+            qsig |= 1 << i
+    cand = df.filter(lsh_signature(vec_col, hyperplanes) == F.lit(qsig))
+    scored = cand.select(
+        F.col(id_col), cosine_similarity(_query_lit(query), vec_col).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ivf_probe(query: Sequence[float], centroids: Sequence[Sequence[float]], nprobe: int) -> list[int]:
+    """0-based ids of the ``nprobe`` centroids nearest the query
+    (driver-side tiny computation; sequential-fold math so the choice is
+    deterministic and reproducible by the oracle)."""
+    import math
+
+    def cos(a, b):
+        da = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return da / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    return sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))[:nprobe]
+
+
+def ivf_cluster_id(vec_col: str | Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """Nearest-centroid assignment as a pure expression: 0-based argmax of
+    cosine similarity over the literal codebook (first max wins on ties —
+    mirrored by list_position in the DuckDB oracle)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sims = F.array(*[cosine_similarity(v, _query_lit(c)) for c in centroids])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ann_ivf_search(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign rows to their nearest centroid (literal
+    codebook), probe only the ``nprobe`` centroids nearest the query.
+
+    The assignment is a pure expression (argmax over fixed centroids), so
+    at scale ``cluster_id`` becomes a partition column and probing =
+    partition pruning. Centroids would come from MLlib KMeans offline
+    (BASELINE.json: "MLlib for batch indexing"); any fixed codebook works
+    for the operator.
+    """
+    probe = ivf_probe(query, centroids, nprobe)
+    cand = df.withColumn("cluster_id", ivf_cluster_id(vec_col, centroids)).filter(
+        F.col("cluster_id").isin(probe)
+    )
+    scored = cand.select(
+        F.col(id_col), cosine_similarity(_query_lit(query), vec_col).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

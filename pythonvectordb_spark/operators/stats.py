@@ -1,0 +1,40 @@
+"""Observability: the reference's ``get_stats`` (pythonvectordb.py:512-555)
+as a one-row DataFrame aggregation (SURVEY.md §2.9).
+
+Capacity/utilization drop out (no pre-allocation in Spark); the memory
+estimate mirrors the reference's ``vector_count * dimension`` bytes
+(pythonvectordb.py:520) for the int8 payload. Latency percentiles come
+from a latency log table when one is supplied (the reference keeps a
+100-entry ring buffer, :234).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def vector_stats(table: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """One-row stats: count, distinct ids, dimension, int8 memory bytes."""
+    return table.agg(
+        F.count(F.lit(1)).alias("vector_count"),
+        F.countDistinct(F.col(id_col)).alias("distinct_ids"),
+        F.min(F.size(F.col(vec_col))).alias("min_dim"),
+        F.max(F.size(F.col(vec_col))).alias("max_dim"),
+        (F.count(F.lit(1)) * F.min(F.size(F.col(vec_col)))).cast("long").alias(
+            "memory_bytes_int8"
+        ),
+    )
+
+
+def latency_stats(latency_df: DataFrame, ms_col: str = "ms") -> DataFrame:
+    """avg/p50/p95/p99/qps over a latency log (reference get_stats
+    percentiles, pythonvectordb.py:543-553)."""
+    c = F.col(ms_col)
+    return latency_df.agg(
+        F.round(F.mean(c), 3).alias("avg_ms"),
+        F.round(F.expr(f"percentile_approx({ms_col}, 0.5)"), 3).alias("p50_ms"),
+        F.round(F.expr(f"percentile_approx({ms_col}, 0.95)"), 3).alias("p95_ms"),
+        F.round(F.expr(f"percentile_approx({ms_col}, 0.99)"), 3).alias("p99_ms"),
+        F.round(F.lit(1000.0) / F.mean(c), 1).alias("qps_est"),
+    )

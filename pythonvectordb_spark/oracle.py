@@ -1,0 +1,92 @@
+"""DuckDB-SQL fragment generators that mirror the Spark vector expressions
+bit-for-bit (verified: quantize exact on all rows; scores agree to 1 ULP).
+
+Parity rules (empirically validated against DuckDB 1.0):
+  * float32 parquet values promoted to DOUBLE are exact in both engines.
+  * Spark's sequential `F.aggregate` fold == DuckDB `list_aggregate('sum')`
+    over the same list == an explicit left-associated `t1 + t2 + ...` sum.
+  * Spark numeric->tinyint cast truncates toward zero; DuckDB's rounds, so
+    the oracle uses an explicit `trunc()`.
+  * Literals are embedded via `repr(float)` (shortest round-trip) on BOTH
+    sides so the parsed doubles are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pythonvectordb_spark.fixtures import DIM
+
+
+def sql_l2_norm(col: str) -> str:
+    """sqrt(sum(x^2)) in double — mirrors functions.vector.l2_norm."""
+    return (
+        f"sqrt(list_aggregate(list_transform({col}, y -> y::DOUBLE * y::DOUBLE), 'sum'))"
+    )
+
+
+def sql_qvec(col: str = "embedding") -> str:
+    """normalize+quantize — mirrors quantize(l2_normalize(col)).
+
+    Note: testdata embeddings are unit-norm non-zero, so the zero-norm
+    branch (reference pythonvectordb.py:91-97) can't trigger here; the
+    Spark side still carries the guard.
+    """
+    return (
+        f"list_transform({col}, x -> CAST(trunc(greatest(-128.0, least(127.0, "
+        f"(x::DOUBLE / {sql_l2_norm(col)}) * 127.0))) AS TINYINT))"
+    )
+
+
+def sql_dot_lit(query: Sequence[float], col: str, dim: int = DIM) -> str:
+    """Left-assoc dot of a literal query against a list column (1-indexed)."""
+    return " + ".join(
+        f"({float(query[i])!r}::DOUBLE * {col}[{i + 1}]::DOUBLE)" for i in range(dim)
+    )
+
+
+def sql_dot_cols(a: str, b: str, dim: int = DIM) -> str:
+    """Left-assoc dot of two list columns."""
+    return " + ".join(f"({a}[{i + 1}]::DOUBLE * {b}[{i + 1}]::DOUBLE)" for i in range(dim))
+
+
+def sql_query_norm(query: Sequence[float]) -> str:
+    """sqrt of left-assoc sum of squares of the literal query."""
+    terms = " + ".join(f"({float(x)!r}::DOUBLE * {float(x)!r}::DOUBLE)" for x in query)
+    return f"sqrt({terms})"
+
+
+def sql_int8_norm(qv: str) -> str:
+    """sqrt of the exact integer sum of squares of an int8 list column."""
+    return f"sqrt(list_aggregate(list_transform({qv}, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+
+
+def sql_cosine_int8_lit(query: Sequence[float], qv: str, dim: int = DIM) -> str:
+    """Mirror of cosine_similarity_int8 against a literal query.
+
+    Zero-norm guards are omitted: the literal queries are unit vectors and
+    testdata vectors are non-zero (guards would be dead branches here).
+    """
+    return (
+        f"(({sql_dot_lit(query, qv, dim)}) / "
+        f"({sql_query_norm(query)} * {sql_int8_norm(qv)}))"
+    )
+
+
+def sql_cosine_int8_cols(qcol: str, qv: str, dim: int = DIM) -> str:
+    """Mirror of cosine_similarity_int8 for a float query column vs int8 column."""
+    dot = " + ".join(f"({qcol}[{i + 1}]::DOUBLE * {qv}[{i + 1}]::DOUBLE)" for i in range(dim))
+    return f"(({dot}) / ({sql_l2_norm(qcol)} * {sql_int8_norm(qv)}))"
+
+
+def sql_cosine_float_lit(query: Sequence[float], col: str, dim: int = DIM) -> str:
+    """Mirror of cosine_similarity (float path) against a literal query."""
+    return (
+        f"(({sql_dot_lit(query, col, dim)}) / "
+        f"({sql_query_norm(query)} * {sql_l2_norm(col)}))"
+    )
+
+
+def sql_cosine_float_cols(a: str, b: str, dim: int = DIM) -> str:
+    """Mirror of cosine_similarity for two float list columns."""
+    return f"(({sql_dot_cols(a, b, dim)}) / ({sql_l2_norm(a)} * {sql_l2_norm(b)}))"

@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for the test harness (local[N]) while keeping
+settings that carry to a real multi-executor cluster.
+
+Scale notes (100 TB design):
+  * AQE on — runtime shuffle-partition coalescing + skew-join splitting.
+  * Arrow on — every Pandas-UDF boundary is Arrow-batched.
+  * ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+    re-plans it from runtime stats, so the same code works at sf0.001 and
+    at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pythonvectordb-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    defaults to ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
