@@ -1,0 +1,264 @@
+"""Deduplication operators for LLM-training-data pipelines (driver mandate,
+BASELINE.json / SURVEY.md §2.12). The reference has no dedup surface; these
+are the scale-path operators a 100 TB corpus needs.
+
+Scale design notes
+------------------
+``dedup_exact``          one shuffle on md5(text); map-side partial aggs.
+``ngram_jaccard_pairs``  inverted-index similarity join: explode shingles,
+                         self-join on shingle, count common per pair — only pairs
+                         sharing >=1 shingle materialize (never the n^2
+                         cross product). ``max_df`` drops ultra-common
+                         shingles, the standard frequency cap that bounds
+                         join fan-out at corpus scale.
+``minhash_lsh_pairs``    O(n) signatures (one agg), candidates via band
+                         buckets (equi-join, broadcastable band dimension),
+                         exact-jaccard verification only on candidates.
+``simhash_pairs``        O(n) 32-bit fingerprints, byte-block candidate
+                         generation (4 equi-joins), hamming verify.
+``embedding_near_dup``   exact pairwise above threshold; at scale swap the
+                         candidate generator for the LSH bucket join
+                         (search.lsh_signature) — verification unchanged.
+
+All similarity arithmetic is exact-integer or deterministic double, so
+every operator here is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pythonvectordb_spark.functions.text import (
+    hash32,
+    minhash_value,
+    shingles,
+)
+from pythonvectordb_spark.functions.vector import cosine_similarity
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical texts (by md5), keep the smallest id.
+
+    Returns (doc_id, n_copies) for the surviving representative of each
+    text group. Hashing first keeps the shuffle key small (16 bytes vs
+    arbitrary document length) — the standard trick at corpus scale.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard similarity >= threshold.
+
+    Inverted-index join (explode -> equi-join on shingle -> count common)
+    instead of a cross join: complexity follows shingle co-occurrence, not
+    n^2. ``max_df`` (document-frequency cap) drops shingles appearing in
+    more than max_df docs before the join — bounds fan-out on boilerplate.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) on exact integer counts, so the
+    comparison against ``threshold`` is deterministic.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        keep = inv.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        inv = inv.join(keep.select("shingle"), "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, verified exactly.
+
+    signatures: sig_i(doc) = min over shingles of md5('i:'||shingle) —
+    md5 exists identically in both engines, so signatures (and therefore
+    candidates) are oracle-reproducible, unlike xxhash/murmur minhash.
+    banding: ``bands`` groups of ``num_hashes/bands`` signature values;
+    docs sharing any band key become candidates (equi-join per band).
+    verify: exact shingle Jaccard >= threshold on candidates only.
+
+    Returns (id_a, id_b, jaccard) — same shape as ngram_jaccard_pairs, so
+    at j>=0.8 the two operators should agree whenever LSH recall holds.
+    """
+    r = num_hashes // bands
+    sh = _shingled(df, text_col, id_col, n)
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    sig = inv.groupBy(id_col).agg(
+        *[F.min(minhash_value(i, F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_frames = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)]))
+        band_frames.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionByName(f)
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    pa = sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"})
+    pb = sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"})
+    verified = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def simhash_fingerprints(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per document over word n-grams.
+
+    bit b of the fingerprint = majority vote (>0) of bit b over the 32-bit
+    md5-derived hashes of the document's shingles. One explode + one
+    grouped agg: O(corpus) with a single shuffle.
+    """
+    inv = _shingled(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+    h = hash32(F.col("shingle"))
+    votes = inv.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    fp = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Candidates via byte blocking: a pair within hamming<=3 of a 32-bit
+    fingerprint must agree on at least one of its 4 bytes (pigeonhole), so
+    4 equi-joins on bytes replace the n^2 scan — at 100 TB each block join
+    shuffles on a 1-byte+band key and AQE handles block skew.
+    """
+    fps = simhash_fingerprints(df, n, text_col, id_col)
+    blocks = None
+    for byte in range(4):
+        blk = fps.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(byte).alias("blk"),
+            F.shiftright(F.col("simhash"), byte * 8).bitwiseAND(F.lit(255)).alias("bval"),
+        )
+        blocks = blk if blocks is None else blocks.unionByName(blk)
+    x = blocks.alias("x")
+    y = blocks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("fp_a"),
+            F.col("y.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, pairwise).
+
+    Exact O(n^2/2) scoring — correct at oracle scale; the 100 TB path
+    reuses this verification on LSH-bucketed candidates
+    (search.lsh_signature as the blocking key) instead of the cross join.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+    )

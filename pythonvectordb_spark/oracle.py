@@ -90,3 +90,34 @@ def sql_cosine_float_lit(query: Sequence[float], col: str, dim: int = DIM) -> st
 def sql_cosine_float_cols(a: str, b: str, dim: int = DIM) -> str:
     """Mirror of cosine_similarity for two float list columns."""
     return f"(({sql_dot_cols(a, b, dim)}) / ({sql_l2_norm(a)} * {sql_l2_norm(b)}))"
+
+
+# --------------------------------------------------------------------------
+# text mirrors (functions.text)
+# --------------------------------------------------------------------------
+
+def sql_tokens(col: str = "text") -> str:
+    """Mirror of functions.text.tokens (whitespace split, empties dropped)."""
+    return f"list_filter(string_split({col}, ' '), t -> t != '')"
+
+
+def sql_shingles_of(w: str, n: int = 3) -> str:
+    """Mirror of functions.text.shingles over a token-array column ``w``
+    (bind it first in a CTE: ``SELECT {sql_tokens('text')} AS w``).
+
+    DuckDB ``range(a, b)`` is empty when a >= b, which matches the Spark
+    side's short-document guard.
+    """
+    parts = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    return f"list_distinct(list_transform(range(1, len({w}) - {n - 2}), i -> {parts}))"
+
+
+def sql_norm_text(col: str = "text") -> str:
+    """Mirror of functions.text.normalize_text (note DuckDB needs the 'g'
+    flag — its regexp_replace is first-match-only by default)."""
+    return f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
+
+
+def sql_stopword_filter(toks: str, words) -> str:
+    lst = ", ".join(f"'{x}'" for x in words)
+    return f"list_filter({toks}, x -> x IN ({lst}))"

@@ -324,10 +324,282 @@ FROM embeddings
 
 
 # --------------------------------------------------------------------------
+# dedup / text-analysis / multimodal queries (SURVEY §2.12 extension surface)
+# --------------------------------------------------------------------------
+
+from pythonvectordb_spark.functions.text import LANG_MARKERS_SORTED  # noqa: E402
+from pythonvectordb_spark.functions.text import STOPWORDS  # noqa: E402
+from pythonvectordb_spark.functions.vector import l2_norm  # noqa: E402
+from pythonvectordb_spark.functions.text import tokens as _tokens  # noqa: E402
+from pythonvectordb_spark.operators import dedup as DD  # noqa: E402
+from pythonvectordb_spark.operators import media as MM  # noqa: E402
+from pythonvectordb_spark.operators import textops as TX  # noqa: E402
+
+_SH_CTE = f"""
+t AS (SELECT doc_id, {O.sql_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, {O.sql_shingles_of('w')} AS sh FROM t)
+"""
+
+_JACCARD = "n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keep the smallest doc_id per group."""
+    return DD.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def o_dedup_exact() -> str:
+    return """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: word-3-gram Jaccard >= 0.8 (inverted-index join)."""
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def o_dedup_ngram_jaccard() -> str:
+    # independent implementation: brute-force pairwise set intersection
+    return f"""
+WITH {_SH_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round({_JACCARD}, 9) AS jaccard
+FROM pairs WHERE {_JACCARD} >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding candidates, exact-Jaccard verified at 0.8."""
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def o_dedup_minhash_lsh() -> str:
+    sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(12))
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(h{b * 3} || '|' || h{b * 3 + 1} || '|' || h{b * 3 + 2}) AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH {_SH_CTE},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sig AS (SELECT doc_id, {sigs} FROM inv GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, round({_JACCARD}, 9) AS jaccard
+FROM ver WHERE {_JACCARD} >= 0.8
+"""
+
+
+_SIMHASH_CTE = (
+    "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),\n"
+    "hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM inv),\n"
+    "votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+    )
+    + " FROM hv GROUP BY doc_id),\n"
+    "fps AS (SELECT doc_id, CAST("
+    + " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    + " AS BIGINT) AS simhash FROM votes)"
+)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    return DD.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def o_simhash_fingerprints() -> str:
+    return f"""
+WITH {_SH_CTE},
+{_SIMHASH_CTE}
+SELECT doc_id, simhash FROM fps
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash hamming <= 3 (byte-block candidates)."""
+    return DD.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def o_dedup_simhash() -> str:
+    return f"""
+WITH {_SH_CTE},
+{_SIMHASH_CTE},
+blocks AS (
+  SELECT doc_id, simhash, b.blk, (simhash >> (b.blk * 8)) & 255 AS bval
+  FROM fps, (VALUES (0), (1), (2), (3)) b(blk)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS fa, y.simhash AS fb
+  FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4)."""
+    return DD.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def o_dedup_embedding() -> str:
+    cos = O.sql_cosine_float_cols("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 9) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.4
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + distinct + chars)."""
+    return TX.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def o_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured
+FROM (SELECT doc_id, text, {O.sql_tokens('text')} AS toks FROM documents)
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, type-token ratio, composite score."""
+    return TX.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def o_text_quality() -> str:
+    stop = O.sql_stopword_filter("toks", STOPWORDS)
+    return f"""
+WITH base AS (SELECT doc_id, text, {O.sql_tokens('text')} AS toks FROM documents),
+c AS (
+  SELECT doc_id, text,
+         len(toks)::DOUBLE AS n_tok,
+         len({stop})::DOUBLE AS n_stop,
+         len(list_distinct(toks))::DOUBLE AS n_uniq,
+         CAST(len(toks) AS INT) AS n_tokens
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS ttr,
+         CASE WHEN n_tok > 0 THEN (length(text)::DOUBLE - (n_tok - 1)) / n_tok ELSE 0.0 END AS avg_len,
+         n_tok
+  FROM c
+)
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 9) AS stopword_ratio,
+       round(ttr, 9) AS type_token_ratio,
+       round(avg_len, 9) AS avg_token_len,
+       round(least(n_tok / 50.0, 1.0) * 0.4 + ttr * 0.4 + (1.0 - stop_ratio) * 0.2, 9) AS quality_score
+FROM r
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count language-ID heuristic."""
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def o_lang_id() -> str:
+    score_cols = ", ".join(
+        f"len({O.sql_stopword_filter('toks', markers)})::BIGINT AS s_{lang}"
+        for lang, markers in LANG_MARKERS_SORTED
+    )
+    langs = [lang for lang, _ in LANG_MARKERS_SORTED]
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+WITH base AS (SELECT doc_id, {O.sql_tokens('text')} AS toks FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM base),
+g AS (SELECT *, {m} AS m FROM s)
+SELECT doc_id,
+       CASE WHEN m <= 0 THEN 'und' {whens} END AS lang_guess,
+       CAST(m AS BIGINT) AS marker_hits
+FROM g
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text md5 fingerprint + normalized length."""
+    return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def o_doc_fingerprint() -> str:
+    n = O.sql_norm_text("text")
+    return f"""
+SELECT doc_id, md5({n}) AS fingerprint, CAST(length({n}) AS INT) AS norm_len
+FROM documents
+"""
+
+
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings: one multimodal row (text + vector + scalars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id)
+    return joined.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size(_tokens("text")).alias("n_tokens"),
+        F.round(l2_norm("embedding"), 9).alias("emb_norm"),
+    )
+
+
+def o_multimodal_join() -> str:
+    return f"""
+SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+       CAST(len({O.sql_tokens('d.text')}) AS INT) AS n_tokens,
+       round({O.sql_l2_norm('e.embedding')}, 9) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched mapInPandas feature extraction
+    (stub decode: byte length + md5), oracle-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_features(MM.text_as_media(docs))
+
+
+def o_media_features() -> str:
+    return """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # vector surface (reference parity)
     "knn_search": q_knn_search,
     "knn_search_filtered": q_knn_search_filtered,
     "knn_search_float": q_knn_search_float,
@@ -339,6 +611,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "add_vectors": q_add_vectors,
     "delete_vectors": q_delete_vectors,
     "vector_stats": q_vector_stats,
+    # dedup surface
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    # text analysis
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    # multimodal
+    "multimodal_join": q_multimodal_join,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -353,4 +640,16 @@ ORACLES: dict[str, str] = {
     "add_vectors": o_add_vectors(),
     "delete_vectors": o_delete_vectors(),
     "vector_stats": o_vector_stats(),
+    "dedup_exact": o_dedup_exact(),
+    "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
+    "dedup_minhash_lsh": o_dedup_minhash_lsh(),
+    "simhash_fingerprints": o_simhash_fingerprints(),
+    "dedup_simhash": o_dedup_simhash(),
+    "dedup_embedding": o_dedup_embedding(),
+    "token_counts": o_token_counts(),
+    "text_quality": o_text_quality(),
+    "lang_id": o_lang_id(),
+    "doc_fingerprint": o_doc_fingerprint(),
+    "multimodal_join": o_multimodal_join(),
+    "media_features": o_media_features(),
 }
