@@ -1,0 +1,134 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Comparison against BASELINE.md (reference: ~1,100 QPS at 50k vectors,
+dim 128, single host, k=10):
+  * knn_qps_50k — batched multi-query knn throughput on a 50k-vector table
+    (the testdata embeddings tiled to 50,000 rows, the baseline's regime),
+    executed as ONE Spark job (broadcast queries + per-partition scoring +
+    window top-k). This is the apples-to-apples throughput number.
+  * knn_single_ms — single-query end-to-end latency on the cached table
+    (expected to lose to the reference's ~1 ms in-process call; Spark pays
+    per-job scheduling, see BASELINE.md "Bench targets").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pythonvectordb_spark.session import get_spark  # noqa: E402
+from pythonvectordb_spark.registry import QUERIES  # noqa: E402
+from pythonvectordb_spark import fixtures as FX  # noqa: E402
+from pythonvectordb_spark.operators import search as S  # noqa: E402
+from pythonvectordb_spark.sources.testdata import load_table  # noqa: E402
+
+HEADLINE = [
+    "knn_search",
+    "knn_join",
+    "quantize_vectors",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "text_quality",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "customer_order_running",
+    "events_by_hour",
+    "media_features",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("pvdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- baseline-regime throughput: 50k vectors, batched knn as one job ---
+    # (measured FIRST: the heavy dedup queries below leave GC/allocator
+    # pressure that pollutes latency numbers)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    replicas = max(1, 50_000 // max(n_emb, 1))
+    tiled = (
+        emb.crossJoin(F.broadcast(spark.range(replicas).select(F.col("id").alias("rep"))))
+        .withColumn("vec_id", F.col("vec_id") * replicas + F.col("rep"))
+        .drop("rep")
+    )
+    # 8 partitions: int8 payload is ~3 MB at 50k x 64, so fewer/bigger
+    # partitions = bigger per-task BLAS matmuls and less scheduling; on a
+    # real cluster the same operator runs over however many partitions the
+    # table has (scores are partition-local, merge is a tiny window top-k)
+    table = S.with_qvec(tiled).repartition(8).persist()
+    n_vec = table.count()  # materialize cache (the reference is in-memory too)
+
+    n_queries = 4096
+    queries = (
+        emb.crossJoin(
+            F.broadcast(
+                spark.range((n_queries + n_emb - 1) // n_emb).select(F.col("id").alias("r"))
+            )
+        )
+        .withColumn("query_id", F.col("vec_id") * 100 + F.col("r"))
+        .limit(n_queries)
+        .select("query_id", F.col("embedding").alias("qvec_query"))
+    )
+    S.knn_join(table, queries, k=10, query_vec="qvec_query").count()  # warm-up
+    batch_sec = float("inf")
+    for _ in range(2):  # best-of-2: isolate steady-state throughput
+        t0 = time.time()
+        S.knn_join(table, queries, k=10, query_vec="qvec_query").count()
+        batch_sec = min(batch_sec, time.time() - t0)
+    qps = n_queries / batch_sec
+    log(f"bench knn_join batch: {n_queries} queries over {n_vec} vectors in {batch_sec:.2f}s -> {qps:.0f} qps")
+
+    S.knn_search(table, FX.QUERY_VEC, k=10).collect()
+    single_ms = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        S.knn_search(table, FX.QUERY_VEC, k=10).collect()
+        single_ms = min(single_ms, (time.time() - t0) * 1000)
+    table.unpersist()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).collect()  # warm-up: JIT/codegen/IO caches
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        log(f"bench {name}: {timings[name]}s")
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "knn_qps_50k": round(qps, 1),
+        "knn_single_ms": round(single_ms, 1),
+        "n_vectors_tiled": n_vec,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

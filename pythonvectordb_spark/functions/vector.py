@@ -100,6 +100,30 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def cosine_similarity_int8_sym(a: Column | str, b: Column | str) -> Column:
+    """Symmetric int8 cosine: BOTH sides quantized (unlike K1's float
+    query). Every term is integer arithmetic — dot and norms are exact in
+    any summation order, which is what makes the vectorized numpy/BLAS
+    execution path (operators.search mapInPandas) bit-identical to this
+    expression and to the DuckDB oracle.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    d = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ssa = F.aggregate(ca, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x.cast("long"))
+    ssb = F.aggregate(cb, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x.cast("long"))
+    return (
+        F.when((ssa == 0) | (ssb == 0), F.lit(0.0))
+        .otherwise(
+            d.cast("double") / (F.sqrt(ssa.cast("double")) * F.sqrt(ssb.cast("double")))
+        )
+    )
+
+
 def cosine_similarity_int8(query: Column | str, qvec: Column | str) -> Column:
     """K1: reference score semantics (pythonvectordb.py:25-67).
 

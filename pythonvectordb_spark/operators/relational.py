@@ -1,0 +1,250 @@
+"""Relational analytics over the metadata tables (SURVEY.md §2.12: "the
+full Spark SQL surface on the TPC-H-ish tables"). The reference has no
+joins/aggregation framework at all (SURVEY §2.4-2.5); this module is the
+Spark-native replacement a user gets for free, shaped like the TPC-H
+queries the testdata mirrors.
+
+Determinism technique (oracle hash-parity): monetary columns are exact
+2-decimal values, so every SUM is computed over per-row *integer* cents
+(or 1e-4/1e-6 fixed-point for discount/tax products) — order-free exact
+arithmetic identical in any engine and under any partitioning. Averages
+are derived by dividing the exact sums (one deterministic double op).
+Floating-point SUM over shuffled doubles would NOT hash-match — its
+result depends on reduction order.
+
+Scale notes: dimension joins carry explicit ``broadcast()`` hints;
+fact-fact joins shuffle on their keys with AQE handling skew; every
+aggregate here is partial-aggregatable (map-side combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents from a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing aggregates over lineitem.
+
+    disc_price = E*(1-D) and charge = E*(1-D)*(1+T) are exact integers at
+    scale 1e4 / 1e6 respectively (2dp x 2dp [x 2dp]), so the sums are
+    exact longs; averages derive from the sums.
+    """
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    t100 = _cents("l_tax")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    disc_price_e4 = e100 * (F.lit(100).cast("long") - d100)
+    charge_e6 = disc_price_e4 * (F.lit(100).cast("long") + t100)
+    agg = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(e100).alias("sum_base_cents"),
+            F.sum(disc_price_e4).alias("sum_disc_e4"),
+            F.sum(charge_e6).alias("sum_charge_e6"),
+            F.sum(d100).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.col("sum_base_cents").cast("long").alias("sum_base_cents"),
+        F.col("sum_disc_e4").cast("long").alias("sum_disc_e4"),
+        F.col("sum_charge_e6").cast("long").alias("sum_charge_e6"),
+        F.round(F.col("sum_qty").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("sum_base_cents").cast("double") / F.lit(100.0) / n, 6).alias("avg_price"),
+        F.round(F.col("sum_disc_cents").cast("double") / F.lit(100.0) / n, 6).alias("avg_disc"),
+        F.col("count_order").cast("long").alias("count_order"),
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k open orders by revenue for one segment.
+
+    customer is a broadcast dimension; orders⋈lineitem shuffles on
+    orderkey; top-k via TakeOrderedAndProject.
+    """
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    revenue_e4 = e100 * (F.lit(100).cast("long") - d100)
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit(date).cast("timestamp"))
+    items = lineitem.filter(F.col("l_shipdate") > F.lit(date).cast("timestamp"))
+    joined = items.join(
+        ords, items.l_orderkey == ords.o_orderkey
+    ).join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+    out = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_e4).cast("long").alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_e4",
+        )
+    )
+    return out.orderBy(F.desc("revenue_e4"), F.asc("l_orderkey")).limit(k)
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the lineitem's supplier and
+    the order's customer share the nation, within one region.
+
+    region/nation/supplier/customer broadcast; the fact join shuffles once
+    on orderkey and once on suppkey.
+    """
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    revenue_e4 = e100 * (F.lit(100).cast("long") - d100)
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == region_name)
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(revenue_e4).cast("long").alias("revenue_e4"))
+        .select("n_name", "revenue_e4")
+    )
+
+
+def customer_order_running(orders: DataFrame) -> DataFrame:
+    """Window functions: per-customer order sequence + running spend.
+
+    One shuffle on custkey; the window sort is deterministic
+    ((o_orderdate, o_orderkey) is a total order).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    total_cents = _cents("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("order_seq"),
+        F.sum(total_cents).over(w).cast("long").alias("running_cents"),
+        F.lag("o_orderkey", 1).over(w).cast("long").alias("prev_orderkey"),
+    )
+
+
+def mktsegment_rollup(customer: DataFrame) -> DataFrame:
+    """ROLLUP(c_mktsegment): per-segment + grand-total customer stats."""
+    return (
+        customer.rollup("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(_cents("c_acctbal")).cast("long").alias("acctbal_cents"),
+        )
+        .select("c_mktsegment", "n_customers", "acctbal_cents")
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: orders having >=1 late-shipped lineitem, counted by
+    priority. The EXISTS is a left-semi join (no row multiplication)."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    sem = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey) & (late.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def events_by_hour(events: DataFrame) -> DataFrame:
+    """Hourly event aggregates incl. JSON prop extraction (from_json path).
+
+    Epoch-second bucket keys (exact longs) rather than timestamps keep the
+    output engine-portable."""
+    hour_epoch = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy(
+        hour_epoch.alias("hour_epoch"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(_cents("value")).cast("long").alias("value_cents"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def events_tumbling(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Tumbling-window aggregate via F.window — the batch twin of the
+    Structured Streaming windowed aggregation (streaming.windows)."""
+    w = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(_cents("value")).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp("win.start").cast("long").alias("ws_epoch"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def nation_customer_stats(nation: DataFrame, customer: DataFrame) -> DataFrame:
+    """Broadcast dim join + exact aggregates per nation."""
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(_cents("c_acctbal")).cast("long").alias("acctbal_cents"),
+        )
+        .withColumn(
+            "avg_acctbal",
+            F.round(
+                F.col("acctbal_cents").cast("double")
+                / F.lit(100.0)
+                / F.col("n_customers").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def approx_distinct_events(events: DataFrame) -> DataFrame:
+    """HLL approximate distincts — the 100 TB cardinality path
+    (sketch-based, not oracle-matchable by construction)."""
+    return events.agg(
+        F.approx_count_distinct("user_id").cast("long").alias("approx_users"),
+        F.approx_count_distinct("event_type").cast("long").alias("approx_types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

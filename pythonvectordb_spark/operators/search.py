@@ -103,27 +103,106 @@ def knn_join(
     query_id: str = "query_id",
     query_vec: str = "qvec_query",
     qvec_col: str = "qvec",
+    method: str = "pandas",
 ) -> DataFrame:
-    """Batched multi-query exact knn ("similarity join", SURVEY §2.12).
+    """Batched multi-query exact knn ("similarity join", SURVEY §2.12),
+    symmetric int8 scoring (both sides quantized).
 
-    Broadcast the query set, score every (query, row) pair map-side (no
-    shuffle), then one shuffle for the per-query Window top-k. At 1000
-    executors this is a single pass over the data regardless of |queries|.
+    Because every dot/norm is exact integer arithmetic, the two physical
+    strategies below return BIT-IDENTICAL results — pick by data shape:
 
-    ``queries`` must carry (query_id, query_vec: array<float/double>).
-    Returns (query_id, vec_id, score, rank).
+    ``method='pandas'`` (default, the 100 TB path): broadcast the quantized
+    query matrix to every partition, score each Arrow batch with one
+    float32 BLAS matmul (int8 products <= 127^2 and 64-term sums < 2^24
+    stay exact in float32), keep a per-batch top-k per query, then one
+    small shuffle for the global Window top-k. Work per row is a fused
+    SIMD multiply-add instead of an interpreted per-element lambda —
+    the same job shape, ~1000x less interpreter overhead.
+
+    ``method='expr'``: pure Catalyst expressions (broadcast join + HOF
+    fold + window). No Python at all, but Spark evaluates lambda HOFs
+    interpreted per element — fine for small batches, slow at millions of
+    (query, row) pairs.
+
+    ``queries`` carries (query_id, query_vec: array<float/double>), raw
+    (un-quantized) — this function quantizes the query side. Returns
+    (query_id, vec_id, score, rank).
     """
-    pairs = data.join(F.broadcast(queries))
-    scored = pairs.select(
-        F.col(query_id),
-        F.col(data_id),
-        cosine_similarity_int8(F.col(query_vec), qvec_col).alias("score"),
+    import math
+
+    from pythonvectordb_spark.functions.vector import cosine_similarity_int8_sym
+
+    queries_q = queries.select(
+        F.col(query_id), quantize(l2_normalize(query_vec)).alias("qq")
     )
+    if method == "expr":
+        pairs = data.join(F.broadcast(queries_q))
+        scored = pairs.select(
+            F.col(query_id),
+            F.col(data_id),
+            cosine_similarity_int8_sym(F.col("qq"), qvec_col).alias("score"),
+        )
+    elif method == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        qrows = queries_q.collect()  # query set is small by contract
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.array([r[1] for r in qrows], dtype=np.float32)  # m x dim
+        qss = (qmat.astype(np.int64) ** 2).sum(axis=1)
+        qnorm = np.sqrt(qss.astype(np.float64))  # exact ints -> exact sqrt
+        kk = k
+
+        def score_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.vstack(pdf[qvec_col].to_numpy()).astype(np.float32)
+                ids = pdf[data_id].to_numpy().astype(np.int64)
+                vss = (M.astype(np.int64) ** 2).sum(axis=1)
+                vnorm = np.sqrt(vss.astype(np.float64))
+                dots = (M @ qmat.T).astype(np.float64)  # exact integers
+                denom = vnorm[:, None] * qnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom > 0, dots / denom, 0.0)
+                n = len(ids)
+                take = min(kk, n)
+                out_q, out_id, out_s = [], [], []
+                for j in range(len(qids)):
+                    col = scores[:, j]
+                    # partial top-k honoring the (score desc, id asc)
+                    # tie-break: candidates are ALL rows scoring >= the
+                    # k-th largest value (argpartition alone may misplace
+                    # boundary ties), then lexsort just the candidates.
+                    # (A fully-vectorized all-queries variant was measured
+                    # slower: it scans the whole n x m score matrix again
+                    # non-contiguously; this loop touches each column once.)
+                    if take < n:
+                        kth_val = np.partition(col, n - take)[n - take]
+                        cand = np.nonzero(col >= kth_val)[0]
+                    else:
+                        cand = np.arange(n)
+                    order = np.lexsort((ids[cand], -col[cand]))[:take]
+                    sel = cand[order]
+                    out_q.append(np.full(take, qids[j]))
+                    out_id.append(ids[sel])
+                    out_s.append(col[sel])
+                yield pd.DataFrame(
+                    {
+                        query_id: np.concatenate(out_q),
+                        data_id: np.concatenate(out_id),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+        scored = data.select(F.col(data_id), F.col(qvec_col)).mapInPandas(
+            score_batches,
+            schema=f"{query_id} long, {data_id} long, score double",
+        )
+    else:
+        raise ValueError(f"bad method {method!r}")
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(data_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 # ---------------------------------------------------------------------------

@@ -214,13 +214,22 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_knn_join() -> str:
-    qv = O.sql_qvec("e.embedding")
-    cos = O.sql_cosine_int8_cols("q.embedding", "qvec")
+    # symmetric int8 scoring: both sides quantized -> exact integer dot and
+    # norms, identical under any summation order (mirrors
+    # cosine_similarity_int8_sym and the numpy mapInPandas path)
+    qv = O.sql_qvec("embedding")
     return f"""
-WITH data AS (SELECT e.vec_id, e.embedding, {qv} AS qvec FROM embeddings e),
-     qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+WITH data AS (SELECT vec_id, {qv} AS qvec FROM embeddings),
+     qs AS (SELECT vec_id AS query_id, {qv} AS qq FROM embeddings WHERE vec_id < 5),
      scored AS (
-       SELECT qs.query_id, data.vec_id, {cos.replace('q.embedding', 'qs.embedding')} AS score
+       SELECT qs.query_id, data.vec_id,
+              CASE WHEN list_aggregate(list_transform(qs.qq, x -> x::BIGINT * x::BIGINT), 'sum') = 0
+                     OR list_aggregate(list_transform(data.qvec, x -> x::BIGINT * x::BIGINT), 'sum') = 0
+                   THEN 0.0
+                   ELSE list_aggregate(list_transform(data.qvec, (x, i) -> x::BIGINT * qs.qq[i]::BIGINT), 'sum')::DOUBLE
+                        / (sqrt(list_aggregate(list_transform(data.qvec, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)
+                           * sqrt(list_aggregate(list_transform(qs.qq, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE))
+              END AS score
        FROM data CROSS JOIN qs
      ),
      ranked AS (
@@ -461,10 +470,21 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_dedup_embedding() -> str:
-    cos = O.sql_cosine_float_cols("a.embedding", "b.embedding")
+    # symmetric int8 scoring on the quantized representation (exact
+    # integer dot/norms -> order-free, matches the numpy matmul path)
+    qv = O.sql_qvec("embedding")
+    cos = (
+        "CASE WHEN list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum') = 0"
+        "       OR list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum') = 0"
+        "  THEN 0.0"
+        "  ELSE list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        "       / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        "          * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)) END"
+    )
     return f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 9) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM q a JOIN q b ON a.vec_id < b.vec_id
 WHERE {cos} >= 0.4
 """
 
@@ -595,6 +615,202 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# relational analytics (SURVEY §2.12: full Spark SQL surface on metadata)
+# --------------------------------------------------------------------------
+
+from pythonvectordb_spark.operators import relational as RL  # noqa: E402
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary (exact integer-cents aggregation)."""
+    return RL.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def o_pricing_summary() -> str:
+    return """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS e100,
+         CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         CAST(round(l_tax * 100) AS BIGINT) AS t100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(e100) AS BIGINT) AS sum_base_cents,
+       CAST(sum(e100 * (100 - d100)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(e100 * (100 - d100) * (100 + t100)) AS BIGINT) AS sum_charge_e6,
+       round(sum(qty)::DOUBLE / count(*)::DOUBLE, 6) AS avg_qty,
+       round(sum(e100)::DOUBLE / 100.0 / count(*)::DOUBLE, 6) AS avg_price,
+       round(sum(d100)::DOUBLE / 100.0 / count(*)::DOUBLE, 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape: top-10 open orders by revenue, BUILDING segment."""
+    return RL.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def o_shipping_priority() -> str:
+    return """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape: per-nation revenue in ASIA (5-table join chain)."""
+    return RL.regional_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def o_regional_revenue() -> str:
+    return """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customer_order_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer order sequence + running spend."""
+    return RL.customer_order_running(load_table(spark, sf_dir, "orders"))
+
+
+def o_customer_order_running() -> str:
+    return """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS running_cents,
+       CAST(lag(o_orderkey, 1) OVER w AS BIGINT) AS prev_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_mktsegment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: per-segment + grand total."""
+    return RL.mktsegment_rollup(load_table(spark, sf_dir, "customer"))
+
+
+def o_mktsegment_rollup() -> str:
+    return """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer GROUP BY ROLLUP(c_mktsegment)
+"""
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape: EXISTS semi-join + grouped counts."""
+    return RL.order_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def o_order_priority_counts() -> str:
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup with JSON prop extraction."""
+    return RL.events_by_hour(load_table(spark, sf_dir, "events"))
+
+
+def o_events_by_hour() -> str:
+    return """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregate (batch twin of the streaming
+    windowed aggregation)."""
+    return RL.events_tumbling(load_table(spark, sf_dir, "events"))
+
+
+def o_events_tumbling() -> str:
+    return """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join + per-nation customer aggregates."""
+    return RL.nation_customer_stats(
+        load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def o_nation_customer_stats() -> str:
+    return """
+WITH j AS (
+  SELECT n_name, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS acctbal_cents,
+       round(sum(cents)::DOUBLE / 100.0 / count(*)::DOUBLE, 6) AS avg_acctbal
+FROM j GROUP BY n_name
+"""
+
+
+def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct counts (sketch-based; rows-only check —
+    HLL estimates are engine-specific by construction)."""
+    return RL.approx_distinct_events(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
 
@@ -626,6 +842,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "multimodal_join": q_multimodal_join,
     "media_features": q_media_features,
+    # relational analytics
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
+    "customer_order_running": q_customer_order_running,
+    "mktsegment_rollup": q_mktsegment_rollup,
+    "order_priority_counts": q_order_priority_counts,
+    "events_by_hour": q_events_by_hour,
+    "events_tumbling": q_events_tumbling,
+    "nation_customer_stats": q_nation_customer_stats,
+    "approx_distinct_events": q_approx_distinct_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -652,4 +879,15 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": o_doc_fingerprint(),
     "multimodal_join": o_multimodal_join(),
     "media_features": o_media_features(),
+    "pricing_summary": o_pricing_summary(),
+    "shipping_priority": o_shipping_priority(),
+    "regional_revenue": o_regional_revenue(),
+    "customer_order_running": o_customer_order_running(),
+    "mktsegment_rollup": o_mktsegment_rollup(),
+    "order_priority_counts": o_order_priority_counts(),
+    "events_by_hour": o_events_by_hour(),
+    "events_tumbling": o_events_tumbling(),
+    "nation_customer_stats": o_nation_customer_stats(),
+    # approx_distinct_events: intentionally no oracle (HLL sketches are
+    # engine-specific); driver records the weaker rows-only check
 }

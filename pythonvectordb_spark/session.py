@@ -15,6 +15,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Cap BLAS pools before the JVM (and its Python workers) spawn: N
+# concurrent pandas-UDF tasks each opening a full-width OpenBLAS pool
+# oversubscribes the host (measured: ~3x slowdown on 32 cores).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "4")
+
 
 def get_spark(app_name: str = "pythonvectordb-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) the session.
@@ -37,5 +43,8 @@ def get_spark(app_name: str = "pythonvectordb-spark", master: str | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver testdata's events.ts is TIMESTAMP(NANOS); read as long
+        # (sources.testdata converts to a microsecond timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -9,6 +9,7 @@ pushdown into the scan for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -27,7 +28,22 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # must also work under externally-created sessions (the driver's):
+        # the conf is runtime-settable and required before the scan plans
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+        # rejects; with nanosAsLong (set in session.get_spark) it arrives
+        # as a nanosecond long. Truncating to microseconds via integer
+        # division matches DuckDB's native ns->us truncation exactly.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
