@@ -1,0 +1,153 @@
+"""Property and metamorphic tests (SURVEY.md §5): quantization error
+bounds, search-self rank, delete-then-absent, dup guards, snapshot
+roundtrip — the correctness properties the reference never tested."""
+
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from pythonvectordb_spark.operators.search import with_qvec
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    return with_qvec(load_table(spark, SF_SMOKE, "embeddings")).cache()
+
+
+def test_quantization_error_bound(spark, emb):
+    """|x_normalized - q/127| <= 1/127 per element (truncation error)."""
+    rows = emb.select("embedding", "qvec").limit(100).collect()
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        q = np.array(r.qvec, dtype=np.float64) / 127.0
+        assert np.max(np.abs(v - q)) <= 1.0 / 127.0 + 1e-12
+
+
+def test_quantization_truncates_toward_zero(spark):
+    """K3 parity detail: np.int8(3.7)==3, np.int8(-3.7)==-3 (SURVEY §2.1)."""
+    from pythonvectordb_spark.functions.vector import quantize
+
+    df = spark.createDataFrame(
+        [([0.5, -0.5, 0.0291, -0.0291],)], "v array<double>"
+    )
+    # 0.5*127=63.5 -> 63; -0.5*127=-63.5 -> -63 (toward zero, not half-even
+    # or half-up); 0.0291*127=3.6957 -> 3
+    out = df.select(quantize(F.col("v")).alias("q")).first().q
+    assert list(out) == [63, -63, 3, -3]
+
+
+def test_search_self_is_rank_one(spark, emb):
+    """Metamorphic: querying with a stored vector returns it at rank 1."""
+    from pythonvectordb_spark.operators.search import knn_search, knn_search_float
+
+    target = emb.filter(F.col("vec_id") == 3).first()
+    q = list(target.embedding)
+    top_f = knn_search_float(emb, q, k=1).first()
+    assert top_f.vec_id == 3 and top_f.score > 0.999999
+    top_q = knn_search(emb, q, k=1).first()
+    assert top_q.vec_id == 3 and top_q.score > 0.995  # int8 noise floor
+
+
+def test_zero_norm_query_scores_zero(spark, emb):
+    """K1 guard: zero query -> all scores 0 (pythonvectordb.py:46-48)."""
+    from pythonvectordb_spark.operators.search import knn_search
+
+    out = knn_search(emb, [0.0] * 64, k=5).collect()
+    assert all(r.score == 0.0 for r in out)
+
+
+def test_delete_then_absent(spark, emb):
+    """Metamorphic: deleted ids never appear in any subsequent top-k."""
+    from pythonvectordb_spark.operators.mutation import delete_vectors
+    from pythonvectordb_spark.operators.search import knn_search
+
+    target = emb.filter(F.col("vec_id") == 7).first()
+    ids = spark.createDataFrame([(7,)], "vec_id long")
+    table = delete_vectors(emb, ids)
+    assert table.count() == emb.count() - 1
+    top = knn_search(table, list(target.embedding), k=10).collect()
+    assert all(r.vec_id != 7 for r in top)
+
+
+def test_add_vectors_dup_guard(spark, emb):
+    """Reference semantics: duplicate ids raise; 'ignore' drops them."""
+    from pythonvectordb_spark.operators.mutation import add_vectors
+
+    batch = emb.select("vec_id", "embedding", "label").limit(3)
+    with pytest.raises(ValueError, match="already exist"):
+        add_vectors(emb, batch)
+    out = add_vectors(emb, batch, on_duplicate="ignore")
+    assert out.count() == emb.count()
+
+
+def test_validate_batch_rejects_bad_input(spark):
+    """Ingest guards: dim mismatch and NaN raise (pythonvectordb.py:279-285)."""
+    from pythonvectordb_spark.sources.snapshot import validate_batch
+
+    bad_dim = spark.createDataFrame(
+        [(1, [0.1] * 63)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        validate_batch(bad_dim, dim=64)
+    bad_nan = spark.createDataFrame(
+        [(1, [float("nan")] + [0.1] * 63)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        validate_batch(bad_nan, dim=64)
+    dup = spark.createDataFrame(
+        [(1, [0.1] * 64), (1, [0.2] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_batch(dup, dim=64)
+
+
+def test_snapshot_roundtrip(spark, emb, tmp_path):
+    """save -> load preserves rows exactly; version mismatch raises."""
+    import json
+
+    from pythonvectordb_spark.sources import snapshot as SN
+
+    path = str(tmp_path / "snap")
+    SN.save_snapshot(emb, path, dim=64, num_files=2)
+    back = SN.load_snapshot(spark, path, expected_dim=64)
+    assert back.count() == emb.count()
+    a = sorted((r.vec_id, tuple(r.qvec)) for r in emb.select("vec_id", "qvec").collect())
+    b = sorted((r.vec_id, tuple(r.qvec)) for r in back.select("vec_id", "qvec").collect())
+    assert a == b
+    # corrupt the version sidecar -> load must refuse
+    meta = json.load(open(f"{path}/{SN.META_FILE}"))
+    meta["version"] = "9.9.9"
+    json.dump(meta, open(f"{path}/{SN.META_FILE}", "w"))
+    with pytest.raises(ValueError, match="version"):
+        SN.load_snapshot(spark, path)
+
+
+def test_knn_join_paths_identical(spark, emb):
+    """The BLAS mapInPandas path and the expression path are bit-equal
+    (symmetric int8 scoring is exact integer arithmetic)."""
+    from pythonvectordb_spark.operators.search import knn_join
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec_query"))
+    )
+    a = sorted(tuple(r) for r in knn_join(emb, queries, k=7, method="expr").collect())
+    b = sorted(tuple(r) for r in knn_join(emb, queries, k=7, method="pandas").collect())
+    assert a == b
+
+
+def test_embedding_near_dup_paths_identical(spark):
+    from pythonvectordb_spark.operators.dedup import embedding_near_dup
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    raw = load_table(spark, SF_SMOKE, "embeddings")
+    a = sorted(tuple(r) for r in embedding_near_dup(raw, 0.4, method="expr").collect())
+    b = sorted(tuple(r) for r in embedding_near_dup(raw, 0.4, method="pandas").collect())
+    assert a == b and len(a) > 0
