@@ -1,0 +1,124 @@
+"""MLlib batch indexing (BASELINE.json: "MLlib for batch indexing,
+DataFrame for metadata").
+
+Three index builders over the vector table:
+  * KMeans codebook   -> centroids for IVF-style probed search
+    (operators.search.ann_ivf_search consumes them as literals);
+  * BucketedRandomProjectionLSH -> approx near-dup / knn join on unit
+    vectors (euclidean distance d on unit vectors <-> cosine = 1 - d^2/2);
+  * MinHashLSH over token sets -> approximate text near-dup join.
+
+These are the *approximate, index-accelerated* counterparts of the exact
+operators (embedding_near_dup, ngram_jaccard_pairs, knn_*) — at 100 TB
+the exact all-pairs paths become candidate *verifiers* behind these
+candidate *generators*. Seeds are fixed so runs are reproducible; MLlib's
+internal hashing isn't reproducible in DuckDB, so these register as
+rows-only queries while tests measure recall against the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH, NGram, RegexTokenizer
+
+try:  # Spark >= 3.1
+    from pyspark.ml.functions import array_to_vector
+except ImportError:  # pragma: no cover
+    array_to_vector = None
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pythonvectordb_spark.functions.vector import l2_normalize
+
+SEED = 42
+
+
+def _as_vec(df: DataFrame, vec_col: str, out: str = "features") -> DataFrame:
+    return df.withColumn(out, array_to_vector(l2_normalize(vec_col)))
+
+
+def train_ivf_centroids(
+    df: DataFrame, n_clusters: int = 8, vec_col: str = "embedding"
+) -> list[list[float]]:
+    """KMeans codebook for IVF search: the offline "batch indexing" step.
+
+    Returns plain python centroids so ann_ivf_search can embed them as
+    literal expressions (and partition assignment stays engine-portable).
+    """
+    feats = _as_vec(df, vec_col)
+    model = KMeans(k=n_clusters, seed=SEED, featuresCol="features").fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def brp_lsh_near_dup(
+    df: DataFrame,
+    cosine_threshold: float = 0.4,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup pairs via BucketedRandomProjectionLSH.
+
+    On L2-normalized vectors, euclidean distance d relates to cosine c by
+    c = 1 - d^2/2, so a cosine threshold t becomes d <= sqrt(2(1-t)).
+    Returns (id_a, id_b, cosine_approx) with id_a < id_b.
+    """
+    import math
+
+    feats = _as_vec(df.select(id_col, vec_col), vec_col)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=SEED,
+    ).fit(feats)
+    dist = math.sqrt(2.0 * (1.0 - cosine_threshold))
+    pairs = lsh.approxSimilarityJoin(feats, feats, dist, distCol="dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            (F.lit(1.0) - F.col("dist") * F.col("dist") / F.lit(2.0)).alias("cosine_approx"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_text_pairs(
+    df: DataFrame,
+    jaccard_threshold: float = 0.8,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Approximate text near-dup pairs via the MLlib MinHashLSH pipeline:
+    RegexTokenizer -> NGram(word n-grams) -> binary term vector ->
+    approxSimilarityJoin on Jaccard distance (1 - jaccard)."""
+    from pyspark.ml.feature import CountVectorizer
+
+    toks = RegexTokenizer(
+        inputCol=text_col, outputCol="toks", pattern=r"\s+", toLowercase=False
+    ).transform(df.select(id_col, text_col))
+    grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(toks)
+    cv = CountVectorizer(inputCol="grams", outputCol="features", binary=True).fit(grams)
+    feats = cv.transform(grams).filter(
+        F.expr("size(grams) > 0")
+    )
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=SEED
+    ).fit(feats)
+    pairs = lsh.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jdist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            (F.lit(1.0) - F.col("jdist")).alias("jaccard_approx"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )

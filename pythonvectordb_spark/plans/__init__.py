@@ -1,0 +1,7 @@
+from pythonvectordb_spark.plans.explain import (  # noqa: F401
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filter,
+    pruned_columns,
+    scan_schema,
+)

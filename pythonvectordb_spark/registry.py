@@ -811,6 +811,41 @@ def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MLlib batch indexing (rows-only checks: MLlib hashing is not
+# DuckDB-reproducible; tests/test_indexing.py measures recall vs exact)
+# --------------------------------------------------------------------------
+
+
+def q_mllib_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-codebook IVF search: MLlib batch indexing feeding the probed
+    ANN operator."""
+    from pythonvectordb_spark.indexing import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_clusters=8)
+    out = S.ann_ivf_search(emb, FX.QUERY_VEC, cents, k=10, nprobe=2)
+    return out.select("vec_id", F.round("score", 9).alias("score"))
+
+
+def q_mllib_brp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH approximate near-dup join."""
+    from pythonvectordb_spark.indexing import brp_lsh_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brp_lsh_near_dup(emb, cosine_threshold=0.45, num_hash_tables=6)
+    return out.select("id_a", "id_b", F.round("cosine_approx", 6).alias("cosine_approx"))
+
+
+def q_mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH text near-dup join."""
+    from pythonvectordb_spark.indexing import minhash_lsh_text_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_text_pairs(docs, jaccard_threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard_approx", 6).alias("jaccard_approx"))
+
+
+# --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
 
@@ -853,6 +888,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "nation_customer_stats": q_nation_customer_stats,
     "approx_distinct_events": q_approx_distinct_events,
+    # MLlib batch indexing (rows-only)
+    "mllib_ivf_search": q_mllib_ivf_search,
+    "mllib_brp_neardup": q_mllib_brp_neardup,
+    "mllib_minhash_dedup": q_mllib_minhash_dedup,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,62 @@
+"""MLlib index builders: recall measured against the exact operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_kmeans_centroids_power_ivf(spark, raw):
+    """KMeans codebook plugs into ann_ivf_search; probing half the
+    clusters must keep good recall vs brute force."""
+    from pythonvectordb_spark.indexing import train_ivf_centroids
+    from pythonvectordb_spark.operators.search import ann_ivf_search, knn_search_float
+
+    cents = train_ivf_centroids(raw, n_clusters=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    q = [float(x) for x in raw.filter(F.col("vec_id") == 11).first().embedding]
+    exact = [r.vec_id for r in knn_search_float(raw, q, k=10).collect()]
+    approx = [r.vec_id for r in ann_ivf_search(raw, q, cents, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # self + near neighbors live in probed clusters
+    assert approx[0] == 11  # the query's own row is always found
+
+
+def test_brp_lsh_finds_top_cosine_pairs(spark, raw):
+    """BRP-LSH candidates must cover most exact near-dup pairs."""
+    from pythonvectordb_spark.indexing import brp_lsh_near_dup
+    from pythonvectordb_spark.operators.dedup import embedding_near_dup
+
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup(raw, 0.45).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in brp_lsh_near_dup(raw, cosine_threshold=0.45, num_hash_tables=6).collect()
+    }
+    assert exact, "calibration: exact pair set should be non-empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} ({len(exact)} exact pairs)"
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    """MLlib MinHashLSH must recover the planted near-duplicate docs that
+    exact shingle-Jaccard finds."""
+    from pythonvectordb_spark.indexing import minhash_lsh_text_pairs
+    from pythonvectordb_spark.operators.dedup import ngram_jaccard_pairs
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert exact, "calibration: the testdata plants near-dup pairs"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_text_pairs(docs, jaccard_threshold=0.7).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} of {len(exact)} planted pairs"

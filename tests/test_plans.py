@@ -1,0 +1,70 @@
+"""Plan-shape tests: prove the physical plans are the ones a 100 TB run
+needs — pushdown, pruning, broadcast, top-k without global sort, map-side
+partial aggregation. A correct result with the wrong plan fails here."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _mods(spark):
+    global E, S, RL, load_table
+    from pythonvectordb_spark.plans import explain as E
+    from pythonvectordb_spark.operators import search as S
+    from pythonvectordb_spark.operators import relational as RL
+    from pythonvectordb_spark.sources.testdata import load_table
+
+
+def test_filtered_search_pushes_predicate(spark):
+    """The metadata predicate must reach the parquet scan (the reference
+    evaluates filter_fn row-by-row in Python; Catalyst pushes it to IO)."""
+    from pythonvectordb_spark import fixtures as FX
+
+    emb = S.with_qvec(load_table(spark, SF_SMOKE, "embeddings"))
+    q = S.knn_search(emb, FX.QUERY_VEC, k=10, pred=F.col("label") == 3)
+    assert E.has_pushed_filter(q, "label")
+
+
+def test_knn_search_uses_take_ordered(spark):
+    """top-k must be TakeOrderedAndProject (per-partition heaps + driver
+    merge — the distributed argpartition), never a global sort."""
+    from pythonvectordb_spark import fixtures as FX
+
+    emb = S.with_qvec(load_table(spark, SF_SMOKE, "embeddings"))
+    q = S.knn_search(emb, FX.QUERY_VEC, k=10)
+    assert E.has_take_ordered(q)
+
+
+def test_projection_prunes_scan(spark):
+    """A 2-column projection must not read the other columns (ReadSchema)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    pruned = E.pruned_columns(q, li.columns)
+    assert "l_extendedprice" in pruned and "l_shipdate" in pruned
+
+
+def test_q3_broadcasts_dimension(spark):
+    """shipping_priority must broadcast the filtered customer dimension."""
+    q = RL.shipping_priority(
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "lineitem"),
+    )
+    assert E.has_broadcast_join(q)
+    assert E.has_pushed_filter(q, "c_mktsegment")
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Q1 must partial-aggregate map-side before the shuffle, and push the
+    shipdate filter into the scan."""
+    q = RL.pricing_summary(load_table(spark, SF_SMOKE, "lineitem"))
+    assert E.has_partial_aggregate(q)
+    assert E.has_pushed_filter(q, "l_shipdate")
+
+
+def test_get_vector_pushes_id_filter(spark):
+    emb = S.with_qvec(load_table(spark, SF_SMOKE, "embeddings"))
+    q = S.get_vector(emb, 7)
+    assert E.has_pushed_filter(q, "vec_id")
