@@ -16,6 +16,10 @@ def _mods(spark):
     from pythonvectordb_spark.operators import relational as RL
     from pythonvectordb_spark.sources.testdata import load_table
 
+    # other test modules cache matching sub-plans (InMemoryTableScan hides
+    # the parquet scan these tests introspect) — always start uncached
+    spark.catalog.clearCache()
+
 
 def test_filtered_search_pushes_predicate(spark):
     """The metadata predicate must reach the parquet scan (the reference
