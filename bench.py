@@ -100,7 +100,7 @@ def main() -> None:
 
     S.knn_search(table, FX.QUERY_VEC, k=10).collect()
     single_ms = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         S.knn_search(table, FX.QUERY_VEC, k=10).collect()
         single_ms = min(single_ms, (time.time() - t0) * 1000)

@@ -60,8 +60,27 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 def minhash_value(seed: int, token_col: Column) -> Column:
     """One MinHash family member: md5('<seed>:' || token), compared
-    lexicographically (hex strings order identically in both engines)."""
+    lexicographically (hex strings order identically in both engines).
+    (Kept for reference/tests; the production minhash uses the two-hash
+    family below — one md5 per token instead of one per family member.)"""
     return F.md5(F.concat(F.lit(f"{seed}:"), token_col))
+
+
+# two-hash MinHash family: h_i = (A_i*h1 + B_i*h2) mod P, with h1/h2 the
+# two 32-bit halves of one md5. P = 2^61-1 (Mersenne); A_i < 2^28 keeps
+# A_i*h1 < 2^60, so the sum stays inside a signed 64-bit long.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) constants for the two-hash family."""
+    import numpy as np
+
+    rng = np.random.default_rng(20240813)
+    return [
+        (int(rng.integers(1, 1 << 28)), int(rng.integers(0, 1 << 28)))
+        for _ in range(num_hashes)
+    ]
 
 
 def hash32(token_col: Column) -> Column:

@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pythonvectordb_spark.functions.text import (
+    MINHASH_P,
     hash32,
-    minhash_value,
+    minhash_params,
     shingles,
 )
 from pythonvectordb_spark.functions.vector import cosine_similarity
@@ -55,7 +56,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    from pythonvectordb_spark.util import ensure_parallelism
+
+    # shingling is the CPU-heavy per-row step; make sure it isn't bound to
+    # a single input partition (one small parquet file = one core)
+    return ensure_parallelism(df).select(F.col(id_col), shingles(text_col, n).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -126,8 +131,23 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sh = _shingled(df, text_col, id_col, n)
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    sig = inv.groupBy(id_col).agg(
-        *[F.min(minhash_value(i, F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    # one md5 per shingle, split into two 32-bit ints; the hash family is
+    # h_i = (A_i*h1 + B_i*h2) mod (2^61-1) — standard two-hash MinHash
+    # construction, 6x cheaper than num_hashes md5 calls per row and
+    # mirrorable in SQL (constants from minhash_params)
+    hashed = inv.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    params = minhash_params(num_hashes)
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(MINHASH_P)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
     )
     band_frames = []
     for b in range(bands):
@@ -176,8 +196,11 @@ def simhash_fingerprints(
     inv = _shingled(df, text_col, id_col, n).select(
         F.col(id_col), F.explode("sh").alias("shingle")
     )
-    h = hash32(F.col("shingle"))
-    votes = inv.groupBy(id_col).agg(
+    # materialize the 32-bit hash ONCE per row; the 32 bit-vote aggregates
+    # then read a long column instead of each recomputing md5+conv
+    hashed = inv.select(F.col(id_col), hash32(F.col("shingle")).alias("h"))
+    h = F.col("h")
+    votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

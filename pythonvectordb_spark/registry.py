@@ -390,15 +390,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_dedup_minhash_lsh() -> str:
-    sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(12))
+    from pythonvectordb_spark.functions.text import MINHASH_P, minhash_params
+
+    params = minhash_params(12)
+    sigs = ", ".join(
+        f"min(({a}::BIGINT * h1 + {b}::BIGINT * h2) % {MINHASH_P}::BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
     bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, md5(h{b * 3} || '|' || h{b * 3 + 1} || '|' || h{b * 3 + 2}) AS bkey FROM sig"
+        f"SELECT doc_id, {b} AS band, md5(h{b * 3}::VARCHAR || '|' || h{b * 3 + 1}::VARCHAR || '|' || h{b * 3 + 2}::VARCHAR) AS bkey FROM sig"
         for b in range(4)
     )
     return f"""
 WITH {_SH_CTE},
 inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-sig AS (SELECT doc_id, {sigs} FROM inv GROUP BY doc_id),
+hashed AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+           FROM inv),
+sig AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id),
 banded AS ({bands}),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
