@@ -27,6 +27,37 @@ def vector_stats(table: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
     )
 
 
+def label_centroids(table: DataFrame, id_col: str = "vec_id", qvec_col: str = "qvec") -> DataFrame:
+    """Per-label centroid of quantized vectors via applyInPandas (grouped-
+    map, SURVEY §2.11): each group's int8 matrix is reduced with one numpy
+    integer sum — exact, so the output is engine-reproducible.
+
+    Output: (label, n_vectors, centroid_checksum) where the checksum is
+    sum_j (j+1) * sum_i qvec[i][j] — an exact-integer fingerprint of the
+    (unnormalized) centroid numerator.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qv = qvec_col
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.vstack(pdf[qv].to_numpy()).astype(np.int64)
+        col_sums = M.sum(axis=0)
+        weights = np.arange(1, M.shape[1] + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "centroid_checksum": [int((weights * col_sums).sum())],
+            }
+        )
+
+    return table.select("label", qv).groupBy("label").applyInPandas(
+        centroid, schema="label int, n_vectors long, centroid_checksum long"
+    )
+
+
 def latency_stats(latency_df: DataFrame, ms_col: str = "ms") -> DataFrame:
     """avg/p50/p95/p99/qps over a latency log (reference get_stats
     percentiles, pythonvectordb.py:543-553)."""

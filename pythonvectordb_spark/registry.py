@@ -151,16 +151,75 @@ FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
 
 
 def q_get_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point lookup + dequantize (reference get_vector)."""
-    return S.get_vector(_emb(spark, sf_dir), 7)
+    """Point lookup + dequantize (reference get_vector), exploded to
+    scalar (vec_id, idx, val) rows — array-free output shape."""
+    v = S.get_vector(_emb(spark, sf_dir), 7)
+    return v.select(
+        "vec_id", F.posexplode("vector").alias("idx", "val")
+    ).select("vec_id", F.col("idx").cast("int").alias("idx"), "val")
 
 
 def o_get_vector() -> str:
     qv = O.sql_qvec("embedding")
     return f"""
-SELECT vec_id, list_transform({qv}, x -> x::DOUBLE / 127.0) AS vector
-FROM embeddings WHERE vec_id = 7
+SELECT vec_id, CAST(u.idx AS INT) AS idx, u.val AS val
+FROM (
+  SELECT vec_id,
+         unnest(list_transform({qv}, (x, i) -> {{'idx': i - 1, 'val': x::DOUBLE / 127.0}})) AS u
+  FROM embeddings WHERE vec_id = 7
+)
 """
+
+
+def q_normalize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 standalone: per-row norm and sequential-fold sum of the
+    normalized vector (deterministic doubles)."""
+    from pythonvectordb_spark.functions.vector import l2_norm, l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = l2_normalize("embedding")
+    seq_sum = F.aggregate(nv, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 9).alias("raw_norm"),
+        F.round(seq_sum, 9).alias("normalized_sum"),
+    )
+
+
+def o_normalize_vectors() -> str:
+    nrm = O.sql_l2_norm("embedding")
+    return f"""
+SELECT vec_id,
+       round({nrm}, 9) AS raw_norm,
+       round(list_aggregate(list_transform(embedding, x -> x::DOUBLE / {nrm}), 'sum'), 9) AS normalized_sum
+FROM embeddings
+"""
+
+
+def q_upsert_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (delete-then-insert): 2 replaced ids + 1 new, fingerprinted."""
+    table = _emb(spark, sf_dir)
+    batch_rows = [
+        (3, [float(x) for x in FX._seeded_unit(7001)], 1),
+        (4, [float(x) for x in FX._seeded_unit(7002)], 1),
+        (9000010, [float(x) for x in FX._seeded_unit(7003)], 1),
+    ]
+    batch = spark.createDataFrame(batch_rows, _BATCH_SCHEMA)
+    return _fingerprint(M.upsert_vectors(table, batch))
+
+
+def o_upsert_vectors() -> str:
+    rows = ", ".join(
+        f"({i}::BIGINT, [{', '.join(repr(float(x)) for x in FX._seeded_unit(seed))}]::DOUBLE[], 1::INT)"
+        for i, seed in ((3, 7001), (4, 7002), (9000010, 7003))
+    )
+    return _sql_fingerprint(
+        f"""(
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id NOT IN (3, 4, 9000010)
+  UNION ALL
+  SELECT vec_id, embedding FROM (VALUES {rows}) AS t(vec_id, embedding, label)
+)"""
+    )
 
 
 def q_quantize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +879,111 @@ def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RL.approx_distinct_events(load_table(spark, sf_dir, "events"))
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event values per event_type
+    (SURVEY §2.9 latency-percentile analogue, exact `percentile` not the
+    approx sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def o_value_percentiles() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value::DOUBLE, 0.25), 6) AS p25,
+       round(quantile_cont(value::DOUBLE, 0.5), 6) AS p50,
+       round(quantile_cont(value::DOUBLE, 0.95), 6) AS p95,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all grouping-set combinations."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    return (
+        ev.withColumn("day_epoch", day)
+        .cube("event_type", "day_epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def o_events_cube() -> str:
+    return """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY CUBE(event_type, CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))
+"""
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra (SURVEY §2.7): customers with orders in BOTH halves of
+    the date range (intersect) and customers with NO orders (except)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = early.intersect(late).withColumn("kind", F.lit("both_periods"))
+    never = (
+        cust.select("c_custkey")
+        .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")).distinct())
+        .withColumn("kind", F.lit("no_orders"))
+    )
+    return both.unionByName(never)
+
+
+def o_customer_set_ops() -> str:
+    return """
+SELECT c_custkey, 'both_periods' AS kind FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS kind FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders
+)
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-label centroid fingerprint (exact
+    integer reduction, engine-reproducible)."""
+    return ST.label_centroids(_emb(spark, sf_dir))
+
+
+def o_label_centroids() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH q AS (SELECT label, {qv} AS qvec FROM embeddings)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(list_aggregate(list_transform(qvec, (x, i) -> x::BIGINT * i), 'sum')) AS BIGINT) AS centroid_checksum
+FROM q GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # MLlib batch indexing (rows-only checks: MLlib hashing is not
 # DuckDB-reproducible; tests/test_indexing.py measures recall vs exact)
@@ -871,7 +1035,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "add_vectors": q_add_vectors,
     "delete_vectors": q_delete_vectors,
+    "upsert_vectors": q_upsert_vectors,
+    "normalize_vectors": q_normalize_vectors,
     "vector_stats": q_vector_stats,
+    "label_centroids": q_label_centroids,
     # dedup surface
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -898,6 +1065,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "nation_customer_stats": q_nation_customer_stats,
     "approx_distinct_events": q_approx_distinct_events,
+    "value_percentiles": q_value_percentiles,
+    "events_cube": q_events_cube,
+    "customer_set_ops": q_customer_set_ops,
     # MLlib batch indexing (rows-only)
     "mllib_ivf_search": q_mllib_ivf_search,
     "mllib_brp_neardup": q_mllib_brp_neardup,
@@ -915,7 +1085,10 @@ ORACLES: dict[str, str] = {
     "ann_ivf": o_ann_ivf(),
     "add_vectors": o_add_vectors(),
     "delete_vectors": o_delete_vectors(),
+    "upsert_vectors": o_upsert_vectors(),
+    "normalize_vectors": o_normalize_vectors(),
     "vector_stats": o_vector_stats(),
+    "label_centroids": o_label_centroids(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
@@ -937,6 +1110,9 @@ ORACLES: dict[str, str] = {
     "events_by_hour": o_events_by_hour(),
     "events_tumbling": o_events_tumbling(),
     "nation_customer_stats": o_nation_customer_stats(),
-    # approx_distinct_events: intentionally no oracle (HLL sketches are
-    # engine-specific); driver records the weaker rows-only check
+    "value_percentiles": o_value_percentiles(),
+    "events_cube": o_events_cube(),
+    "customer_set_ops": o_customer_set_ops(),
+    # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
+    # MLlib hashing are engine-specific); driver records rows-only checks
 }
