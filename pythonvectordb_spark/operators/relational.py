@@ -141,6 +141,27 @@ def regional_revenue(
     )
 
 
+def forecast_revenue(lineitem: DataFrame, year: str = "1996") -> DataFrame:
+    """TPC-H Q6 shape: one-pass filtered global aggregate. The discount
+    band compares on integer cents (doubles at band edges are exact 2dp
+    but integer comparison removes any doubt)."""
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp"))
+            & d100.between(5, 7)
+            & (qty < 24)
+        )
+        .agg(
+            F.sum(e100 * d100).cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 def customer_order_running(orders: DataFrame) -> DataFrame:
     """Window functions: per-customer order sequence + running spend.
 

@@ -83,6 +83,35 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def tfidf_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF per (document, term): tf * (ln((N+1)/(df+1)) + 1) — the
+    smoothed-idf formula, computed with exact integer tf/df so only the
+    final ln/multiply are floating point (deterministic, rounded).
+
+    Plan shape: one explode + two grouped aggregations + a broadcast-able
+    term-dimension join; no Python, scales linearly in corpus size.
+    """
+    from pythonvectordb_spark.util import ensure_parallelism
+
+    n_docs = df.count()
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical-text fingerprint: md5 over normalized text + byte length.
 

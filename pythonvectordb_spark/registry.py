@@ -644,6 +644,28 @@ FROM documents
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term) with smoothed idf (exact tf/df ints)."""
+    return TX.tfidf_terms(load_table(spark, sf_dir, "documents"))
+
+
+def o_tfidf_terms() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({O.sql_tokens('text')}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       round(tf.tf::DOUBLE * (ln((n.n_docs + 1) / (dfreq.df + 1)::DOUBLE) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+"""
+
+
 def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings: one multimodal row (text + vector + scalars)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -770,6 +792,23 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
 GROUP BY n_name
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape single-pass filtered aggregate."""
+    return RL.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def o_forecast_revenue() -> str:
+    return """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24
 """
 
 
@@ -1051,11 +1090,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_terms": q_tfidf_terms,
     # multimodal
     "multimodal_join": q_multimodal_join,
     "media_features": q_media_features,
     # relational analytics
     "pricing_summary": q_pricing_summary,
+    "forecast_revenue": q_forecast_revenue,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "customer_order_running": q_customer_order_running,
@@ -1099,9 +1140,11 @@ ORACLES: dict[str, str] = {
     "text_quality": o_text_quality(),
     "lang_id": o_lang_id(),
     "doc_fingerprint": o_doc_fingerprint(),
+    "tfidf_terms": o_tfidf_terms(),
     "multimodal_join": o_multimodal_join(),
     "media_features": o_media_features(),
     "pricing_summary": o_pricing_summary(),
+    "forecast_revenue": o_forecast_revenue(),
     "shipping_priority": o_shipping_priority(),
     "regional_revenue": o_regional_revenue(),
     "customer_order_running": o_customer_order_running(),
