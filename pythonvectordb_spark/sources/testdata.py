@@ -28,6 +28,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Queries parse timestamp literals and render dates in the SESSION
+    # timezone; the DuckDB oracle is timezone-naive. Under an externally
+    # created session (the driver's) a non-UTC zone would shift date
+    # filters/formatting — pin UTC before any plan is built.
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # must also work under externally-created sessions (the driver's):
         # the conf is runtime-settable and required before the scan plans
