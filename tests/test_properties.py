@@ -143,6 +143,26 @@ def test_knn_join_paths_identical(spark, emb):
     assert a == b
 
 
+def test_shingle_implementations_identical(spark):
+    """The Pandas-UDF shingler must produce exactly the expression
+    version's output (strings and first-occurrence order)."""
+    from pythonvectordb_spark.functions.text import shingles, shingles_fast
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    both = docs.select(
+        "doc_id",
+        shingles("text").alias("a"),
+        shingles_fast("text").alias("b"),
+    ).collect()
+    for r in both:
+        assert list(r.a) == list(r.b), f"doc {r.doc_id}"
+    # edge: short document -> empty shingles in both
+    edge = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    r = edge.select(shingles("text").alias("a"), shingles_fast("text").alias("b")).first()
+    assert list(r.a) == [] and list(r.b) == []
+
+
 def test_embedding_near_dup_paths_identical(spark):
     from pythonvectordb_spark.operators.dedup import embedding_near_dup
     from pythonvectordb_spark.sources.testdata import load_table
