@@ -10,8 +10,39 @@ from a latency log table when one is supplied (the reference keeps a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import time
+from collections import deque
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+MAX_LATENCIES = 100  # the reference's ring-buffer size (pythonvectordb.py:21)
+
+
+class LatencyLog:
+    """Driver-side search-latency ring buffer (reference search timing,
+    pythonvectordb.py:234,399-400): the last MAX_LATENCIES wall times.
+
+    Spark jobs are driver-coordinated, so per-query wall time is a
+    driver-side measurement; stats over the log run as a (tiny) DataFrame
+    aggregation so the percentile machinery is the engine's own.
+    """
+
+    def __init__(self, maxlen: int = MAX_LATENCIES) -> None:
+        self._buf: deque[float] = deque(maxlen=maxlen)
+
+    def time(self, df: DataFrame) -> list:
+        """Execute (collect) a query DataFrame, recording wall time."""
+        t0 = time.time()
+        rows = df.collect()
+        self._buf.append((time.time() - t0) * 1000.0)
+        return rows
+
+    def stats(self, spark: SparkSession) -> DataFrame:
+        """Latency percentiles as a one-row DataFrame (get_stats
+        analogue, pythonvectordb.py:543-553)."""
+        data = [(float(x),) for x in self._buf] or [(0.0,)]
+        return latency_stats(spark.createDataFrame(data, "ms double"))
 
 
 def vector_stats(table: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -795,6 +795,35 @@ GROUP BY n_name
 """
 
 
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand part stats incl. conditional aggregation (CASE inside
+    SUM) and string predicates."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).cast("long").alias(
+            "retail_cents"
+        ),
+        F.min("p_size").cast("int").alias("min_size"),
+        F.max("p_size").cast("int").alias("max_size"),
+        F.sum(F.when(F.col("p_type").contains("BRASS"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_brass"),
+    )
+
+
+def o_part_brand_stats() -> str:
+    return """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents,
+       CAST(min(p_size) AS INT) AS min_size,
+       CAST(max(p_size) AS INT) AS max_size,
+       CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brass
+FROM part GROUP BY p_brand
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shape single-pass filtered aggregate."""
     return RL.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
@@ -1096,6 +1125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     # relational analytics
     "pricing_summary": q_pricing_summary,
+    "part_brand_stats": q_part_brand_stats,
     "forecast_revenue": q_forecast_revenue,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
@@ -1144,6 +1174,7 @@ ORACLES: dict[str, str] = {
     "multimodal_join": o_multimodal_join(),
     "media_features": o_media_features(),
     "pricing_summary": o_pricing_summary(),
+    "part_brand_stats": o_part_brand_stats(),
     "forecast_revenue": o_forecast_revenue(),
     "shipping_priority": o_shipping_priority(),
     "regional_revenue": o_regional_revenue(),

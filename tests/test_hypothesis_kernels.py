@@ -1,0 +1,70 @@
+"""Property-based kernel tests (hypothesis): the Spark expressions must
+agree with an independent numpy model of the reference semantics on
+arbitrary inputs — including adversarial ones (zeros, tiny/huge values,
+exact quantization boundaries)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+DIM = 8  # small dim keeps each example cheap; semantics don't depend on dim
+
+
+def _np_normalize(v: np.ndarray) -> np.ndarray:
+    """Reference K2 model: L2 normalize, zero rows stay zero."""
+    n = math.sqrt(float((v.astype(np.float64) ** 2).sum()))
+    if n < 1e-10:
+        return np.zeros_like(v, dtype=np.float64)
+    return v.astype(np.float64) / n
+
+
+def _np_quantize(v: np.ndarray) -> list[int]:
+    """Reference K3 model: clamp(x*127) truncated toward zero."""
+    out = []
+    for x in _np_normalize(v):
+        val = max(-128.0, min(127.0, x * 127.0))
+        out.append(int(val))  # python int() truncates toward zero
+    return out
+
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+vectors = st.lists(finite_floats, min_size=DIM, max_size=DIM)
+
+
+@settings(max_examples=20, deadline=None)
+@given(vec=vectors)
+def test_quantize_matches_numpy_model(spark, vec):
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+
+    df = spark.createDataFrame([(vec,)], f"v array<float>")
+    got = df.select(quantize(l2_normalize(F.col("v"))).alias("q")).first().q
+    want = _np_quantize(np.array(vec, dtype=np.float32))
+    assert list(got) == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(vec=vectors, qvec=st.lists(st.integers(-128, 127), min_size=DIM, max_size=DIM))
+def test_int8_cosine_matches_numpy_model(spark, vec, qvec):
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.functions.vector import cosine_similarity_int8
+
+    df = spark.createDataFrame([(qvec,)], "qv array<tinyint>")
+    qcol = F.array(*[F.lit(float(np.float32(x))) for x in vec])
+    got = df.select(cosine_similarity_int8(qcol, F.col("qv")).alias("s")).first().s
+
+    q = np.array([float(np.float32(x)) for x in vec], dtype=np.float64)
+    v = np.array(qvec, dtype=np.float64)
+    qn = math.sqrt(float((q * q).sum()))
+    vn = math.sqrt(float((v * v).sum()))
+    if qn < 1e-10 or vn == 0.0:
+        want = 0.0
+    else:
+        want = float(np.dot(q, v)) / (qn * vn)
+    assert got == pytest.approx(want, abs=1e-12)

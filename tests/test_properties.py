@@ -143,6 +143,22 @@ def test_knn_join_paths_identical(spark, emb):
     assert a == b
 
 
+def test_latency_log_stats(spark, emb):
+    """§2.9 observability: timed searches fill the ring buffer; stats
+    aggregate it (avg/p50/p95/p99/qps like the reference get_stats)."""
+    from pythonvectordb_spark.operators.search import knn_search
+    from pythonvectordb_spark.operators.stats import LatencyLog
+
+    log = LatencyLog(maxlen=5)
+    q = list(emb.first().embedding)
+    for _ in range(7):  # overflow the ring: only last 5 retained
+        rows = log.time(knn_search(emb, q, k=3))
+        assert len(rows) == 3
+    assert len(log._buf) == 5
+    s = log.stats(spark).first()
+    assert s.avg_ms > 0 and s.p99_ms >= s.p50_ms and s.qps_est > 0
+
+
 def test_shingle_implementations_identical(spark):
     """The Pandas-UDF shingler must produce exactly the expression
     version's output (strings and first-occurrence order)."""
