@@ -270,6 +270,70 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation (the distributed union-find): each round every
+    node takes the min of its own label and its neighbors' labels;
+    converged when nothing changes.
+
+    Rounds needed = graph diameter (near-dup components are tiny cliques/
+    chains, so 2-3 rounds in practice); each round is one join + one
+    aggregation, lineage truncated per round via localCheckpoint so plans
+    stay bounded. Returns (node, component) with component = min node id
+    reachable.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("component")
+        )
+        proposed = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            proposed.join(
+                labels.withColumnRenamed("component", "old"), "node"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = proposed
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup resolution: collapse each near-dup component to its smallest
+    id (SURVEY §2.12 "connected-component pick-one"). Returns every row of
+    ``df`` with its component id and a survivor flag; filtering on
+    ``is_survivor`` yields the deduplicated corpus."""
+    comp = connected_components(pairs)
+    out = df.select(F.col(id_col)).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    ).withColumn("is_survivor", F.col(id_col) == F.col("component"))
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.4,

@@ -558,6 +558,103 @@ WHERE {cos} >= 0.4
 """
 
 
+_EDGES_SQL = f"""
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+edges AS (SELECT id_a, id_b FROM pairs WHERE {_JACCARD} >= 0.8)
+"""
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: connected components over the >=0.8 Jaccard pair
+    graph (iterative min-label propagation), every doc labeled with its
+    component and survivor flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8)
+    return DD.resolve_duplicates(docs, pairs)
+
+
+def o_dedup_resolve() -> str:
+    # independent implementation: transitive closure via recursive CTE
+    return f"""
+WITH RECURSIVE {_SH_CTE},
+{_EDGES_SQL},
+sym(a, b) AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(comp.component, d.doc_id) AS component,
+       (d.doc_id = coalesce(comp.component, d.doc_id)) AS is_survivor
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+"""
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: quality-filter ->
+    dedup (component survivors) -> join embeddings. The flagship
+    demonstration that the operators compose as DataFrames."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    quality = TX.text_quality(docs).filter(F.col("quality_score") >= 0.5)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8)
+    resolved = DD.resolve_duplicates(docs, pairs).filter(F.col("is_survivor"))
+    return (
+        quality.join(resolved.select("doc_id"), "doc_id")
+        .join(emb, quality.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "label",
+            "n_tokens",
+            F.col("quality_score"),
+        )
+    )
+
+
+def o_pipeline_clean_corpus() -> str:
+    stop = O.sql_stopword_filter("toks", STOPWORDS)
+    return f"""
+WITH RECURSIVE {_SH_CTE},
+{_EDGES_SQL},
+sym(a, b) AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+survivors AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+  WHERE d.doc_id = coalesce(comp.component, d.doc_id)
+),
+q AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         len(toks)::DOUBLE AS n_tok,
+         len({stop})::DOUBLE AS n_stop,
+         len(list_distinct(toks))::DOUBLE AS n_uniq
+  FROM (SELECT doc_id, {O.sql_tokens('text')} AS toks FROM documents)
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         round(least(n_tok / 50.0, 1.0) * 0.4 + (n_uniq / n_tok) * 0.4
+               + (1.0 - n_stop / n_tok) * 0.2, 9) AS quality_score
+  FROM q WHERE n_tok > 0
+)
+SELECT s.doc_id, e.label, s.n_tokens, s.quality_score
+FROM scored s
+JOIN survivors USING (doc_id)
+JOIN embeddings e ON s.doc_id = e.vec_id
+WHERE s.quality_score >= 0.5
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + distinct + chars)."""
     return TX.token_counts(load_table(spark, sf_dir, "documents"))
@@ -1114,6 +1211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_resolve": q_dedup_resolve,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     # text analysis
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
@@ -1166,6 +1265,8 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": o_simhash_fingerprints(),
     "dedup_simhash": o_dedup_simhash(),
     "dedup_embedding": o_dedup_embedding(),
+    "dedup_resolve": o_dedup_resolve(),
+    "pipeline_clean_corpus": o_pipeline_clean_corpus(),
     "token_counts": o_token_counts(),
     "text_quality": o_text_quality(),
     "lang_id": o_lang_id(),

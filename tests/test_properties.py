@@ -143,6 +143,24 @@ def test_knn_join_paths_identical(spark, emb):
     assert a == b
 
 
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must handle transitive chains (a-b, b-c) and
+    leave singletons alone."""
+    from pythonvectordb_spark.operators.dedup import connected_components, resolve_duplicates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "doc_id long")
+    resolved = resolve_duplicates(docs, pairs)
+    survivors = sorted(r.doc_id for r in resolved.filter("is_survivor").collect())
+    assert survivors == [1, 10, 20, 99]  # 99 untouched singleton survives
+
+
 def test_latency_log_stats(spark, emb):
     """§2.9 observability: timed searches fill the ring buffer; stats
     aggregate it (avg/p50/p95/p99/qps like the reference get_stats)."""
