@@ -15,3 +15,40 @@ Design stance (SURVEY.md §7):
 __version__ = "0.1.0"
 
 from pythonvectordb_spark.session import get_spark  # noqa: F401
+from pythonvectordb_spark.functions.vector import (  # noqa: F401
+    cosine_similarity,
+    cosine_similarity_int8,
+    cosine_similarity_int8_sym,
+    dequantize,
+    l2_normalize,
+    quantize,
+)
+from pythonvectordb_spark.operators.search import (  # noqa: F401
+    ann_ivf_search,
+    ann_lsh_search,
+    get_vector,
+    knn_join,
+    knn_search,
+    knn_search_float,
+    with_qvec,
+)
+from pythonvectordb_spark.operators.mutation import (  # noqa: F401
+    add_vectors,
+    delete_vectors,
+    upsert_vectors,
+)
+from pythonvectordb_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    dedup_exact,
+    embedding_near_dup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    resolve_duplicates,
+    simhash_pairs,
+)
+from pythonvectordb_spark.sources.snapshot import (  # noqa: F401
+    build_vector_table,
+    load_snapshot,
+    save_snapshot,
+    validate_batch,
+)
