@@ -288,6 +288,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once: every propagation round joins against edges,
+        # and without this the (possibly expensive) pair derivation would
+        # re-execute per round
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -31,12 +31,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Queries parse timestamp literals and render dates in the SESSION
     # timezone; the DuckDB oracle is timezone-naive. Under an externally
     # created session (the driver's) a non-UTC zone would shift date
-    # filters/formatting — pin UTC before any plan is built.
-    try:
-        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    # filters/formatting — pin UTC before any plan is built. Also apply
+    # the engine's runtime-settable tuning (harmless if already set).
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.shuffle.partitions", "32"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
     if name == "events":
         # must also work under externally-created sessions (the driver's):
         # the conf is runtime-settable and required before the scan plans
