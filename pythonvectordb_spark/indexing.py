@@ -51,6 +51,59 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: the vector table written as parquet
+    PARTITIONED BY its nearest-centroid assignment, with the int8 qvec
+    precomputed.
+
+    At query time, probing n clusters means scanning n partition
+    directories — candidate selection becomes Catalyst *partition
+    pruning* (visible as PartitionFilters in the plan), the same physical
+    trick every warehouse uses for date pruning. This is the "MLlib for
+    batch indexing" shape: KMeans offline -> partitioned layout -> pruned
+    online scans.
+    """
+    from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+    from pythonvectordb_spark.operators.search import ivf_cluster_id
+
+    out = (
+        df.withColumn("cluster_id", ivf_cluster_id(vec_col, centroids))
+        .withColumn("qvec", quantize(l2_normalize(vec_col)))
+    )
+    out.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def ann_ivf_search_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probed search over a materialized IVF index: the cluster filter is
+    a partition predicate, so only the probed directories are read."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.functions.vector import cosine_similarity
+    from pythonvectordb_spark.operators.search import _query_lit, ivf_probe
+
+    probe = ivf_probe(query, centroids, nprobe)
+    df = spark.read.parquet(index_path).filter(F.col("cluster_id").isin(probe))
+    scored = df.select(
+        F.col(id_col), cosine_similarity(_query_lit(query), vec_col).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def brp_lsh_near_dup(
     df: DataFrame,
     cosine_threshold: float = 0.4,

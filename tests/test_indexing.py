@@ -29,6 +29,31 @@ def test_kmeans_centroids_power_ivf(spark, raw):
     assert approx[0] == 11  # the query's own row is always found
 
 
+def test_materialized_ivf_index_prunes_partitions(spark, raw, tmp_path):
+    """The materialized IVF index must (a) return the same results as the
+    inline IVF operator and (b) plan the probe as partition pruning —
+    only the probed cluster directories are read."""
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.indexing import ann_ivf_search_indexed, build_ivf_index
+    from pythonvectordb_spark.operators.search import ann_ivf_search
+    from pythonvectordb_spark.plans.explain import explain_str
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(raw, FX.CENTROIDS, path)
+
+    q = ann_ivf_search_indexed(spark, path, FX.QUERY_VEC, FX.CENTROIDS, k=10, nprobe=2)
+    inline = ann_ivf_search(raw, FX.QUERY_VEC, FX.CENTROIDS, k=10, nprobe=2)
+    got = [(r.vec_id, round(r.score, 9)) for r in q.collect()]
+    want = [(r.vec_id, round(r.score, 9)) for r in inline.collect()]
+    assert got == want
+
+    txt = explain_str(q)
+    assert "PartitionFilters" in txt
+    # the cluster predicate must be a partition filter, not a data filter
+    pf = txt.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cluster_id" in pf
+
+
 def test_brp_lsh_finds_top_cosine_pairs(spark, raw):
     """BRP-LSH candidates must cover most exact near-dup pairs."""
     from pythonvectordb_spark.indexing import brp_lsh_near_dup
