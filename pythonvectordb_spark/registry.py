@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -1132,6 +1134,72 @@ SELECT c_custkey, 'no_orders' AS kind FROM (
 """
 
 
+def q_udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, §2.11): explodes each document into
+    per-token rows with positions — deterministic string ops, so even the
+    UDTF path is oracle-checked."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string, token_len int")
+    class TokenStats:
+        def eval(self, doc_id, text):
+            pos = 0
+            for tok in text.split(" "):
+                if tok:
+                    yield doc_id, pos, tok, len(tok)
+                    pos += 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("token_stats", TokenStats)
+    return spark.sql(
+        "SELECT t.* FROM _udtf_docs d, LATERAL token_stats(d.doc_id, d.text) t"
+    )
+
+
+def o_udtf_token_stats() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(u.pos AS INT) AS pos,
+       u.token AS token,
+       CAST(length(u.token) AS INT) AS token_len
+FROM (
+  SELECT doc_id,
+         unnest(list_transform({O.sql_tokens('text')}, (x, i) -> {{'pos': i - 1, 'token': x}})) AS u
+  FROM documents
+)
+"""
+
+
+def q_label_qsum_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (§2.11): per-label exact integer sum
+    of per-row qvec sums, computed in numpy over Arrow batches."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def qsum_agg(qsums: pd.Series) -> "int":
+        return int(np.asarray(qsums, dtype=np.int64).sum())
+
+    df = _emb(spark, sf_dir)
+    per_row = F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+    return (
+        df.select("label", per_row.alias("q_sum"))
+        .groupBy("label")
+        .agg(qsum_agg(F.col("q_sum")).alias("label_qsum"))
+        .select(F.col("label").cast("int").alias("label"), "label_qsum")
+    )
+
+
+def o_label_qsum_grouped_agg() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+SELECT CAST(label AS INT) AS label,
+       CAST(sum(list_aggregate(list_transform({qv}, x -> x::BIGINT), 'sum')) AS BIGINT) AS label_qsum
+FROM embeddings GROUP BY label
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-label centroid fingerprint (exact
     integer reduction, engine-reproducible)."""
@@ -1204,6 +1272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_vectors": q_normalize_vectors,
     "vector_stats": q_vector_stats,
     "label_centroids": q_label_centroids,
+    "udtf_token_stats": q_udtf_token_stats,
+    "label_qsum_grouped_agg": q_label_qsum_grouped_agg,
     # dedup surface
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1259,6 +1329,8 @@ ORACLES: dict[str, str] = {
     "normalize_vectors": o_normalize_vectors(),
     "vector_stats": o_vector_stats(),
     "label_centroids": o_label_centroids(),
+    "udtf_token_stats": o_udtf_token_stats(),
+    "label_qsum_grouped_agg": o_label_qsum_grouped_agg(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
