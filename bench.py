@@ -71,11 +71,13 @@ def main() -> None:
         .withColumn("vec_id", F.col("vec_id") * replicas + F.col("rep"))
         .drop("rep")
     )
-    # 8 partitions: int8 payload is ~3 MB at 50k x 64, so fewer/bigger
-    # partitions = bigger per-task BLAS matmuls and less scheduling; on a
-    # real cluster the same operator runs over however many partitions the
-    # table has (scores are partition-local, merge is a tiny window top-k)
-    table = S.with_qvec(tiled).repartition(8).persist()
+    # 16 partitions measured best on local[32]: BLAS (capped at 4 threads)
+    # runs during the matmul but the per-query top-k loop is single-threaded
+    # Python per task, so 16 concurrent tasks keep the cores busy through
+    # both phases (8 parts ~830 qps, 16 parts ~2100 qps, 32 noisy). On a
+    # real cluster the operator runs over however many partitions the table
+    # has — scores are partition-local, the merge is a tiny window top-k.
+    table = S.with_qvec(tiled).repartition(16).persist()
     n_vec = table.count()  # materialize cache (the reference is in-memory too)
 
     n_queries = 4096
