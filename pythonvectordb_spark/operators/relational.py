@@ -162,6 +162,77 @@ def forecast_revenue(lineitem: DataFrame, year: str = "1996") -> DataFrame:
     )
 
 
+def bilateral_trade(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: revenue by (supplier nation, customer nation, year)
+    — two aliased broadcast joins of the same dimension."""
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    revenue_e4 = e100 * (F.lit(100).cast("long") - d100)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(revenue_e4).cast("long").alias("revenue_e4"))
+    )
+
+
+def customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, including
+    zero-order customers (left outer join + double aggregation)."""
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def brand_revenue_share(lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q14 shape: one brand's share of total revenue — conditional
+    aggregation with an exact-integer numerator/denominator and a single
+    deterministic division."""
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    revenue_e4 = e100 * (F.lit(100).cast("long") - d100)
+    j = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_brand") == brand, revenue_e4).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("brand_revenue_e4"),
+        F.sum(revenue_e4).cast("long").alias("total_revenue_e4"),
+    )
+    return agg.withColumn(
+        "brand_share_pct",
+        F.round(
+            F.lit(100.0) * F.col("brand_revenue_e4").cast("double")
+            / F.col("total_revenue_e4").cast("double"),
+            6,
+        ),
+    )
+
+
 def customer_order_running(orders: DataFrame) -> DataFrame:
     """Window functions: per-customer order sequence + running spend.
 

@@ -956,6 +956,78 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape: revenue by supplier nation x customer nation x year."""
+    return RL.bilateral_trade(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def o_bilateral_trade() -> str:
+    return """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape: customers histogrammed by order count (left outer
+    join keeps zero-order customers)."""
+    return RL.customer_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def o_customer_distribution() -> str:
+    return """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape: one brand's revenue share (conditional agg +
+    deterministic division)."""
+    return RL.brand_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_brand_revenue_share() -> str:
+    return """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_brand = 'Brand#1'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS BIGINT) AS brand_revenue_e4,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT brand_revenue_e4, total_revenue_e4,
+       round(100.0 * brand_revenue_e4::DOUBLE / total_revenue_e4::DOUBLE, 6) AS brand_share_pct
+FROM agg
+"""
+
+
 def q_mktsegment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: per-segment + grand total."""
     return RL.mktsegment_rollup(load_table(spark, sf_dir, "customer"))
@@ -1298,6 +1370,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue": q_forecast_revenue,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
+    "bilateral_trade": q_bilateral_trade,
+    "customer_distribution": q_customer_distribution,
+    "brand_revenue_share": q_brand_revenue_share,
     "customer_order_running": q_customer_order_running,
     "mktsegment_rollup": q_mktsegment_rollup,
     "order_priority_counts": q_order_priority_counts,
@@ -1351,6 +1426,9 @@ ORACLES: dict[str, str] = {
     "forecast_revenue": o_forecast_revenue(),
     "shipping_priority": o_shipping_priority(),
     "regional_revenue": o_regional_revenue(),
+    "bilateral_trade": o_bilateral_trade(),
+    "customer_distribution": o_customer_distribution(),
+    "brand_revenue_share": o_brand_revenue_share(),
     "customer_order_running": o_customer_order_running(),
     "mktsegment_rollup": o_mktsegment_rollup(),
     "order_priority_counts": o_order_priority_counts(),
