@@ -1,0 +1,136 @@
+"""Time-series operators Spark lacks as built-ins, composed scalably.
+
+The reference engine has no time-series surface at all (SURVEY.md §2.10);
+these are extension operators for the events table (TESTDATA.md), designed
+for the 100 TB regime:
+
+* ``asof_join`` — point-in-time join. NOT implemented as a range join
+  (which explodes to |L|x|R| candidate pairs per key before filtering) but
+  as the union+running-last trick: tag both sides, sort-merge them in ONE
+  shuffle on the key, and carry the latest right-side payload forward with
+  a running ``last(ignorenulls)`` window.  O(n log n) per key, one
+  exchange, no broadcast requirement on either side — this is the shape
+  that survives 1000 executors; DuckDB's native ASOF JOIN is the oracle.
+* ``sessionize`` — gap-based sessions via lag + running conditional sum
+  (the standard scalable sessionization; one shuffle on user_id).
+* ``moving_window_stats`` — event-time RANGE-frame windows (true
+  time-based frames, not row counts); Spark evaluates the frame
+  incrementally per partition.
+
+All numeric outputs are exact integers (micros / cents) so the DuckDB
+hash-match is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_MIN = 60_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the newest right row with
+    ``right.ts <= left.ts`` on the same key (inclusive, like DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts``); left rows with no prior right row
+    keep NULL payloads (left-outer semantics).
+
+    ``payload_cols`` are the right-side columns to carry; they are
+    delivered as ``<name>_asof``.  ``tiebreak`` orders equal-timestamp
+    right rows (the larger value wins), making the pick deterministic.
+    """
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    r = right.select(
+        F.col(key).alias(key),
+        F.col(ts_col).alias(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+        *([F.col(tiebreak).alias(tiebreak)] if tiebreak else []),
+    )
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(r.schema["_payload"].dataType)
+    )
+    if tiebreak is not None and tiebreak not in left.columns:
+        l = l.withColumn(tiebreak, F.lit(None).cast(r.schema[tiebreak].dataType))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).drop("_side", "_payload")
+    for c in payload_cols:
+        out = out.withColumn(f"{c}_asof", F.col("_asof")[c])
+    return out.drop("_asof")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    Returns one row per (user, session) with exact-integer stats.  One
+    shuffle on ``user_col``; the running sum is evaluated incrementally.
+    """
+    gap_us = gap_minutes * US_PER_MIN
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us)
+    prev = F.lag(us).over(w)
+    new_session = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    seq = F.sum(new_session).over(
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.withColumn("_us", us).withColumn("session_seq", seq.cast("int"))
+    return tagged.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("_us").cast("long").alias("start_us"),
+        F.max("_us").cast("long").alias("end_us"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+    )
+
+
+def moving_window_stats(
+    events: DataFrame,
+    window_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event trailing-window stats over a TIME range frame (all events
+    of the same user within the preceding ``window_minutes``, inclusive).
+    """
+    span_us = window_minutes * US_PER_MIN
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("_us"))
+        .rangeBetween(-span_us, 0)
+    )
+    return (
+        events.withColumn("_us", us)
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col(user_col),
+            F.col("_us").cast("long").alias("ts_us"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("long").alias(
+                "cents_trailing"
+            ),
+        )
+    )

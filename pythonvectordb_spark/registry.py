@@ -1289,6 +1289,395 @@ FROM q GROUP BY label
 """
 
 
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape: orders whose total quantity exceeds a threshold
+    (agg-then-join; the grouped HAVING side streams through a partial
+    aggregate before the join, so the join input is already reduced)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            F.col("sum_qty"),
+        )
+    )
+
+
+def o_large_volume_orders() -> str:
+    return """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 180) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape: disjunctive multi-attribute predicates across a
+    broadcast part join (OR-of-ANDs; Catalyst pushes the common join key
+    and evaluates the residual disjunction post-join)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.round("l_quantity").cast("long")
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & qty.between(20, 30))
+    )
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    return joined.filter(cond).agg(
+        F.sum(e100 * (F.lit(100) - d100)).cast("long").alias("revenue_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+def o_brand_size_revenue() -> str:
+    return """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape: revenue from lineitems below half their part's
+    average quantity (per-group scalar subquery decorrelated into an
+    agg-then-join; the per-part average is a reduced table, so the join
+    shuffles only |parts| rows on the build side).
+
+    Exact parity: l_quantity is integral-valued, so sum/count are exact
+    integers and the avg division is bit-identical IEEE double division
+    in both engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity").cast("long")
+    pa = lineitem.groupBy("l_partkey").agg(
+        (F.sum(qty).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        lineitem.join(pa, lineitem.l_partkey == pa.pa_partkey)
+        .filter(qty.cast("double") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(e100).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def o_small_quantity_revenue() -> str:
+    return """
+WITH pa AS (
+  SELECT l_partkey AS pa_partkey,
+         sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE / count(*)::DOUBLE AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN pa ON l_partkey = pa_partkey
+WHERE CAST(round(l_quantity) AS BIGINT)::DOUBLE < 0.5 * avg_qty
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape: above-average-balance customers with no orders,
+    by nation (global scalar aggregate broadcast + anti-join).
+
+    The average is computed over exact integer cents so the threshold is
+    bit-identical in both engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = customer.withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    avgdf = cust.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_cents"
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avgdf))
+        .filter(F.col("bal_cents").cast("double") > F.col("avg_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("acctbal_cents"),
+        )
+    )
+
+
+def o_idle_rich_customers() -> str:
+    return """
+WITH cust AS (
+  SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS acctbal_cents
+FROM cust c
+WHERE bal_cents::DOUBLE > (SELECT sum(bal_cents)::DOUBLE / count(*)::DOUBLE
+                           FROM cust WHERE bal_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: ntile quartile + percent_rank of balance WITHIN
+    each nation (partitioned windows — no global single-partition sort,
+    which would be the 100 TB anti-pattern). Deterministic via the
+    (bal_cents, c_custkey) composite order."""
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("bal_cents"), F.col("c_custkey"))
+    return (
+        customer.withColumn("bal_cents", cents)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.col("bal_cents"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        )
+    )
+
+
+def o_customer_quartiles() -> str:
+    return """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 9) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+"""
+
+
+def q_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension stats of the quantized vectors via posexplode +
+    re-aggregate (the standard columnar transpose; partial aggregation
+    runs map-side so the shuffle carries dim-many partial rows per task,
+    not row-count-many)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(F.posexplode("qvec").alias("pos", "q"))
+        .select((F.col("pos") + 1).cast("int").alias("dim_idx"), "q")
+        .groupBy("dim_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("q").cast("long")).cast("long").alias("sum_q"),
+            F.sum(F.col("q").cast("long") * F.col("q").cast("long")).cast("long").alias(
+                "sumsq_q"
+            ),
+            F.min(F.col("q").cast("int")).cast("int").alias("min_q"),
+            F.max(F.col("q").cast("int")).cast("int").alias("max_q"),
+        )
+    )
+
+
+def o_embedding_dimension_stats() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH q AS (SELECT {qv} AS qvec FROM embeddings)
+SELECT CAST(t.i AS INT) AS dim_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qvec[t.i]::BIGINT) AS BIGINT) AS sum_q,
+       CAST(sum(qvec[t.i]::BIGINT * qvec[t.i]::BIGINT) AS BIGINT) AS sumsq_q,
+       CAST(min(qvec[t.i]) AS INT) AS min_q,
+       CAST(max(qvec[t.i]) AS INT) AS max_q
+FROM q CROSS JOIN range(1, {DIM + 1}) t(i)
+GROUP BY 1
+"""
+
+
+_PRIORITY_PIVOT = [
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_notspec"),
+    ("5-LOW", "p5_low"),
+]
+
+
+def q_orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by year x priority as wide columns (explicit
+    pivot values — no extra distinct-values job, required at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITY_PIVOT])
+        .count()
+    )
+    return piv.select(
+        "o_year",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(a) for v, a in _PRIORITY_PIVOT],
+    )
+
+
+def o_orders_priority_pivot() -> str:
+    cases = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE o_orderpriority = '{v}') AS BIGINT) AS {a}"
+        for v, a in _PRIORITY_PIVOT
+    )
+    return f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {cases}
+FROM orders GROUP BY 1
+"""
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values (bucket arithmetic stays in
+    whole-stage codegen; one partial-agg shuffle)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("bucket", F.floor(F.col("value") / 50).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+        )
+    )
+
+
+def o_events_value_histogram() -> str:
+    return """
+SELECT CAST(floor(value / 50) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# time-series surface (operators Spark lacks as built-ins; DuckDB's native
+# ASOF JOIN / RANGE frames are the independent oracle)
+# --------------------------------------------------------------------------
+
+
+def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join: every purchase attributed to the user's
+    most recent click at-or-before it (union + running-last, ONE shuffle;
+    see operators/timeseries.asof_join for the scale rationale)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = TS.asof_join(
+        purchases, clicks, key="user_id", payload_cols=["click_id", "ts"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").cast("long").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.col("click_id_asof").cast("long").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).cast("long").alias("lag_us"),
+    )
+
+
+def o_asof_purchase_attribution() -> str:
+    return """
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       CAST(round(p.value * 100) AS BIGINT) AS value_cents,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) — lag + running
+    conditional sum, one shuffle on user_id."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def o_sessionize_events() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), tagged AS (
+  SELECT user_id, us, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+  FROM seq
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM tagged GROUP BY user_id, session_seq
+"""
+
+
+def q_moving_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 60-minute per-user stats via an event-time RANGE frame."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.moving_window_stats(load_table(spark, sf_dir, "events"), window_minutes=60)
+
+
+def o_moving_window_stats() -> str:
+    return """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # MLlib batch indexing (rows-only checks: MLlib hashing is not
 # DuckDB-reproducible; tests/test_indexing.py measures recall vs exact)
@@ -1383,6 +1772,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": q_value_percentiles,
     "events_cube": q_events_cube,
     "customer_set_ops": q_customer_set_ops,
+    "large_volume_orders": q_large_volume_orders,
+    "brand_size_revenue": q_brand_size_revenue,
+    "orders_priority_pivot": q_orders_priority_pivot,
+    "events_value_histogram": q_events_value_histogram,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "customer_quartiles": q_customer_quartiles,
+    "embedding_dimension_stats": q_embedding_dimension_stats,
+    # time-series surface
+    "asof_purchase_attribution": q_asof_purchase_attribution,
+    "sessionize_events": q_sessionize_events,
+    "moving_window_stats": q_moving_window_stats,
     # MLlib batch indexing (rows-only)
     "mllib_ivf_search": q_mllib_ivf_search,
     "mllib_brp_neardup": q_mllib_brp_neardup,
@@ -1438,6 +1839,17 @@ ORACLES: dict[str, str] = {
     "value_percentiles": o_value_percentiles(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
+    "large_volume_orders": o_large_volume_orders(),
+    "brand_size_revenue": o_brand_size_revenue(),
+    "orders_priority_pivot": o_orders_priority_pivot(),
+    "events_value_histogram": o_events_value_histogram(),
+    "small_quantity_revenue": o_small_quantity_revenue(),
+    "idle_rich_customers": o_idle_rich_customers(),
+    "customer_quartiles": o_customer_quartiles(),
+    "embedding_dimension_stats": o_embedding_dimension_stats(),
+    "asof_purchase_attribution": o_asof_purchase_attribution(),
+    "sessionize_events": o_sessionize_events(),
+    "moving_window_stats": o_moving_window_stats(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
 }

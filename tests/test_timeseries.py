@@ -1,0 +1,107 @@
+"""Edge-case semantics of the time-series operators (constructed frames;
+the sf0.001 DuckDB hash-match lives in test_oracle_parity)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pythonvectordb_spark.operators import timeseries as TS
+
+_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_asof_equal_ts_is_inclusive_and_no_prior_is_null(spark):
+    left = _events(
+        spark,
+        [
+            (1, _t(0), 7, "purchase", 1.0),   # before any click -> NULL
+            (2, _t(10), 7, "purchase", 1.0),  # ts == click ts -> inclusive match
+            (3, _t(20), 7, "purchase", 1.0),  # after both clicks -> newest (id 102)
+            (4, _t(5), 8, "purchase", 1.0),   # other user: no clicks at all
+        ],
+    )
+    right = _events(
+        spark,
+        [
+            (101, _t(10), 7, "click", 0.0),
+            (102, _t(12), 7, "click", 0.0),
+        ],
+    ).select("user_id", "ts", F.col("event_id").alias("click_id"))
+    out = TS.asof_join(
+        left, right, key="user_id", payload_cols=["click_id"], tiebreak="click_id"
+    )
+    got = {r["event_id"]: r["click_id_asof"] for r in out.collect()}
+    assert got == {1: None, 2: 101, 3: 102, 4: None}
+
+
+def test_asof_tiebreak_picks_larger_id_at_equal_ts(spark):
+    left = _events(spark, [(1, _t(10), 7, "purchase", 1.0)])
+    right = _events(
+        spark,
+        [(201, _t(10), 7, "click", 0.0), (205, _t(10), 7, "click", 0.0)],
+    ).select("user_id", "ts", F.col("event_id").alias("click_id"))
+    out = TS.asof_join(
+        left, right, key="user_id", payload_cols=["click_id"], tiebreak="click_id"
+    )
+    assert out.collect()[0]["click_id_asof"] == 205
+
+
+def test_sessionize_splits_on_gap_boundary(spark):
+    # gap = 30 min; events at 0, 29, 59 are ONE session (29/30-min steps,
+    # strictly-greater-than comparison), then 90 starts a second session.
+    ev = _events(
+        spark,
+        [
+            (1, _t(0), 7, "view", 1.25),
+            (2, _t(29), 7, "view", 2.00),
+            (3, _t(59), 7, "view", 0.75),
+            (4, dt.datetime(2024, 1, 1, 1, 30), 7, "view", 1.00),
+        ],
+    )
+    rows = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["value_cents"])
+        for r in TS.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert rows == {(7, 1): (3, 400), (7, 2): (1, 100)}
+
+
+def test_moving_window_range_frame_is_time_based_not_row_based(spark):
+    # 60-min trailing frame: event at minute 61 excludes minute 0 even
+    # though it is only 2 rows back.
+    ev = _events(
+        spark,
+        [
+            (1, _t(0), 7, "view", 1.0),
+            (2, _t(59), 7, "view", 1.0),
+            (3, dt.datetime(2024, 1, 1, 1, 1), 7, "view", 1.0),
+        ],
+    )
+    got = {
+        r["event_id"]: r["n_trailing"]
+        for r in TS.moving_window_stats(ev, window_minutes=60).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2}
