@@ -1581,10 +1581,192 @@ FROM events GROUP BY 1
 """
 
 
+# GPT-2-style pre-tokenizer classes (letters / digits / other-symbol runs);
+# the alternation is RE2- and Java-regex compatible so both engines split
+# identically.
+_BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: regex pre-tokenization into letter/digit/
+    symbol runs (the unit BPE merges start from), plus the letters-only
+    subtoken count. Pure JVM-side regexp — no Python in the loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), F.lit(0))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_bpe"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).cast("int").alias(
+            "n_word_tokens"
+        ),
+    )
+
+
+def o_bpe_token_counts() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_bpe,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS INT) AS n_word_tokens
+FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_SPLIT}') AS toks FROM documents)
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregation: each user's most recent event in ONE grouped
+    pass (max_by — no self-join, no window; the cheapest per-key
+    latest-record pattern at scale). ts is unique per user, so the pick
+    is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max(us).cast("long").alias("last_ts_us"),
+        F.max_by("event_type", us).alias("last_type"),
+        F.max_by(F.round(F.col("value") * 100).cast("long"), us).alias("last_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def o_latest_event_per_user() -> str:
+    return """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+       arg_max(event_type, epoch_us(ts)) AS last_type,
+       CAST(arg_max(CAST(round(value * 100) AS BIGINT), epoch_us(ts)) AS BIGINT) AS last_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling: keep documents whose md5 starts with 0 or 1
+    (a reproducible ~12.5% sample — the scale-safe alternative to
+    rng-based sampling: stable across retries, engines, and partition
+    layouts, so downstream pipelines are replayable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.substring(F.md5(F.col("text").cast("binary")), 1, 1))
+        .filter(F.col("h").isin("0", "1"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang"),
+            F.col("h").alias("hash_prefix"),
+        )
+    )
+
+
+def o_deterministic_sample() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       substr(md5(text), 1, 1) AS hash_prefix
+FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1')
+"""
+
+
+def q_adjacent_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity between successive same-language docs
+    (levenshtein over 32-char prefixes; the candidate pairing is a
+    broadcast-free equi-join on (lang, rank+1) — linear pair count, the
+    way edit-distance ops must be fed at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = docs.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring("text", 1, 32).alias("prefix"),
+        F.row_number().over(w).alias("rk"),
+    )
+    a = ranked.select("lang", F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"), "rk")
+    b = ranked.select(
+        "lang", F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"),
+        (F.col("rk") - 1).alias("rk"),
+    )
+    return (
+        a.join(b, ["lang", "rk"])
+        .select(
+            "lang", "id_a", "id_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+def o_adjacent_doc_similarity() -> str:
+    return """
+WITH ranked AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, substr(text, 1, 32) AS prefix,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+FROM ranked a JOIN ranked b ON a.lang = b.lang AND a.rk = b.rk - 1
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence transition counts (lag window per user
+    then one grouped count — the Markov-chain feed for behavioral
+    models; one shuffle on user_id, one on the pair)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+def o_event_transitions() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # time-series surface (operators Spark lacks as built-ins; DuckDB's native
 # ASOF JOIN / RANGE frames are the independent oracle)
 # --------------------------------------------------------------------------
+
+
+def q_purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases x same-user clicks within a
+    60-minute look-back. Batch twin of streaming/joins — the identical
+    operator runs as a watermarked stream-stream join (test_stream_join
+    pins their equality)."""
+    from pythonvectordb_spark.streaming.joins import purchase_click_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_click_interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+def o_purchase_click_interval_join() -> str:
+    return """
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+       CAST(round(p.value * 100) AS BIGINT) AS value_cents
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 60 MINUTE
+"""
 
 
 def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1780,7 +1962,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "customer_quartiles": q_customer_quartiles,
     "embedding_dimension_stats": q_embedding_dimension_stats,
+    "bpe_token_counts": q_bpe_token_counts,
+    "latest_event_per_user": q_latest_event_per_user,
+    "deterministic_sample": q_deterministic_sample,
+    "adjacent_doc_similarity": q_adjacent_doc_similarity,
+    "event_transitions": q_event_transitions,
     # time-series surface
+    "purchase_click_interval_join": q_purchase_click_interval_join,
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "sessionize_events": q_sessionize_events,
     "moving_window_stats": q_moving_window_stats,
@@ -1847,6 +2035,12 @@ ORACLES: dict[str, str] = {
     "idle_rich_customers": o_idle_rich_customers(),
     "customer_quartiles": o_customer_quartiles(),
     "embedding_dimension_stats": o_embedding_dimension_stats(),
+    "bpe_token_counts": o_bpe_token_counts(),
+    "latest_event_per_user": o_latest_event_per_user(),
+    "deterministic_sample": o_deterministic_sample(),
+    "adjacent_doc_similarity": o_adjacent_doc_similarity(),
+    "event_transitions": o_event_transitions(),
+    "purchase_click_interval_join": o_purchase_click_interval_join(),
     "asof_purchase_attribution": o_asof_purchase_attribution(),
     "sessionize_events": o_sessionize_events(),
     "moving_window_stats": o_moving_window_stats(),
