@@ -71,6 +71,90 @@ def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+MEDIA_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def media_resize(
+    df: DataFrame, target_bytes: int = 64, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize stub: tile-and-truncate every payload to exactly
+    ``target_bytes`` (a real image resize replaces the tile step; the
+    binary-in/binary-out Arrow plumbing is identical). Emits the md5 of
+    the resized payload so the transform is value-checked end-to-end."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> str:
+            if len(b) == 0:
+                return hashlib.md5(b"").hexdigest()
+            reps = (target_bytes + len(b) - 1) // len(b)
+            return hashlib.md5((b * reps)[:target_bytes]).hexdigest()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].map(len).astype("int32"),
+                    "resized_md5": pdf["payload"].map(one),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_resize, MEDIA_RESIZE_SCHEMA)
+
+
+MEDIA_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def media_frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling stub: emit every ``stride``-th fixed-size frame of
+    the payload — a one-to-many mapInPandas (the real video shape: each
+    input row fans out to multiple frame rows inside one Arrow batch)."""
+    step = frame_bytes * stride
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                i = 0
+                while i * step < len(payload):
+                    frame = payload[i * step : i * step + frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame).hexdigest())
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_frames, MEDIA_FRAME_SCHEMA)
+
+
 def decode_media_stub_real() -> None:
     """Marker for the genuinely-unimplementable step in this container:
     actual image/audio decoding requires codec libraries not installed

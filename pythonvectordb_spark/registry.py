@@ -804,6 +804,42 @@ FROM documents
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: tile-and-truncate every payload to 64 bytes via
+    mapInPandas (binary in/out), value-checked by md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_resize(MM.text_as_media(docs), target_bytes=64)
+
+
+def o_media_resize() -> str:
+    # ASCII corpus (verified): octet_length == length, so string repeat/
+    # substr mirror the byte-level tile-and-truncate exactly.
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS INT) AS orig_bytes,
+       md5(substr(repeat(text, CAST(ceil(64.0 / length(text)) AS INT)), 1, 64)) AS resized_md5
+FROM documents
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: every 4th 256-byte frame per payload —
+    one-to-many mapInPandas fan-out (the video-frame extraction shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_frame_sample(MM.text_as_media(docs), frame_bytes=256, stride=4)
+
+
+def o_media_frame_sample() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(length(substr(text, t.i * 1024 + 1, 256)) AS INT) AS frame_len,
+       md5(substr(text, t.i * 1024 + 1, 256)) AS frame_md5
+FROM documents CROSS JOIN range(0, 64) t(i)
+WHERE t.i * 1024 < length(text)
+"""
+
+
 # --------------------------------------------------------------------------
 # relational analytics (SURVEY §2.12: full Spark SQL surface on metadata)
 # --------------------------------------------------------------------------
@@ -1558,6 +1594,59 @@ FROM orders GROUP BY 1
 """
 
 
+def q_orders_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide year x priority counts back to long form
+    — wide-table normalization without touching Python (stack/unpivot is
+    a zero-shuffle projection op)."""
+    wide = q_orders_priority_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "o_year",
+            [a for _, a in _PRIORITY_PIVOT],
+            "priority_slot",
+            "n_orders",
+        )
+        .filter(F.col("n_orders") > 0)
+        .select("o_year", "priority_slot", F.col("n_orders").cast("long").alias("n_orders"))
+    )
+
+
+def o_orders_priority_unpivot() -> str:
+    cases = " ".join(
+        f"WHEN '{v}' THEN '{a}'" for v, a in _PRIORITY_PIVOT
+    )
+    return f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CASE o_orderpriority {cases} END AS priority_slot,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_event_type_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (interpolated) of integer cents per event type — both
+    engines average the two middle values in exact double arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("cents", cents)
+        .groupBy("event_type")
+        .agg(
+            F.median("cents").alias("median_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+def o_event_type_medians() -> str:
+    return """
+SELECT event_type,
+       median(CAST(round(value * 100) AS BIGINT)) AS median_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of event values (bucket arithmetic stays in
     whole-stage codegen; one partial-agg shuffle)."""
@@ -1935,6 +2024,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "multimodal_join": q_multimodal_join,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "part_brand_stats": q_part_brand_stats,
@@ -1957,6 +2048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,
     "brand_size_revenue": q_brand_size_revenue,
     "orders_priority_pivot": q_orders_priority_pivot,
+    "orders_priority_unpivot": q_orders_priority_unpivot,
+    "event_type_medians": q_event_type_medians,
     "events_value_histogram": q_events_value_histogram,
     "small_quantity_revenue": q_small_quantity_revenue,
     "idle_rich_customers": q_idle_rich_customers,
@@ -2010,6 +2103,8 @@ ORACLES: dict[str, str] = {
     "tfidf_terms": o_tfidf_terms(),
     "multimodal_join": o_multimodal_join(),
     "media_features": o_media_features(),
+    "media_resize": o_media_resize(),
+    "media_frame_sample": o_media_frame_sample(),
     "pricing_summary": o_pricing_summary(),
     "part_brand_stats": o_part_brand_stats(),
     "forecast_revenue": o_forecast_revenue(),
@@ -2030,6 +2125,8 @@ ORACLES: dict[str, str] = {
     "large_volume_orders": o_large_volume_orders(),
     "brand_size_revenue": o_brand_size_revenue(),
     "orders_priority_pivot": o_orders_priority_pivot(),
+    "orders_priority_unpivot": o_orders_priority_unpivot(),
+    "event_type_medians": o_event_type_medians(),
     "events_value_histogram": o_events_value_histogram(),
     "small_quantity_revenue": o_small_quantity_revenue(),
     "idle_rich_customers": o_idle_rich_customers(),

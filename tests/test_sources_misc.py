@@ -40,3 +40,26 @@ def test_media_stub_is_documented_unimplemented():
 
     with pytest.raises(NotImplementedError, match="mapInPandas"):
         decode_media_stub_real()
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style date partitioning: a filter on the partition column must
+    show up as PartitionFilters (only matching directories scanned) and
+    return the same rows as an unpartitioned filter."""
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = str(tmp_path / "events_by_date")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(p)
+
+    back = spark.read.parquet(p)
+    one_day = back.filter(F.col("event_date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+
+    expected = ev.filter(F.to_date("ts") == "2024-01-02").count()
+    assert expected > 0
+    assert one_day.count() == expected
