@@ -71,13 +71,13 @@ def main() -> None:
         .withColumn("vec_id", F.col("vec_id") * replicas + F.col("rep"))
         .drop("rep")
     )
-    # 16 partitions measured best on local[32]: BLAS (capped at 4 threads)
-    # runs during the matmul but the per-query top-k loop is single-threaded
-    # Python per task, so 16 concurrent tasks keep the cores busy through
-    # both phases (8 parts ~830 qps, 16 parts ~2100 qps, 32 noisy). On a
-    # real cluster the operator runs over however many partitions the table
+    # 32 partitions measured best on local[32] (re-measured: 8 parts
+    # ~1330 qps, 16 ~1384, 32 ~1401 at 4096 queries; the gap widens at
+    # 8192 queries where 32 parts hit ~1570). One task per core keeps the
+    # matmul and the per-query top-k loop busy end-to-end. On a real
+    # cluster the operator runs over however many partitions the table
     # has — scores are partition-local, the merge is a tiny window top-k.
-    table = S.with_qvec(tiled).repartition(16).persist()
+    table = S.with_qvec(tiled).repartition(32).persist()
     n_vec = table.count()  # materialize cache (the reference is in-memory too)
 
     n_queries = 4096
