@@ -1594,6 +1594,60 @@ FROM orders GROUP BY 1
 """
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (not
+    get_json_object string-plucking) -> struct field -> grouped exact
+    aggregates. Schema-on-read stays JVM-side and vectorized."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("k").cast("long")).cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_null_k"),
+        )
+    )
+
+
+def o_props_json_stats() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+       CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT) AS n_null_k
+FROM events GROUP BY 1
+"""
+
+
+def q_top_dims_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order surface: per-row top-3 quantized components via
+    sort_array + element_at (all codegen'd; no explode, no shuffle)."""
+    emb = _emb(spark, sf_dir)
+    s = F.sort_array(F.col("qvec"), asc=False)
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.element_at(s, 1).cast("int").alias("d1"),
+        F.element_at(s, 2).cast("int").alias("d2"),
+        F.element_at(s, 3).cast("int").alias("d3"),
+    )
+
+
+def o_top_dims_per_vector() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH q AS (SELECT vec_id, list_sort({qv}, 'DESC') AS s FROM embeddings)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(s[1] AS INT) AS d1, CAST(s[2] AS INT) AS d2, CAST(s[3] AS INT) AS d3
+FROM q
+"""
+
+
 def q_orders_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the wide year x priority counts back to long form
     — wide-table normalization without touching Python (stack/unpivot is
@@ -2049,6 +2103,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_size_revenue": q_brand_size_revenue,
     "orders_priority_pivot": q_orders_priority_pivot,
     "orders_priority_unpivot": q_orders_priority_unpivot,
+    "props_json_stats": q_props_json_stats,
+    "top_dims_per_vector": q_top_dims_per_vector,
     "event_type_medians": q_event_type_medians,
     "events_value_histogram": q_events_value_histogram,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2126,6 +2182,8 @@ ORACLES: dict[str, str] = {
     "brand_size_revenue": o_brand_size_revenue(),
     "orders_priority_pivot": o_orders_priority_pivot(),
     "orders_priority_unpivot": o_orders_priority_unpivot(),
+    "props_json_stats": o_props_json_stats(),
+    "top_dims_per_vector": o_top_dims_per_vector(),
     "event_type_medians": o_event_type_medians(),
     "events_value_histogram": o_events_value_histogram(),
     "small_quantity_revenue": o_small_quantity_revenue(),
