@@ -1594,6 +1594,147 @@ FROM orders GROUP BY 1
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape: one nation's share of regional revenue per year
+    (two roles for the nation table, conditional aggregation, exact-
+    integer share numerator/denominator with one final double division)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.alias("n1")  # customer nation -> region filter
+    n2 = nation.alias("n2")  # supplier nation -> the "share" nation
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    vol = e100 * (F.lit(100) - d100)
+    df = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n2.n_name") == "CHINA", vol).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("nation_vol_e4"),
+            F.sum(vol).cast("long").alias("total_vol_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_vol_e4",
+            "total_vol_e4",
+            F.round(
+                F.col("nation_vol_e4").cast("double") / F.col("total_vol_e4").cast("double"),
+                9,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def o_nation_market_share() -> str:
+    return """
+WITH flat AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN vol ELSE 0 END) AS BIGINT) AS nation_vol_e4,
+       CAST(sum(vol) AS BIGINT) AS total_vol_e4,
+       round(sum(CASE WHEN supp_nation = 'CHINA' THEN vol ELSE 0 END)::DOUBLE
+             / sum(vol)::DOUBLE, 9) AS mkt_share
+FROM flat GROUP BY 1
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape: top-20 customers by revenue lost to returns
+    (fact-fact shuffle join + broadcast dims + TakeOrderedAndProject)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name"),
+        )
+        .agg(F.sum(e100 * (F.lit(100) - d100)).cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def o_returned_items() -> str:
+    return """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_customer_order_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions: first_value / nth_value / last_value with
+    an explicit full frame per customer (frame semantics, not just
+    ranking)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.first_value(F.col("o_orderkey")).over(w).cast("long").alias("first_order"),
+        F.nth_value(F.col("o_orderkey"), 2).over(w).cast("long").alias("second_order"),
+        F.last_value(F.col("o_orderkey")).over(w).cast("long").alias("last_order"),
+    )
+
+
+def o_customer_order_frame() -> str:
+    return """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_order,
+       CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_order,
+       CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON parsing: from_json with an explicit schema (not
     get_json_object string-plucking) -> struct field -> grouped exact
@@ -2105,6 +2246,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_priority_unpivot": q_orders_priority_unpivot,
     "props_json_stats": q_props_json_stats,
     "top_dims_per_vector": q_top_dims_per_vector,
+    "nation_market_share": q_nation_market_share,
+    "returned_items": q_returned_items,
+    "customer_order_frame": q_customer_order_frame,
     "event_type_medians": q_event_type_medians,
     "events_value_histogram": q_events_value_histogram,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2184,6 +2328,9 @@ ORACLES: dict[str, str] = {
     "orders_priority_unpivot": o_orders_priority_unpivot(),
     "props_json_stats": o_props_json_stats(),
     "top_dims_per_vector": o_top_dims_per_vector(),
+    "nation_market_share": o_nation_market_share(),
+    "returned_items": o_returned_items(),
+    "customer_order_frame": o_customer_order_frame(),
     "event_type_medians": o_event_type_medians(),
     "events_value_histogram": o_events_value_histogram(),
     "small_quantity_revenue": o_small_quantity_revenue(),

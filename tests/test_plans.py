@@ -72,3 +72,52 @@ def test_get_vector_pushes_id_filter(spark):
     emb = S.with_qvec(load_table(spark, SF_SMOKE, "embeddings"))
     q = S.get_vector(emb, 7)
     assert E.has_pushed_filter(q, "vec_id")
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join must compile to exactly ONE hash exchange (the
+    union-below-shuffle formulation) with both event filters pushed."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["asof_purchase_attribution"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_interval_join_broadcasts_clicks(spark):
+    """The interval join keeps the residual time bounds on a broadcast
+    hash join — no cartesian, no sort-merge on this data shape."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["purchase_click_interval_join"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_aggregate_reuses_window_partitioning(spark):
+    """Grouping on (user_id, session_seq) is a superset of the window's
+    hash partitioning on user_id: the final aggregate must NOT introduce
+    a second exchange."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["sessionize_events"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_with_explicit_values_runs_no_distinct_job(spark):
+    """Passing explicit pivot values must keep the pivot a single
+    aggregate (an implicit-values pivot runs an extra collect-distinct
+    job first — disallowed at scale)."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["orders_priority_pivot"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the literal pivot values are baked into the pivotfirst aggregate —
+    # proof that no collect-distinct pre-job ran; two exchanges total
+    # (pre-agg on (year, priority), then pivotfirst on year), never three
+    assert "pivotfirst(o_orderpriority" in plan and "1-URGENT" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
