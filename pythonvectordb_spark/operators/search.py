@@ -85,6 +85,43 @@ def knn_search_float(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def l2_knn_search(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Euclidean-distance top-k (extension metric — the reference is
+    cosine-only). Distance accumulates as a sequential double fold so the
+    result is bit-reproducible against a left-associated SQL sum; same
+    TakeOrderedAndProject physical shape as the cosine path."""
+    q = _query_lit(query)
+    diff_sq = F.zip_with(
+        q, F.col(vec_col),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist_sq = F.aggregate(diff_sq, F.lit(0.0).cast("double"), lambda a, x: a + x)
+    scored = df.select(F.col(id_col), F.sqrt(dist_sq).alias("dist"))
+    return scored.orderBy(F.asc("dist"), F.asc(id_col)).limit(k)
+
+
+def mips_search(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximum-inner-product top-k (unnormalized dot — the retrieval
+    metric for learned-similarity embeddings)."""
+    scored = df.select(
+        F.col(id_col), dot(_query_lit(query), vec_col).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def get_vector(df: DataFrame, vec_id, id_col: str = "vec_id", qvec_col: str = "qvec") -> DataFrame:
     """Point lookup + dequantize (reference get_vector, pythonvectordb.py:
     404-423): returns the stored vector as float (qvec/127)."""

@@ -173,6 +173,37 @@ FROM (
 """
 
 
+_LOOKUP_IDS = (3, 7, 11, 400)  # 400 beyond sf0.001's 100 rows: miss path
+
+
+def q_get_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point lookup (multi-id get_vector): IN-list filter reaches
+    the scan; absent ids simply produce no rows (the reference returns
+    None per miss — here misses are empty, checked by the id set)."""
+    emb = _emb(spark, sf_dir)
+    from pythonvectordb_spark.functions.vector import dequantize as DQ
+
+    got = emb.filter(F.col("vec_id").isin(*_LOOKUP_IDS)).select(
+        "vec_id", DQ("qvec").alias("vector")
+    )
+    return got.select("vec_id", F.posexplode("vector").alias("idx", "val")).select(
+        "vec_id", F.col("idx").cast("int").alias("idx"), "val"
+    )
+
+
+def o_get_vectors() -> str:
+    qv = O.sql_qvec("embedding")
+    ids = ", ".join(str(i) for i in _LOOKUP_IDS)
+    return f"""
+SELECT vec_id, CAST(u.idx AS INT) AS idx, u.val AS val
+FROM (
+  SELECT vec_id,
+         unnest(list_transform({qv}, (x, i) -> {{'idx': i - 1, 'val': x::DOUBLE / 127.0}})) AS u
+  FROM embeddings WHERE vec_id IN ({ids})
+)
+"""
+
+
 def q_normalize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 standalone: per-row norm and sequential-fold sum of the
     normalized vector (deterministic doubles)."""
@@ -341,6 +372,64 @@ def o_ann_ivf() -> str:
     return f"""
 WITH assigned AS (
   SELECT *, [{sims}] AS sims FROM embeddings
+),
+cand AS (
+  SELECT * FROM assigned
+  WHERE (list_position(sims, list_aggregate(sims, 'max')) - 1) IN ({probe_list})
+)
+SELECT vec_id, round({O.sql_cosine_float_lit(FX.QUERY_VEC, 'embedding')}, 9) AS score
+FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean-distance exact top-10 (extension metric)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.l2_knn_search(emb, FX.QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("dist", 9).alias("dist"))
+
+
+def o_knn_l2() -> str:
+    terms = " + ".join(
+        f"(({float(x)!r}::DOUBLE - embedding[{i + 1}]::DOUBLE) * "
+        f"({float(x)!r}::DOUBLE - embedding[{i + 1}]::DOUBLE))"
+        for i, x in enumerate(FX.QUERY_VEC)
+    )
+    return f"""
+SELECT vec_id, round(sqrt({terms}), 9) AS dist
+FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product exact top-10 (extension metric)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.mips_search(emb, FX.QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("score", 9).alias("score"))
+
+
+def o_knn_mips() -> str:
+    return f"""
+SELECT vec_id, round({O.sql_dot_lit(FX.QUERY_VEC, 'embedding')}, 9) AS score
+FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: metadata predicate BEFORE the IVF probe (predicate +
+    cluster pruning compose — both reach the scan)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") % 2 == 0)
+    out = S.ann_ivf_search(emb, FX.QUERY_VEC, FX.CENTROIDS, k=10, nprobe=2)
+    return out.select("vec_id", F.round("score", 9).alias("score"))
+
+
+def o_ann_ivf_filtered() -> str:
+    probe = S.ivf_probe(FX.QUERY_VEC, FX.CENTROIDS, nprobe=2)
+    sims = ", ".join(O.sql_cosine_float_lit(c, "embedding") for c in FX.CENTROIDS)
+    probe_list = ", ".join(str(p) for p in probe)
+    return f"""
+WITH assigned AS (
+  SELECT *, [{sims}] AS sims FROM embeddings WHERE label % 2 = 0
 ),
 cand AS (
   SELECT * FROM assigned
@@ -2189,10 +2278,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_search_filtered": q_knn_search_filtered,
     "knn_search_float": q_knn_search_float,
     "get_vector": q_get_vector,
+    "get_vectors": q_get_vectors,
     "quantize_vectors": q_quantize_vectors,
     "knn_join": q_knn_join,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_filtered": q_ann_ivf_filtered,
+    "knn_l2": q_knn_l2,
+    "knn_mips": q_knn_mips,
     "add_vectors": q_add_vectors,
     "delete_vectors": q_delete_vectors,
     "upsert_vectors": q_upsert_vectors,
@@ -2276,10 +2369,14 @@ ORACLES: dict[str, str] = {
     "knn_search_filtered": o_knn_search_filtered(),
     "knn_search_float": o_knn_search_float(),
     "get_vector": o_get_vector(),
+    "get_vectors": o_get_vectors(),
     "quantize_vectors": o_quantize_vectors(),
     "knn_join": o_knn_join(),
     "ann_lsh": o_ann_lsh(),
     "ann_ivf": o_ann_ivf(),
+    "ann_ivf_filtered": o_ann_ivf_filtered(),
+    "knn_l2": o_knn_l2(),
+    "knn_mips": o_knn_mips(),
     "add_vectors": o_add_vectors(),
     "delete_vectors": o_delete_vectors(),
     "upsert_vectors": o_upsert_vectors(),
