@@ -205,3 +205,35 @@ def test_embedding_near_dup_paths_identical(spark):
     a = sorted(tuple(r) for r in embedding_near_dup(raw, 0.4, method="expr").collect())
     b = sorted(tuple(r) for r in embedding_near_dup(raw, 0.4, method="pandas").collect())
     assert a == b and len(a) > 0
+
+
+def test_empty_table_search_returns_empty(spark, emb):
+    """Reference fast path (pythonvectordb.py:363-364): searching an
+    empty collection yields [] — and the plan must not fail on the
+    degenerate input either."""
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.operators.search import knn_search
+
+    none = emb.filter(F.lit(False))
+    assert knn_search(none, FX.QUERY_VEC, k=5).collect() == []
+
+
+def test_k_larger_than_table_is_clamped(spark, emb):
+    """Reference clamps k to the live row count (pythonvectordb.py:366);
+    limit(k) gives the same semantics — all rows, none invented."""
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.operators.search import knn_search
+
+    n = emb.count()
+    out = knn_search(emb, FX.QUERY_VEC, k=n + 50).collect()
+    assert len(out) == n
+    assert len({r.vec_id for r in out}) == n
+
+
+def test_k_nonpositive_raises(spark, emb):
+    """Reference raises on k <= 0 (pythonvectordb.py:347-348)."""
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.operators.search import knn_search
+
+    with pytest.raises(ValueError, match="positive"):
+        knn_search(emb, FX.QUERY_VEC, k=0)
