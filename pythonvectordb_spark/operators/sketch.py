@@ -1,0 +1,88 @@
+"""Count-min sketch built relationally (the "novel sketch" extension
+surface; no reference analogue — the reference keeps exact state only).
+
+A CMS is ``depth`` hash rows x ``width`` counters; the point estimate for
+a key is the MIN of its ``depth`` counters and is always >= the true
+count (collisions only inflate).  Everything here is md5-derived and
+expression-only, so — unlike Spark's built-in ``count_min_sketch`` whose
+binary is engine-private — the sketch AND its estimates are
+deterministically reproducible in ANSI SQL and oracle-checked.
+
+Scale posture: the build is one explode (depth rows per input row) + one
+grouped count — partial aggregation makes the shuffle carry at most
+``depth x width`` rows per task regardless of input size, and the
+finished sketch is ``depth x width`` counters total: constant-size state
+for unbounded keys, the entire point of a sketch at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _bucket(key_col, d: int):
+    """Row-d hash bucket: md5("d:" + key) first 8 hex digits mod width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{d}:"), key_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % CMS_WIDTH).cast("int")
+
+
+def cms_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the (depth, bucket, n) counter table in one pass."""
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(d).alias("depth"), _bucket(key, d).alias("bucket"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_estimate(df: DataFrame, key_col: str, probe_keys: list) -> DataFrame:
+    """Point estimates for ``probe_keys`` against the sketch of ``df``,
+    next to the true counts (estimate >= true always; equality when the
+    key's buckets are collision-free)."""
+    sketch = cms_build(df, key_col)
+    probes = []
+    for k in probe_keys:
+        probes.append(
+            F.struct(
+                F.lit(k).cast("long").alias("key"),
+                F.array(
+                    *[_bucket(F.lit(k), d) for d in range(CMS_DEPTH)]
+                ).alias("buckets"),
+            )
+        )
+    probe_df = df.sparkSession.range(1).select(
+        F.explode(F.array(*probes)).alias("p")
+    ).select(
+        F.col("p.key").alias("key"),
+        F.posexplode("p.buckets").alias("depth", "bucket"),
+    )
+    est = (
+        probe_df.join(sketch, ["depth", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_n"))
+    )
+    true = (
+        df.filter(F.col(key_col).isin(probe_keys))
+        .groupBy(F.col(key_col).cast("long").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    )
+    return est.join(true, "key", "left").select(
+        "key", "est_n", F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n")
+    )

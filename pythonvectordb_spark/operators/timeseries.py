@@ -106,6 +106,59 @@ def sessionize(
     )
 
 
+def hypertable_rollup(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hypertable-style continuous aggregate cascade: raw -> 1-minute ->
+    1-hour -> 1-day buckets, where each coarser level aggregates the
+    FINER level's partials rather than rescanning raw rows (count and
+    integer-cent sums are decomposable, so the cascade is lossless — the
+    oracle proves it by computing every level directly from raw).
+
+    At 100 TB this is the materialized-rollup maintenance pattern: the
+    raw scan happens once per refresh; day-level queries touch 1/1440th
+    of the minute data. Returns all three levels unioned with a
+    ``granularity`` tag.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    minute_us = 60 * US_PER_MIN
+
+    def level_agg(df, bucket_expr, n_col, cents_col):
+        return df.groupBy(
+            bucket_expr.alias("bucket_us"), F.col(group_col)
+        ).agg(
+            F.sum(n_col).cast("long").alias("n_events"),
+            F.sum(cents_col).cast("long").alias("value_cents"),
+        )
+
+    base = events.select(
+        (F.floor(us / minute_us) * minute_us).cast("long").alias("m_bucket"),
+        group_col,
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    minute = level_agg(base, F.col("m_bucket"), F.lit(1), F.col("cents"))
+    hour = level_agg(
+        minute,
+        (F.floor(F.col("bucket_us") / (60 * minute_us)) * (60 * minute_us)).cast("long"),
+        F.col("n_events"),
+        F.col("value_cents"),
+    )
+    day = level_agg(
+        hour,
+        (F.floor(F.col("bucket_us") / (1440 * minute_us)) * (1440 * minute_us)).cast("long"),
+        F.col("n_events"),
+        F.col("value_cents"),
+    )
+    return (
+        minute.withColumn("granularity", F.lit("minute"))
+        .unionByName(hour.withColumn("granularity", F.lit("hour")))
+        .unionByName(day.withColumn("granularity", F.lit("day")))
+        .select("granularity", "bucket_us", group_col, "n_events", "value_cents")
+    )
+
+
 def moving_window_stats(
     events: DataFrame,
     window_minutes: int = 60,

@@ -2233,6 +2233,104 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: raw -> minute -> hour -> day, each
+    coarser level folding the finer level's partials. The oracle computes
+    every level straight from raw rows — matching proves the cascade is
+    lossless."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.hypertable_rollup(load_table(spark, sf_dir, "events"))
+
+
+def o_hypertable_rollup() -> str:
+    lvl = """
+SELECT '{name}' AS granularity,
+       CAST(floor(epoch_us(ts) / {span}) * {span} AS BIGINT) AS bucket_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2, 3"""
+    m = 60_000_000
+    parts = [
+        lvl.format(name="minute", span=60 * m),
+        lvl.format(name="hour", span=3600 * m),
+        lvl.format(name="day", span=86400 * m),
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_CMS_PROBE_KEYS = list(range(20))
+
+
+def q_cms_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates vs true per-user event counts (md5-
+    derived, ANSI-reproducible; est >= true by construction)."""
+    from pythonvectordb_spark.operators.sketch import cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_estimate(ev, "user_id", _CMS_PROBE_KEYS)
+
+
+def o_cms_user_estimates() -> str:
+    from pythonvectordb_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    keys = ", ".join(str(k) for k in _CMS_PROBE_KEYS)
+    return f"""
+WITH pairs AS (
+  SELECT d.d AS depth,
+         CAST(('0x' || substr(md5(d.d || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % {CMS_WIDTH} AS INT) AS bucket
+  FROM events CROSS JOIN range(0, {CMS_DEPTH}) d(d)
+), sketch AS (
+  SELECT depth, bucket, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+), probes AS (
+  SELECT k.k AS key, d.d AS depth,
+         CAST(('0x' || substr(md5(d.d || ':' || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT
+              % {CMS_WIDTH} AS INT) AS bucket
+  FROM (SELECT unnest([{keys}]) AS k) k CROSS JOIN range(0, {CMS_DEPTH}) d(d)
+), est AS (
+  SELECT p.key, CAST(min(coalesce(s.n, 0)) AS BIGINT) AS est_n
+  FROM probes p LEFT JOIN sketch s USING (depth, bucket) GROUP BY 1
+), tru AS (
+  SELECT CAST(user_id AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS true_n
+  FROM events WHERE user_id IN ({keys}) GROUP BY 1
+)
+SELECT CAST(est.key AS BIGINT) AS key, est_n,
+       CAST(coalesce(tru.true_n, 0) AS BIGINT) AS true_n
+FROM est LEFT JOIN tru ON est.key = tru.key
+"""
+
+
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: orders ⋈ customer routed through the salting
+    utility (hot keys spread over 8 salt partitions); the oracle is the
+    plain join — identical results prove salting is semantics-free."""
+    from pythonvectordb_spark.sources.bucketing import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(orders, customer, key="o_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias(
+            "total_cents"
+        ),
+    )
+
+
+def o_salted_segment_revenue() -> str:
+    return """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # MLlib batch indexing (rows-only checks: MLlib hashing is not
 # DuckDB-reproducible; tests/test_indexing.py measures recall vs exact)
@@ -2358,6 +2456,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "sessionize_events": q_sessionize_events,
     "moving_window_stats": q_moving_window_stats,
+    "hypertable_rollup": q_hypertable_rollup,
+    "cms_user_estimates": q_cms_user_estimates,
+    "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
     "mllib_ivf_search": q_mllib_ivf_search,
     "mllib_brp_neardup": q_mllib_brp_neardup,
@@ -2443,6 +2544,9 @@ ORACLES: dict[str, str] = {
     "asof_purchase_attribution": o_asof_purchase_attribution(),
     "sessionize_events": o_sessionize_events(),
     "moving_window_stats": o_moving_window_stats(),
+    "hypertable_rollup": o_hypertable_rollup(),
+    "cms_user_estimates": o_cms_user_estimates(),
+    "salted_segment_revenue": o_salted_segment_revenue(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
 }

@@ -237,3 +237,18 @@ def test_k_nonpositive_raises(spark, emb):
 
     with pytest.raises(ValueError, match="positive"):
         knn_search(emb, FX.QUERY_VEC, k=0)
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """Count-min guarantee: the point estimate is >= the true count for
+    EVERY key (collisions only inflate)."""
+    from pythonvectordb_spark.operators.sketch import cms_estimate
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    all_users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+    rows = cms_estimate(ev, "user_id", all_users).collect()
+    assert len(rows) == len(all_users)
+    assert all(r.est_n >= r.true_n for r in rows)
+    assert all(r.true_n > 0 for r in rows)
