@@ -30,6 +30,8 @@ from pythonvectordb_spark.operators.search import (  # noqa: F401
     knn_join,
     knn_search,
     knn_search_float,
+    l2_knn_search,
+    mips_search,
     with_qvec,
 )
 from pythonvectordb_spark.operators.mutation import (  # noqa: F401
@@ -45,6 +47,16 @@ from pythonvectordb_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     resolve_duplicates,
     simhash_pairs,
+)
+from pythonvectordb_spark.operators.timeseries import (  # noqa: F401
+    asof_join,
+    hypertable_rollup,
+    moving_window_stats,
+    sessionize,
+)
+from pythonvectordb_spark.operators.sketch import (  # noqa: F401
+    cms_build,
+    cms_estimate,
 )
 from pythonvectordb_spark.sources.snapshot import (  # noqa: F401
     build_vector_table,

@@ -110,6 +110,7 @@ def hypertable_rollup(
     events: DataFrame,
     group_col: str = "event_type",
     ts_col: str = "ts",
+    persist_levels: bool = True,
 ) -> DataFrame:
     """Hypertable-style continuous aggregate cascade: raw -> 1-minute ->
     1-hour -> 1-day buckets, where each coarser level aggregates the
@@ -139,12 +140,20 @@ def hypertable_rollup(
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     minute = level_agg(base, F.col("m_bucket"), F.lit(1), F.col("cents"))
+    if persist_levels:
+        # Without this, each union branch re-derives its full lineage and
+        # the raw table is scanned once per level; persisting the finer
+        # levels makes the cascade genuinely incremental (raw is read
+        # exactly once — in production these levels are written tables).
+        minute = minute.persist()
     hour = level_agg(
         minute,
         (F.floor(F.col("bucket_us") / (60 * minute_us)) * (60 * minute_us)).cast("long"),
         F.col("n_events"),
         F.col("value_cents"),
     )
+    if persist_levels:
+        hour = hour.persist()
     day = level_agg(
         hour,
         (F.floor(F.col("bucket_us") / (1440 * minute_us)) * (1440 * minute_us)).cast("long"),

@@ -832,6 +832,40 @@ FROM documents
 """
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Rabin-Karp rolling hash over
+    the token-hash sequence, h = (h*131 + hash32(tok)) mod 1e9+7 — unlike
+    the md5 content fingerprint this is incrementally maintainable (append
+    = one fold step) and all arithmetic stays < 2^38, exact in BIGINT."""
+    from pythonvectordb_spark.functions.text import hash32, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    M = 1_000_000_007
+    th = F.transform(tokens(F.col("text")), lambda t: hash32(t))
+    rolling = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * F.lit(131) + x) % F.lit(M),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        rolling.alias("rolling_hash"),
+        F.size(th).cast("int").alias("n_tokens"),
+    )
+
+
+def o_rolling_fingerprint() -> str:
+    toks = O.sql_tokens("text")
+    th = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(list_reduce([0::BIGINT] || {th},
+                        (a, x) -> (a * 131 + x) % 1000000007) AS BIGINT) AS rolling_hash,
+       CAST(len({th}) AS INT) AS n_tokens
+FROM documents
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, term) with smoothed idf (exact tf/df ints)."""
     return TX.tfidf_terms(load_table(spark, sf_dir, "documents"))
@@ -2406,6 +2440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "tfidf_terms": q_tfidf_terms,
     # multimodal
     "multimodal_join": q_multimodal_join,
@@ -2498,6 +2533,7 @@ ORACLES: dict[str, str] = {
     "text_quality": o_text_quality(),
     "lang_id": o_lang_id(),
     "doc_fingerprint": o_doc_fingerprint(),
+    "rolling_fingerprint": o_rolling_fingerprint(),
     "tfidf_terms": o_tfidf_terms(),
     "multimodal_join": o_multimodal_join(),
     "media_features": o_media_features(),
