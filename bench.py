@@ -47,6 +47,12 @@ HEADLINE = [
     "customer_order_running",
     "events_by_hour",
     "media_features",
+    # extension operator families (round-1 additions)
+    "asof_purchase_attribution",
+    "sessionize_events",
+    "hypertable_rollup",
+    "cms_user_estimates",
+    "bpe_token_counts",
 ]
 
 
