@@ -52,6 +52,30 @@ def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
+    """Top-k frequent keys by CMS estimate (sketch-driven heavy hitters).
+
+    At 100 TB the distinct-key probe side is the stream's key directory
+    (small relative to events); the sketch stays depth x width counters.
+    Estimates only ever over-count, so no true heavy hitter can be pushed
+    out by an under-estimate — the classic CMS top-k guarantee.
+    """
+    key = F.col(key_col)
+    sketch = cms_build(df, key_col)
+    probes = df.select(key.alias("key")).distinct().select(
+        "key",
+        F.posexplode(
+            F.array(*[_bucket(F.col("key"), d) for d in range(CMS_DEPTH)])
+        ).alias("depth", "bucket"),
+    )
+    est = (
+        probes.join(sketch, ["depth", "bucket"], "left")
+        .groupBy(F.col("key").cast("long").alias("key"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_n"))
+    )
+    return est.orderBy(F.desc("est_n"), F.asc("key")).limit(k)
+
+
 def cms_estimate(df: DataFrame, key_col: str, probe_keys: list) -> DataFrame:
     """Point estimates for ``probe_keys`` against the sketch of ``df``,
     next to the true counts (estimate >= true always; equality when the

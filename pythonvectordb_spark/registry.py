@@ -2336,6 +2336,37 @@ FROM est LEFT JOIN tru ON est.key = tru.key
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven heavy hitters: top-5 users by CMS count estimate."""
+    from pythonvectordb_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", k=5)
+
+
+def o_cms_heavy_hitters() -> str:
+    from pythonvectordb_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+WITH pairs AS (
+  SELECT d.d AS depth,
+         CAST(('0x' || substr(md5(d.d || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % {CMS_WIDTH} AS INT) AS bucket
+  FROM events CROSS JOIN range(0, {CMS_DEPTH}) d(d)
+), sketch AS (
+  SELECT depth, bucket, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+), probes AS (
+  SELECT k.user_id AS key, d.d AS depth,
+         CAST(('0x' || substr(md5(d.d || ':' || CAST(k.user_id AS VARCHAR)), 1, 8))::BIGINT
+              % {CMS_WIDTH} AS INT) AS bucket
+  FROM (SELECT DISTINCT user_id FROM events) k CROSS JOIN range(0, {CMS_DEPTH}) d(d)
+)
+SELECT CAST(p.key AS BIGINT) AS key,
+       CAST(min(coalesce(s.n, 0)) AS BIGINT) AS est_n
+FROM probes p LEFT JOIN sketch s USING (depth, bucket)
+GROUP BY 1 ORDER BY est_n DESC, key ASC LIMIT 5
+"""
+
+
 def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe join: orders ⋈ customer routed through the salting
     utility (hot keys spread over 8 salt partitions); the oracle is the
@@ -2493,6 +2524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_window_stats": q_moving_window_stats,
     "hypertable_rollup": q_hypertable_rollup,
     "cms_user_estimates": q_cms_user_estimates,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
     "mllib_ivf_search": q_mllib_ivf_search,
@@ -2582,6 +2614,7 @@ ORACLES: dict[str, str] = {
     "moving_window_stats": o_moving_window_stats(),
     "hypertable_rollup": o_hypertable_rollup(),
     "cms_user_estimates": o_cms_user_estimates(),
+    "cms_heavy_hitters": o_cms_heavy_hitters(),
     "salted_segment_revenue": o_salted_segment_revenue(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
