@@ -168,6 +168,37 @@ def hypertable_rollup(
     )
 
 
+def scd2_from_events(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event log: one
+    validity interval per (key, attribute-run), consecutive duplicates
+    collapsed, the current row open-ended (NULL valid_to).
+
+    Two windows over ONE partitioning on the key (change detection via
+    lag, interval close via lead on the change rows) — the standard
+    scalable SCD2 derivation; the as-of join (``asof_join``) is its
+    point-in-time query twin.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us)
+    changed = (
+        events.withColumn("_us", us)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col("_us"))
+    return changed.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.col(attr_col),
+        F.col("_us").cast("long").alias("valid_from_us"),
+        F.lead("_us").over(w2).cast("long").alias("valid_to_us"),
+    )
+
+
 def moving_window_stats(
     events: DataFrame,
     window_minutes: int = 60,

@@ -2336,6 +2336,62 @@ FROM est LEFT JOIN tru ON est.key = tru.key
 """
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD built from the event log: per-user event_type runs as
+    validity intervals (consecutive duplicates collapsed, open current
+    row)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.scd2_from_events(load_table(spark, sf_dir, "events"))
+
+
+def o_scd2_user_state() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events
+), changed AS (
+  SELECT user_id, event_type, us FROM seq
+  WHERE prev IS NULL OR prev != event_type
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(us AS BIGINT) AS valid_from_us,
+       CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT) AS valid_to_us
+FROM changed
+"""
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup: exactly the
+    requested aggregation levels) with grouping_id disambiguation."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+SELECT event_type,
+       CAST(user_id % 10 AS BIGINT) AS user_mod,
+       CAST(grouping_id() AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events_gs
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+"""
+    )
+
+
+def o_events_grouping_sets() -> str:
+    return """
+SELECT event_type,
+       CAST(user_id % 10 AS BIGINT) AS user_mod,
+       CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven heavy hitters: top-5 users by CMS count estimate."""
     from pythonvectordb_spark.operators.sketch import cms_heavy_hitters
@@ -2525,6 +2581,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hypertable_rollup": q_hypertable_rollup,
     "cms_user_estimates": q_cms_user_estimates,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "scd2_user_state": q_scd2_user_state,
+    "events_grouping_sets": q_events_grouping_sets,
     "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
     "mllib_ivf_search": q_mllib_ivf_search,
@@ -2615,6 +2673,8 @@ ORACLES: dict[str, str] = {
     "hypertable_rollup": o_hypertable_rollup(),
     "cms_user_estimates": o_cms_user_estimates(),
     "cms_heavy_hitters": o_cms_heavy_hitters(),
+    "scd2_user_state": o_scd2_user_state(),
+    "events_grouping_sets": o_events_grouping_sets(),
     "salted_segment_revenue": o_salted_segment_revenue(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
