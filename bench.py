@@ -114,6 +114,34 @@ def main() -> None:
         single_ms = min(single_ms, (time.time() - t0) * 1000)
     table.unpersist()
 
+    # --- reference-suite sections: insert / delete / save-load ---
+    # (benchmark_suite.py:48-86, 228-272, 282-334 methodology at the 50k
+    # regime; measured as Spark jobs on the same tiled table)
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pvdb_bench_")
+    try:
+        t0 = time.time()
+        S.with_qvec(tiled).write.mode("overwrite").parquet(f"{tmp}/ins")
+        insert_s = time.time() - t0  # validate+normalize+quantize+persist
+        insert_vps = n_vec / insert_s
+
+        snap = spark.read.parquet(f"{tmp}/ins")
+        del_ids = spark.range(500).select((F.col("id") * 100).alias("vec_id"))
+        t0 = time.time()
+        n_after = snap.join(del_ids, "vec_id", "left_anti").count()
+        delete_ms = (time.time() - t0) * 1000  # lazy-delete analogue: anti-join
+        t0 = time.time()
+        n_back = spark.read.parquet(f"{tmp}/ins").count()
+        load_ms = (time.time() - t0) * 1000
+        log(
+            f"bench insert: {n_vec} vecs in {insert_s:.2f}s ({insert_vps:.0f}/s); "
+            f"delete(500): {delete_ms:.0f}ms -> {n_after} live; load: {load_ms:.0f}ms ({n_back} rows)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -133,6 +161,10 @@ def main() -> None:
         "knn_qps_50k": round(qps, 1),
         "knn_single_ms": round(single_ms, 1),
         "n_vectors_tiled": n_vec,
+        "insert_vecs_per_s": round(insert_vps, 1),
+        "delete_anti_join_ms": round(delete_ms, 1),
+        "snapshot_load_ms": round(load_ms, 1),
+        "int8_bytes_per_vector": 64,  # dim bytes/vector, matches reference stat
     }
     spark.stop()
     print(json.dumps(out))
