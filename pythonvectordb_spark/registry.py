@@ -2336,6 +2336,33 @@ FROM est LEFT JOIN tru ON est.key = tru.key
 """
 
 
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequence aggregation (collect_list): each user's first 10
+    event types as a '>' path. Deterministic because the collected
+    structs are sorted on the unique event timestamp before projection
+    (bare collect_list order is partition-dependent — never rely on it)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.sort_array(
+        F.collect_list(F.struct(F.unix_micros("ts").alias("us"), F.col("event_type")))
+    )
+    path = F.concat_ws(
+        ">", F.slice(F.transform(seq, lambda s: s["event_type"]), 1, 10)
+    )
+    return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        path.alias("path10"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def o_user_event_paths() -> str:
+    return """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       array_to_string(list_slice(list(event_type ORDER BY epoch_us(ts)), 1, 10), '>') AS path10,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD built from the event log: per-user event_type runs as
     validity intervals (consecutive duplicates collapsed, open current
@@ -2582,6 +2609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_user_estimates": q_cms_user_estimates,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "scd2_user_state": q_scd2_user_state,
+    "user_event_paths": q_user_event_paths,
     "events_grouping_sets": q_events_grouping_sets,
     "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
@@ -2674,6 +2702,7 @@ ORACLES: dict[str, str] = {
     "cms_user_estimates": o_cms_user_estimates(),
     "cms_heavy_hitters": o_cms_heavy_hitters(),
     "scd2_user_state": o_scd2_user_state(),
+    "user_event_paths": o_user_event_paths(),
     "events_grouping_sets": o_events_grouping_sets(),
     "salted_segment_revenue": o_salted_segment_revenue(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
