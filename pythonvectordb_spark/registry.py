@@ -2336,6 +2336,28 @@ FROM est LEFT JOIN tru ON est.key = tru.key
 """
 
 
+def q_distinct_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact DISTINCT aggregates in one pass (compiles to
+    Spark's Expand operator — each distinct set gets its own expansion
+    row; one shuffle, no self-joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.count_distinct(F.floor(F.col("value") / 50)).cast("long").alias("n_buckets"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def o_distinct_agg_stats() -> str:
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT floor(value / 50)) AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered sequence aggregation (collect_list): each user's first 10
     event types as a '>' path. Deterministic because the collected
@@ -2610,6 +2632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "scd2_user_state": q_scd2_user_state,
     "user_event_paths": q_user_event_paths,
+    "distinct_agg_stats": q_distinct_agg_stats,
     "events_grouping_sets": q_events_grouping_sets,
     "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
@@ -2703,6 +2726,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": o_cms_heavy_hitters(),
     "scd2_user_state": o_scd2_user_state(),
     "user_event_paths": o_user_event_paths(),
+    "distinct_agg_stats": o_distinct_agg_stats(),
     "events_grouping_sets": o_events_grouping_sets(),
     "salted_segment_revenue": o_salted_segment_revenue(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and

@@ -121,3 +121,15 @@ def test_pivot_with_explicit_values_runs_no_distinct_job(spark):
     # (pre-agg on (year, priority), then pivotfirst on year), never three
     assert "pivotfirst(o_orderpriority" in plan and "1-URGENT" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_rollup_cascade_reads_cached_levels(spark):
+    """The hour/day levels must read the persisted finer level
+    (InMemoryTableScan), not re-derive their lineage from raw — the
+    single-raw-scan property of the cascade."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["hypertable_rollup"](spark, SF_SMOKE)
+    df.count()  # materialize the persisted levels
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
