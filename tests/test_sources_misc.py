@@ -63,3 +63,18 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
     expected = ev.filter(F.to_date("ts") == "2024-01-02").count()
     assert expected > 0
     assert one_day.count() == expected
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink roundtrip (columnar alternative to parquet; same
+    DataFrame surface)."""
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_orc")
+    docs.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.count() == docs.count()
+    assert sorted(r.text for r in back.collect()) == sorted(
+        r.text for r in docs.collect()
+    )
