@@ -2336,6 +2336,66 @@ FROM est LEFT JOIN tru ON est.key = tru.key
 """
 
 
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window outlier detection: flag events > 2 sigma from the
+    user's trailing-30-day mean. The 2-sigma test is algebraically
+    rearranged to pure BIGINT arithmetic — (n*x - sum)^2 > 4*(n*sumsq -
+    sum^2) — so there is no floating point anywhere in the decision
+    (data-quality filters must be exactly reproducible across engines
+    and reruns)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_us"))
+        .rangeBetween(-2_592_000_000_000, 0)  # 30-day trailing window
+    )
+    base = (
+        ev.withColumn("_us", us)
+        .withColumn("cents", cents)
+        .withColumn("n_trail", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("s1", F.sum("cents").over(w).cast("long"))
+        .withColumn("s2", F.sum(F.col("cents") * F.col("cents")).over(w).cast("long"))
+    )
+    dev = F.col("n_trail") * F.col("cents") - F.col("s1")
+    var4 = F.lit(4) * (F.col("n_trail") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (
+        base.filter((F.col("n_trail") >= 5) & (dev * dev > var4))
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("cents"),
+            F.col("n_trail"),
+            (dev * dev).cast("long").alias("dev_sq"),
+            var4.cast("long").alias("var4"),
+        )
+    )
+
+
+def o_event_outliers() -> str:
+    return """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) OVER w AS BIGINT) AS n_trail,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       cents, n_trail,
+       CAST((n_trail * cents - s1) * (n_trail * cents - s1) AS BIGINT) AS dev_sq,
+       CAST(4 * (n_trail * s2 - s1 * s1) AS BIGINT) AS var4
+FROM base
+WHERE n_trail >= 5
+  AND (n_trail * cents - s1) * (n_trail * cents - s1) > 4 * (n_trail * s2 - s1 * s1)
+"""
+
+
 def q_distinct_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple exact DISTINCT aggregates in one pass (compiles to
     Spark's Expand operator — each distinct set gets its own expansion
@@ -2633,6 +2693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_state": q_scd2_user_state,
     "user_event_paths": q_user_event_paths,
     "distinct_agg_stats": q_distinct_agg_stats,
+    "event_outliers": q_event_outliers,
     "events_grouping_sets": q_events_grouping_sets,
     "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
@@ -2727,6 +2788,7 @@ ORACLES: dict[str, str] = {
     "scd2_user_state": o_scd2_user_state(),
     "user_event_paths": o_user_event_paths(),
     "distinct_agg_stats": o_distinct_agg_stats(),
+    "event_outliers": o_event_outliers(),
     "events_grouping_sets": o_events_grouping_sets(),
     "salted_segment_revenue": o_salted_segment_revenue(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
