@@ -71,6 +71,32 @@ def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def media_features_arrow(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInArrow twin of ``media_features``: operates on raw pyarrow
+    RecordBatches with zero pandas materialization — the lowest-overhead
+    Python execution shape (SURVEY §4's escape hatch), here producing
+    byte-identical output to the pandas path so the oracle covers both."""
+    import pyarrow as pa
+
+    def _decode_arrow(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            payloads = batch.column("payload").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([len(b) for b in payloads], type=pa.int32()),
+                    pa.array([hashlib.md5(b).hexdigest() for b in payloads]),
+                ],
+                names=["doc_id", "n_bytes", "content_md5"],
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInArrow(_decode_arrow, MEDIA_FEATURE_SCHEMA)
+
+
 MEDIA_RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

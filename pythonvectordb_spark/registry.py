@@ -927,6 +927,13 @@ FROM documents
 """
 
 
+def q_media_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow execution shape (raw RecordBatches, no pandas) —
+    byte-identical to the mapInPandas path, same oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_features_arrow(MM.text_as_media(docs))
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: tile-and-truncate every payload to 64 bytes via
     mapInPandas (binary in/out), value-checked by md5."""
@@ -2641,6 +2648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "multimodal_join": q_multimodal_join,
     "media_features": q_media_features,
+    "media_features_arrow": q_media_features_arrow,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     # relational analytics
@@ -2739,6 +2747,7 @@ ORACLES: dict[str, str] = {
     "tfidf_terms": o_tfidf_terms(),
     "multimodal_join": o_multimodal_join(),
     "media_features": o_media_features(),
+    "media_features_arrow": o_media_features(),  # byte-identical paths, same oracle
     "media_resize": o_media_resize(),
     "media_frame_sample": o_media_frame_sample(),
     "pricing_summary": o_pricing_summary(),
