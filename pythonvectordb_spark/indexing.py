@@ -175,3 +175,38 @@ def minhash_lsh_text_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+def train_word2vec_neighbors(
+    docs: DataFrame,
+    probe_word: str = "the",
+    top_n: int = 5,
+    vector_size: int = 16,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch embedding TRAINING on MLlib (the other half of
+    "batch embedding and index building fit Spark MLlib"): learn word
+    vectors from the corpus, return the probe word's nearest neighbors.
+
+    Engine-specific math (negative sampling init) -> rows-only driver
+    check; tests pin determinism under a fixed seed and the output
+    contract. At scale this is the standard distributed embedding
+    pretrain: one tokenization pass + iterative fit over partitions.
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="words", pattern=r"[^a-z]+", toLowercase=True
+    )
+    words = tok.transform(docs).select("words")
+    model = Word2Vec(
+        vectorSize=vector_size,
+        minCount=5,
+        seed=seed,
+        inputCol="words",
+        outputCol="vec",
+        numPartitions=1,  # determinism: single-partition fit under fixed seed
+    ).fit(words)
+    syn = model.findSynonyms(probe_word, top_n)
+    return syn.select("word", F.round("similarity", 6).alias("similarity"))

@@ -2574,6 +2574,15 @@ GROUP BY 1
 # --------------------------------------------------------------------------
 
 
+def q_mllib_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib batch embedding training: Word2Vec over the corpus, probe
+    word's top-5 neighbors (seeded, deterministic; rows-only check —
+    negative-sampling math is engine-specific)."""
+    from pythonvectordb_spark.indexing import train_word2vec_neighbors
+
+    return train_word2vec_neighbors(load_table(spark, sf_dir, "documents"))
+
+
 def q_mllib_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-codebook IVF search: MLlib batch indexing feeding the probed
     ANN operator."""
@@ -2705,6 +2714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_grouping_sets": q_events_grouping_sets,
     "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
+    "mllib_word2vec": q_mllib_word2vec,
     "mllib_ivf_search": q_mllib_ivf_search,
     "mllib_brp_neardup": q_mllib_brp_neardup,
     "mllib_minhash_dedup": q_mllib_minhash_dedup,

@@ -85,3 +85,18 @@ def test_minhash_lsh_finds_planted_dups(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"recall {recall:.2f} of {len(exact)} planted pairs"
+
+
+def test_word2vec_training_is_seeded_deterministic(spark):
+    """Batch embedding training must reproduce exactly under a fixed
+    seed (replayable pretrain), and respect the output contract."""
+    from pythonvectordb_spark.indexing import train_word2vec_neighbors
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = [tuple(r) for r in train_word2vec_neighbors(docs).collect()]
+    b = [tuple(r) for r in train_word2vec_neighbors(docs).collect()]
+    assert a == b
+    assert len(a) == 5
+    assert all(-1.0 <= sim <= 1.0 for _, sim in a)
