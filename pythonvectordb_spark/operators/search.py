@@ -184,13 +184,18 @@ def knn_join(
         import pandas as pd
 
         qrows = queries_q.collect()  # query set is small by contract
-        qids = np.array([r[0] for r in qrows], dtype=np.int64)
-        qmat = np.array([r[1] for r in qrows], dtype=np.float32)  # m x dim
-        qss = (qmat.astype(np.int64) ** 2).sum(axis=1)
-        qnorm = np.sqrt(qss.astype(np.float64))  # exact ints -> exact sqrt
+        qids_l = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat_l = np.array([r[1] for r in qrows], dtype=np.float32)  # m x dim
+        qss = (qmat_l.astype(np.int64) ** 2).sum(axis=1)
+        qnorm_l = np.sqrt(qss.astype(np.float64))  # exact ints -> exact sqrt
+        # ship the query matrix as a Spark broadcast (one torrent copy per
+        # executor), NOT via closure capture (re-serialized into every
+        # task) — the difference matters for 32k+ query batches
+        bc = data.sparkSession.sparkContext.broadcast((qids_l, qmat_l, qnorm_l))
         kk = k
 
         def score_batches(batches):
+            qids, qmat, qnorm = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue

@@ -59,7 +59,7 @@ def test_brp_lsh_finds_top_cosine_pairs(spark, raw):
     from pythonvectordb_spark.indexing import brp_lsh_near_dup
     from pythonvectordb_spark.operators.dedup import embedding_near_dup
 
-    exact = {(r.id_a, r.id_b) for r in embedding_near_dup(raw, 0.45).collect()}
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup(raw, 0.45, method="expr").collect()}
     approx = {
         (r.id_a, r.id_b)
         for r in brp_lsh_near_dup(raw, cosine_threshold=0.45, num_hash_tables=6).collect()

@@ -143,6 +143,38 @@ def test_knn_join_paths_identical(spark, emb):
     assert a == b
 
 
+def test_knn_join_ships_query_matrix_via_broadcast(spark, emb, monkeypatch):
+    """The query matrix must reach executors as a Spark broadcast (one
+    torrent copy per executor), not closure capture (re-shipped per
+    task)."""
+    import numpy as np
+    from pyspark import SparkContext
+
+    from pythonvectordb_spark.operators.search import knn_join
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    shipped = []
+    orig = SparkContext.broadcast
+
+    def spy(self, value):
+        shipped.append(value)
+        return orig(self, value)
+
+    monkeypatch.setattr(SparkContext, "broadcast", spy)
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec_query"))
+    )
+    out = knn_join(emb, queries, k=3, method="pandas")
+    mats = [
+        v for v in shipped
+        if isinstance(v, tuple) and len(v) == 3 and isinstance(v[1], np.ndarray)
+    ]
+    assert mats and mats[0][1].shape == (6, 64), "query matrix not broadcast"
+    assert out.count() > 0  # and the broadcast path still computes
+
+
 def test_connected_components_chain_and_clique(spark):
     """Min-label propagation must handle transitive chains (a-b, b-c) and
     leave singletons alone."""
@@ -205,6 +237,81 @@ def test_embedding_near_dup_paths_identical(spark):
     a = sorted(tuple(r) for r in embedding_near_dup(raw, 0.4, method="expr").collect())
     b = sorted(tuple(r) for r in embedding_near_dup(raw, 0.4, method="pandas").collect())
     assert a == b and len(a) > 0
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    """The default (LSH-blocked) path returns a subset of the exact pair
+    set with identical cosine values, and recall at the tuned defaults
+    stays high even at the hard 0.4 fixture threshold."""
+    from pythonvectordb_spark.operators.dedup import embedding_near_dup
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    raw = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {tuple(r) for r in embedding_near_dup(raw, 0.4, method="expr").collect()}
+    lsh = {tuple(r) for r in embedding_near_dup(raw, 0.4, method="lsh").collect()}
+    assert exact, "calibration: exact pair set should be non-empty"
+    assert lsh <= exact, "LSH pairs must verify to the same exact cosines"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} ({len(exact)} exact pairs)"
+
+
+def test_ngram_maxdf_caps_boilerplate_fanout(spark):
+    """Boilerplate skew: 1k docs share a template sentence whose shingles
+    would each emit ~500k inverted-index join rows uncapped. With the df
+    cap ON, template shingles leave the index (fan-out bounded at
+    max_df^2 per shingle), genuine near-dups are still found via their
+    rare shingles, and boilerplate-ONLY overlap no longer creates pairs
+    (that's dedup_exact's job)."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for updates today"
+    rows = [
+        (i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(1000)
+    ]
+    dup = "the quick brown fox jumps over the lazy dog repeatedly"
+    rows += [(5001, dup), (5002, dup)]          # rare-shingle exact dup
+    rows += [(6001, boiler), (6002, boiler)]    # boilerplate-only dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(df, threshold=0.8, max_df=10).collect()}
+    assert set(capped) == {(5001, 5002)}
+    assert capped[(5001, 5002)] == 1.0
+
+    uncapped = {(r.id_a, r.id_b)
+                for r in ngram_jaccard_pairs(df, threshold=0.8, max_df=None).collect()}
+    assert uncapped == {(5001, 5002), (6001, 6002)}
+
+    # the capped inverted index really dropped every template shingle
+    from pythonvectordb_spark.operators.dedup import _shingled
+
+    inv = _shingled(df, "text", "doc_id", 3).select(
+        F.col("doc_id"), F.explode("sh").alias("shingle")
+    )
+    keep = inv.groupBy("shingle").count().filter(F.col("count") <= 10)
+    max_kept_df = keep.agg(F.max("count")).first()[0]
+    assert max_kept_df is not None and max_kept_df <= 10
+
+
+def test_embedding_near_dup_lsh_is_lazy_no_driver_jobs(spark):
+    """Building the default near-dup plan must not materialize anything
+    on the driver: zero Spark jobs run until an action is called, and the
+    physical plan is the blocking join, not a Python map stage."""
+    from pythonvectordb_spark.operators.dedup import embedding_near_dup
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    raw = load_table(spark, SF_SMOKE, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    df = embedding_near_dup(raw, 0.4)  # default method: no action expected
+    after = set(tracker.getJobIdsForGroup())
+    assert before == after, "plan construction triggered driver-side jobs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bkey" in plan, "blocking join key missing from physical plan"
+    assert "MapInPandas" not in plan, "default path must not use Python row path"
 
 
 def test_empty_table_search_returns_empty(spark, emb):
