@@ -70,7 +70,9 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
     )
     est = (
         probes.join(sketch, ["depth", "bucket"], "left")
-        .groupBy(F.col("key").cast("long").alias("key"))
+        # group on the key's ORIGINAL type: casting to long would NULL out
+        # non-numeric keys and silently collapse them into one group
+        .groupBy("key")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_n"))
     )
     return est.orderBy(F.desc("est_n"), F.asc("key")).limit(k)
@@ -81,13 +83,18 @@ def cms_estimate(df: DataFrame, key_col: str, probe_keys: list) -> DataFrame:
     next to the true counts (estimate >= true always; equality when the
     key's buckets are collision-free)."""
     sketch = cms_build(df, key_col)
+    # probe literals adopt the key column's own type so the hash's string
+    # rendering and the final join/group key match the data exactly for
+    # any key type (string keys included)
+    key_type = df.schema[key_col].dataType
     probes = []
     for k in probe_keys:
+        kl = F.lit(k).cast(key_type)
         probes.append(
             F.struct(
-                F.lit(k).cast("long").alias("key"),
+                kl.alias("key"),
                 F.array(
-                    *[_bucket(F.lit(k), d) for d in range(CMS_DEPTH)]
+                    *[_bucket(kl, d) for d in range(CMS_DEPTH)]
                 ).alias("buckets"),
             )
         )
@@ -104,7 +111,7 @@ def cms_estimate(df: DataFrame, key_col: str, probe_keys: list) -> DataFrame:
     )
     true = (
         df.filter(F.col(key_col).isin(probe_keys))
-        .groupBy(F.col(key_col).cast("long").alias("key"))
+        .groupBy(F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
     )
     return est.join(true, "key", "left").select(

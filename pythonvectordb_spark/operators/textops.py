@@ -89,19 +89,26 @@ def tfidf_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     final ln/multiply are floating point (deterministic, rounded).
 
     Plan shape: one explode + two grouped aggregations + a broadcast-able
-    term-dimension join; no Python, scales linearly in corpus size.
+    term-dimension join; no Python, scales linearly in corpus size. The
+    corpus size N joins in as a broadcast 1-row aggregate, so the whole
+    computation is ONE lazy job (no separate driver-blocking count()).
     """
     from pythonvectordb_spark.util import ensure_parallelism
 
-    n_docs = df.count()
+    # 1-row, column-pruned count — broadcast into the plan instead of a
+    # separate eager count() job (integer counts < 2^53 are exact doubles)
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)
+    idf = F.log(
+        (F.col("_n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1)).cast("double")
+    ) + F.lit(1.0)
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "token",

@@ -60,7 +60,8 @@ def asof_join(
     l = left.withColumn("_side", F.lit(1)).withColumn(
         "_payload", F.lit(None).cast(r.schema["_payload"].dataType)
     )
-    if tiebreak is not None and tiebreak not in left.columns:
+    injected_tiebreak = tiebreak is not None and tiebreak not in left.columns
+    if injected_tiebreak:
         l = l.withColumn(tiebreak, F.lit(None).cast(r.schema[tiebreak].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -70,6 +71,9 @@ def asof_join(
     )
     matched = unioned.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
     out = matched.filter(F.col("_side") == 1).drop("_side", "_payload")
+    if injected_tiebreak:
+        # the all-null sort helper must not leak into the output contract
+        out = out.drop(tiebreak)
     for c in payload_cols:
         out = out.withColumn(f"{c}_asof", F.col("_asof")[c])
     return out.drop("_asof")
@@ -122,6 +126,12 @@ def hypertable_rollup(
     raw scan happens once per refresh; day-level queries touch 1/1440th
     of the minute data. Returns all three levels unioned with a
     ``granularity`` tag.
+
+    The persisted intermediate levels are exposed on the result as
+    ``_persisted_levels``; call :func:`release_rollup_levels` on the
+    result once it has been materialized (collected / written) to free
+    the cached partitions — repeated rollup builds would otherwise
+    accumulate cache entries until LRU eviction.
     """
     us = F.unix_micros(F.col(ts_col))
     minute_us = 60 * US_PER_MIN
@@ -160,12 +170,21 @@ def hypertable_rollup(
         F.col("n_events"),
         F.col("value_cents"),
     )
-    return (
+    out = (
         minute.withColumn("granularity", F.lit("minute"))
         .unionByName(hour.withColumn("granularity", F.lit("hour")))
         .unionByName(day.withColumn("granularity", F.lit("day")))
         .select("granularity", "bucket_us", group_col, "n_events", "value_cents")
     )
+    out._persisted_levels = [minute, hour] if persist_levels else []
+    return out
+
+
+def release_rollup_levels(rollup: DataFrame) -> None:
+    """Unpersist the cached intermediate levels of a
+    :func:`hypertable_rollup` result (no-op for uncached results)."""
+    for level in getattr(rollup, "_persisted_levels", []):
+        level.unpersist()
 
 
 def scd2_from_events(

@@ -1011,13 +1011,15 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_media_frame_sample() -> str:
+    # the frame bound is derived from each payload's own length (lateral
+    # range), not a fixed cap — no latent divergence if documents grow
     return """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(t.i AS INT) AS frame_idx,
-       CAST(length(substr(text, t.i * 1024 + 1, 256)) AS INT) AS frame_len,
-       md5(substr(text, t.i * 1024 + 1, 256)) AS frame_md5
-FROM documents CROSS JOIN range(0, 64) t(i)
-WHERE t.i * 1024 < length(text)
+       CAST(length(substr(text, CAST(t.i AS BIGINT) * 1024 + 1, 256)) AS INT) AS frame_len,
+       md5(substr(text, CAST(t.i AS BIGINT) * 1024 + 1, 256)) AS frame_md5
+FROM documents
+CROSS JOIN unnest(range(0, CAST(ceil(length(text) / 1024.0) AS BIGINT))) t(i)
 """
 
 

@@ -3,8 +3,10 @@
 in-place mutable state maps to in Spark (SURVEY.md §2.7/§2.10).
 
 Each micro-batch folds its partial aggregate into the stored per-key
-totals and atomically swaps the snapshot directory, so readers always see
-a complete view.  A ``_last_batch.json`` transaction marker makes the
+totals and swaps the snapshot directory via paired renames (old aside,
+new in, then delete old), so a reader observes a complete view at any
+point except the instant between the two renames, and a crash at any
+step leaves a complete copy recoverable on disk.  A ``_last_batch.json`` transaction marker makes the
 merge idempotent under foreachBatch's at-least-once replay: a re-delivered
 batch_id is skipped instead of double-counted.  (Idempotency holds within
 a checkpoint lineage — the Structured Streaming contract; replaying from a
@@ -73,9 +75,22 @@ def start_user_spend_matview(
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, MARKER_FILE), "w") as f:
             json.dump({"batch_id": batch_id}, f)
-        if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
+        # swap order keeps the current view readable until the new one is
+        # in place: rename the old copy ASIDE (atomic), rename tmp IN
+        # (atomic), then delete the old copy. A crash between the renames
+        # leaves the complete new view in tmp and the complete old view in
+        # the aside dir — never a missing/partial target for longer than
+        # one rename. (rmtree-then-rename would expose a missing dir and a
+        # crash there would lose the current view.)
+        old = f"{target_dir}__mv_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover from a crashed earlier swap
+        had_current = os.path.exists(target_dir)
+        if had_current:
+            os.rename(target_dir, old)
         os.rename(tmp, target_dir)
+        if had_current:
+            shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -129,7 +129,14 @@ def test_rollup_cascade_reads_cached_levels(spark):
     single-raw-scan property of the cascade."""
     from pythonvectordb_spark.registry import QUERIES
 
+    from pythonvectordb_spark.operators.timeseries import release_rollup_levels
+
     df = QUERIES["hypertable_rollup"](spark, SF_SMOKE)
     df.count()  # materialize the persisted levels
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2
+    # the release path must actually free the cached levels
+    levels = df._persisted_levels
+    assert levels and all(lv.storageLevel.useMemory for lv in levels)
+    release_rollup_levels(df)
+    assert all(not lv.storageLevel.useMemory for lv in levels)

@@ -359,3 +359,19 @@ def test_cms_estimate_never_undercounts(spark):
     assert len(rows) == len(all_users)
     assert all(r.est_n >= r.true_n for r in rows)
     assert all(r.true_n > 0 for r in rows)
+
+
+def test_cms_works_on_string_keys(spark):
+    """The sketch is generic over key type: string keys must keep their
+    identity (a long cast would NULL them into a single group)."""
+    from pythonvectordb_spark.operators.sketch import cms_estimate, cms_heavy_hitters
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    hh = cms_heavy_hitters(ev, "event_type", k=3).collect()
+    assert len(hh) == 3 and all(r.key in types for r in hh)
+    est = cms_estimate(ev, "event_type", types).collect()
+    assert {r.key for r in est} == set(types)
+    assert all(r.est_n >= r.true_n > 0 for r in est)
