@@ -53,6 +53,9 @@ HEADLINE = [
     "hypertable_rollup",
     "cms_user_estimates",
     "bpe_token_counts",
+    # flagship LLM-pipeline composition (quality -> dedup -> join) as a
+    # tracked end-to-end wall time
+    "pipeline_clean_corpus",
 ]
 
 
@@ -106,13 +109,86 @@ def main() -> None:
     qps = n_queries / batch_sec
     log(f"bench knn_join batch: {n_queries} queries over {n_vec} vectors in {batch_sec:.2f}s -> {qps:.0f} qps")
 
+    # --- large-batch throughput: 32k queries, one job (broadcast qmat) ---
+    # amortizes scheduling further than the 4,096 batch; the query matrix
+    # ships as ONE torrent broadcast per executor, not per-task closure
+    n_big = 32_768
+    big_queries = (
+        emb.crossJoin(
+            F.broadcast(
+                spark.range((n_big + n_emb - 1) // n_emb).select(F.col("id").alias("r"))
+            )
+        )
+        .withColumn("query_id", F.col("vec_id") * 100 + F.col("r"))
+        .limit(n_big)
+        .select("query_id", F.col("embedding").alias("qvec_query"))
+    )
+    t0 = time.time()
+    S.knn_join(table, big_queries, k=10, query_vec="qvec_query").count()
+    big_sec = time.time() - t0
+    qps_32k = n_big / big_sec
+    log(f"bench knn_join 32k batch: {big_sec:.2f}s -> {qps_32k:.0f} qps")
+
     S.knn_search(table, FX.QUERY_VEC, k=10).collect()
     single_ms = float("inf")
     for _ in range(5):
         t0 = time.time()
         S.knn_search(table, FX.QUERY_VEC, k=10).collect()
         single_ms = min(single_ms, (time.time() - t0) * 1000)
+
+    # --- concurrent search (benchmark_suite.py:133-162 analogue): N
+    # client threads issuing independent single-query jobs. Concurrency
+    # needs narrow jobs: a 32-partition scan saturates every core, so
+    # jobs would just serialize; a 4-partition clone lets 8 jobs
+    # genuinely interleave (4 tasks x 8 in-flight jobs = full machine).
+    from concurrent.futures import ThreadPoolExecutor
+
+    conc_table = table.coalesce(4).persist()
+    conc_table.count()
+    conc_threads, conc_per_thread = 8, 8
+    queries_conc = [
+        [float(x) for x in r.embedding]
+        for r in emb.limit(conc_threads * conc_per_thread).collect()
+    ]
+
+    def one_query(qv):
+        S.knn_search(conc_table, qv, k=10).collect()
+
+    one_query(FX.QUERY_VEC)  # warm
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=conc_threads) as ex:
+        list(ex.map(one_query, queries_conc))
+    conc_sec = time.time() - t0
+    concurrent_qps = len(queries_conc) / conc_sec
+    log(
+        f"bench concurrent: {len(queries_conc)} queries / {conc_threads} threads "
+        f"in {conc_sec:.2f}s -> {concurrent_qps:.0f} qps"
+    )
+    conc_table.unpersist()
     table.unpersist()
+
+    # --- memory scaling (benchmark_suite.py:164-226 analogue): cached
+    # int8-storage bytes per vector at 10k / 50k / 100k rows ---
+    def cached_bytes(n_rows: int) -> float:
+        reps = max(1, (n_rows + n_emb - 1) // n_emb)
+        t = (
+            emb.crossJoin(
+                F.broadcast(spark.range(reps).select(F.col("id").alias("rep")))
+            )
+            .withColumn("vec_id", F.col("vec_id") * reps + F.col("rep"))
+            .drop("rep")
+            .limit(n_rows)
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        before = sum(i.memSize() for i in jsc.getRDDStorageInfo())
+        ct = S.with_qvec(t).select("vec_id", "qvec").persist()
+        ct.count()
+        after = sum(i.memSize() for i in jsc.getRDDStorageInfo())
+        ct.unpersist(blocking=True)
+        return (after - before) / n_rows
+
+    mem_scaling = {str(n): round(cached_bytes(n), 1) for n in (10_000, 50_000, 100_000)}
+    log(f"bench memory bytes/vector (cached id+int8 qvec): {mem_scaling}")
 
     # --- reference-suite sections: insert / delete / save-load ---
     # (benchmark_suite.py:48-86, 228-272, 282-334 methodology at the 50k
@@ -142,6 +218,53 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # --- ANN recall vs exact: the approximate operators' quality metric,
+    # recorded per-round so recall regressions are as visible as latency
+    # ones. The testdata is uniform-random (ANN's theoretical worst case:
+    # no cluster structure), so these are recall FLOORS; see the
+    # recall/pruning notes on each operator. ---
+    from pythonvectordb_spark.indexing import brp_lsh_near_dup
+    from pythonvectordb_spark.operators.dedup import embedding_near_dup, lsh_band_planes
+
+    exact10 = {r.vec_id for r in S.knn_search_float(emb, FX.QUERY_VEC, k=10).collect()}
+
+    def recall_of(df) -> float:
+        return round(len({r.vec_id for r in df.collect()} & exact10) / len(exact10), 3)
+
+    ann_recall = {
+        "ivf_nprobe2": recall_of(
+            S.ann_ivf_search(emb, FX.QUERY_VEC, FX.CENTROIDS, k=10, nprobe=2)
+        ),
+        "ivf_nprobe4": recall_of(
+            S.ann_ivf_search(emb, FX.QUERY_VEC, FX.CENTROIDS, k=10, nprobe=4)
+        ),
+        "lsh_single_band_6bit": recall_of(
+            S.ann_lsh_search(emb, FX.QUERY_VEC, FX.HYPERPLANES, k=10)
+        ),
+        "lsh_multiprobe_24x4": recall_of(
+            S.ann_lsh_multiprobe_search(emb, FX.QUERY_VEC, lsh_band_planes(24, 4), k=10)
+        ),
+    }
+    log(f"bench ann recall@10: {ann_recall}")
+
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(emb, 0.4, method="pandas").collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b) for r in embedding_near_dup(emb, 0.4, method="lsh").collect()
+    }
+    brp_pairs = {
+        (r.id_a, r.id_b)
+        for r in brp_lsh_near_dup(emb, cosine_threshold=0.4, num_hash_tables=6).collect()
+    }
+    dedup_pair_recall = {
+        "lsh_blocked_12x4": round(len(lsh_pairs & exact_pairs) / max(len(exact_pairs), 1), 3),
+        "mllib_brp_6tables": round(len(brp_pairs & exact_pairs) / max(len(exact_pairs), 1), 3),
+        "n_exact_pairs": len(exact_pairs),
+    }
+    log(f"bench near-dup pair recall: {dedup_pair_recall}")
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -159,7 +282,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "knn_qps_50k": round(qps, 1),
+        "knn_qps_50k_32k_batch": round(qps_32k, 1),
         "knn_single_ms": round(single_ms, 1),
+        "concurrent_qps": round(concurrent_qps, 1),
+        "mem_bytes_per_vector": mem_scaling,
+        "ann_recall_at_10": ann_recall,
+        "dedup_pair_recall": dedup_pair_recall,
         "n_vectors_tiled": n_vec,
         "insert_vecs_per_s": round(insert_vps, 1),
         "delete_anti_join_ms": round(delete_ms, 1),

@@ -21,11 +21,15 @@ partitioning, which row-order-sensitive SUM aggregations are not. That
 determinism is what lets the DuckDB oracle hash-match.
 
 Everything here is a Column-in/Column-out expression: no UDFs, fully
-whole-stage-codegen'd, scales to 100 TB without Python in the hot loop.
+whole-stage-codegen'd, scales to 100 TB without Python in the hot loop —
+except :func:`cosine_int8_sym_vec`, the deliberate Arrow-vectorized twin
+for high-cardinality verify steps (same exact integer math).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -122,6 +126,31 @@ def cosine_similarity_int8_sym(a: Column | str, b: Column | str) -> Column:
             d.cast("double") / (F.sqrt(ssa.cast("double")) * F.sqrt(ssb.cast("double")))
         )
     )
+
+
+def cosine_int8_sym_vec(a: Column | str, b: Column | str) -> Column:
+    """Arrow-vectorized twin of :func:`cosine_similarity_int8_sym`: the
+    same exact-integer arithmetic (int64 dot/norms, float64 division —
+    order-free, so bit-identical to the expression and the DuckDB
+    oracle), executed as one numpy batch instead of an interpreted
+    per-element HOF lambda. Use on high-cardinality verify steps (e.g.
+    hundreds of thousands of candidate pairs), where Catalyst's
+    interpreted lambda evaluation dominates the job."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.vstack(va.to_numpy()).astype(np.int64)
+        B = np.vstack(vb.to_numpy()).astype(np.int64)
+        d = (A * B).sum(axis=1)
+        sa = (A * A).sum(axis=1)
+        sb = (B * B).sum(axis=1)
+        denom = np.sqrt(sa.astype(np.float64)) * np.sqrt(sb.astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where((sa == 0) | (sb == 0), 0.0, d.astype(np.float64) / denom)
+        return pd.Series(s)
+
+    return _cos(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)
 
 
 def cosine_similarity_int8(query: Column | str, qvec: Column | str) -> Column:

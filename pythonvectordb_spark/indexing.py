@@ -184,15 +184,19 @@ def train_word2vec_neighbors(
     vector_size: int = 16,
     seed: int = 42,
     text_col: str = "text",
+    num_partitions: int = 8,
 ) -> DataFrame:
     """Batch embedding TRAINING on MLlib (the other half of
     "batch embedding and index building fit Spark MLlib"): learn word
     vectors from the corpus, return the probe word's nearest neighbors.
 
     Engine-specific math (negative sampling init) -> rows-only driver
-    check; tests pin determinism under a fixed seed and the output
-    contract. At scale this is the standard distributed embedding
-    pretrain: one tokenization pass + iterative fit over partitions.
+    check; tests assert neighbor stability under a tolerance rather than
+    bit-exactness (the distributed fit merges partition updates in a
+    nondeterministic order). At scale this is the standard distributed
+    embedding pretrain: one tokenization pass + iterative fit over
+    partitions — ``num_partitions`` defaults to the parallel fit; pin it
+    to 1 only when bit-reproducibility matters more than throughput.
     """
     from pyspark.ml.feature import Word2Vec
 
@@ -206,7 +210,7 @@ def train_word2vec_neighbors(
         seed=seed,
         inputCol="words",
         outputCol="vec",
-        numPartitions=1,  # determinism: single-partition fit under fixed seed
+        numPartitions=num_partitions,
     ).fit(words)
     syn = model.findSynonyms(probe_word, top_n)
     return syn.select("word", F.round("similarity", 6).alias("similarity"))

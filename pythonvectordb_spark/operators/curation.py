@@ -1,0 +1,145 @@
+"""Corpus-curation operators: the training-data pipeline stages that sit
+between dedup and training (driver mandate "operations a large-scale
+training-data pipeline would need"; no reference analogue — the reference
+stops at vector storage/search).
+
+``decontaminate``       benchmark decontamination: flag corpus documents
+                        sharing word-n-grams with an evaluation set. The
+                        benchmark shingle vocabulary is tiny relative to
+                        the corpus, so it broadcasts; the corpus is
+                        scanned once (explode -> broadcast semi-join ->
+                        per-doc count). The standard pre-training hygiene
+                        step that keeps eval data out of the train set.
+``pii_scrub``           regex redaction of emails / phone numbers / IPv4
+                        addresses, with a per-document redaction count.
+                        Pure regexp_replace expressions (whole-stage
+                        codegen, no Python); patterns are chosen to parse
+                        identically under Java regex (Spark) and RE2
+                        (DuckDB oracle).
+``stratified_sample``   per-stratum deterministic sampling by content
+                        hash: each stratum keeps its configured fraction,
+                        stable across retries / engines / partition
+                        layouts (replayable data mixing, unlike
+                        rng-based sample()).
+``dup_cluster_stats``   near-dup cluster-size histogram over the resolved
+                        component labels — the corpus-health metric that
+                        tells you whether dedup is removing 2-cliques or
+                        thousand-document template farms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pythonvectordb_spark.operators.dedup import _shingled
+
+# Redaction patterns: identical semantics in Java regex and RE2 (no
+# backrefs, no lookaround). Order matters: emails before phones so the
+# digits of an address-local-part are not half-eaten first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents whose word-``n``-gram overlap with the
+    ``benchmark`` set reaches ``min_common`` distinct shingles.
+
+    Returns (doc_id, n_shared) for flagged documents only — at corpus
+    scale the contaminated set is the small output, the clean set is the
+    anti-join against it. The benchmark shingle vocabulary is
+    deduplicated and broadcast (eval sets are thousands of docs, not
+    billions), so the corpus-side cost is one scan + one partial-agg
+    shuffle on doc_id.
+    """
+    corpus_inv = _shingled(corpus, text_col, id_col, n).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+    bench_sh = (
+        _shingled(benchmark, text_col, id_col, n)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    shared = corpus_inv.join(F.broadcast(bench_sh), "shingle")
+    return (
+        shared.groupBy(id_col)
+        # shingle lists are distinct per doc, so count == distinct count
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_common))
+    )
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses and phone-shaped numbers; returns
+    (doc_id, clean_text, n_redacted). Counting happens BEFORE any
+    replacement (sequential replacements could otherwise manufacture or
+    destroy later matches); replacements then apply in the fixed
+    PII_PATTERNS order on both engines."""
+    counts = None
+    for _, pat, _ in PII_PATTERNS:
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        counts = c if counts is None else counts + c
+    clean = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        counts.cast("long").alias("n_redacted"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "label",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row survives iff
+    md5(id) mod ``denom`` < rate(stratum) * denom. Content-hash gating
+    makes the sample identical across retries, engines and partition
+    layouts — the replayable version of the data-mixing weights a
+    pretrain corpus is blended with. Strata not in ``rates`` keep
+    ``default_rate``."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % denom
+    )
+    thresh = None
+    for stratum, rate in rates.items():
+        t = F.when(F.col(strata_col) == stratum, F.lit(int(rate * denom)))
+        thresh = t if thresh is None else thresh.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * denom))
+        )
+    thresh = thresh.otherwise(F.lit(int(default_rate * denom)))
+    return df.filter(bucket < thresh)
+
+
+def dup_cluster_stats(resolved: DataFrame) -> DataFrame:
+    """Cluster-size histogram over resolve_duplicates output: for each
+    near-dup cluster size, how many clusters and how many documents.
+    Two small aggregations over the component labels (the heavy work —
+    pair generation + resolution — already happened upstream)."""
+    sizes = resolved.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
+    )

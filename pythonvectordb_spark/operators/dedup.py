@@ -448,12 +448,18 @@ def embedding_near_dup(
             )
             .distinct()
         )
+        from pythonvectordb_spark.functions.vector import cosine_int8_sym_vec
+
         qa = q.withColumnsRenamed({id_col: "id_a", "qv": "va"})
         qb = q.withColumnsRenamed({id_col: "id_b", "qv": "vb"})
+        # Arrow-vectorized verifier (bit-identical to the expression —
+        # exact integer arithmetic): the candidate set can be a large
+        # fraction of n^2 at low thresholds, where interpreted HOF
+        # lambdas would dominate the whole job
         out = (
             cand.join(qa, "id_a")
             .join(qb, "id_b")
-            .withColumn("cosine", cosine_similarity_int8_sym("va", "vb"))
+            .withColumn("cosine", cosine_int8_sym_vec("va", "vb"))
         )
     elif method == "pandas":
         import numpy as np

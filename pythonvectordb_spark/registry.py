@@ -358,6 +358,40 @@ FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-probe LSH ANN (24 bands x 4 bits): OR-of-ANDs recall
+    amplification over the single-band bucket search."""
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.ann_lsh_multiprobe_search(emb, FX.QUERY_VEC, lsh_band_planes(24, 4), k=10)
+    return out.select("vec_id", F.round("score", 9).alias("score"))
+
+
+def o_ann_lsh_multiprobe() -> str:
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes
+
+    planes = lsh_band_planes(24, 4)
+    or_terms = []
+    for bp in planes:
+        qsig = 0
+        terms = []
+        for i, h in enumerate(bp):
+            d = sum(float(a) * float(b) for a, b in zip(FX.QUERY_VEC, h))
+            if d >= 0:
+                qsig |= 1 << i
+            terms.append(
+                f"(CASE WHEN ({O.sql_dot_lit(h, 'embedding')}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        or_terms.append(f"(({' + '.join(terms)}) = {qsig})")
+    cond = "\n   OR ".join(or_terms)
+    return f"""
+WITH cand AS (SELECT * FROM embeddings WHERE {cond})
+SELECT vec_id, round({O.sql_cosine_float_lit(FX.QUERY_VEC, 'embedding')}, 9) AS score
+FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate search over a fixed codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -794,6 +828,152 @@ FROM scored s
 JOIN survivors USING (doc_id)
 JOIN embeddings e ON s.doc_id = e.vec_id
 WHERE s.quality_score >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus curation (decontamination / PII / mixing — operators/curation.py)
+# --------------------------------------------------------------------------
+
+from pythonvectordb_spark.operators import curation as CU  # noqa: E402
+
+
+def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >=2 word-3-grams
+    with the held-out set (doc_id % 97 == 0 stands in for an eval set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return CU.decontaminate(corpus, bench, n=3, min_common=2)
+
+
+def o_decontaminate_corpus() -> str:
+    return f"""
+WITH {_SH_CTE},
+bench AS (
+  SELECT list(DISTINCT shingle) AS bsh
+  FROM (SELECT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0)
+),
+ov AS (
+  SELECT s.doc_id, len(list_intersect(s.sh, b.bsh))::BIGINT AS n_shared
+  FROM sh s CROSS JOIN bench b WHERE s.doc_id % 97 != 0
+)
+SELECT doc_id, n_shared FROM ov WHERE n_shared >= 2
+"""
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: md5 of the scrubbed text + redaction count
+    per document (the registered projection keeps rows small; the
+    operator itself returns the full clean text)."""
+    out = CU.pii_scrub(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"), "n_redacted"
+    )
+
+
+def o_pii_scrub_stats() -> str:
+    from pythonvectordb_spark.operators.curation import PII_PATTERNS
+
+    clean = "text"
+    counts = []
+    for _, pat, token in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all(text, '{pat}'))")
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    total = " + ".join(counts)
+    return f"""
+SELECT doc_id, md5({clean}) AS clean_md5, CAST({total} AS BIGINT) AS n_redacted
+FROM documents
+"""
+
+
+def q_stratified_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayable data mixing: per-language sampling rates applied by
+    content hash (en 50%, de 25%, fr 10%, others 5%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CU.stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, strata_col="lang", default_rate=0.05
+    )
+    return out.select("doc_id", "lang")
+
+
+def o_stratified_corpus_sample() -> str:
+    bucket = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {bucket} < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                            WHEN 'fr' THEN 1000 ELSE 500 END)
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how many clusters of each size
+    the >=0.8 Jaccard graph resolves to (corpus-health metric)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8, max_df=NGRAM_MAX_DF)
+    resolved = DD.resolve_duplicates(docs, pairs)
+    return CU.dup_cluster_stats(resolved)
+
+
+def o_dup_cluster_sizes() -> str:
+    return f"""
+WITH RECURSIVE {_SH_CTE},
+{_EDGES_SQL},
+sym(a, b) AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+labeled AS (
+  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+),
+sizes AS (SELECT component, count(*)::BIGINT AS cluster_size FROM labeled GROUP BY component)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+def q_corpus_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: per-language document and token counts with the
+    language's share of all corpus tokens (window-free: the total joins
+    in as a broadcast 1-row aggregate)."""
+    from pythonvectordb_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.select("lang", F.size(tokens("text")).alias("n_tok")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    total = per_lang.select(F.sum("n_tokens").cast("double").alias("_total"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("_total"), 9).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
+def o_corpus_token_share() -> str:
+    return f"""
+WITH t AS (SELECT lang, len({O.sql_tokens('text')})::BIGINT AS n_tok FROM documents),
+per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / (SELECT sum(n_tokens)::DOUBLE FROM per), 9) AS token_share
+FROM per
 """
 
 
@@ -2721,6 +2901,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mllib_ivf_search": q_mllib_ivf_search,
     "mllib_brp_neardup": q_mllib_brp_neardup,
     "mllib_minhash_dedup": q_mllib_minhash_dedup,
+    # round-2 additions (still inside the driver-checked front 50)
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "pii_scrub_stats": q_pii_scrub_stats,
+    "stratified_corpus_sample": q_stratified_corpus_sample,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "corpus_token_share": q_corpus_token_share,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -2789,6 +2976,12 @@ ORACLES: dict[str, str] = {
     "quantize_vectors": o_quantize_vectors(),
     "knn_join": o_knn_join(),
     "ann_lsh": o_ann_lsh(),
+    "ann_lsh_multiprobe": o_ann_lsh_multiprobe(),
+    "decontaminate_corpus": o_decontaminate_corpus(),
+    "pii_scrub_stats": o_pii_scrub_stats(),
+    "stratified_corpus_sample": o_stratified_corpus_sample(),
+    "dup_cluster_sizes": o_dup_cluster_sizes(),
+    "corpus_token_share": o_corpus_token_share(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),

@@ -1,0 +1,87 @@
+"""Corpus-curation operators: decontamination, PII redaction, stratified
+sampling, cluster stats — behavioral contracts on planted fixtures (the
+oracle parity runs separately through the registry)."""
+
+from pyspark.sql import functions as F
+
+from pythonvectordb_spark.operators.curation import (
+    decontaminate,
+    dup_cluster_stats,
+    pii_scrub,
+    stratified_sample,
+)
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    """A doc containing a benchmark passage is flagged with the passage's
+    shingle count; disjoint docs are not flagged; the benchmark set
+    itself is not scanned as corpus."""
+    bench = spark.createDataFrame(
+        [(9001, "the capital of france is paris and the capital of spain is madrid")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "question the capital of france is paris answer"),  # leaked passage
+            (2, "completely unrelated text about spark shuffles and joins here"),
+            (3, "the capital of spain is madrid said the quiz"),    # second leak
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench, min_common=2).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] >= 4 and got[3] >= 3  # contiguous leaked 3-grams
+    # threshold is respected: raising min_common above any overlap empties it
+    assert decontaminate(corpus, bench, min_common=50).count() == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith@corp.co.uk today"),
+            (2, "server at 192.168.1.100 answered"),
+            (3, "call 555-123-4567 or 555 987 6543 now"),
+            (4, "no pii in this row at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_redacted) for r in pii_scrub(df).collect()}
+    assert got[1] == ("contact <EMAIL> or <EMAIL> today", 2)
+    assert got[2] == ("server at <IP> answered", 1)
+    assert got[3] == ("call <PHONE> or <PHONE> now", 2)
+    assert got[4] == ("no pii in this row at all", 0)
+
+
+def test_stratified_sample_is_deterministic_and_rate_accurate(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.1}
+    a = sorted(r.doc_id for r in stratified_sample(df, rates, strata_col="lang").collect())
+    b = sorted(r.doc_id for r in stratified_sample(df, rates, strata_col="lang").collect())
+    assert a == b  # content-hash gating: replayable
+    got = (
+        stratified_sample(df, rates, strata_col="lang")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    per = {r.lang: r["count"] for r in got}
+    assert abs(per["en"] / 1000 - 0.5) < 0.08   # md5 buckets ~ uniform
+    assert abs(per["de"] / 1000 - 0.1) < 0.05
+    # default_rate drops unlisted strata entirely when 0
+    assert stratified_sample(df, {"fr": 1.0}, strata_col="lang").count() == 0
+
+
+def test_dup_cluster_stats_histogram(spark):
+    """A 3-clique + a 2-chain + singletons must produce the exact
+    histogram, and n_docs must reconcile with the corpus size."""
+    from pythonvectordb_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(7)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4)], "id_a long, id_b long"
+    )
+    resolved = resolve_duplicates(docs, pairs)
+    hist = {r.cluster_size: (r.n_clusters, r.n_docs) for r in dup_cluster_stats(resolved).collect()}
+    assert hist == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+    assert sum(nd for _, nd in hist.values()) == 7
