@@ -25,6 +25,7 @@ from pythonvectordb_spark.functions.vector import (  # noqa: F401
 )
 from pythonvectordb_spark.operators.search import (  # noqa: F401
     ann_ivf_search,
+    ann_lsh_multiprobe_search,
     ann_lsh_search,
     get_vector,
     knn_join,
@@ -33,6 +34,12 @@ from pythonvectordb_spark.operators.search import (  # noqa: F401
     l2_knn_search,
     mips_search,
     with_qvec,
+)
+from pythonvectordb_spark.operators.curation import (  # noqa: F401
+    decontaminate,
+    dup_cluster_stats,
+    pii_scrub,
+    stratified_sample,
 )
 from pythonvectordb_spark.operators.mutation import (  # noqa: F401
     add_vectors,

@@ -194,6 +194,14 @@ def knn_join(
         bc = data.sparkSession.sparkContext.broadcast((qids_l, qmat_l, qnorm_l))
         kk = k
 
+        # queries processed in fixed-size chunks: peak memory per task is
+        # rows x QCHUNK float64 scores (tens of MB at Arrow's default
+        # batch size) REGARDLESS of the query-batch size — an unchunked
+        # 32k-query batch would materialize a ~0.4 GB score matrix per
+        # task (plus partial-select copies) and thrash the allocator
+        # across every core at once.
+        QCHUNK = 4096
+
         def score_batches(batches):
             qids, qmat, qnorm = bc.value
             for pdf in batches:
@@ -203,33 +211,43 @@ def knn_join(
                 ids = pdf[data_id].to_numpy().astype(np.int64)
                 vss = (M.astype(np.int64) ** 2).sum(axis=1)
                 vnorm = np.sqrt(vss.astype(np.float64))
-                dots = (M @ qmat.T).astype(np.float64)  # exact integers
-                denom = vnorm[:, None] * qnorm[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    scores = np.where(denom > 0, dots / denom, 0.0)
                 n = len(ids)
                 take = min(kk, n)
-                # per-batch partial top-k, fully vectorized: emit every
-                # row scoring >= the column's k-th largest value (ties
-                # included — a superset of the true top-k), and let the
-                # global Window do the exact (score desc, id asc)
-                # ranking. No per-query Python loop: at 32k+ queries a
-                # per-column lexsort loop dominates the whole job, while
-                # this is two array ops over the score matrix. Emission
-                # stays ~k rows per query per batch, so the shuffle the
-                # Window pays is unchanged.
-                if take < n:
-                    kth = -np.partition(-scores, take - 1, axis=0)[take - 1, :]
-                    r, c = np.nonzero(scores >= kth[None, :])
-                else:
-                    r, c = np.nonzero(np.ones_like(scores, dtype=bool))
-                yield pd.DataFrame(
-                    {
-                        query_id: qids[c],
-                        data_id: ids[r],
-                        "score": scores[r, c],
-                    }
-                )
+                for j0 in range(0, len(qids), QCHUNK):
+                    sub = qmat[j0 : j0 + QCHUNK]
+                    dots = (M @ sub.T).astype(np.float64)  # exact integers
+                    denom = vnorm[:, None] * qnorm[j0 : j0 + QCHUNK][None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        scores = np.where(denom > 0, dots / denom, 0.0)
+                    # per-batch partial top-k, fully vectorized: emit
+                    # every row scoring >= the column's k-th largest
+                    # value (ties included — a superset of the true
+                    # top-k) and let the global Window do the exact
+                    # (score desc, id asc) ranking. No per-query Python
+                    # loop (a per-column lexsort loop dominates whole
+                    # jobs at 32k+ queries), no negation copies
+                    # (ascending partition: position n-take IS the
+                    # take-th largest). Emission stays ~k rows per query
+                    # per batch, so the Window's shuffle is unchanged.
+                    if take < n:
+                        kth = np.partition(scores, n - take, axis=0)[n - take, :]
+                        r, c = np.nonzero(scores >= kth[None, :])
+                        yield pd.DataFrame(
+                            {
+                                query_id: qids[j0 + c],
+                                data_id: ids[r],
+                                "score": scores[r, c],
+                            }
+                        )
+                    else:
+                        nq = scores.shape[1]
+                        yield pd.DataFrame(
+                            {
+                                query_id: np.repeat(qids[j0 : j0 + nq], n),
+                                data_id: np.tile(ids, nq),
+                                "score": scores.T.reshape(-1),
+                            }
+                        )
 
         scored = data.select(F.col(data_id), F.col(qvec_col)).mapInPandas(
             score_batches,

@@ -141,6 +141,11 @@ def test_knn_join_paths_identical(spark, emb):
     a = sorted(tuple(r) for r in knn_join(emb, queries, k=7, method="expr").collect())
     b = sorted(tuple(r) for r in knn_join(emb, queries, k=7, method="pandas").collect())
     assert a == b
+    # k >= rows-per-partition exercises the emit-everything branch of the
+    # chunked scorer (no partial select possible)
+    a = sorted(tuple(r) for r in knn_join(emb, queries, k=60, method="expr").collect())
+    b = sorted(tuple(r) for r in knn_join(emb, queries, k=60, method="pandas").collect())
+    assert a == b
 
 
 def test_knn_join_ships_query_matrix_via_broadcast(spark, emb, monkeypatch):
