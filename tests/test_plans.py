@@ -140,3 +140,31 @@ def test_rollup_cascade_reads_cached_levels(spark):
     assert levels and all(lv.storageLevel.useMemory for lv in levels)
     release_rollup_levels(df)
     assert all(not lv.storageLevel.useMemory for lv in levels)
+
+
+def test_decontaminate_broadcasts_vocab_and_combines_map_side(spark):
+    """The benchmark shingle vocabulary must reach the corpus as a
+    broadcast (never a shuffle of the corpus inverted index against it)
+    and the per-doc count must partial-aggregate map-side — the plan
+    that keeps a 100 TB corpus to one scan + one small shuffle."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["decontaminate_corpus"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    # the corpus/benchmark split predicate reaches the scan
+    assert "97" in plan.split("FileScan")[1].split("ReadSchema")[0]
+
+
+def test_stratified_sample_is_one_codegen_stage(spark):
+    """Content-hash stratified sampling must compile to a single
+    whole-stage-codegen'd Filter over the pruned scan: zero exchanges,
+    zero Python."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["stratified_corpus_sample"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
