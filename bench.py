@@ -244,6 +244,10 @@ def main() -> None:
         "lsh_multiprobe_24x4": recall_of(
             S.ann_lsh_multiprobe_search(emb, FX.QUERY_VEC, lsh_band_planes(24, 4), k=10)
         ),
+        "pq_adc": recall_of(S.ann_pq_search(emb, FX.QUERY_VEC, FX.PQ_CODEBOOKS, k=10)),
+        "pq_adc_rerank100": recall_of(
+            S.ann_pq_search(emb, FX.QUERY_VEC, FX.PQ_CODEBOOKS, k=10, rerank=100)
+        ),
     }
     log(f"bench ann recall@10: {ann_recall}")
 

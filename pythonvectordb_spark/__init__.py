@@ -27,7 +27,9 @@ from pythonvectordb_spark.operators.search import (  # noqa: F401
     ann_ivf_search,
     ann_lsh_multiprobe_search,
     ann_lsh_search,
+    ann_pq_search,
     get_vector,
+    pq_code_expr,
     knn_join,
     knn_search,
     knn_search_float,

@@ -124,3 +124,43 @@ def test_word2vec_single_partition_fit_is_replayable(spark):
     b = [tuple(r) for r in train_word2vec_neighbors(docs, num_partitions=1).collect()]
     assert a == b and len(a) == 5
     assert all(-1.0 <= sim <= 1.0 for _, sim in a)
+
+
+def test_pq_encode_uses_full_codebook_and_compresses(spark, raw):
+    """Every subspace must spread across its 16 centroids (a collapsed
+    codebook means the centroids missed the data shell) and codes must
+    be valid one-byte indices — the 32x compression contract."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.operators.search import pq_code_expr
+
+    codes = raw.select(pq_code_expr("embedding", FX.PQ_CODEBOOKS).alias("code"))
+    rows = codes.collect()
+    assert all(len(r.code) == FX.PQ_M for r in rows)
+    assert all(0 <= c < FX.PQ_KS for r in rows for c in r.code)
+    for s in range(FX.PQ_M):
+        spread = codes.select(F.element_at("code", s + 1).alias("c")).distinct().count()
+        assert spread >= FX.PQ_KS // 2, f"subspace {s} collapsed to {spread} codes"
+
+
+def test_pq_rerank_recovers_recall_over_raw_adc(spark, raw):
+    """The exact re-rank stage must dominate raw ADC ordering: the
+    shortlist re-ranked top-10 contains at least as many true neighbors
+    as ADC alone, and both find the query's own row at rank 1 when the
+    query IS a table row (its ADC distance is the self-quantization
+    floor)."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.operators.search import ann_pq_search, knn_search_float
+
+    q = [float(x) for x in raw.filter(F.col("vec_id") == 11).first().embedding]
+    exact = {r.vec_id for r in knn_search_float(raw, q, k=10).collect()}
+    adc = [r.vec_id for r in ann_pq_search(raw, q, FX.PQ_CODEBOOKS, k=10).collect()]
+    rr = [
+        r.vec_id
+        for r in ann_pq_search(raw, q, FX.PQ_CODEBOOKS, k=10, rerank=100).collect()
+    ]
+    assert len(set(rr) & exact) >= len(set(adc) & exact)
+    assert rr[0] == 11  # self-match survives quantization + re-rank
