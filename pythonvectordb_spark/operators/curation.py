@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pythonvectordb_spark.functions.text import tokens
 from pythonvectordb_spark.operators.dedup import _shingled
 
 # Redaction patterns: identical semantics in Java regex and RE2 (no
@@ -128,6 +129,64 @@ def stratified_sample(
         )
     thresh = thresh.otherwise(F.lit(int(default_rate * denom)))
     return df.filter(bucket < thresh)
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 10,
+    min_ttr: float = 0.25,
+    max_stopword_ratio: float = 0.6,
+    max_top_token_share: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite keep/drop verdict over the cheap text-quality signals,
+    with the FIRST failing rule (fixed order: short -> low_diversity ->
+    stopword_soup -> repetitive) as the reject reason — the actionable
+    corpus-health breakdown, not just a boolean.
+
+    Single-pass pure expressions, no shuffle, whole-stage codegen. The
+    top-token count is an in-row ``transform(array_distinct)`` scan —
+    O(len * distinct) per document, chosen here because filter rules see
+    each document once; for corpus-wide repetition *analytics* use
+    :func:`~pythonvectordb_spark.operators.textops.repetition_stats`,
+    which shuffles instead of rescanning.
+    """
+    from pythonvectordb_spark.functions.text import STOPWORDS
+
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    nd = n_tok.cast("double")
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
+    n_uniq = F.size(F.array_distinct(t)).cast("double")
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda x: F.size(F.filter(t, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    ).cast("double")
+    ttr = F.when(n_tok > 0, n_uniq / nd).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / nd).otherwise(F.lit(0.0))
+    top_share = F.when(n_tok > 0, top_cnt / nd).otherwise(F.lit(0.0))
+    reason = (
+        F.when(n_tok < F.lit(min_tokens), F.lit("short"))
+        .when(ttr < F.lit(min_ttr), F.lit("low_diversity"))
+        .when(stop_ratio > F.lit(max_stopword_ratio), F.lit("stopword_soup"))
+        .when(top_share > F.lit(max_top_token_share), F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        F.col(id_col),
+        (reason == F.lit("ok")).alias("keep"),
+        reason.alias("reject_reason"),
+        n_tok.alias("n_tokens"),
+        F.round(ttr, 9).alias("type_token_ratio"),
+        F.round(stop_ratio, 9).alias("stopword_ratio"),
+        F.round(top_share, 9).alias("top_token_share"),
+    )
 
 
 def dup_cluster_stats(resolved: DataFrame) -> DataFrame:

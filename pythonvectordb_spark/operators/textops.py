@@ -119,6 +119,150 @@ def tfidf_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the unit a RAG
+    index or a fixed-context pretraining loader consumes.
+
+    Chunk ``i`` covers tokens ``[i*step, i*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``; generation stops at the first
+    chunk whose window reaches the end of the document, so no trailing
+    chunk is a pure suffix of its predecessor. The chunk count is exact
+    integer arithmetic (``1 + ceildiv(n - chunk_tokens, step)``),
+    identical in Spark and the DuckDB oracle.
+
+    Pure expressions + one ``explode`` — per-row fan-out is bounded by
+    document length, there is no shuffle, and the projection codegens.
+    Returns (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    # ceildiv(n - chunk, step) via (a + step - 1) div step; 0 when the doc
+    # fits in one chunk. Empty docs emit no chunks.
+    extra = F.floor((n - F.lit(chunk_tokens) + F.lit(step - 1)) / F.lit(step)).cast("int")
+    n_chunks = F.when(n <= F.lit(0), F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(F.lit(0), extra)
+    )
+    idx = F.when(
+        n_chunks > F.lit(0), F.sequence(F.lit(0), n_chunks - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    with_idx = df.select(
+        F.col(id_col), t.alias("_t"), F.explode(idx).alias("chunk_idx")
+    )
+    chunk = F.slice(
+        F.col("_t"), F.col("chunk_idx") * F.lit(step) + F.lit(1), F.lit(chunk_tokens)
+    )
+    return with_idx.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the share of tokens
+    that are repeats, the share claimed by the single most frequent token,
+    and the share of bigram slots claimed by the most frequent bigram.
+    High values flag boilerplate / template / keyword-stuffed documents
+    that survive exact dedup.
+
+    Token and bigram counting run as explode -> (doc, gram) partial-agg ->
+    per-doc max: two map-side-combined shuffles keyed by doc_id, state
+    bounded by document length — no all-pairs work, linear at corpus
+    scale. (An expression-only variant via ``transform(array_distinct)``
+    would be O(len * distinct) per row — worse on long documents.)
+    """
+    t = tokens(text_col)
+    base = df.select(F.col(id_col), t.alias("_t"))
+    tok = base.select(F.col(id_col), F.explode("_t").alias("g"))
+    top_tok = (
+        tok.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").cast("long").alias("top_token_count"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        )
+    )
+    n1 = F.size(F.col("_t")) - F.lit(1)
+    bigrams = F.when(
+        n1 >= F.lit(1),
+        F.transform(
+            F.sequence(F.lit(1), n1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_t"), i.cast("int")),
+                F.element_at(F.col("_t"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = base.select(F.col(id_col), F.explode(bigrams).alias("g"))
+    top_big = (
+        big.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_count"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    joined = top_tok.join(top_big, id_col, "left")
+    nd = F.col("n_tokens").cast("double")
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round((nd - F.col("n_distinct_tokens")) / nd, 9).alias("dup_token_frac"),
+        F.round(F.col("top_token_count") / nd, 9).alias("top_token_share"),
+        F.round(
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)).cast("double"),
+            9,
+        ).alias("top_bigram_share"),
+    )
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Perplexity proxy: average token surprisal ``-ln p(token)`` under
+    the corpus's own unigram model (``p = count/total``). Low values mean
+    the document is made of corpus-common tokens (boilerplate); high
+    values flag rare-token noise — the cheap first-pass stand-in for a
+    model-based quality score.
+
+    Two passes over the token stream expressed as one lazy plan: a
+    vocabulary aggregate (token -> count) re-joined to the exploded
+    corpus on the token key, plus a 1-row broadcast total. The vocabulary
+    join is a plain shuffle join — the vocabulary is Zipf-bounded but can
+    exceed broadcast limits at 100 TB, so no broadcast hint is forced;
+    AQE converts it when small.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = vocab.select(F.sum("cnt").cast("double").alias("_total"))
+    scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_total") / F.col("cnt").cast("double"))), 9
+            ).alias("avg_surprisal"),
+            F.round(
+                F.max(F.log(F.col("_total") / F.col("cnt").cast("double"))), 9
+            ).alias("max_surprisal"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical-text fingerprint: md5 over normalized text + byte length.
 

