@@ -39,6 +39,9 @@ def get_spark(app_name: str = "pythonvectordb-spark", master: str | None = None)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python DataSources (sources/jsonl.py) absorb comparison
+        # filters at the source instead of post-scan (4.1+ opt-in)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
