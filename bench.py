@@ -53,6 +53,11 @@ HEADLINE = [
     "hypertable_rollup",
     "cms_user_estimates",
     "bpe_token_counts",
+    # round-2 text-pipeline additions
+    "chunk_documents",
+    "repetition_stats",
+    "unigram_surprisal",
+    "quality_filter",
     # flagship LLM-pipeline composition (quality -> dedup -> join) as a
     # tracked end-to-end wall time
     "pipeline_clean_corpus",

@@ -247,7 +247,12 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    total = vocab.select(F.sum("cnt").cast("double").alias("_total"))
+    # grand total from a shuffle-free per-document size() scan — NOT from
+    # re-aggregating the vocabulary (which would repeat the token-key
+    # shuffle; sum over per-doc sizes equals sum over vocab counts)
+    total = df.select(
+        F.sum(F.size(tokens(text_col))).cast("double").alias("_total")
+    )
     scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
     return (
         scored.groupBy(id_col)
