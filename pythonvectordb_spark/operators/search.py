@@ -122,6 +122,47 @@ def mips_search(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def knn_classify(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """k-NN majority-vote classification: the modal label among the
+    ``k`` nearest neighbors (int8 cosine), with deterministic tie-breaks
+    at both stages — neighbor selection (score DESC, id ASC) and the
+    vote (votes DESC, label ASC). The nearest-neighbor application of
+    the search kernel: label a query point from labeled embeddings.
+
+    Same TakeOrderedAndProject shape as :func:`knn_search` (label rides
+    along in the projection); the vote is a k-row aggregate — all the
+    heavy work is the existing top-k scan. Returns one row
+    (pred_label, votes, best_score).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    scored = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        cosine_similarity_int8(_query_lit(query), qvec_col).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    return (
+        top.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.round(F.max("score"), 9).alias("best_score"),
+        )
+        .orderBy(F.desc("votes"), F.asc(label_col))
+        .limit(1)
+        .select(
+            F.col(label_col).alias("pred_label"), F.col("votes"), F.col("best_score")
+        )
+    )
+
+
 def get_vector(df: DataFrame, vec_id, id_col: str = "vec_id", qvec_col: str = "qvec") -> DataFrame:
     """Point lookup + dequantize (reference get_vector, pythonvectordb.py:
     404-423): returns the stored vector as float (qvec/127)."""

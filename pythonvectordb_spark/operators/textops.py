@@ -268,6 +268,45 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def boilerplate_share(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document boilerplate: the share of each document's distinct
+    word-``n``-grams that also appear in at least one OTHER document.
+    High values mean the document is assembled from corpus-common
+    template text — the corpus-level complement of the within-document
+    :func:`repetition_stats` (a doc can be internally non-repetitive yet
+    99% boilerplate).
+
+    Plan: shingle (Arrow UDF) -> inverted index -> shingle-frequency
+    aggregate re-joined on the shingle key -> per-doc aggregate. Two
+    map-side-combined shuffles (shingle, doc_id); never all-pairs — the
+    same inverted-index shape the n-gram dedup join uses, so it scales
+    the same way. Shingle lists are distinct per doc, so a shingle's
+    count equals its document frequency.
+    """
+    from pythonvectordb_spark.operators.dedup import _shingled
+
+    inv = _shingled(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+    freq = inv.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df_count")
+    )
+    shared = F.sum(F.when(F.col("df_count") > 1, 1).otherwise(0)).cast("long")
+    return (
+        inv.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)).cast("double"), 9
+            ).alias("boilerplate_share"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical-text fingerprint: md5 over normalized text + byte length.
 

@@ -1408,6 +1408,48 @@ FROM v
 """
 
 
+def q_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: per-doc share of distinct 3-gram
+    shingles that appear in at least one other document."""
+    return TX.boilerplate_share(load_table(spark, sf_dir, "documents"))
+
+
+def o_boilerplate_share() -> str:
+    return f"""
+WITH {_SH_CTE},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+cnt AS (SELECT shingle, count(*)::BIGINT AS df_count FROM inv GROUP BY shingle)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df_count > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(CASE WHEN df_count > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 9) AS boilerplate_share
+FROM inv JOIN cnt USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction (k=25, int8 cosine,
+    deterministic tie-breaks at neighbor selection and vote)."""
+    return S.knn_classify(_emb(spark, sf_dir), FX.QUERY_VEC, k=25)
+
+
+def o_knn_classify() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH q AS (SELECT vec_id, label, {qv} AS qvec FROM embeddings),
+scored AS (
+  SELECT vec_id, label, {O.sql_cosine_int8_lit(FX.QUERY_VEC, 'qvec')} AS score
+  FROM q
+),
+top AS (SELECT label, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 25)
+SELECT label AS pred_label, count(*)::BIGINT AS votes,
+       round(max(score), 9) AS best_score
+FROM top GROUP BY label
+ORDER BY votes DESC, pred_label ASC LIMIT 1
+"""
+
+
 # --------------------------------------------------------------------------
 # relational analytics (SURVEY §2.12: full Spark SQL surface on metadata)
 # --------------------------------------------------------------------------
@@ -3125,6 +3167,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "unigram_surprisal": q_unigram_surprisal,
     "quality_filter": q_quality_filter,
+    "boilerplate_share": q_boilerplate_share,
+    "knn_classify": q_knn_classify,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -3205,6 +3249,8 @@ ORACLES: dict[str, str] = {
     "repetition_stats": o_repetition_stats(),
     "unigram_surprisal": o_unigram_surprisal(),
     "quality_filter": o_quality_filter(),
+    "boilerplate_share": o_boilerplate_share(),
+    "knn_classify": o_knn_classify(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),

@@ -380,3 +380,51 @@ def test_cms_works_on_string_keys(spark):
     est = cms_estimate(ev, "event_type", types).collect()
     assert {r.key for r in est} == set(types)
     assert all(r.est_n >= r.true_n > 0 for r in est)
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Majority label wins; on a vote tie the smaller label wins; k=1
+    degenerates to the nearest neighbor's label."""
+    from pythonvectordb_spark.operators.search import knn_classify, with_qvec
+
+    # unit vectors at known angles from the query [1, 0]: labels 7 (x2 close),
+    # 3 (x2 mid), 9 (one far)
+    rows = [
+        (1, [1.0, 0.0], 7),
+        (2, [0.99, 0.14], 7),
+        (3, [0.7, 0.71], 3),
+        (4, [0.71, 0.7], 3),
+        (5, [-1.0, 0.0], 9),
+    ]
+    df = with_qvec(spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"))
+    [r] = knn_classify(df, [1.0, 0.0], k=1).collect()
+    assert (r.pred_label, r.votes) == (7, 1)
+    [r] = knn_classify(df, [1.0, 0.0], k=4).collect()  # 7x2 vs 3x2 -> tie -> 3
+    assert (r.pred_label, r.votes) == (3, 2)
+    [r] = knn_classify(df, [1.0, 0.0], k=3).collect()  # 7x2 beats 3x1
+    assert (r.pred_label, r.votes) == (7, 2)
+    with pytest.raises(ValueError):
+        knn_classify(df, [1.0, 0.0], k=0)
+
+
+def test_boilerplate_share_template_vs_unique(spark):
+    """Docs sharing a template phrase score its shingles as shared; a
+    fully unique doc scores 0; sub-n-token docs emit no row."""
+    from pythonvectordb_spark.operators.textops import boilerplate_share
+
+    template = "all rights reserved contact us today"  # 6 tokens -> 4 shingles
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {template}"),
+            (2, f"delta epsilon zeta {template}"),
+            (3, "one two three four five six seven"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    by_id = {r.doc_id: r for r in boilerplate_share(docs, n=3).collect()}
+    # doc1: 7 shingles total; the 4 template shingles appear in doc2 too
+    assert by_id[1].n_shingles == 7 and by_id[1].n_shared == 4
+    assert abs(by_id[1].boilerplate_share - round(4 / 7, 9)) < 1e-12
+    assert by_id[3].n_shared == 0 and by_id[3].boilerplate_share == 0.0
+    assert 4 not in by_id  # 2 tokens < n: no shingles, no row
