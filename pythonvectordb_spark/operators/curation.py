@@ -139,11 +139,16 @@ def quality_filter(
     max_top_token_share: float = 0.25,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Composite keep/drop verdict over the cheap text-quality signals,
     with the FIRST failing rule (fixed order: short -> low_diversity ->
     stopword_soup -> repetitive) as the reject reason — the actionable
     corpus-health breakdown, not just a boolean.
+
+    With ``keep_columns=True`` the verdict columns are appended to the
+    input row instead of replacing it — the shape an ingest-time gate
+    needs (filter on ``keep``, route rejects by ``reject_reason``).
 
     Single-pass pure expressions, no shuffle, whole-stage codegen. The
     top-token count is an in-row ``transform(array_distinct)`` scan —
@@ -178,15 +183,17 @@ def quality_filter(
         .when(top_share > F.lit(max_top_token_share), F.lit("repetitive"))
         .otherwise(F.lit("ok"))
     )
-    return df.select(
-        F.col(id_col),
+    verdict = [
         (reason == F.lit("ok")).alias("keep"),
         reason.alias("reject_reason"),
         n_tok.alias("n_tokens"),
         F.round(ttr, 9).alias("type_token_ratio"),
         F.round(stop_ratio, 9).alias("stopword_ratio"),
         F.round(top_share, 9).alias("top_token_share"),
-    )
+    ]
+    if keep_columns:
+        return df.select("*", *verdict)
+    return df.select(F.col(id_col), *verdict)
 
 
 def dup_cluster_stats(resolved: DataFrame) -> DataFrame:

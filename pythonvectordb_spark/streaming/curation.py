@@ -28,6 +28,48 @@ def scrub_stream(stream: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return pii_scrub(stream, text_col=text_col, id_col=id_col)
 
 
+def quality_gate_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Ingest-time quality gate: documents failing the composite
+    :func:`~pythonvectordb_spark.operators.curation.quality_filter`
+    verdict are dropped the moment they arrive; survivors pass through
+    with their original columns plus the verdict (so downstream sinks
+    can partition on signals). Stateless single-pass expressions —
+    append mode, no watermark, no state store."""
+    from pythonvectordb_spark.operators.curation import quality_filter
+
+    gated = quality_filter(
+        stream, text_col=text_col, id_col=id_col, keep_columns=True, **thresholds
+    )
+    return gated.filter(F.col("keep")).drop("keep", "reject_reason")
+
+
+def chunk_stream(
+    stream: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk documents as they arrive (RAG-index ingestion): the batch
+    chunker is one stateless explode, so it lifts onto an unbounded
+    stream unchanged — each document's chunks are emitted exactly once,
+    in the micro-batch that carried the document."""
+    from pythonvectordb_spark.operators.textops import chunk_documents
+
+    return chunk_documents(
+        stream,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
 def decontaminate_stream(
     stream: DataFrame,
     benchmark: DataFrame,

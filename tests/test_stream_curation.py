@@ -81,3 +81,67 @@ def test_stream_decontaminate_matches_batch(spark, tmpdirs):
     q.awaitTermination(180)
     got = sorted((r.doc_id, r.n_shared) for r in spark.table("decon_out").collect())
     assert got == want
+
+
+def test_stream_quality_gate_matches_batch(spark, tmpdirs):
+    from pythonvectordb_spark.operators.curation import quality_filter
+    from pythonvectordb_spark.sources.testdata import load_table
+    from pythonvectordb_spark.streaming.curation import quality_gate_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(99002, "tiny doc"), (99003, "spam " * 40)],  # short / repetitive
+            "doc_id long, text string",
+        )
+    )
+    planted.repartition(4).write.parquet(tmpdirs["src"])
+
+    keep_ids = {
+        r.doc_id for r in quality_filter(planted).collect() if r.keep
+    }
+    assert keep_ids and 99002 not in keep_ids and 99003 not in keep_ids
+
+    stream = spark.readStream.schema(planted.schema).parquet(tmpdirs["src"])
+    q = (
+        quality_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("gate_out")
+        .option("checkpointLocation", tmpdirs["chk1"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("gate_out")
+    assert {r.doc_id for r in out.collect()} == keep_ids
+    # original columns survive, verdict signals ride along
+    assert {"doc_id", "text", "n_tokens", "type_token_ratio"} <= set(out.columns)
+    assert "reject_reason" not in out.columns
+
+
+def test_stream_chunker_matches_batch(spark, tmpdirs):
+    from pythonvectordb_spark.operators.textops import chunk_documents
+    from pythonvectordb_spark.sources.testdata import load_table
+    from pythonvectordb_spark.streaming.curation import chunk_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(tmpdirs["src"])
+    want = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    )
+
+    stream = spark.readStream.schema(docs.schema).parquet(tmpdirs["src"])
+    q = (
+        chunk_stream(stream, chunk_tokens=16, overlap=4)
+        .writeStream.format("memory")
+        .queryName("chunk_out")
+        .option("checkpointLocation", tmpdirs["chk2"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text) for r in spark.table("chunk_out").collect()
+    )
+    assert got == want

@@ -108,3 +108,10 @@ def test_quality_filter_no_shuffle(spark):
     df = quality_filter(_docs(spark, [(1, "a b c")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunker_no_shuffle(spark):
+    # explode-only contract: fan-out without any Exchange in the plan
+    df = chunk_documents(_docs(spark, [(1, "a b c d e f")]), chunk_tokens=4, overlap=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate explode" in plan
