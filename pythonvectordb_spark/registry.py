@@ -2097,6 +2097,281 @@ GROUP BY 1
 """
 
 
+def q_top_brands_by_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape: groups whose revenue exceeds the all-groups
+    average share (grouped aggregate + 1-row global re-aggregate
+    broadcast back as the threshold). The compare is all-integer
+    (``rev * 25 > total``) so no float threshold parity is involved;
+    the share itself is a single exact-integer division."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    br = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(e100 * (F.lit(100) - d100)).cast("long").alias("revenue_e4"))
+    )
+    total = br.agg(F.sum("revenue_e4").cast("long").alias("_total"))
+    return (
+        br.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue_e4") * 25 > F.col("_total"))
+        .select(
+            "p_brand",
+            "revenue_e4",
+            F.round(
+                F.col("revenue_e4").cast("double") / F.col("_total").cast("double"), 9
+            ).alias("share"),
+        )
+    )
+
+
+def o_top_brands_by_share() -> str:
+    return """
+WITH br AS (
+  SELECT p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+), tot AS (SELECT sum(revenue_e4)::BIGINT AS total FROM br)
+SELECT p_brand, revenue_e4,
+       round(revenue_e4::DOUBLE / total::DOUBLE, 9) AS share
+FROM br CROSS JOIN tot WHERE revenue_e4 * 25 > total
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape: conditional-aggregate percentage (promo-type
+    revenue share of one ship-year). One scan, broadcast part dim, two
+    exact-integer sums; only the final percentage divides."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    rev = e100 * (F.lit(100) - d100)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_revenue_e4"),
+            F.sum(rev).cast("long").alias("total_revenue_e4"),
+        )
+        .select(
+            "promo_revenue_e4",
+            "total_revenue_e4",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_revenue_e4").cast("double")
+                / F.col("total_revenue_e4").cast("double"),
+                9,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def o_promo_revenue_share() -> str:
+    return """
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT promo_revenue_e4, total_revenue_e4,
+       round(100.0 * promo_revenue_e4::DOUBLE / total_revenue_e4::DOUBLE, 9) AS promo_share_pct
+FROM a
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape: the supplier(s) whose quarter revenue equals the
+    maximum (the decorrelated revenue view + equal-to-max scalar). The
+    global max re-aggregates the already-reduced |suppliers| rows — not
+    lineitem — and broadcasts back as a 1-row join, so no global sort or
+    single-partition window exists at any corpus scale."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    sr = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(e100 * (F.lit(100) - d100)).cast("long").alias("revenue_e4"))
+    )
+    mx = sr.agg(F.max("revenue_e4").alias("_mx"))
+    best = sr.crossJoin(F.broadcast(mx)).filter(
+        F.col("revenue_e4") == F.col("_mx")
+    )
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "revenue_e4",
+        )
+    )
+
+
+def o_top_supplier_revenue() -> str:
+    return """
+WITH sr AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, revenue_e4
+FROM sr JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_e4 = (SELECT max(revenue_e4) FROM sr)
+"""
+
+
+def q_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape: suppliers who shipped more than a threshold
+    quantity of some single part (nested grouped HAVING -> distinct
+    supplier keys -> semi-join into the dimension). The heavy fact
+    aggregation reduces before any join; supplier/nation broadcast."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    qty = F.round("l_quantity").cast("long")
+    heavy = (
+        lineitem.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 80)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "n_name")
+    )
+
+
+def o_heavy_part_suppliers() -> str:
+    return """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 80
+)
+"""
+
+
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order ("late" = shipped >60 days after the order
+    date; the reference columns Q21 uses don't exist in this schema).
+    The exists / not-exists pair decorrelates into two grouped
+    aggregates over the same (order, supplier) reduction — the fact
+    table shuffles once on l_orderkey, then once on the reduced keys."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_supp = (
+        lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                      lineitem.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("is_late").alias("n_late"),
+    )
+    waits = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    return waits.join(
+        F.broadcast(supplier), waits.l_suppkey == supplier.s_suppkey
+    ).select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "numwait")
+
+
+def o_sole_late_suppliers() -> str:
+    return """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_suppliers, sum(is_late) AS n_late
+  FROM per_supp GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per_supp JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_suppliers >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+
+def q_nation_profit_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape: profit by supplier nation x ship year, where
+    profit = discounted revenue minus a retail-price cost proxy (the
+    schema has no partsupp supplycost). Exact integer e4 units
+    throughout; part/nation broadcast, one fact shuffle on the grouped
+    keys."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    retail100 = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.round("l_quantity").cast("long")
+    profit = e100 * (F.lit(100) - d100) - retail100 * qty * F.lit(10)
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_e4"))
+    )
+
+
+def o_nation_profit_trend() -> str:
+    return """
+SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT) * 10) AS BIGINT) AS profit_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking windows: ntile quartile + percent_rank of balance WITHIN
     each nation (partitioned windows — no global single-partition sort,
@@ -3169,6 +3444,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "boilerplate_share": q_boilerplate_share,
     "knn_classify": q_knn_classify,
+    "top_brands_by_share": q_top_brands_by_share,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "heavy_part_suppliers": q_heavy_part_suppliers,
+    "sole_late_suppliers": q_sole_late_suppliers,
+    "nation_profit_trend": q_nation_profit_trend,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -3251,6 +3532,12 @@ ORACLES: dict[str, str] = {
     "quality_filter": o_quality_filter(),
     "boilerplate_share": o_boilerplate_share(),
     "knn_classify": o_knn_classify(),
+    "top_brands_by_share": o_top_brands_by_share(),
+    "promo_revenue_share": o_promo_revenue_share(),
+    "top_supplier_revenue": o_top_supplier_revenue(),
+    "heavy_part_suppliers": o_heavy_part_suppliers(),
+    "sole_late_suppliers": o_sole_late_suppliers(),
+    "nation_profit_trend": o_nation_profit_trend(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
