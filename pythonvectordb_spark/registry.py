@@ -3371,6 +3371,196 @@ def q_mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry assembly
 # --------------------------------------------------------------------------
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape: cheapest EUROPE supplier per STANDARD size-15
+    part. The reference Q2's correlated MIN subquery over partsupp
+    decorrelates into a partitioned window rank; this schema has no
+    partsupp, so the per-(part, supplier) offer price is the MIN
+    lineitem extendedprice in exact integer cents. Scale shape: the
+    fact table reduces to (part, supplier) BEFORE any dimension join
+    (one shuffle on the composite key), then part/supplier/nation/
+    region broadcast; the window partitions on p_partkey — never a
+    global sort. Deterministic rank tiebreak on s_suppkey."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    e100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    offers = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(e100).alias("offer_e100")
+    )
+    eur_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target_parts = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("offer_e100").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        offers.join(F.broadcast(target_parts), offers.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp), offers.l_suppkey == F.col("s_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("s_bal_cents"),
+            "n_name",
+            F.col("offer_e100").cast("long").alias("offer_e100"),
+        )
+    )
+
+
+def o_min_cost_supplier() -> str:
+    return """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_e100
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name, offer_e100,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY offer_e100 ASC, s_suppkey ASC) AS rk
+  FROM offers
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD'
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS s_bal_cents, n_name,
+       CAST(offer_e100 AS BIGINT) AS offer_e100
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_lateship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape: for lines shipped late (>60 days after the
+    order date — the schema has no commitdate/receiptdate/shipmode, so
+    l_linestatus stands in for the ship-mode axis), count high-priority
+    vs low-priority orders per status. One broadcast-joined projection
+    of orders (two columns) against the fact table, then a two-value
+    conditional aggregate — a single shuffle on the tiny group key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ods = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        lineitem.join(ods, lineitem.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(F.lit(1) - high).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def o_lateship_priority_counts() -> str:
+    return """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape: distinct-supplier counts per (brand, size)
+    part group, excluding one brand and excluding "complaint"
+    suppliers (no comment column — negative account balance is the
+    stand-in, expressed as the same NOT-IN anti-join shape Q16 uses).
+    Scale shape: the (part, supplier) bridge is deduplicated BEFORE
+    the dimension join (map-side combine on the composite key); part
+    and the tiny exclusion set broadcast; count_distinct shuffles once
+    on the small (brand, size) key space."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bridge = lineitem.select("l_partkey", "l_suppkey").distinct()
+    complaints = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.filter(F.col("p_brand") != "Brand#45").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        bridge.join(F.broadcast(parts), bridge.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            bridge.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def o_supplier_part_counts() -> str:
+    return """
+SELECT p_brand, CAST(p_size AS INT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q_event_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: per event type, the linear
+    relationship between event value and hour-of-day — corr,
+    regr_slope/intercept/r2, stddev_samp, var_pop. All six are
+    single-pass partial-aggregable moments (sum, sum², cross-sum), so
+    the plan is one map-side-combined shuffle on the 5-value key; no
+    window, no second scan. Doubles rounded to 6 places on both sides
+    (both engines compute the same moment formulas; bounded magnitudes
+    keep float noise far below the rounding grain)."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.corr(y, x), 6).alias("corr_vh"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.stddev_samp(y), 6).alias("stddev_v"),
+            F.round(F.var_pop(y), 6).alias("varp_v"),
+        )
+    )
+
+
+def o_event_value_regression() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_vh,
+       round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept,
+       round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2,
+       round(stddev_samp(value), 6) AS stddev_v,
+       round(var_pop(value), 6) AS varp_v
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-2 front block -------------------------------------------
     # The driver's CORRECTNESS check covers the FIRST 50 entries of this
@@ -3450,6 +3640,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_part_suppliers": q_heavy_part_suppliers,
     "sole_late_suppliers": q_sole_late_suppliers,
     "nation_profit_trend": q_nation_profit_trend,
+    "min_cost_supplier": q_min_cost_supplier,
+    "lateship_priority_counts": q_lateship_priority_counts,
+    "supplier_part_counts": q_supplier_part_counts,
+    "event_value_regression": q_event_value_regression,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -3538,6 +3732,10 @@ ORACLES: dict[str, str] = {
     "heavy_part_suppliers": o_heavy_part_suppliers(),
     "sole_late_suppliers": o_sole_late_suppliers(),
     "nation_profit_trend": o_nation_profit_trend(),
+    "min_cost_supplier": o_min_cost_supplier(),
+    "lateship_priority_counts": o_lateship_priority_counts(),
+    "supplier_part_counts": o_supplier_part_counts(),
+    "event_value_regression": o_event_value_regression(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),

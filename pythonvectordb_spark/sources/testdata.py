@@ -52,12 +52,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects; with nanosAsLong (set in session.get_spark) it arrives
-        # as a nanosecond long. Truncating to microseconds via integer
-        # division matches DuckDB's native ns->us truncation exactly.
+        # events.ts has shipped as TIMESTAMP(NANOS) parquet in some driver
+        # rounds, which Spark's reader rejects; with nanosAsLong (set in
+        # session.get_spark) it arrives as a nanosecond long. Truncating to
+        # microseconds via integer division matches DuckDB's ns->us
+        # truncation exactly.
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Timezone-naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    # TIMESTAMP_NTZ under Spark 4's default inference. The engine's temporal
+    # operators use instant-based functions (unix_micros, window ranges)
+    # that require TIMESTAMP_LTZ; with the session pinned to UTC above, the
+    # NTZ->LTZ cast reinterprets the same wall-clock as the same instant, so
+    # this is a pure type normalization — values, and DuckDB oracle parity,
+    # are unchanged.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
