@@ -253,6 +253,12 @@ def main() -> None:
         "pq_adc_rerank100": recall_of(
             S.ann_pq_search(emb, FX.QUERY_VEC, FX.PQ_CODEBOOKS, k=10, rerank=100)
         ),
+        "ivf_pq_nprobe4_rerank100": recall_of(
+            S.ann_ivf_pq_search(
+                emb, FX.QUERY_VEC, FX.CENTROIDS, FX.PQ_CODEBOOKS,
+                k=10, nprobe=4, rerank=100,
+            )
+        ),
     }
     log(f"bench ann recall@10: {ann_recall}")
 

@@ -501,3 +501,60 @@ def embedding_near_dup(
     return out.filter(F.col("cosine") >= F.lit(threshold)).select(
         "id_a", "id_b", F.round("cosine", 9).alias("cosine")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shape semantic near-dup pairs: cluster-blocked candidate
+    generation + exact verify (Abbas et al. 2023, "SemDeDup" — prune
+    semantic duplicates WITHIN k-means clusters only, never across the
+    full corpus).
+
+    Each vector is assigned to its nearest coarse centroid with the same
+    pure-expression argmax the IVF index uses (at scale the assignment
+    is a partition column written at ingest — see
+    ``indexing.build_ivf_index`` — so the self-join below is co-located
+    per partition and never crosses cluster boundaries). Candidates are
+    pairs sharing a cluster — an equi-join on a small int key, O(sum of
+    squared cluster sizes), not O(n^2) — and only candidates are scored
+    with the exact symmetric int8 cosine (integer dot/norms, so the
+    DuckDB oracle reproduces every value bit-for-bit).
+
+    Complementary to ``embedding_near_dup``'s banded-LSH blocking: LSH
+    bounds the miss rate pair-by-pair; centroid blocking matches the
+    production SemDeDup recipe and inherits whatever structure the
+    codebook carries. Centroids come from MLlib KMeans offline (or any
+    fixed codebook).
+
+    Returns (id_a, id_b, cluster_id, cosine) for pairs with
+    cosine >= threshold, id_a < id_b.
+    """
+    from pythonvectordb_spark.functions.vector import (
+        cosine_similarity_int8_sym,
+        l2_normalize,
+        quantize,
+    )
+    from pythonvectordb_spark.operators.search import ivf_cluster_id
+
+    q = df.select(
+        F.col(id_col),
+        quantize(l2_normalize(vec_col)).alias("qv"),
+        ivf_cluster_id(vec_col, centroids).alias("cluster_id"),
+    )
+    a = q.select(
+        F.col(id_col).alias("id_a"), F.col("qv").alias("va"), "cluster_id"
+    )
+    b = q.select(
+        F.col(id_col).alias("id_b"), F.col("qv").alias("vb"), "cluster_id"
+    )
+    pairs = a.join(b, ["cluster_id"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_similarity_int8_sym("va", "vb"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.col("cluster_id").cast("int").alias("cluster_id"), "cosine")
+    )

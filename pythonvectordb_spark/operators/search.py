@@ -546,3 +546,50 @@ def ann_ivf_search(
         F.col(id_col), cosine_similarity(_query_lit(query), vec_col).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ann_ivf_pq_search(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN layout
+    (coarse quantizer prunes the scan, product quantizer compresses
+    what remains, exact re-rank bounds the full-dimension work):
+
+    1. probe: keep only rows whose nearest coarse centroid is among the
+       ``nprobe`` centroids closest to the query. At scale ``cluster_id``
+       is a partition column (see ``indexing.build_ivf_index``) and this
+       filter is partition PRUNING — (nclusters - nprobe)/nclusters of
+       the table is never read.
+    2. ADC: rank the survivors by the PQ lookup distance — ``m`` array
+       reads + adds per row against one-byte codes, never the float
+       vector (``code_col`` scores ingest-time codes; float vectors stay
+       in cold storage).
+    3. re-rank: exact cosine on the top-``rerank`` shortlist only.
+
+    Total full-dimension float work = ``rerank`` rows, independent of
+    table size. Both stages reuse the standalone operators, so the plan
+    is the pruned scan -> ADC TakeOrderedAndProject -> tiny exact sort.
+    """
+    probe = ivf_probe(query, centroids, nprobe)
+    cand = df.withColumn("cluster_id", ivf_cluster_id(vec_col, centroids)).filter(
+        F.col("cluster_id").isin(probe)
+    )
+    return ann_pq_search(
+        cand,
+        query,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        code_col=code_col,
+        rerank=rerank,
+    )

@@ -318,3 +318,67 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("int").alias("norm_len"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout step of an LLM
+    pretraining loader: documents are concatenated in ``id_col`` order
+    into one global token stream, and the stream is cut into fixed
+    ``seq_len`` training sequences. Per document this yields the first
+    and last sequence it lands in and whether it straddles a boundary
+    (the fraction that does measures cross-document attention leakage
+    for a given context length).
+
+    The global running total is a DISTRIBUTED prefix sum, not a
+    single-partition window (the 100 TB anti-pattern for a global
+    cumsum): range-repartition on ``id_col``, cumsum WITHIN each range
+    partition (parallel windows), then add per-partition prefix offsets
+    computed from a P-row aggregate joined back as a broadcast. Range
+    boundaries come from sampling and may vary run to run, but the
+    (partition-order == id-order) invariant makes the result exact and
+    deterministic regardless of where the cuts land.
+
+    Returns (doc_id, n_tok, seq_first, seq_last, spans_boundary).
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col))
+    d = df.select(F.col(id_col), n_tok.alias("n_tok")).filter(F.col("n_tok") > 0)
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = d.repartitionByRange(n_part, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_local_cum", F.sum("n_tok").over(w_local))
+    # P rows: exclusive prefix of per-partition totals (tiny single-task
+    # window over <=P rows, then broadcast back)
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_pid")
+        .agg(F.sum("n_tok").alias("_ptot"))
+        .select("_pid", F.coalesce(F.sum("_ptot").over(w_pid), F.lit(0)).alias("_off"))
+    )
+    cum = (F.col("_local_cum") + F.col("_off")).cast("long")
+    start = cum - F.col("n_tok")
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.floor(start / F.lit(seq_len)).cast("long").alias("seq_first"),
+            F.floor((cum - 1) / F.lit(seq_len)).cast("long").alias("seq_last"),
+            (
+                F.floor(start / F.lit(seq_len)) != F.floor((cum - 1) / F.lit(seq_len))
+            ).alias("spans_boundary"),
+        )
+    )

@@ -115,3 +115,34 @@ def test_chunker_no_shuffle(spark):
     df = chunk_documents(_docs(spark, [(1, "a b c d e f")]), chunk_tokens=4, overlap=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Generate explode" in plan
+
+
+def test_pack_sequences_invariants(spark):
+    from pythonvectordb_spark.operators.textops import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 11))) for i in range(40)]
+    rows.append((100, ""))  # empty doc: no tokens, must be dropped
+    out = pack_sequences(_docs(spark, rows), seq_len=16).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == sorted(r.doc_id for r in out)
+    assert all(r.doc_id != 100 for r in out)
+    # reconstruct the global stream: each doc's slot starts where the
+    # previous ended; seq ids derive from the running total
+    cum = 0
+    for r in out:
+        assert r.seq_first == cum // 16
+        assert r.seq_last == (cum + r.n_tok - 1) // 16
+        assert r.spans_boundary == (r.seq_first != r.seq_last)
+        cum += r.n_tok
+
+
+def test_pack_sequences_no_global_window(spark):
+    # the full-data cumsum must run under a partitioned window (keyed on
+    # the range-partition id), never a partitionBy()-empty global window;
+    # only the P-row offsets aggregate may be single-partition
+    from pythonvectordb_spark.operators.textops import pack_sequences
+
+    df = pack_sequences(_docs(spark, [(1, "a b"), (2, "c")]), seq_len=4)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    for line in analyzed.splitlines():
+        if "windowspecdefinition" in line and "_pid" not in line:
+            raise AssertionError(f"unpartitioned window over data: {line}")
