@@ -168,3 +168,31 @@ def test_stratified_sample_is_one_codegen_stage(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_semantic_dedup_is_equi_join_on_cluster(spark):
+    """Centroid blocking must candidate-generate through a hash/sort
+    equi-join on cluster_id — never a nested-loop over all pairs."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["semantic_dedup"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan
+
+
+def test_ann_ivf_pq_full_dim_work_is_bounded(spark):
+    """The IVF+PQ plan's exact-cosine stage must sit above a LIMIT-100
+    shortlist (TakeOrderedAndProject), so full-dimension float work is
+    O(rerank) regardless of table size; the cluster probe filter must
+    sit on the scan side."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["ann_ivf_pq"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 2  # ADC top-100, exact top-k
+    # the probe predicate (argmax-over-centroids membership) survives as a
+    # Filter on the scan side — Catalyst collapses the cluster_id alias
+    # into the predicate itself
+    assert "Filter" in plan and "array_position" in plan
