@@ -61,6 +61,10 @@ HEADLINE = [
     # flagship LLM-pipeline composition (quality -> dedup -> join) as a
     # tracked end-to-end wall time
     "pipeline_clean_corpus",
+    # round-2 late additions: composed ANN, SemDeDup blocking, packing
+    "ann_ivf_pq",
+    "semantic_dedup",
+    "pack_sequences",
 ]
 
 

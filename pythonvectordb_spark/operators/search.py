@@ -398,25 +398,42 @@ def pq_code_expr(
     100 TB embedding corpus fit an in-memory serving tier.
 
     All distance arithmetic is sequential-fold double over literal
-    centroids, so codes are bit-reproducible across engines.
+    centroids (ascending j, left-assoc — the same order the oracle's
+    unrolled `a + b + ...` sum parses to), so codes are bit-reproducible
+    across engines.
+
+    Built as ONE ``F.expr`` with higher-order functions over literal
+    array-of-array codebooks rather than an unrolled Column tree: the
+    unrolled form (subspaces x centroids x dims ~ 1000+ nodes, each a
+    py4j round-trip to construct and a node for every Catalyst rule to
+    visit on every action) cost ~20 s of driver time per query; the HOF
+    form is a few dozen nodes, one parse.
     """
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if not isinstance(vec_col, str):
+        raise TypeError("pq_code_expr requires a column NAME (SQL-expression build)")
     codes = []
     offset = 0
     for cents in codebooks:
         sub_dim = len(cents[0])
-        dists = []
-        for c in cents:
-            acc = None
-            for j, cj in enumerate(c):
-                e = F.element_at(v, offset + j + 1).cast("double") - F.lit(float(cj))
-                term = e * e
-                acc = term if acc is None else acc + term
-            dists.append(acc)
-        darr = F.array(*dists)
-        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+        carr = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({float(c)!r} AS DOUBLE)" for c in cc) + ")"
+                for cc in cents
+            )
+            + ")"
+        )
+        diff = (
+            f"(CAST(element_at(`{vec_col}`, {offset} + j + 1) AS DOUBLE)"
+            f" - element_at(c, j + 1))"
+        )
+        dist = (
+            f"transform({carr}, c -> aggregate(sequence(0, {sub_dim - 1}),"
+            f" CAST(0.0 AS DOUBLE), (acc, j) -> acc + {diff} * {diff}))"
+        )
+        codes.append(f"CAST(array_position({dist}, array_min({dist})) - 1 AS INT)")
         offset += sub_dim
-    return F.array(*codes)
+    return F.expr("array(" + ", ".join(codes) + ")")
 
 
 def pq_adc_tables(
@@ -474,18 +491,27 @@ def ann_pq_search(
     shape as every other search.
     """
     tables = pq_adc_tables(query, codebooks)
-    code = F.col(code_col) if code_col else pq_code_expr(vec_col, codebooks)
-    adc = None
-    for s, row in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in row]), F.element_at(code, s + 1) + 1
+    # materialize the code ONCE as a projected column, then sum the
+    # per-subspace lookups over it as a single parsed expression — the
+    # alternative (referencing the code expression from each of the m
+    # lookup terms) re-embeds the whole encoding subtree m times in the
+    # plan, multiplying both analysis and per-row work
+    base = df.withColumn(
+        "_pq_code", F.col(code_col) if code_col else pq_code_expr(vec_col, codebooks)
+    )
+    adc = F.expr(
+        " + ".join(
+            "element_at(array("
+            + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row)
+            + f"), element_at(_pq_code, {s + 1}) + 1)"
+            for s, row in enumerate(tables)
         )
-        adc = term if adc is None else adc + term
+    )
     if rerank is None:
-        scored = df.select(F.col(id_col), adc.alias("adc_dist"))
+        scored = base.select(F.col(id_col), adc.alias("adc_dist"))
         return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
     shortlist = (
-        df.select(F.col(id_col), F.col(vec_col), adc.alias("adc_dist"))
+        base.select(F.col(id_col), F.col(vec_col), adc.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(rerank)
     )
