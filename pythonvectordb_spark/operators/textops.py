@@ -382,3 +382,94 @@ def pack_sequences(
             ).alias("spans_boundary"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-``vocab_size`` tokens by frequency with
+    dense integer ids (1-based; 0 is reserved for OOV).
+
+    Rank order is (count DESC, token ASC) — fully deterministic through
+    ties, including at the size cutoff. The count is a map-side-combined
+    aggregate over the exploded token stream; the top-V cut is a
+    TakeOrderedAndProject; only the V surviving rows pass through the
+    id-assigning window, so the unpartitioned window is bounded by the
+    vocabulary size, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    top = counts.orderBy(F.desc("token_count"), F.asc("token")).limit(vocab_size)
+    w = Window.orderBy(F.desc("token_count"), F.asc("token"))
+    return top.select(
+        "token",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.row_number().over(w).cast("int").alias("token_id"),
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents as integer-id arrays against a vocabulary —
+    the tokenizer-apply step of a pretraining pipeline. Unknown tokens
+    map to 0 (OOV).
+
+    The vocabulary collapses to a ONE-ROW map column and broadcasts; the
+    encode is then ``transform(tokens, t -> map[t])`` — a single scan of
+    the corpus with a per-token hash lookup, entirely JVM-side. No
+    explode, no join on the token stream, no re-aggregation: at 100 TB
+    the corpus is touched once and nothing about the document rows
+    shuffles.
+
+    Returns (doc_id, token_ids, n_tok, n_oov).
+    """
+    vmap = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "token_id"))).alias("_vmap")
+    )
+    ids = F.transform(
+        tokens(text_col),
+        lambda t: F.coalesce(F.element_at(F.col("_vmap"), t), F.lit(0)).cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(vmap))
+        .select(
+            F.col(id_col),
+            ids.alias("token_ids"),
+            F.size(ids).alias("n_tok"),
+            F.size(F.filter(ids, lambda x: x == F.lit(0))).alias("n_oov"),
+        )
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus card: document/token/char totals, language and
+    source breadth, exact-duplicate rate. One scan, one map-side-combined
+    aggregate (count_distinct adds its standard expand; all else is
+    partial-aggregable)."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("_n_tok"),
+        F.length(text_col).alias("_n_chars"),
+        F.col("lang").alias("_lang"),
+        F.md5(F.col(text_col)).alias("_h"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n_tok").cast("long").alias("total_tokens"),
+        F.sum("_n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("_lang").cast("long").alias("n_langs"),
+        F.countDistinct("_h").cast("long").alias("n_unique_texts"),
+        F.round(F.avg("_n_tok"), 6).alias("avg_doc_tokens"),
+    )

@@ -3467,6 +3467,85 @@ FROM c
 """
 
 
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-512 tokens by frequency, dense 1-based ids,
+    deterministic (count DESC, token ASC) ranking."""
+    return TX.build_vocab(load_table(spark, sf_dir, "documents"), vocab_size=512)
+
+
+def o_build_vocab() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {O.sql_tokens('text')} AS tk FROM documents),
+counts AS (
+  SELECT t.t AS token, count(*) AS token_count
+  FROM toks, unnest(tk) AS t(t) GROUP BY 1
+),
+top AS (
+  SELECT token, token_count FROM counts
+  ORDER BY token_count DESC, token ASC LIMIT 512
+)
+SELECT token, CAST(token_count AS BIGINT) AS token_count,
+       CAST(row_number() OVER (ORDER BY token_count DESC, token ASC) AS INT) AS token_id
+FROM top
+"""
+
+
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-apply: encode every document as an integer-id array via
+    a broadcast one-row vocabulary map (single corpus scan, no token
+    explode/join); OOV -> 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = TX.build_vocab(docs, vocab_size=512)
+    return TX.encode_tokens(docs, vocab)
+
+
+def o_encode_tokens() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {O.sql_tokens('text')} AS tk FROM documents),
+counts AS (
+  SELECT t.t AS token, count(*) AS token_count
+  FROM toks, unnest(tk) AS t(t) GROUP BY 1
+),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY token_count DESC, token ASC) AS INT) AS token_id
+  FROM (SELECT * FROM counts ORDER BY token_count DESC, token ASC LIMIT 512)
+),
+m AS (
+  SELECT map(list(token ORDER BY token_id), list(token_id ORDER BY token_id)) AS mp
+  FROM vocab
+)
+SELECT doc_id,
+       list_transform(tk, t -> CAST(coalesce(mp[t][1], 0) AS INT)) AS token_ids,
+       CAST(len(tk) AS INT) AS n_tok,
+       CAST(len(list_filter(list_transform(tk, t -> CAST(coalesce(mp[t][1], 0) AS INT)),
+                x -> x = 0)) AS INT) AS n_oov
+FROM toks, m
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card: doc/token/char totals, language breadth,
+    exact-duplicate rate."""
+    return TX.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+def o_corpus_stats() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, len({O.sql_tokens('text')}) AS n_tok, length(text) AS n_chars,
+         lang, md5(text) AS h
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+       round(sum(n_tok)::DOUBLE / count(*)::DOUBLE, 6) AS avg_doc_tokens
+FROM t
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shape: cheapest EUROPE supplier per STANDARD size-15
     part. The reference Q2's correlated MIN subquery over partsupp
@@ -3743,6 +3822,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq": q_ann_ivf_pq,
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences": q_pack_sequences,
+    "build_vocab": q_build_vocab,
+    "encode_tokens": q_encode_tokens,
+    "corpus_stats": q_corpus_stats,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -3838,6 +3920,9 @@ ORACLES: dict[str, str] = {
     "ann_ivf_pq": o_ann_ivf_pq(),
     "semantic_dedup": o_semantic_dedup(),
     "pack_sequences": o_pack_sequences(),
+    "build_vocab": o_build_vocab(),
+    "encode_tokens": o_encode_tokens(),
+    "corpus_stats": o_corpus_stats(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),

@@ -196,3 +196,16 @@ def test_ann_ivf_pq_full_dim_work_is_bounded(spark):
     # Filter on the scan side — Catalyst collapses the cluster_id alias
     # into the predicate itself
     assert "Filter" in plan and "array_position" in plan
+
+
+def test_encode_tokens_single_corpus_scan_no_token_join(spark):
+    """The encode path must be transform-over-a-broadcast-map: exactly
+    one Generate (the vocab count's explode), a broadcast of the one-row
+    map, and no shuffle of the document token stream."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["encode_tokens"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1  # vocab build only
+    assert "BroadcastNestedLoopJoin" in plan    # one-row map side
+    assert "transform(" in plan                 # per-token map lookup
