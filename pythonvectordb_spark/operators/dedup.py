@@ -121,34 +121,24 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
-def minhash_lsh_pairs(
+def _minhash_banded(
     df: DataFrame,
-    threshold: float = 0.8,
-    n: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """MinHash + LSH banding near-dup detection, verified exactly.
+    n: int,
+    num_hashes: int,
+    bands: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle-sets, banded bucket-keys) shared by the self-join and
+    incremental MinHash variants.
 
-    signatures: sig_i(doc) = min over shingles of md5('i:'||shingle) —
-    md5 exists identically in both engines, so signatures (and therefore
-    candidates) are oracle-reproducible, unlike xxhash/murmur minhash.
-    banding: ``bands`` groups of ``num_hashes/bands`` signature values;
-    docs sharing any band key become candidates (equi-join per band).
-    verify: exact shingle Jaccard >= threshold on candidates only.
-
-    Returns (id_a, id_b, jaccard) — same shape as ngram_jaccard_pairs, so
-    at j>=0.8 the two operators should agree whenever LSH recall holds.
-    """
+    One md5 per shingle, split into two 32-bit ints; the hash family is
+    h_i = (A_i*h1 + B_i*h2) mod (2^61-1) — standard two-hash MinHash
+    construction, ~6x cheaper than num_hashes md5 calls per row and
+    mirrorable in SQL (constants from minhash_params)."""
     r = num_hashes // bands
     sh = _shingled(df, text_col, id_col, n)
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    # one md5 per shingle, split into two 32-bit ints; the hash family is
-    # h_i = (A_i*h1 + B_i*h2) mod (2^61-1) — standard two-hash MinHash
-    # construction, 6x cheaper than num_hashes md5 calls per row and
-    # mirrorable in SQL (constants from minhash_params)
     hashed = inv.select(
         F.col(id_col),
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h1"),
@@ -170,6 +160,90 @@ def minhash_lsh_pairs(
     banded = band_frames[0]
     for f in band_frames[1:]:
         banded = banded.unionByName(f)
+    return sh, banded
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an ARRIVING batch against an EXISTING corpus — the
+    production ingest shape: never corpus x corpus rework, never a
+    batch x corpus cross join.
+
+    Both sides get the same MinHash band keys as ``minhash_lsh_pairs``;
+    candidates are batch-bucket x corpus-bucket equi-join collisions, and
+    only candidates are verified with the exact shingle Jaccard. Cost per
+    batch is O(batch shingling + bucket collisions). At scale the corpus
+    side's band table is computed once per snapshot and materialized
+    bucketed on (band, bkey) (``sources/bucketing``), making the
+    candidate join Exchange-free on the corpus side; each ingest batch
+    then only shuffles its own (tiny) band table.
+
+    Returns (batch_id, corpus_id, jaccard) for batch documents whose
+    Jaccard to some corpus document clears ``threshold`` — feed the
+    distinct batch_ids to an anti-join to drop them before append
+    (mirrors ``streaming/curation``'s gate-at-ingest pattern).
+    """
+    sh_c, banded_c = _minhash_banded(corpus, n, num_hashes, bands, text_col, id_col)
+    sh_b, banded_b = _minhash_banded(batch, n, num_hashes, bands, text_col, id_col)
+    x = banded_b.alias("x")
+    y = banded_c.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.bkey") == F.col("y.bkey")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("batch_id"),
+            F.col(f"y.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    pb = sh_b.withColumnsRenamed({id_col: "batch_id", "sh": "sh_b"})
+    pc = sh_c.withColumnsRenamed({id_col: "corpus_id", "sh": "sh_c"})
+    verified = (
+        cand.join(pb, "batch_id")
+        .join(pc, "corpus_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_b", "sh_c")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_b") + F.size("sh_c") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified.select("batch_id", "corpus_id", F.round("jaccard", 9).alias("jaccard"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, verified exactly.
+
+    signatures: sig_i(doc) = min over shingles of md5('i:'||shingle) —
+    md5 exists identically in both engines, so signatures (and therefore
+    candidates) are oracle-reproducible, unlike xxhash/murmur minhash.
+    banding: ``bands`` groups of ``num_hashes/bands`` signature values;
+    docs sharing any band key become candidates (equi-join per band).
+    verify: exact shingle Jaccard >= threshold on candidates only.
+
+    Returns (id_a, id_b, jaccard) — same shape as ngram_jaccard_pairs, so
+    at j>=0.8 the two operators should agree whenever LSH recall holds.
+    """
+    sh, banded = _minhash_banded(df, n, num_hashes, bands, text_col, id_col)
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (

@@ -3467,6 +3467,59 @@ FROM c
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-shape dedup: documents with doc_id % 11 == 0 arrive as the
+    new batch; the rest are the existing corpus. Bucket-collision
+    candidates + exact-Jaccard verify, batch-vs-corpus only."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    batch = docs.filter(F.col("doc_id") % 11 == 0)
+    return DD.incremental_minhash_dedup(corpus, batch, threshold=0.8)
+
+
+def o_incremental_dedup() -> str:
+    from pythonvectordb_spark.functions.text import MINHASH_P, minhash_params
+
+    params = minhash_params(12)
+    sigs = ", ".join(
+        f"min(({a}::BIGINT * h1 + {b}::BIGINT * h2) % {MINHASH_P}::BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def chain(tag: str, pred: str) -> str:
+        bands = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band, md5(h{b * 3}::VARCHAR || '|' || h{b * 3 + 1}::VARCHAR || '|' || h{b * 3 + 2}::VARCHAR) AS bkey FROM sig_{tag}"
+            for b in range(4)
+        )
+        return f"""
+t_{tag} AS (SELECT doc_id, {O.sql_tokens('text')} AS w FROM documents WHERE {pred}),
+sh_{tag} AS (SELECT doc_id, {O.sql_shingles_of('w')} AS sh FROM t_{tag}),
+inv_{tag} AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_{tag}),
+hashed_{tag} AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+           FROM inv_{tag}),
+sig_{tag} AS (SELECT doc_id, {sigs} FROM hashed_{tag} GROUP BY doc_id),
+banded_{tag} AS ({bands})"""
+
+    return f"""
+WITH {chain('c', 'doc_id % 11 <> 0')},
+{chain('b', 'doc_id % 11 = 0')},
+cand AS (
+  SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+  FROM banded_b x JOIN banded_c y ON x.band = y.band AND x.bkey = y.bkey
+),
+ver AS (
+  SELECT batch_id, corpus_id,
+         len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM cand JOIN sh_b a ON a.doc_id = batch_id JOIN sh_c b ON b.doc_id = corpus_id
+)
+SELECT batch_id, corpus_id, round({_JACCARD}, 9) AS jaccard
+FROM ver WHERE {_JACCARD} >= 0.8
+"""
+
+
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-512 tokens by frequency, dense 1-based ids,
     deterministic (count DESC, token ASC) ranking."""
@@ -3825,6 +3878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_vocab": q_build_vocab,
     "encode_tokens": q_encode_tokens,
     "corpus_stats": q_corpus_stats,
+    "incremental_dedup": q_incremental_dedup,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -3923,6 +3977,7 @@ ORACLES: dict[str, str] = {
     "build_vocab": o_build_vocab(),
     "encode_tokens": o_encode_tokens(),
     "corpus_stats": o_corpus_stats(),
+    "incremental_dedup": o_incremental_dedup(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
