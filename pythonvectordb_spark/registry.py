@@ -3467,6 +3467,47 @@ FROM c
 """
 
 
+def q_value_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of event values: 8 bins with equal
+    row counts, per-bin min/max/count/sum. The complement of the
+    fixed-width `events_value_histogram`: bin EDGES derive from the data.
+    ntile over a (value, event_id) composite order — deterministic
+    through duplicate values — partitioned windows are impossible here
+    (global quantiles are global), but the window carries only two
+    columns and at scale would run on a range-partitioned sort, the same
+    plan Spark uses for any global ORDER BY."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.orderBy(F.col("v_cents"), F.col("event_id"))
+    return (
+        events.select(F.col("event_id"), cents.alias("v_cents"))
+        .withColumn("bin", F.ntile(8).over(w).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v_cents").cast("long").alias("lo_cents"),
+            F.max("v_cents").cast("long").alias("hi_cents"),
+            F.sum("v_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def o_value_equidepth_bins() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v_cents FROM events
+),
+b AS (
+  SELECT v_cents, CAST(ntile(8) OVER (ORDER BY v_cents, event_id) AS INT) AS bin FROM v
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v_cents) AS BIGINT) AS lo_cents,
+       CAST(max(v_cents) AS BIGINT) AS hi_cents,
+       CAST(sum(v_cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY 1
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-shape dedup: documents with doc_id % 11 == 0 arrive as the
     new batch; the rest are the existing corpus. Bucket-collision
@@ -3879,6 +3920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encode_tokens": q_encode_tokens,
     "corpus_stats": q_corpus_stats,
     "incremental_dedup": q_incremental_dedup,
+    "value_equidepth_bins": q_value_equidepth_bins,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -3978,6 +4020,7 @@ ORACLES: dict[str, str] = {
     "encode_tokens": o_encode_tokens(),
     "corpus_stats": o_corpus_stats(),
     "incremental_dedup": o_incremental_dedup(),
+    "value_equidepth_bins": o_value_equidepth_bins(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
