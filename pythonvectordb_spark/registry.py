@@ -3467,6 +3467,90 @@ FROM c
 """
 
 
+BM25_QUERY = ("vector", "join", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval against a literal term query — the lexical-ranking
+    complement of the embedding knn surface. ONE corpus scan: per-doc
+    term frequencies and length project in the same pass; the corpus
+    constants (N, per-term document frequencies, average doc length)
+    reduce to a single broadcast row via conditional aggregation; the
+    score is then a pure projection and top-k is TakeOrderedAndProject.
+    No shuffle of the corpus at any point."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    def _tf(term: str):
+        # NB: a two-arg lambda would be treated as (element, index) by
+        # F.filter — bind the term via closure, keep the lambda unary
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_QUERY)]
+    base = docs.select(F.col("doc_id"), F.size(toks).alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_QUERY)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / (F.col("sum_dl") / F.col("n_docs"))
+        )
+        term = idf * (tf * F.lit(BM25_K1 + 1.0)) / denom
+        score = term if score is None else score + term
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(F.col("doc_id"), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def o_bm25_rank() -> str:
+    tf_exprs = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(BM25_QUERY)
+    )
+    df_exprs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i}::DOUBLE * {BM25_K1 + 1.0!r}) /"
+        f" (tf_{i}::DOUBLE + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl::DOUBLE / (sum_dl / n_docs))))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(tk) AS dl, {tf_exprs}
+  FROM (SELECT doc_id, {O.sql_tokens('text')} AS tk FROM documents)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         {df_exprs}
+  FROM base
+)
+SELECT doc_id, round({terms}, 6) AS bm25
+FROM base, stats
+WHERE ({terms}) > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_value_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) binning of event values: 8 bins with equal
     row counts, per-bin min/max/count/sum. The complement of the
@@ -3921,6 +4005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "incremental_dedup": q_incremental_dedup,
     "value_equidepth_bins": q_value_equidepth_bins,
+    "bm25_rank": q_bm25_rank,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -4021,6 +4106,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": o_corpus_stats(),
     "incremental_dedup": o_incremental_dedup(),
     "value_equidepth_bins": o_value_equidepth_bins(),
+    "bm25_rank": o_bm25_rank(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
