@@ -61,10 +61,14 @@ HEADLINE = [
     # flagship LLM-pipeline composition (quality -> dedup -> join) as a
     # tracked end-to-end wall time
     "pipeline_clean_corpus",
-    # round-2 late additions: composed ANN, SemDeDup blocking, packing
+    # round-2 late additions: composed ANN, SemDeDup blocking, packing,
+    # tokenizer-apply, ingest-shape dedup, lexical ranking
     "ann_ivf_pq",
     "semantic_dedup",
     "pack_sequences",
+    "encode_tokens",
+    "incremental_dedup",
+    "bm25_rank",
 ]
 
 

@@ -209,3 +209,29 @@ def test_encode_tokens_single_corpus_scan_no_token_join(spark):
     assert plan.count("Generate explode") == 1  # vocab build only
     assert "BroadcastNestedLoopJoin" in plan    # one-row map side
     assert "transform(" in plan                 # per-token map lookup
+
+
+def test_incremental_dedup_is_bucket_equi_join(spark):
+    """Batch-vs-corpus candidates must come from a (band, bkey)
+    equi-join — no cross join, no nested loop; the verify joins hang off
+    the candidate list, not the full sides."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["incremental_dedup"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bkey" in plan
+
+
+def test_bm25_single_scan_no_corpus_shuffle(spark):
+    """BM25 must be: one corpus projection, a one-row broadcast stats
+    aggregate, a score projection, TakeOrderedAndProject — the corpus
+    side must not pass through any hash exchange."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["bm25_rank"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row stats side
+    assert "Exchange hashpartitioning" not in plan
