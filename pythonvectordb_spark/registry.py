@@ -3467,6 +3467,43 @@ FROM c
 """
 
 
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-k: each user's 3 highest-value events. A
+    partitioned rank window (never a global sort); deterministic through
+    value ties via the (value, event_id) composite order. At scale this
+    is the one-shuffle pattern for per-entity leaderboards."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("v_cents"), F.asc("event_id")
+    )
+    return (
+        events.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            cents.alias("v_cents"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def o_top_events_per_user() -> str:
+    return """
+WITH v AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT user_id, event_id, v_cents, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY v_cents DESC, event_id ASC) AS rk
+  FROM v
+) WHERE rk <= 3
+"""
+
+
 BM25_QUERY = ("vector", "join", "scan")
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -4006,6 +4043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "value_equidepth_bins": q_value_equidepth_bins,
     "bm25_rank": q_bm25_rank,
+    "top_events_per_user": q_top_events_per_user,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -4107,6 +4145,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": o_incremental_dedup(),
     "value_equidepth_bins": o_value_equidepth_bins(),
     "bm25_rank": o_bm25_rank(),
+    "top_events_per_user": o_top_events_per_user(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
