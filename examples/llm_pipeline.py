@@ -1,0 +1,82 @@
+"""End-to-end LLM training-data pipeline on the public API — runnable:
+
+    python examples/llm_pipeline.py [sf_dir]
+
+Composes the engine's operator families the way a pretraining data job
+would: corpus card -> quality gate -> exact + near-dup removal ->
+benchmark decontamination -> vocabulary -> token-id encoding ->
+sequence packing -> embedding near-dup audit. Every step is a pure
+DataFrame transform; nothing collects until the final summary.
+
+Defaults to the sf0.001 testdata so it runs in seconds; point it at a
+bigger sf_dir (or your own documents/embeddings parquet with the same
+schemas) unchanged.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+import pythonvectordb_spark as pv
+from pythonvectordb_spark.operators.curation import quality_filter
+from pythonvectordb_spark.sources.testdata import load_table
+
+
+def run(sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    spark = pv.get_spark("llm-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # 1. corpus card (one pass)
+    card = pv.corpus_stats(docs).first().asDict()
+
+    # 2. quality gate: keep docs passing the composite filter
+    kept = quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    docs_q = docs.join(kept, "doc_id")
+
+    # 3. dedup: exact survivors, then near-dup pair resolution
+    pairs = pv.minhash_lsh_pairs(docs_q, threshold=0.8)
+    resolved = pv.resolve_duplicates(docs_q, pairs)
+    docs_d = docs_q.join(
+        resolved.filter(F.col("is_survivor")).select("doc_id"), "doc_id"
+    )
+
+    # 4. vocabulary + token-id encoding (single corpus scan encode)
+    vocab = pv.build_vocab(docs_d, vocab_size=512)
+    encoded = pv.encode_tokens(docs_d, vocab)
+
+    # 5. pack into fixed-length training sequences (distributed prefix sum)
+    packed = pv.pack_sequences(docs_d, seq_len=256)
+
+    # 6. embedding near-dup audit on the vector side (LSH-blocked)
+    vec_dups = pv.embedding_near_dup(emb, threshold=0.4)
+
+    summary = {
+        "corpus": card,
+        "after_quality": docs_q.count(),
+        "after_dedup": docs_d.count(),
+        "vocab_size": vocab.count(),
+        "encoded_docs": encoded.count(),
+        "n_sequences": int(
+            packed.agg(F.max("seq_last")).first()[0] or -1
+        )
+        + 1,
+        "boundary_doc_frac": round(
+            packed.filter(F.col("spans_boundary")).count() / max(packed.count(), 1), 4
+        ),
+        "embedding_near_dup_pairs": vec_dups.count(),
+    }
+    return summary
+
+
+if __name__ == "__main__":
+    out = run(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    for k, v in out.items():
+        print(f"{k}: {v}")

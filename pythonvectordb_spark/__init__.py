@@ -24,6 +24,7 @@ from pythonvectordb_spark.functions.vector import (  # noqa: F401
     quantize,
 )
 from pythonvectordb_spark.operators.search import (  # noqa: F401
+    ann_ivf_pq_search,
     ann_ivf_search,
     ann_lsh_multiprobe_search,
     ann_lsh_search,
@@ -52,10 +53,19 @@ from pythonvectordb_spark.operators.dedup import (  # noqa: F401
     connected_components,
     dedup_exact,
     embedding_near_dup,
+    incremental_minhash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     resolve_duplicates,
+    semantic_dedup_pairs,
     simhash_pairs,
+)
+from pythonvectordb_spark.operators.textops import (  # noqa: F401
+    build_vocab,
+    chunk_documents,
+    corpus_stats,
+    encode_tokens,
+    pack_sequences,
 )
 from pythonvectordb_spark.operators.timeseries import (  # noqa: F401
     asof_join,

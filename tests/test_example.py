@@ -1,0 +1,19 @@
+"""The shipped end-to-end example must actually run and be internally
+consistent — it is the README's proof that the operator families
+compose on the public API."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+def test_llm_pipeline_example_runs(spark):
+    from llm_pipeline import run
+
+    s = run("/root/testdata/sf0.001")
+    assert s["corpus"]["n_docs"] >= s["after_quality"] >= s["after_dedup"] > 0
+    assert s["encoded_docs"] == s["after_dedup"]
+    assert 0 < s["vocab_size"] <= 512
+    assert s["n_sequences"] > 0
+    assert 0.0 <= s["boundary_doc_frac"] <= 1.0
