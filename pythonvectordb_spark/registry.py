@@ -3467,6 +3467,52 @@ FROM c
 """
 
 
+def q_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 5 docs per language,
+    weight = document length — the Efraimidis-Spirakis one-pass scheme
+    (key = ln(u)/w, keep the k largest keys per stratum), with u derived
+    from md5(doc_id) so the draw is deterministic, replayable, and
+    reproducible by the oracle. The per-stratum top-k is a partitioned
+    rank window: one shuffle on the stratum key, no global sort, no
+    driver-side randomness — the shape that lets a 100 TB mixing job
+    re-draw the same sample on every retry."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**32 + 1))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("skey"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", "n_chars", F.round("skey", 9).alias("skey"), "rk")
+    )
+
+
+def o_weighted_sample_per_lang() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+            / {float(2**32 + 1)!r}) / n_chars::DOUBLE AS skey
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, round(skey, 9) AS skey, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY skey DESC, doc_id ASC) AS rk
+  FROM keyed
+) WHERE rk <= 5
+"""
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise top-k: each user's 3 highest-value events. A
     partitioned rank window (never a global sort); deterministic through
@@ -4044,6 +4090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_equidepth_bins": q_value_equidepth_bins,
     "bm25_rank": q_bm25_rank,
     "top_events_per_user": q_top_events_per_user,
+    "weighted_sample_per_lang": q_weighted_sample_per_lang,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -4146,6 +4193,7 @@ ORACLES: dict[str, str] = {
     "value_equidepth_bins": o_value_equidepth_bins(),
     "bm25_rank": o_bm25_rank(),
     "top_events_per_user": o_top_events_per_user(),
+    "weighted_sample_per_lang": o_weighted_sample_per_lang(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
