@@ -473,3 +473,49 @@ def corpus_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.countDistinct("_h").cast("long").alias("n_unique_texts"),
         F.round(F.avg("_n_tok"), 6).alias("avg_doc_tokens"),
     )
+
+
+def bigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Second-order perplexity proxy: average conditional bigram
+    surprisal ``-ln p(w2 | w1)`` under the corpus's own bigram model
+    (``p = C(w1 w2) / C(w1 ·)``). Catches degenerate repetition that the
+    unigram model scores as fluent (a doc repeating one common phrase
+    has LOW bigram surprisal; one gluing common tokens in odd orders
+    scores HIGH) — the standard companion signal to
+    ``unigram_surprisal`` in data-quality stacks.
+
+    One explode produces the bigram stream; both count tables (bigram
+    and first-token marginal) aggregate from that same stream, re-join
+    on their keys, and reduce per document. The count joins are plain
+    shuffle joins — the bigram vocabulary is corpus-sized at 100 TB, so
+    no broadcast is forced; AQE converts when small. Documents with
+    fewer than two tokens emit no bigrams and drop out.
+    """
+    big = (
+        df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_tk) >= 2 THEN "
+                    "transform(sequence(1, size(_tk) - 1), "
+                    "i -> struct(element_at(_tk, CAST(i AS INT)) AS w1, "
+                    "element_at(_tk, CAST(i + 1 AS INT)) AS w2)) "
+                    "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+                )
+            ).alias("p"),
+        )
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    s = F.log(F.col("c1").cast("double") / F.col("c2").cast("double"))
+    return (
+        big.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(s), 9).alias("avg_surprisal"),
+            F.round(F.max(s), 9).alias("max_surprisal"),
+        )
+    )

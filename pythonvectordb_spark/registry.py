@@ -3467,6 +3467,29 @@ FROM c
 """
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order perplexity proxy: avg/max conditional bigram
+    surprisal -ln p(w2|w1) under the corpus's own bigram model."""
+    return TX.bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+def o_bigram_surprisal() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {O.sql_tokens('text')} AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM tok, unnest(range(1, len(tk))) AS r(i)
+),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM big GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(c1::DOUBLE / c2::DOUBLE)), 9) AS avg_surprisal,
+       round(max(ln(c1::DOUBLE / c2::DOUBLE)), 9) AS max_surprisal
+FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
 def q_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, 5 docs per language,
     weight = document length — the Efraimidis-Spirakis one-pass scheme
@@ -4091,6 +4114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_rank": q_bm25_rank,
     "top_events_per_user": q_top_events_per_user,
     "weighted_sample_per_lang": q_weighted_sample_per_lang,
+    "bigram_surprisal": q_bigram_surprisal,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -4194,6 +4218,7 @@ ORACLES: dict[str, str] = {
     "bm25_rank": o_bm25_rank(),
     "top_events_per_user": o_top_events_per_user(),
     "weighted_sample_per_lang": o_weighted_sample_per_lang(),
+    "bigram_surprisal": o_bigram_surprisal(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
