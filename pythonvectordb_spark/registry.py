@@ -4079,6 +4079,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_token_share": q_corpus_token_share,
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
+    # ROUND-3 ROTATION TODO: everything from here through
+    # bigram_surprisal (30 entries) has no driver CORRECTNESS row yet —
+    # locally oracle-verified at sf0.001 + sf0.01 only. At the start of
+    # round 3, move these 30 into the front window (plus 20 rotated
+    # round-2-green entries to fill the 50); the round-1-green block at
+    # the back stays proven.
     # positions 51+: rows-only MLlib entries rotated out of the check
     # window (their driver row is the weak rows-only variant either way;
     # the two oracled PQ queries above take their slots so every oracled
