@@ -609,7 +609,7 @@ def semantic_dedup_pairs(
     cosine >= threshold, id_a < id_b.
     """
     from pythonvectordb_spark.functions.vector import (
-        cosine_similarity_int8_sym,
+        cosine_int8_sym_vec,
         l2_normalize,
         quantize,
     )
@@ -627,8 +627,11 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("id_b"), F.col("qv").alias("vb"), "cluster_id"
     )
     pairs = a.join(b, ["cluster_id"]).filter(F.col("id_a") < F.col("id_b"))
+    # Arrow-vectorized verifier (bit-identical to the expression form —
+    # exact integer dot/norms): within-cluster candidate sets are
+    # quadratic in cluster size, where interpreted HOF lambdas dominate
     return (
-        pairs.withColumn("cosine", cosine_similarity_int8_sym("va", "vb"))
+        pairs.withColumn("cosine", cosine_int8_sym_vec("va", "vb"))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", F.col("cluster_id").cast("int").alias("cluster_id"), "cosine")
     )
