@@ -105,3 +105,62 @@ def decontaminate_stream(
         )
     )
     return scored.filter(F.col("n_shared") >= F.lit(min_common))
+
+
+def start_dedup_gate(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Ingest-time near-duplicate gate: every arriving micro-batch is
+    deduped against the ACCUMULATED corpus before it is appended — the
+    streaming lift of ``dedup.incremental_minhash_dedup``, and the
+    missing piece between "dedup the corpus nightly" and "never let the
+    duplicate in".
+
+    Per batch: (1) exact-id anti-join against the corpus — this is also
+    the crash-replay guard (a batch re-delivered after a commit-window
+    crash finds its own rows already present and re-appends nothing);
+    (2) MinHash band-bucket collision candidates batch-vs-corpus, exact
+    Jaccard verify, drop batch docs clearing ``threshold``; (3) append
+    survivors. Within-batch near-dup pairs are deliberately NOT resolved
+    here (both arrive together and both survive; the nightly
+    ``minhash_lsh_pairs`` + ``resolve_duplicates`` pass owns intra-batch
+    ties) — the gate's contract is "nothing similar to what the corpus
+    already has".
+
+    At scale the corpus side's signatures/band table would be maintained
+    as a bucketed side table updated by the same foreachBatch (compute
+    once per batch, not per comparison); here the corpus is re-signed
+    per batch, which is correct and keeps the example self-contained.
+    """
+    from pythonvectordb_spark.operators.dedup import incremental_minhash_dedup
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.dropDuplicates([id_col])
+        try:
+            corpus = spark.read.parquet(target_dir)
+        except Exception:
+            corpus = None  # first batch: nothing to gate against
+        if corpus is not None:
+            b = b.join(corpus.select(id_col), id_col, "left_anti")
+            dups = incremental_minhash_dedup(
+                corpus, b, threshold=threshold, text_col=text_col, id_col=id_col
+            )
+            b = b.join(
+                dups.select(F.col("batch_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        b.write.mode("append").parquet(target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
