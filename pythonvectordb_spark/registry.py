@@ -3467,6 +3467,107 @@ FROM c
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER first view,
+    then purchased AFTER first qualifying click. One conditional
+    aggregation per user (min-timestamp per stage with an ordering
+    predicate folded in via two chained passes), then a one-row count
+    rollup — two shuffles total (user key, then global 1-row), no
+    self-joins of the event table."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", us)
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("purchases"),
+    )
+    t_click = F.array_min(F.filter("clicks", lambda c: c > F.col("t_view")))
+    enriched = per_user.select(
+        "user_id",
+        "t_view",
+        t_click.alias("t_click"),
+        F.array_min(
+            F.filter(
+                "purchases",
+                lambda p: p > F.array_min(F.filter("clicks", lambda c: c > F.col("t_view"))),
+            )
+        ).alias("t_purchase"),
+    )
+    return enriched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).cast("long").alias("stage_view"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).cast("long").alias("stage_click"),
+        F.sum(F.col("t_purchase").isNotNull().cast("long")).cast("long").alias("stage_purchase"),
+    )
+
+
+def o_event_funnel() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         list(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS clicks,
+         list(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purchases
+  FROM events GROUP BY 1
+),
+staged AS (
+  SELECT user_id, t_view,
+         list_min(list_filter(clicks, c -> c > t_view)) AS t_click,
+         list_min(list_filter(purchases,
+             p -> p > list_min(list_filter(clicks, c -> c > t_view)))) AS t_purchase
+  FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+FROM staged
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort day, day offset) the count of cohort users active that day.
+    The first-seen day is a per-user min (one shuffle); the matrix is a
+    distinct-then-count over (cohort, offset) — the standard two-shuffle
+    retention plan, no self-join of the event table."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = events.select("user_id", day.alias("active_day")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+def o_retention_cohorts() -> str:
+    return """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order perplexity proxy: avg/max conditional bigram
     surprisal -ln p(w2|w1) under the corpus's own bigram model."""
@@ -4121,6 +4222,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_events_per_user": q_top_events_per_user,
     "weighted_sample_per_lang": q_weighted_sample_per_lang,
     "bigram_surprisal": q_bigram_surprisal,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
     # --- round-1 driver-green block (50 entries, CORRECTNESS_r01 all
     # rows+schema+hash pass) ---------------------------------------------
     # vector surface (reference parity)
@@ -4225,6 +4328,8 @@ ORACLES: dict[str, str] = {
     "top_events_per_user": o_top_events_per_user(),
     "weighted_sample_per_lang": o_weighted_sample_per_lang(),
     "bigram_surprisal": o_bigram_surprisal(),
+    "event_funnel": o_event_funnel(),
+    "retention_cohorts": o_retention_cohorts(),
     "ann_ivf": o_ann_ivf(),
     "ann_ivf_filtered": o_ann_ivf_filtered(),
     "knn_l2": o_knn_l2(),
