@@ -69,6 +69,11 @@ HEADLINE = [
     "encode_tokens",
     "incremental_dedup",
     "bm25_rank",
+    # round-3 additions: trained-codebook ADC (production PQ path) and
+    # the driver-witnessed batch twins of the streaming surface
+    "ann_pq_trained",
+    "matview_user_spend_twin",
+    "dedup_gate_twin",
 ]
 
 
@@ -76,11 +81,31 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _control_query_s(spark, sf_dir: str) -> float:
+    """Fixed small aggregate timed at the start AND end of the run: if
+    the two disagree by much, a co-tenant was loading the host and the
+    absolute numbers of this run aren't comparable across rounds
+    (round-2 VERDICT item 8 — measured swings up to ~4x)."""
+    df = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.sum("l_quantity"), F.count(F.lit(1))
+    )
+    df.collect()  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("pvdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    control_start = _control_query_s(spark, sf_dir)
+    log(f"bench control query (start): {control_start}s")
 
     # --- baseline-regime throughput: 50k vectors, batched knn as one job ---
     # (measured FIRST: the heavy dedup queries below leave GC/allocator
@@ -236,39 +261,73 @@ def main() -> None:
     # ones. The testdata is uniform-random (ANN's theoretical worst case:
     # no cluster structure), so these are recall FLOORS; see the
     # recall/pruning notes on each operator. ---
+    from pythonvectordb_spark import fixtures_trained as FT
+    from pythonvectordb_spark.fixtures import _seeded_unit
     from pythonvectordb_spark.indexing import brp_lsh_near_dup
     from pythonvectordb_spark.operators.dedup import embedding_near_dup, lsh_band_planes
 
-    exact10 = {r.vec_id for r in S.knn_search_float(emb, FX.QUERY_VEC, k=10).collect()}
+    # recall is averaged over a fixed probe set — round 2's single-query
+    # numbers swung by ±0.3 from codebook luck alone (recall@10 moves in
+    # 0.1 steps), so one query can't separate a bad index from a bad draw
+    probe_seeds = [42, 7, 11, 13, 17, 19, 23, 29, 31, 37]
+    probes = [_seeded_unit(s) for s in probe_seeds]
+    exact_by_probe = [
+        {r.vec_id for r in S.knn_search_float(emb, q, k=10).collect()}
+        for q in probes
+    ]
 
-    def recall_of(df) -> float:
-        return round(len({r.vec_id for r in df.collect()} & exact10) / len(exact10), 3)
+    def mean_recall(search_fn, n_probes: int = 10) -> float:
+        vals = [
+            len({r.vec_id for r in search_fn(q).collect()} & ex) / len(ex)
+            for q, ex in zip(probes[:n_probes], exact_by_probe[:n_probes])
+        ]
+        return round(sum(vals) / len(vals), 3)
 
+    # PQ entries use 5 probes (the m=16 x 64 literal-codebook plan costs
+    # ~2.5 s to build per query; codes are ingest-time in production)
     ann_recall = {
-        "ivf_nprobe2": recall_of(
-            S.ann_ivf_search(emb, FX.QUERY_VEC, FX.CENTROIDS, k=10, nprobe=2)
+        "ivf_nprobe2": mean_recall(
+            lambda q: S.ann_ivf_search(emb, q, FX.CENTROIDS, k=10, nprobe=2)
         ),
-        "ivf_nprobe4": recall_of(
-            S.ann_ivf_search(emb, FX.QUERY_VEC, FX.CENTROIDS, k=10, nprobe=4)
+        "ivf_nprobe4": mean_recall(
+            lambda q: S.ann_ivf_search(emb, q, FX.CENTROIDS, k=10, nprobe=4)
         ),
-        "lsh_single_band_6bit": recall_of(
-            S.ann_lsh_search(emb, FX.QUERY_VEC, FX.HYPERPLANES, k=10)
+        # teaching baseline: single 6-bit table ~= random retrieval here
+        "lsh_single_band_6bit": mean_recall(
+            lambda q: S.ann_lsh_search(emb, q, FX.HYPERPLANES, k=10)
         ),
-        "lsh_multiprobe_24x4": recall_of(
-            S.ann_lsh_multiprobe_search(emb, FX.QUERY_VEC, lsh_band_planes(24, 4), k=10)
+        # the registered ann_lsh default since round 3
+        "lsh_default_16x6": mean_recall(
+            lambda q: S.ann_lsh_multiprobe_search(emb, q, lsh_band_planes(16, 6), k=10)
         ),
-        "pq_adc": recall_of(S.ann_pq_search(emb, FX.QUERY_VEC, FX.PQ_CODEBOOKS, k=10)),
-        "pq_adc_rerank100": recall_of(
-            S.ann_pq_search(emb, FX.QUERY_VEC, FX.PQ_CODEBOOKS, k=10, rerank=100)
+        "lsh_multiprobe_24x4": mean_recall(
+            lambda q: S.ann_lsh_multiprobe_search(emb, q, lsh_band_planes(24, 4), k=10)
         ),
-        "ivf_pq_nprobe4_rerank100": recall_of(
-            S.ann_ivf_pq_search(
-                emb, FX.QUERY_VEC, FX.CENTROIDS, FX.PQ_CODEBOOKS,
+        # trained codebooks (fixtures_trained.py) are the registered
+        # production path since round 3; random books kept as contrast
+        "pq_adc": mean_recall(
+            lambda q: S.ann_pq_search(emb, q, FT.PQ_CODEBOOKS_TRAINED, k=10),
+            n_probes=5,
+        ),
+        "pq_adc_rerank100": mean_recall(
+            lambda q: S.ann_pq_search(
+                emb, q, FT.PQ_CODEBOOKS_TRAINED, k=10, rerank=100
+            ),
+            n_probes=5,
+        ),
+        "pq_adc_random_books_rerank100": mean_recall(
+            lambda q: S.ann_pq_search(emb, q, FX.PQ_CODEBOOKS, k=10, rerank=100),
+            n_probes=5,
+        ),
+        "ivf_pq_nprobe4_rerank100": mean_recall(
+            lambda q: S.ann_ivf_pq_search(
+                emb, q, FT.CENTROIDS_TRAINED, FT.PQ_CODEBOOKS_TRAINED,
                 k=10, nprobe=4, rerank=100,
-            )
+            ),
+            n_probes=5,
         ),
     }
-    log(f"bench ann recall@10: {ann_recall}")
+    log(f"bench ann recall@10 (mean over {len(probes)} probes): {ann_recall}")
 
     exact_pairs = {
         (r.id_a, r.id_b)
@@ -297,6 +356,16 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         log(f"bench {name}: {timings[name]}s")
 
+    control_end = _control_query_s(spark, sf_dir)
+    control_delta_pct = round(
+        abs(control_end - control_start) / max(control_start, 1e-9) * 100, 1
+    )
+    log(
+        f"bench control query (end): {control_end}s "
+        f"(delta {control_delta_pct}% vs start — >20% means co-tenant load,"
+        " rerun before comparing rounds)"
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -316,6 +385,11 @@ def main() -> None:
         "delete_anti_join_ms": round(delete_ms, 1),
         "snapshot_load_ms": round(load_ms, 1),
         "int8_bytes_per_vector": 64,  # dim bytes/vector, matches reference stat
+        "control_query_s": {
+            "start": control_start,
+            "end": control_end,
+            "delta_pct": control_delta_pct,
+        },
     }
     spark.stop()
     print(json.dumps(out))

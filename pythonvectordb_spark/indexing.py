@@ -51,6 +51,52 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace KMeans codebooks for product quantization — the
+    offline training step that random fixture codebooks stand in for
+    (fixtures.py notes "at scale these come from per-subspace KMeans";
+    this is that KMeans).
+
+    The vector column is sliced into ``m`` contiguous subspaces and each
+    subspace gets its own ``ks``-centroid KMeans fit over the (optionally
+    sampled) table — m small fits over sub_dim-wide rows, not one fit
+    over the full dimension, so driver memory per fit is tiny and the m
+    fits each scan the (cached) sample once. Returns plain python
+    ``[m][ks][sub_dim]`` floats so the books embed as literal
+    expressions in `pq_code_expr` / `ann_pq_search` exactly like the
+    fixture books (and like trained IVF centroids above).
+
+    Trained books adapt to the data's actual per-subspace density, which
+    is what lifts ADC recall from the ~0.2-0.5 of scale-matched random
+    books to the ~0.8+ a production PQ index needs.
+    """
+    base = df.select(vec_col)
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=SEED)
+    base = base.cache()
+    try:
+        n_dim = len(base.first()[0])
+        sub_dim = n_dim // m
+        books = []
+        for s in range(m):
+            feats = base.select(
+                array_to_vector(
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                ).alias("features")
+            )
+            model = KMeans(k=ks, seed=SEED, featuresCol="features").fit(feats)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return books
+    finally:
+        base.unpersist()
+
+
 def build_ivf_index(
     df: DataFrame,
     centroids: list[list[float]],

@@ -388,7 +388,7 @@ def ann_lsh_multiprobe_search(
 # ---------------------------------------------------------------------------
 
 def pq_code_expr(
-    vec_col: str | Column, codebooks: Sequence[Sequence[Sequence[float]]]
+    vec_col: str, codebooks: Sequence[Sequence[Sequence[float]]]
 ) -> Column:
     """PQ encoding as a pure expression: the vector splits into
     ``len(codebooks)`` subspaces; each emits the index of its nearest
@@ -410,7 +410,12 @@ def pq_code_expr(
     form is a few dozen nodes, one parse.
     """
     if not isinstance(vec_col, str):
-        raise TypeError("pq_code_expr requires a column NAME (SQL-expression build)")
+        raise TypeError(
+            "pq_code_expr requires a column NAME, not a Column: since the "
+            "HOF rewrite the expression is built as one SQL string and a "
+            "Column object cannot be spliced into it. Pass the name "
+            "(e.g. 'embedding') or add a withColumn alias first."
+        )
     codes = []
     offset = 0
     for cents in codebooks:
@@ -585,16 +590,20 @@ def ann_ivf_pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str | None = None,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the standard billion-scale ANN layout
     (coarse quantizer prunes the scan, product quantizer compresses
     what remains, exact re-rank bounds the full-dimension work):
 
     1. probe: keep only rows whose nearest coarse centroid is among the
-       ``nprobe`` centroids closest to the query. At scale ``cluster_id``
-       is a partition column (see ``indexing.build_ivf_index``) and this
-       filter is partition PRUNING — (nclusters - nprobe)/nclusters of
-       the table is never read.
+       ``nprobe`` centroids closest to the query. Pass ``cluster_col``
+       to filter an INGEST-TIME cluster assignment (as written by
+       ``indexing.build_ivf_index``, where ``cluster_id`` is a partition
+       column and this filter is partition PRUNING —
+       (nclusters - nprobe)/nclusters of the table is never read).
+       Without it the assignment is recomputed per row, which scans
+       everything and is only right for un-indexed tables.
     2. ADC: rank the survivors by the PQ lookup distance — ``m`` array
        reads + adds per row against one-byte codes, never the float
        vector (``code_col`` scores ingest-time codes; float vectors stay
@@ -606,9 +615,12 @@ def ann_ivf_pq_search(
     is the pruned scan -> ADC TakeOrderedAndProject -> tiny exact sort.
     """
     probe = ivf_probe(query, centroids, nprobe)
-    cand = df.withColumn("cluster_id", ivf_cluster_id(vec_col, centroids)).filter(
-        F.col("cluster_id").isin(probe)
-    )
+    if cluster_col is not None:
+        cand = df.filter(F.col(cluster_col).isin(probe))
+    else:
+        cand = df.withColumn("cluster_id", ivf_cluster_id(vec_col, centroids)).filter(
+            F.col("cluster_id").isin(probe)
+        )
     return ann_pq_search(
         cand,
         query,

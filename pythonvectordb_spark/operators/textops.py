@@ -350,7 +350,11 @@ def pack_sequences(
     n_tok = F.size(tokens(text_col))
     d = df.select(F.col(id_col), n_tok.alias("n_tok")).filter(F.col("n_tok") > 0)
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        # may be a non-numeric value like 'auto' under AQE-managed configs
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n_part = 32
     d = d.repartitionByRange(n_part, F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -375,10 +379,19 @@ def pack_sequences(
         .select(
             F.col(id_col),
             F.col("n_tok").cast("long").alias("n_tok"),
-            F.floor(start / F.lit(seq_len)).cast("long").alias("seq_first"),
-            F.floor((cum - 1) / F.lit(seq_len)).cast("long").alias("seq_last"),
-            (
-                F.floor(start / F.lit(seq_len)) != F.floor((cum - 1) / F.lit(seq_len))
+            # exact integer division (`div`), not FP floor(a/b): at very
+            # large token totals double division can misround near
+            # multiples of seq_len where the DuckDB oracle's `//` cannot
+            start.alias("_start"),
+            (cum - 1).alias("_endtok"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tok",
+            F.expr(f"_start div {int(seq_len)}").alias("seq_first"),
+            F.expr(f"_endtok div {int(seq_len)}").alias("seq_last"),
+            F.expr(
+                f"_start div {int(seq_len)} != _endtok div {int(seq_len)}"
             ).alias("spans_boundary"),
         )
     )
@@ -453,17 +466,25 @@ def encode_tokens(
     )
 
 
-def corpus_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-row corpus card: document/token/char totals, language and
-    source breadth, exact-duplicate rate. One scan, one map-side-combined
-    aggregate (count_distinct adds its standard expand; all else is
-    partial-aggregable)."""
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """One-row corpus card: document/token/char totals, language breadth
+    (when ``lang_col`` is present — pass ``None`` or a missing name for a
+    corpus without one; the column is then reported as 0), exact-duplicate
+    rate. One scan, one map-side-combined aggregate (count_distinct adds
+    its standard expand; all else is partial-aggregable)."""
     t = tokens(text_col)
+    has_lang = lang_col is not None and lang_col in df.columns
+    lang_expr = F.col(lang_col) if has_lang else F.lit(None).cast("string")
     return df.select(
         F.col(id_col),
         F.size(t).alias("_n_tok"),
         F.length(text_col).alias("_n_chars"),
-        F.col("lang").alias("_lang"),
+        lang_expr.alias("_lang"),
         F.md5(F.col(text_col)).alias("_h"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from pythonvectordb_spark.functions.text import shingles
 from pythonvectordb_spark.operators.curation import pii_scrub
@@ -107,6 +108,41 @@ def decontaminate_stream(
     return scored.filter(F.col("n_shared") >= F.lit(min_common))
 
 
+def gate_batch(
+    corpus: DataFrame | None,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One step of the near-dup ingest gate as a pure batch function:
+    the ``batch`` rows that clear the gate against ``corpus`` (None =
+    empty corpus — everything survives).
+
+    Per step: exact-id anti-join (doubles as the foreachBatch replay
+    guard), MinHash band-bucket candidates batch-vs-corpus, exact
+    Jaccard verify, drop batch docs at/over ``threshold``. This is the
+    exact body `start_dedup_gate` runs per micro-batch — factored out so
+    the registry's `dedup_gate_twin` can fold a deterministic batch
+    sequence through it and the driver's DuckDB oracle can witness the
+    streaming semantics (round-2 VERDICT item 5).
+    """
+    from pythonvectordb_spark.operators.dedup import incremental_minhash_dedup
+
+    b = batch.dropDuplicates([id_col])
+    if corpus is None:
+        return b
+    b = b.join(corpus.select(id_col), id_col, "left_anti")
+    dups = incremental_minhash_dedup(
+        corpus, b, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    return b.join(
+        dups.select(F.col("batch_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+
+
 def start_dedup_gate(
     stream: DataFrame,
     target_dir: str,
@@ -137,26 +173,22 @@ def start_dedup_gate(
     once per batch, not per comparison); here the corpus is re-signed
     per batch, which is correct and keeps the example self-contained.
     """
-    from pythonvectordb_spark.operators.dedup import incremental_minhash_dedup
-
     def gate(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        b = batch.dropDuplicates([id_col])
         try:
             corpus = spark.read.parquet(target_dir)
-        except Exception:
+        except AnalysisException as e:
+            # Only the missing-target case means "first batch". Any other
+            # read failure (corrupt footer, permissions, transient FS
+            # error) must fail the batch so the checkpoint retries it —
+            # silently skipping the gate would append un-deduped rows
+            # permanently.
+            if "PATH_NOT_FOUND" not in str(getattr(e, "errorClass", "") or str(e)):
+                raise
             corpus = None  # first batch: nothing to gate against
-        if corpus is not None:
-            b = b.join(corpus.select(id_col), id_col, "left_anti")
-            dups = incremental_minhash_dedup(
-                corpus, b, threshold=threshold, text_col=text_col, id_col=id_col
-            )
-            b = b.join(
-                dups.select(F.col("batch_id").alias(id_col)).distinct(),
-                id_col,
-                "left_anti",
-            )
-        b.write.mode("append").parquet(target_dir)
+        gate_batch(
+            corpus, batch, threshold=threshold, text_col=text_col, id_col=id_col
+        ).write.mode("append").parquet(target_dir)
 
     return (
         stream.writeStream.foreachBatch(gate)

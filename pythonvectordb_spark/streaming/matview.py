@@ -38,6 +38,38 @@ def _read_marker(target_dir: str) -> int:
         return -1
 
 
+def user_spend_delta(batch: DataFrame) -> DataFrame:
+    """Per-user (n_events, value_cents) partial aggregate of one batch.
+    Exact-integer cents, so merge order never changes the result."""
+    return batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "value_cents"
+        ),
+    )
+
+
+def merge_user_spend(current: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One incremental-maintenance step: fold a raw batch's partial
+    aggregate into the stored per-key totals (None = empty view). This
+    is the exact merge `start_user_spend_matview` runs per micro-batch —
+    factored out so the registry's `matview_user_spend_twin` can fold a
+    deterministic batch split through it and the driver's DuckDB oracle
+    (the one-shot GROUP BY) can witness that the incremental fold equals
+    the full recompute."""
+    delta = user_spend_delta(batch)
+    if current is None:
+        return delta
+    return (
+        current.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
 def start_user_spend_matview(
     stream: DataFrame,
     target_dir: str,
@@ -51,26 +83,11 @@ def start_user_spend_matview(
         spark = batch.sparkSession
         if batch_id <= _read_marker(target_dir):
             return  # replayed batch: already folded in
-        delta = batch.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
-                "value_cents"
-            ),
-        )
         try:
             current = spark.read.parquet(target_dir)
         except Exception:
             current = None  # first batch: view starts from the delta
-        merged = (
-            delta
-            if current is None
-            else current.unionByName(delta)
-            .groupBy("user_id")
-            .agg(
-                F.sum("n_events").cast("long").alias("n_events"),
-                F.sum("value_cents").cast("long").alias("value_cents"),
-            )
-        )
+        merged = merge_user_spend(current, batch)
         tmp = f"{target_dir}__mv_tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, MARKER_FILE), "w") as f:
