@@ -202,6 +202,43 @@ def main() -> None:
         f"bench concurrent: {len(queries_conc)} queries / {conc_threads} threads "
         f"in {conc_sec:.2f}s -> {concurrent_qps:.0f} qps"
     )
+    # --- concurrent search, dynamic batching (serving.KnnServer): the
+    # same client shape (N independent threads, one query per call), but
+    # the server coalesces queries arriving within a few ms into ONE
+    # batched job — the production answer to Spark's per-job floor. Runs
+    # against the full 32-partition table (each coalesced job is a
+    # normal batched-knn job).
+    from pythonvectordb_spark.serving import KnnServer
+
+    serve_table = table.coalesce(8).persist()
+    serve_table.count()
+    queries_co = [
+        [float(x) for x in r.embedding] for r in emb.limit(256).collect()
+    ]
+
+    def serve_qps(n_threads: int, n_queries: int) -> float:
+        qs = (queries_co * ((n_queries + 255) // 256))[:n_queries]
+        with KnnServer(
+            serve_table, k=10, max_batch=512, max_wait_ms=8.0, max_inflight=4
+        ) as srv:
+            srv.search(qs[0])  # warm
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                list(ex.map(srv.search, qs))
+            sec = time.time() - t0
+        return n_queries / sec
+
+    # same 8-client shape as the raw number above, then the scaling
+    # story: throughput grows with offered concurrency (more queries
+    # coalesce per job) instead of collapsing into the per-job floor
+    concurrent_qps_coalesced = serve_qps(8, 256)
+    concurrent_qps_coalesced_64 = serve_qps(64, 1024)
+    log(
+        f"bench concurrent coalesced: 8 threads -> {concurrent_qps_coalesced:.0f} qps; "
+        f"64 threads -> {concurrent_qps_coalesced_64:.0f} qps"
+    )
+    serve_table.unpersist()
+
     conc_table.unpersist()
     table.unpersist()
 
@@ -377,6 +414,8 @@ def main() -> None:
         "knn_qps_50k_32k_batch": round(qps_32k, 1),
         "knn_single_ms": round(single_ms, 1),
         "concurrent_qps": round(concurrent_qps, 1),
+        "concurrent_qps_coalesced": round(concurrent_qps_coalesced, 1),
+        "concurrent_qps_coalesced_64clients": round(concurrent_qps_coalesced_64, 1),
         "mem_bytes_per_vector": mem_scaling,
         "ann_recall_at_10": ann_recall,
         "dedup_pair_recall": dedup_pair_recall,

@@ -83,3 +83,7 @@ from pythonvectordb_spark.sources.snapshot import (  # noqa: F401
     save_snapshot,
     validate_batch,
 )
+from pythonvectordb_spark.serving import (  # noqa: F401
+    KnnServer,
+    quantize_query,
+)

@@ -150,7 +150,45 @@ def cosine_int8_sym_vec(a: Column | str, b: Column | str) -> Column:
             s = np.where((sa == 0) | (sb == 0), 0.0, d.astype(np.float64) / denom)
         return pd.Series(s)
 
+    # deterministic in fact, but marked nondeterministic so Catalyst will
+    # not clone the Arrow eval when a downstream filter references the
+    # column (withColumn + filter otherwise plans TWO ArrowEvalPython
+    # nodes over the full candidate set — measured 2x the verify cost)
+    _cos = _cos.asNondeterministic()
     return _cos(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)
+
+
+def lsh_band_signatures_int8_vec(
+    qv: Column | str, band_planes: "list[list[list[int]]]"
+) -> Column:
+    """Per-band LSH bucket ids over the int8 storage vector, against
+    INTEGER hyperplanes (``operators.dedup.lsh_band_planes_int``), as one
+    Arrow-vectorized matmul: result[b] has bit i set iff
+    ``dot(qv, planes[b][i]) >= 0``, weight ``1 << i``.
+
+    Every dot is an exact int64 sum of int8*int coefficient products
+    (|sum| <= 64*128*~400 — nowhere near overflow), so the numpy batch
+    matmul is bit-identical to any sequential fold and to the DuckDB
+    oracle's unrolled integer sum: the signs carry no FP-order caveat at
+    all. That exactness is what licenses BLAS here — the float-plane
+    expression path (``operators.search.lsh_band_signatures_expr``)
+    must pin its fold order instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    flat = [p for bp in band_planes for p in bp]
+    P = np.asarray(flat, dtype=np.int64)  # (bands*bits, dim)
+    n_bands, n_bits = len(band_planes), len(band_planes[0])
+    weights = (1 << np.arange(n_bits, dtype=np.int64))[None, :]
+
+    @pandas_udf("array<int>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.int64)  # (n, dim)
+        bits = (M @ P.T) >= 0  # (n, bands*bits) exact integer signs
+        b = bits.reshape(len(M), n_bands, n_bits)
+        sigs = (b * weights).sum(axis=2).astype(np.int32)  # (n, bands)
+        return pd.Series(list(sigs))
+
+    return _sigs(F.col(qv) if isinstance(qv, str) else qv)
 
 
 def cosine_similarity_int8(query: Column | str, qvec: Column | str) -> Column:

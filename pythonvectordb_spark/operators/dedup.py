@@ -437,6 +437,30 @@ def lsh_band_planes(
     ]
 
 
+def lsh_band_planes_int(
+    bands: int = 12, bits: int = 4, dim: int = 64, seed: int = 1234
+) -> list[list[list[int]]]:
+    """Integer-quantized twin of :func:`lsh_band_planes`: the same seeded
+    gaussian directions scaled by 127 and rounded. With int planes over
+    the int8 storage vector the signature dot products are EXACT INTEGER
+    sums — order-independent, so a vectorized numpy matmul, an
+    interpreted HOF fold, and the DuckDB oracle's unrolled sum all
+    produce identical signs with no FP-reassociation caveat (unlike
+    float planes, where a sign near zero could theoretically flip under
+    a different summation order). Quantizing a random direction is still
+    a random direction: LSH recall is statistically unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [
+            [int(x) for x in np.rint(rng.standard_normal(dim).astype(np.float32) * 127.0).astype(np.int64)]
+            for _ in range(bits)
+        ]
+        for _ in range(bands)
+    ]
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.4,
@@ -492,21 +516,32 @@ def embedding_near_dup(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
         out = pairs.withColumn("cosine", cosine_similarity_int8_sym("va", "vb"))
     elif method == "lsh":
-        from pythonvectordb_spark.operators.search import lsh_signature
+        from pythonvectordb_spark.functions.vector import lsh_band_signatures_int8_vec
+        from pythonvectordb_spark.operators.search import lsh_band_signatures_expr
 
-        planes = hyperplanes if hyperplanes is not None else lsh_band_planes(bands, bits, seed=seed)
-        # all band signatures in ONE projection (single scan), then
-        # explode to (id, band, bkey) — narrow rows into the bucket join
-        sig_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_signature(vec_col, band_planes).alias("bkey"),
+        if hyperplanes is not None:
+            # caller-supplied float planes: signatures over the raw float
+            # vector via the one-parse HOF expression (pinned fold order)
+            banded = df.select(
+                F.col(id_col),
+                F.posexplode(lsh_band_signatures_expr(vec_col, hyperplanes)).alias(
+                    "band", "bkey"
+                ),
             )
-            for b, band_planes in enumerate(planes)
-        ]
-        banded = df.select(
-            F.col(id_col), F.explode(F.array(*sig_structs)).alias("bs")
-        ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+        else:
+            # default: INTEGER planes over the int8 storage vector — the
+            # signature dots are exact int64 sums (order-independent), so
+            # the Arrow matmul kernel is bit-identical to the HOF
+            # expression twin and to the DuckDB oracle, with none of the
+            # float-plane paths' fold-order pinning. One scan, one Arrow
+            # batch, then posexplode to (id, band, bkey) narrow rows.
+            planes_int = lsh_band_planes_int(bands, bits, seed=seed)
+            banded = q.select(
+                F.col(id_col),
+                F.posexplode(lsh_band_signatures_int8_vec("qv", planes_int)).alias(
+                    "band", "bkey"
+                ),
+            )
         x = banded.alias("x")
         y = banded.alias("y")
         cand = (

@@ -206,8 +206,6 @@ def knn_join(
     (un-quantized) — this function quantizes the query side. Returns
     (query_id, vec_id, score, rank).
     """
-    import math
-
     from pythonvectordb_spark.functions.vector import cosine_similarity_int8_sym
 
     queries_q = queries.select(
@@ -222,77 +220,12 @@ def knn_join(
         )
     elif method == "pandas":
         import numpy as np
-        import pandas as pd
 
         qrows = queries_q.collect()  # query set is small by contract
         qids_l = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat_l = np.array([r[1] for r in qrows], dtype=np.float32)  # m x dim
-        qss = (qmat_l.astype(np.int64) ** 2).sum(axis=1)
-        qnorm_l = np.sqrt(qss.astype(np.float64))  # exact ints -> exact sqrt
-        # ship the query matrix as a Spark broadcast (one torrent copy per
-        # executor), NOT via closure capture (re-serialized into every
-        # task) — the difference matters for 32k+ query batches
-        bc = data.sparkSession.sparkContext.broadcast((qids_l, qmat_l, qnorm_l))
-        kk = k
-
-        # queries processed in fixed-size chunks: peak memory per task is
-        # rows x QCHUNK float64 scores (tens of MB at Arrow's default
-        # batch size) REGARDLESS of the query-batch size — an unchunked
-        # 32k-query batch would materialize a ~0.4 GB score matrix per
-        # task (plus partial-select copies) and thrash the allocator
-        # across every core at once.
-        QCHUNK = 4096
-
-        def score_batches(batches):
-            qids, qmat, qnorm = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                M = np.vstack(pdf[qvec_col].to_numpy()).astype(np.float32)
-                ids = pdf[data_id].to_numpy().astype(np.int64)
-                vss = (M.astype(np.int64) ** 2).sum(axis=1)
-                vnorm = np.sqrt(vss.astype(np.float64))
-                n = len(ids)
-                take = min(kk, n)
-                for j0 in range(0, len(qids), QCHUNK):
-                    sub = qmat[j0 : j0 + QCHUNK]
-                    dots = (M @ sub.T).astype(np.float64)  # exact integers
-                    denom = vnorm[:, None] * qnorm[j0 : j0 + QCHUNK][None, :]
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        scores = np.where(denom > 0, dots / denom, 0.0)
-                    # per-batch partial top-k, fully vectorized: emit
-                    # every row scoring >= the column's k-th largest
-                    # value (ties included — a superset of the true
-                    # top-k) and let the global Window do the exact
-                    # (score desc, id asc) ranking. No per-query Python
-                    # loop (a per-column lexsort loop dominates whole
-                    # jobs at 32k+ queries), no negation copies
-                    # (ascending partition: position n-take IS the
-                    # take-th largest). Emission stays ~k rows per query
-                    # per batch, so the Window's shuffle is unchanged.
-                    if take < n:
-                        kth = np.partition(scores, n - take, axis=0)[n - take, :]
-                        r, c = np.nonzero(scores >= kth[None, :])
-                        yield pd.DataFrame(
-                            {
-                                query_id: qids[j0 + c],
-                                data_id: ids[r],
-                                "score": scores[r, c],
-                            }
-                        )
-                    else:
-                        nq = scores.shape[1]
-                        yield pd.DataFrame(
-                            {
-                                query_id: np.repeat(qids[j0 : j0 + nq], n),
-                                data_id: np.tile(ids, nq),
-                                "score": scores.T.reshape(-1),
-                            }
-                        )
-
-        scored = data.select(F.col(data_id), F.col(qvec_col)).mapInPandas(
-            score_batches,
-            schema=f"{query_id} long, {data_id} long, score double",
+        scored = scored_from_qmat(
+            data, qids_l, qmat_l, k, data_id=data_id, query_id=query_id, qvec_col=qvec_col
         )
     else:
         raise ValueError(f"bad method {method!r}")
@@ -300,9 +233,183 @@ def knn_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def scored_from_qmat(
+    data: DataFrame,
+    qids_l,
+    qmat_l,
+    k: int,
+    data_id: str = "vec_id",
+    query_id: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """The Arrow/BLAS scoring core of :func:`knn_join`, taking the
+    quantized query matrix directly (``qids_l`` int64 array, ``qmat_l``
+    m x dim int8-valued float32 array): broadcast the matrix, score each
+    Arrow batch with one matmul, emit per-batch partial top-k rows.
+    Shared by ``knn_join`` (which collects its queries DataFrame to a
+    matrix) and ``serving.KnnServer`` (which already holds the pending
+    queries as Python vectors — going through a queries DataFrame would
+    add two driver jobs per coalesced micro-batch for nothing).
+    Returns the un-windowed (query_id, vec_id, score) frame."""
+    import numpy as np
+    import pandas as pd
+
+    qss = (qmat_l.astype(np.int64) ** 2).sum(axis=1)
+    qnorm_l = np.sqrt(qss.astype(np.float64))  # exact ints -> exact sqrt
+    # ship the query matrix as a Spark broadcast (one torrent copy per
+    # executor), NOT via closure capture (re-serialized into every
+    # task) — the difference matters for 32k+ query batches
+    bc = data.sparkSession.sparkContext.broadcast((qids_l, qmat_l, qnorm_l))
+    kk = k
+
+    # queries processed in fixed-size chunks: peak memory per task is
+    # rows x QCHUNK float64 scores (tens of MB at Arrow's default
+    # batch size) REGARDLESS of the query-batch size — an unchunked
+    # 32k-query batch would materialize a ~0.4 GB score matrix per
+    # task (plus partial-select copies) and thrash the allocator
+    # across every core at once.
+    QCHUNK = 4096
+
+    def score_batches(batches):
+        qids, qmat, qnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[qvec_col].to_numpy()).astype(np.float32)
+            ids = pdf[data_id].to_numpy().astype(np.int64)
+            vss = (M.astype(np.int64) ** 2).sum(axis=1)
+            vnorm = np.sqrt(vss.astype(np.float64))
+            n = len(ids)
+            take = min(kk, n)
+            for j0 in range(0, len(qids), QCHUNK):
+                sub = qmat[j0 : j0 + QCHUNK]
+                dots = (M @ sub.T).astype(np.float64)  # exact integers
+                denom = vnorm[:, None] * qnorm[j0 : j0 + QCHUNK][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom > 0, dots / denom, 0.0)
+                # per-batch partial top-k, fully vectorized: emit
+                # every row scoring >= the column's k-th largest
+                # value (ties included — a superset of the true
+                # top-k) and let the global Window do the exact
+                # (score desc, id asc) ranking. No per-query Python
+                # loop (a per-column lexsort loop dominates whole
+                # jobs at 32k+ queries), no negation copies
+                # (ascending partition: position n-take IS the
+                # take-th largest). Emission stays ~k rows per query
+                # per batch, so the Window's shuffle is unchanged.
+                if take < n:
+                    kth = np.partition(scores, n - take, axis=0)[n - take, :]
+                    r, c = np.nonzero(scores >= kth[None, :])
+                    yield pd.DataFrame(
+                        {
+                            query_id: qids[j0 + c],
+                            data_id: ids[r],
+                            "score": scores[r, c],
+                        }
+                    )
+                else:
+                    nq = scores.shape[1]
+                    yield pd.DataFrame(
+                        {
+                            query_id: np.repeat(qids[j0 : j0 + nq], n),
+                            data_id: np.tile(ids, nq),
+                            "score": scores.T.reshape(-1),
+                        }
+                    )
+
+    return data.select(F.col(data_id), F.col(qvec_col)).mapInPandas(
+        score_batches,
+        schema=f"{query_id} long, {data_id} long, score double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate search: random-hyperplane LSH (public SimHash/LSH construction)
 # ---------------------------------------------------------------------------
+
+def lsh_band_signatures_expr(
+    vec_col: str, band_planes: Sequence[Sequence[Sequence[float]]]
+) -> Column:
+    """All band signatures in ONE ``F.expr``: element ``b`` of the result
+    is the ``lsh_signature`` bucket id of band ``b`` (bit i set iff
+    dot(vec, plane_i) >= 0, weight ``1 << i``).
+
+    Built as a single higher-order-function expression over a literal
+    array-of-array-of-array of plane coefficients rather than the
+    unrolled ``lsh_signature`` Column tree: at 12 bands x 4 bits x 64
+    dims the unrolled form is ~3,000 ``F.lit`` py4j round-trips plus a
+    Catalyst tree every rule visits on every action — measured ~6 s of
+    DRIVER time per query at sf0.1 (and growing linearly with
+    bands x bits, i.e. with recall). The HOF form is one parse of one
+    string; the per-row work is identical.
+
+    Bit-compatibility: the inner dot is a sequential fold in double over
+    ascending j (``acc + v[j]*h[j]``) — the exact order and type of
+    ``functions.vector.dot``'s zip_with/aggregate, so signatures (and
+    therefore candidate sets) are unchanged, and the DuckDB oracles'
+    unrolled left-associative sums keep matching bit-for-bit.
+    """
+    if not isinstance(vec_col, str):
+        raise TypeError("lsh_band_signatures_expr requires a column NAME")
+    bands_sql = []
+    for bp in band_planes:
+        dim = len(bp[0])
+        planes_arr = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({float(h)!r} AS DOUBLE)" for h in plane) + ")"
+                for plane in bp
+            )
+            + ")"
+        )
+        d = (
+            f"aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE), "
+            f"(a, j) -> a + CAST(element_at(`{vec_col}`, j + 1) AS DOUBLE)"
+            f" * element_at(p, j + 1))"
+        )
+        bands_sql.append(
+            f"CAST(aggregate(zip_with({planes_arr}, sequence(0, {len(bp) - 1}),"
+            f" (p, i) -> CASE WHEN ({d}) >= CAST(0.0 AS DOUBLE)"
+            f" THEN shiftleft(1, i) ELSE 0 END), 0, (acc, x) -> acc + x) AS INT)"
+        )
+    return F.expr("array(" + ", ".join(bands_sql) + ")")
+
+
+def lsh_band_signatures_int_expr(
+    qv_col: str, band_planes: Sequence[Sequence[Sequence[int]]]
+) -> Column:
+    """Pure-expression twin of
+    ``functions.vector.lsh_band_signatures_int8_vec``: the same per-band
+    bucket ids over the int8 storage vector against INTEGER planes,
+    built as one HOF ``F.expr``. Exact int64 arithmetic end-to-end, so
+    it is bit-identical to the Arrow matmul in every case (the equality
+    is pinned by test) — kept as the no-Python fallback and the
+    cross-check that licenses the vectorized default."""
+    if not isinstance(qv_col, str):
+        raise TypeError("lsh_band_signatures_int_expr requires a column NAME")
+    bands_sql = []
+    for bp in band_planes:
+        dim = len(bp[0])
+        planes_arr = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({int(h)} AS BIGINT)" for h in plane) + ")"
+                for plane in bp
+            )
+            + ")"
+        )
+        d = (
+            f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+            f"(a, j) -> a + CAST(element_at(`{qv_col}`, j + 1) AS BIGINT)"
+            f" * element_at(p, j + 1))"
+        )
+        bands_sql.append(
+            f"CAST(aggregate(zip_with({planes_arr}, sequence(0, {len(bp) - 1}),"
+            f" (p, i) -> CASE WHEN ({d}) >= 0"
+            f" THEN shiftleft(1, i) ELSE 0 END), 0, (acc, x) -> acc + x) AS INT)"
+        )
+    return F.expr("array(" + ", ".join(bands_sql) + ")")
+
 
 def lsh_signature(vec_col: str | Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
     """Bit-signature = sign pattern of dot products against fixed random
@@ -366,16 +473,24 @@ def ann_lsh_multiprobe_search(
     forces a wide scan, which the bench records honestly as the
     recall/pruning trade-off.
     """
-    or_terms = None
+    qsigs = []
     for bp in band_planes:
         qsig = 0
         for i, h in enumerate(bp):
             d = sum(float(a) * float(b) for a, b in zip(query, h))
             if d >= 0:
                 qsig |= 1 << i
-        term = lsh_signature(vec_col, bp) == F.lit(qsig)
-        or_terms = term if or_terms is None else (or_terms | term)
-    cand = df.filter(or_terms)
+        qsigs.append(qsig)
+    # one HOF expr for every band signature + one exists() over the
+    # band-wise comparison with the query's (driver-computed) signatures
+    # — replaces bands x bits x dim unrolled OR-of-ANDs Column trees
+    # whose driver-side build dominated the query (see
+    # lsh_band_signatures_expr)
+    sigs = lsh_band_signatures_expr(vec_col, band_planes)
+    qarr = F.array(*[F.lit(int(s)) for s in qsigs])
+    cand = df.filter(
+        F.exists(F.zip_with(sigs, qarr, lambda s, q: s == q), lambda x: x)
+    )
     scored = cand.select(
         F.col(id_col), cosine_similarity(_query_lit(query), vec_col).alias("score")
     )

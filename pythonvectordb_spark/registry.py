@@ -809,18 +809,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_dedup_embedding() -> str:
     # mirrors the banded-LSH default path: per-band sign signatures over
-    # the SAME seeded hyperplane literals, bucket self-join candidates,
-    # then symmetric int8 scoring on the quantized representation (exact
-    # integer dot/norms -> order-free, matches the expression verifier)
-    from pythonvectordb_spark.operators.dedup import lsh_band_planes
+    # the SAME seeded INTEGER hyperplanes applied to the int8 storage
+    # vector (exact int64 dots -> order-free, no FP sign caveat), bucket
+    # self-join candidates, then symmetric int8 scoring on the quantized
+    # representation (exact integer dot/norms -> order-free, matches the
+    # Arrow verifier bit-for-bit)
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes_int
 
-    planes = lsh_band_planes()
+    planes = lsh_band_planes_int()
     qv = O.sql_qvec("embedding")
     sig_exprs = []
     for band_planes in planes:
         terms = " + ".join(
-            f"(CASE WHEN ({O.sql_dot_lit(h, 'embedding')}) >= 0 THEN {1 << j} ELSE 0 END)"
-            for j, h in enumerate(band_planes)
+            "(CASE WHEN ("
+            + " + ".join(
+                f"qv[{j + 1}]::BIGINT * ({int(h)})" for j, h in enumerate(plane)
+            )
+            + f") >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(band_planes)
         )
         sig_exprs.append(f"({terms})")
     sigs_list = ", ".join(sig_exprs)
@@ -834,7 +840,7 @@ def o_dedup_embedding() -> str:
     )
     return f"""
 WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
-sigs AS (SELECT vec_id, [{sigs_list}] AS sigs FROM embeddings),
+sigs AS (SELECT vec_id, [{sigs_list}] AS sigs FROM q),
 banded AS (
   SELECT vec_id, t.band, sigs[CAST(t.band AS INT) + 1] AS bkey
   FROM sigs CROSS JOIN range(0, {len(planes)}) t(band)

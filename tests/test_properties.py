@@ -260,6 +260,37 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark):
     assert recall >= 0.8, f"recall {recall:.2f} ({len(exact)} exact pairs)"
 
 
+def test_lsh_int_signatures_arrow_equals_expr(spark):
+    """The Arrow matmul signature kernel and the HOF expression twin
+    must agree on EVERY band signature — they share exact int64
+    arithmetic over int planes x int8 vectors, so equality is total (no
+    FP tolerance), which is what licenses the vectorized default in
+    embedding_near_dup."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.functions.vector import (
+        l2_normalize,
+        lsh_band_signatures_int8_vec,
+        quantize,
+    )
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes_int
+    from pythonvectordb_spark.operators.search import lsh_band_signatures_int_expr
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    planes = lsh_band_planes_int()
+    q = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", quantize(l2_normalize("embedding")).alias("qv")
+    )
+    both = q.select(
+        lsh_band_signatures_int8_vec("qv", planes).alias("a"),
+        lsh_band_signatures_int_expr("qv", planes).alias("b"),
+    )
+    n_bad = both.filter(F.col("a") != F.col("b")).count()
+    assert n_bad == 0
+    first = both.first()
+    assert len(first.a) == len(planes)
+
+
 def test_ngram_maxdf_caps_boilerplate_fanout(spark):
     """Boilerplate skew: 1k docs share a template sentence whose shingles
     would each emit ~500k inverted-index join rows uncapped. With the df
