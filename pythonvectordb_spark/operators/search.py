@@ -551,7 +551,13 @@ def pq_code_expr(
             f"transform({carr}, c -> aggregate(sequence(0, {sub_dim - 1}),"
             f" CAST(0.0 AS DOUBLE), (acc, j) -> acc + {diff} * {diff}))"
         )
-        codes.append(f"CAST(array_position({dist}, array_min({dist})) - 1 AS INT)")
+        # let-bind the distance array (interpreted HOFs have no CSE:
+        # unbound, it evaluates once for array_position and once for
+        # array_min — 2x the fold work for identical values)
+        codes.append(
+            f"element_at(transform(array({dist}),"
+            f" ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT)), 1)"
+        )
         offset += sub_dim
     return F.expr("array(" + ", ".join(codes) + ")")
 
@@ -660,10 +666,61 @@ def ivf_probe(query: Sequence[float], centroids: Sequence[Sequence[float]], npro
 def ivf_cluster_id(vec_col: str | Column, centroids: Sequence[Sequence[float]]) -> Column:
     """Nearest-centroid assignment as a pure expression: 0-based argmax of
     cosine similarity over the literal codebook (first max wins on ties —
-    mirrored by list_position in the DuckDB oracle)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    sims = F.array(*[cosine_similarity(v, _query_lit(c)) for c in centroids])
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    mirrored by list_position in the DuckDB oracle).
+
+    For a column NAME the expression is built as ONE ``F.expr`` HOF over
+    a literal array-of-array codebook (one parse) instead of an unrolled
+    per-centroid Column tree (~centroids x dim py4j literal calls whose
+    driver-side build dominated every IVF-family query — the same fix as
+    ``lsh_band_signatures_expr``). Bit-compatibility: every dot/norm is
+    the same sequential double fold over ascending j as
+    ``functions.vector.dot``/``l2_norm``, the same ``< 1e-10`` zero-norm
+    guards, and the same ``dot / (na * nc)`` parenthesization, so
+    assignments are unchanged and the oracles keep hash-matching. Column
+    inputs (rare) keep the unrolled build."""
+    if not isinstance(vec_col, str):
+        v = vec_col
+        sims = F.array(*[cosine_similarity(v, _query_lit(c)) for c in centroids])
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    dim = len(centroids[0])
+    cents_arr = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+    vj = f"CAST(element_at(`{vec_col}`, j + 1) AS DOUBLE)"
+    na = (
+        f"sqrt(aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE),"
+        f" (a, j) -> a + {vj} * {vj}))"
+    )
+    nc = (
+        f"sqrt(aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE),"
+        f" (a, j) -> a + element_at(c, j + 1) * element_at(c, j + 1)))"
+    )
+    d = (
+        f"aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE),"
+        f" (a, j) -> a + {vj} * element_at(c, j + 1))"
+    )
+    # expression-level let-binding via single-element transform(): HOFs
+    # are evaluated interpreted with NO common-subexpression elimination,
+    # so without binding, `na` re-evaluates 2x per centroid and the sims
+    # array re-evaluates once for array_max and once for array_position
+    # — ~5x the arithmetic for identical values
+    sim_c = (
+        f"element_at(transform(array(named_struct('nc', {nc}, 'd', {d})),"
+        f" t -> CASE WHEN na < 1e-10 OR t.nc < 1e-10"
+        f" THEN CAST(0.0 AS DOUBLE) ELSE t.d / (na * t.nc) END), 1)"
+    )
+    sims = f"transform({cents_arr}, c -> {sim_c})"
+    argmax = (
+        f"element_at(transform(array({sims}),"
+        f" s -> array_position(s, array_max(s))), 1)"
+    )
+    bound = f"element_at(transform(array({na}), na -> {argmax}), 1)"
+    return F.expr(f"CAST({bound} - 1 AS INT)")
 
 
 def ann_ivf_search(

@@ -4262,7 +4262,13 @@ def q_dedup_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus0 = docs.filter(F.col("doc_id") % 7 <= 4)
     b1 = docs.filter(F.col("doc_id") % 7 == 5)
     b2 = docs.filter(F.col("doc_id") % 7 == 6)
-    s1 = gate_batch(corpus0, b1, threshold=0.8)
+    # the streaming gate MATERIALIZES each batch's survivors (parquet
+    # append in foreachBatch) before the next batch gates against them;
+    # the lazy twin must mirror that or s1's whole dedup DAG re-executes
+    # inside corpus1's banding AND the final union (measured 20 s ->
+    # ~7 s at sf0.1). localCheckpoint = the in-session analogue of the
+    # gate's append: computed once, lineage truncated.
+    s1 = gate_batch(corpus0, b1, threshold=0.8).localCheckpoint(eager=False)
     corpus1 = corpus0.unionByName(s1)
     s2 = gate_batch(corpus1, b2, threshold=0.8)
     stage = lambda df, s: df.select(  # noqa: E731
