@@ -55,6 +55,7 @@ from pythonvectordb_spark.operators.dedup import (  # noqa: F401
     embedding_near_dup,
     incremental_minhash_dedup,
     minhash_lsh_pairs,
+    minhash_side,
     ngram_jaccard_pairs,
     resolve_duplicates,
     semantic_dedup_pairs,

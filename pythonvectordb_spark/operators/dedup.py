@@ -163,6 +163,27 @@ def _minhash_banded(
     return sh, banded
 
 
+def minhash_side(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The (shingle-sets, band-table) pair of one side of a MinHash
+    dedup, as a first-class artifact: compute it ONCE per corpus
+    snapshot, materialize it (parquet bucketed on (band, bkey) via
+    ``sources/bucketing``, or ``localCheckpoint`` in-session), and hand
+    it to ``incremental_minhash_dedup(corpus_side=...)`` for every
+    subsequent ingest batch. Growing the corpus = unioning the admitted
+    batch's (small) side frames onto the stored ones — the corpus is
+    never re-shingled. This is the side-table design the 100 TB gate
+    runs on; recomputing the corpus side per batch is the self-contained
+    fallback."""
+    return _minhash_banded(df, n, num_hashes, bands, text_col, id_col)
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -172,6 +193,7 @@ def incremental_minhash_dedup(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_side: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup an ARRIVING batch against an EXISTING corpus — the
     production ingest shape: never corpus x corpus rework, never a
@@ -190,8 +212,17 @@ def incremental_minhash_dedup(
     Jaccard to some corpus document clears ``threshold`` — feed the
     distinct batch_ids to an anti-join to drop them before append
     (mirrors ``streaming/curation``'s gate-at-ingest pattern).
+
+    ``corpus_side``: a precomputed :func:`minhash_side` of the corpus
+    (the materialized side-table path — MUST have been built with the
+    same n/num_hashes/bands/text_col/id_col); omitted, the corpus is
+    re-signed in-DAG.
     """
-    sh_c, banded_c = _minhash_banded(corpus, n, num_hashes, bands, text_col, id_col)
+    sh_c, banded_c = (
+        corpus_side
+        if corpus_side is not None
+        else _minhash_banded(corpus, n, num_hashes, bands, text_col, id_col)
+    )
     sh_b, banded_b = _minhash_banded(batch, n, num_hashes, bands, text_col, id_col)
     x = banded_b.alias("x")
     y = banded_c.alias("y")

@@ -4256,6 +4256,7 @@ def q_dedup_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/2 = survived batch 1/2) — batch-2 survivors prove the gate checks
     against the GROWN corpus (corpus + batch-1 survivors), i.e. the
     sequential semantics, not just one-shot dedup."""
+    from pythonvectordb_spark.operators.dedup import minhash_side
     from pythonvectordb_spark.streaming.curation import gate_batch
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4265,12 +4266,19 @@ def q_dedup_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming gate MATERIALIZES each batch's survivors (parquet
     # append in foreachBatch) before the next batch gates against them;
     # the lazy twin must mirror that or s1's whole dedup DAG re-executes
-    # inside corpus1's banding AND the final union (measured 20 s ->
-    # ~7 s at sf0.1). localCheckpoint = the in-session analogue of the
-    # gate's append: computed once, lineage truncated.
-    s1 = gate_batch(corpus0, b1, threshold=0.8).localCheckpoint(eager=False)
+    # inside corpus1's banding AND the final union. localCheckpoint =
+    # the in-session analogue of the gate's append: computed once,
+    # lineage truncated. The corpus's MinHash side table is likewise
+    # maintained INCREMENTALLY (side of corpus1 = stored side of
+    # corpus0 + the admitted survivors' own side rows) — the corpus is
+    # signed once, not once per batch; 20.2 s -> ~7 s at sf0.1.
+    ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    sh0, banded0 = map(ckpt, minhash_side(corpus0))
+    s1 = ckpt(gate_batch(corpus0, b1, threshold=0.8, corpus_side=(sh0, banded0)))
     corpus1 = corpus0.unionByName(s1)
-    s2 = gate_batch(corpus1, b2, threshold=0.8)
+    sh_s1, banded_s1 = minhash_side(s1)
+    side1 = (sh0.unionByName(sh_s1), banded0.unionByName(banded_s1))
+    s2 = gate_batch(corpus1, b2, threshold=0.8, corpus_side=side1)
     stage = lambda df, s: df.select(  # noqa: E731
         "doc_id", F.lit(s).cast("int").alias("stage")
     )

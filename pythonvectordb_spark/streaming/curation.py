@@ -114,6 +114,7 @@ def gate_batch(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_side: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """One step of the near-dup ingest gate as a pure batch function:
     the ``batch`` rows that clear the gate against ``corpus`` (None =
@@ -126,6 +127,9 @@ def gate_batch(
     the registry's `dedup_gate_twin` can fold a deterministic batch
     sequence through it and the driver's DuckDB oracle can witness the
     streaming semantics (round-2 VERDICT item 5).
+
+    ``corpus_side``: a precomputed ``dedup.minhash_side`` of ``corpus``
+    (the maintained side-table path); omitted, the corpus is re-signed.
     """
     from pythonvectordb_spark.operators.dedup import incremental_minhash_dedup
 
@@ -134,7 +138,12 @@ def gate_batch(
         return b
     b = b.join(corpus.select(id_col), id_col, "left_anti")
     dups = incremental_minhash_dedup(
-        corpus, b, threshold=threshold, text_col=text_col, id_col=id_col
+        corpus,
+        b,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        corpus_side=corpus_side,
     )
     return b.join(
         dups.select(F.col("batch_id").alias(id_col)).distinct(),

@@ -332,6 +332,30 @@ def test_ngram_maxdf_caps_boilerplate_fanout(spark):
     assert max_kept_df is not None and max_kept_df <= 10
 
 
+def test_incremental_dedup_side_table_path_identical(spark):
+    """incremental_minhash_dedup with a precomputed minhash_side of the
+    corpus (the materialized side-table design) must return exactly the
+    pairs of the self-contained re-sign path."""
+    from pythonvectordb_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_side,
+    )
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    plain = {tuple(r) for r in incremental_minhash_dedup(corpus, batch).collect()}
+    side = minhash_side(corpus)
+    with_side = {
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            corpus, batch, corpus_side=side
+        ).collect()
+    }
+    assert plain == with_side and len(plain) > 0
+
+
 def test_embedding_near_dup_lsh_is_lazy_no_driver_jobs(spark):
     """Building the default near-dup plan must not materialize anything
     on the driver: zero Spark jobs run until an action is called, and the
