@@ -88,3 +88,10 @@ from pythonvectordb_spark.serving import (  # noqa: F401
     KnnServer,
     quantize_query,
 )
+from pythonvectordb_spark.operators.layout import (  # noqa: F401
+    bloom_pass_filter,
+    bloom_semi_join,
+    snapshot_diff,
+    zorder_key,
+    zorder_pruning_stats,
+)

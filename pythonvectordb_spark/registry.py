@@ -4338,6 +4338,113 @@ UNION ALL SELECT doc_id, CAST(2 AS INT) AS stage FROM s2
 """
 
 
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout envelope: events bucketed by the top 4 bits of the
+    Morton key over (user_id, |floor(value)|) masked to 16 bits; each
+    bucket's (count, min/max per dimension) is the pruning envelope a
+    Z-sorted write turns into parquet footer stats — both dimensions
+    bounded at once, which a single-column sort cannot give."""
+    from pythonvectordb_spark.operators.layout import zorder_pruning_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("xd"),
+        F.pmod(F.abs(F.floor("value")).cast("long"), F.lit(65536)).alias("yd"),
+    )
+    return zorder_pruning_stats(ev, "xd", "yd", bits=16, bucket_bits=4)
+
+
+def o_zorder_pruning() -> str:
+    zterms = " + ".join(
+        f"(((xd >> {i}) & 1) << {2 * i}) + (((yd >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return f"""
+WITH d AS (
+  SELECT user_id % 65536 AS xd,
+         CAST(abs(floor("value")) AS BIGINT) % 65536 AS yd
+  FROM events
+),
+z AS (SELECT xd, yd, ({zterms}) >> 28 AS zbucket FROM d)
+SELECT CAST(zbucket AS INT) AS zbucket, count(*)::BIGINT AS n_rows,
+       min(xd)::BIGINT AS x_min, max(xd)::BIGINT AS x_max,
+       min(yd)::BIGINT AS y_min, max(yd)::BIGINT AS y_max
+FROM z GROUP BY zbucket
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: yesterday's corpus = vec_id % 5 != 4, today's =
+    vec_id % 5 != 0 with every vec_id % 11 == 3 vector re-embedded
+    (simulated by reversing it) — classify every id as
+    added/deleted/changed via one full outer join with exact array
+    comparison."""
+    from pythonvectordb_spark.operators.layout import snapshot_diff
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 != 0).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 11 == 3, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    return snapshot_diff(old, new, id_col="vec_id", compare_cols=["embedding"])
+
+
+def o_snapshot_diff() -> str:
+    return """
+WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 != 4),
+new AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 11 = 3 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 5 != 0
+)
+SELECT coalesce(o.vec_id, n.vec_id) AS vec_id,
+       CASE WHEN o.vec_id IS NULL THEN 'added'
+            WHEN n.vec_id IS NULL THEN 'deleted'
+            WHEN o.embedding IS DISTINCT FROM n.embedding THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM old o FULL OUTER JOIN new n ON o.vec_id = n.vec_id
+WHERE CASE WHEN o.vec_id IS NULL THEN 'added'
+           WHEN n.vec_id IS NULL THEN 'deleted'
+           WHEN o.embedding IS DISTINCT FROM n.embedding THEN 'changed'
+           ELSE 'unchanged' END != 'unchanged'
+"""
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: per-user event rollups restricted to the
+    big-purchase user set (value >= 500 purchases), with the key set
+    folded into one broadcast Bloom bitset that prunes the fact scan
+    BEFORE the exact semi join. Results are exactly the plain semi
+    join's (the Bloom stage only ever passes a superset), so the oracle
+    is the plain semi join."""
+    from pythonvectordb_spark.operators.layout import bloom_semi_join
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 500)
+    ).select("user_id")
+    hits = bloom_semi_join(ev, keys, "user_id")
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+    )
+
+
+def o_bloom_prune_join() -> str:
+    return """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE user_id IN (
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND "value" >= 500
+)
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 32 entries never driver-checked in
@@ -4391,12 +4498,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "hypertable_rollup": q_hypertable_rollup,
     "cms_user_estimates": q_cms_user_estimates,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "distinct_agg_stats": q_distinct_agg_stats,
-    "salted_segment_revenue": q_salted_segment_revenue,
+    # round-3 layout/pruning additions (new — need their first driver row)
+    "zorder_pruning": q_zorder_pruning,
+    "snapshot_diff": q_snapshot_diff,
+    "bloom_prune_join": q_bloom_prune_join,
     # --- previously driver-witnessed block (green rows in
     # CORRECTNESS_r01/CORRECTNESS_r02; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ------------------------
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "distinct_agg_stats": q_distinct_agg_stats,
+    "salted_segment_revenue": q_salted_segment_revenue,
     "events_tumbling": q_events_tumbling,
     "approx_distinct_events": q_approx_distinct_events,
     "large_volume_orders": q_large_volume_orders,
@@ -4617,6 +4728,9 @@ ORACLES: dict[str, str] = {
     "event_outliers": o_event_outliers(),
     "events_grouping_sets": o_events_grouping_sets(),
     "salted_segment_revenue": o_salted_segment_revenue(),
+    "zorder_pruning": o_zorder_pruning(),
+    "snapshot_diff": o_snapshot_diff(),
+    "bloom_prune_join": o_bloom_prune_join(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
 }
