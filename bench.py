@@ -74,6 +74,10 @@ HEADLINE = [
     "ann_pq_trained",
     "matview_user_spend_twin",
     "dedup_gate_twin",
+    # round-3 layout/pruning additions
+    "zorder_pruning",
+    "snapshot_diff",
+    "bloom_prune_join",
 ]
 
 

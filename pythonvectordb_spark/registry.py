@@ -1307,10 +1307,13 @@ FROM documents
 
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: every 4th 256-byte frame per payload —
-    one-to-many mapInPandas fan-out (the video-frame extraction shape)."""
+    """Frame-sampling plumbing: every 2nd 64-byte frame per payload —
+    one-to-many mapInPandas fan-out (the video-frame extraction shape).
+    Frame/stride sized BELOW the corpus's document lengths (testdata
+    docs are ~50-550 chars) so the oracle actually witnesses multi-frame
+    fan-out per payload, not a degenerate one-frame-per-doc mapping."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.media_frame_sample(MM.text_as_media(docs), frame_bytes=256, stride=4)
+    return MM.media_frame_sample(MM.text_as_media(docs), frame_bytes=64, stride=2)
 
 
 def o_media_frame_sample() -> str:
@@ -1319,10 +1322,10 @@ def o_media_frame_sample() -> str:
     return """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(t.i AS INT) AS frame_idx,
-       CAST(length(substr(text, CAST(t.i AS BIGINT) * 1024 + 1, 256)) AS INT) AS frame_len,
-       md5(substr(text, CAST(t.i AS BIGINT) * 1024 + 1, 256)) AS frame_md5
+       CAST(length(substr(text, CAST(t.i AS BIGINT) * 128 + 1, 64)) AS INT) AS frame_len,
+       md5(substr(text, CAST(t.i AS BIGINT) * 128 + 1, 64)) AS frame_md5
 FROM documents
-CROSS JOIN unnest(range(0, CAST(ceil(length(text) / 1024.0) AS BIGINT))) t(i)
+CROSS JOIN unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT))) t(i)
 """
 
 
