@@ -36,9 +36,11 @@ from pythonvectordb_spark.operators.search import (  # noqa: F401
     knn_search_float,
     l2_knn_search,
     mips_search,
+    rrf_fuse,
     with_qvec,
 )
 from pythonvectordb_spark.operators.curation import (  # noqa: F401
+    cap_per_source,
     decontaminate,
     dup_cluster_stats,
     pii_scrub,
@@ -77,7 +79,14 @@ from pythonvectordb_spark.operators.timeseries import (  # noqa: F401
 from pythonvectordb_spark.operators.sketch import (  # noqa: F401
     cms_build,
     cms_estimate,
+    key_skew_report,
 )
+from pythonvectordb_spark.operators.export import (  # noqa: F401
+    assign_shards,
+    shard_stats,
+    write_training_shards,
+)
+from pythonvectordb_spark.operators.graph import pagerank  # noqa: F401
 from pythonvectordb_spark.sources.snapshot import (  # noqa: F401
     build_vector_table,
     load_snapshot,

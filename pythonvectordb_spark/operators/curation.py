@@ -217,3 +217,51 @@ def dup_cluster_stats(resolved: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
         .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    max_tokens_per_source: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token budget (the RefinedWeb/CCNet-style anti-dominance
+    cap): within each source, documents are ordered by content hash
+    (deterministic, engine-portable, layout-independent) and admitted
+    until the source's cumulative token count reaches the budget — so no
+    single crawl/domain/dump can dominate the training mixture.
+
+    Returns admitted rows as (id, source, n_tok, cum_tok). A document is
+    admitted while the RUNNING total INCLUDING itself is <= budget: the
+    cut point is a pure function of the source's own content, not of
+    arrival order.
+
+    Scale shape: one window over (source, md5(id)) — a single shuffle on
+    the source key. Source-count skew is real at 100 TB (one crawl can
+    be 30% of the corpus); the running sum is still a linear scan per
+    source, and the heavy sources are exactly the ones the cap truncates
+    — Spark's rank-based window needs the full source partition, so for
+    a pathological single-source corpus pre-filter with an md5-prefix
+    coarse gate (keep ~budget/avg_tok docs by hash range) before the
+    exact window, which this operator composes with cleanly.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col))
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        n_tok.cast("long").alias("n_tok"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .filter(F.col("cum_tok") <= int(max_tokens_per_source))
+        .drop("_h")
+    )

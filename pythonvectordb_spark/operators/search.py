@@ -803,3 +803,46 @@ def ann_ivf_pq_search(
         code_col=code_col,
         rerank=rerank,
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): two ranked candidate lists — canonically BM25 lexical and
+    embedding-knn semantic — merge on ``1/(rrf_k + rank_a) +
+    1/(rrf_k + rank_b)``, with a document missing from one list simply
+    contributing nothing for it. Rank-space fusion needs no score
+    calibration between retrievers, which is why it is the default
+    hybrid-search combiner in production vector stores.
+
+    Ranks are computed over each list's OWN rows (dense ordering by
+    score desc, id asc — the id tiebreak keeps ranks engine-portable
+    when scores tie), then the lists full-outer join on id. Both inputs
+    are top-N shortlists (k..hundreds of rows), so at 100 TB this whole
+    operator is driver-trivial: the expensive work — corpus-scale BM25
+    and ANN — already reduced to shortlists upstream; the fusion
+    window/join touch only those rows. Returns the fused top-``k`` as
+    (id, rrf_score, rank_a, rank_b).
+    """
+    wa = Window.orderBy(F.desc(score_a), F.asc(id_col))
+    wb = Window.orderBy(F.desc(score_b), F.asc(id_col))
+    a = ranked_a.select(id_col, score_a).withColumn("rank_a", F.row_number().over(wa))
+    b = ranked_b.select(id_col, score_b).withColumn("rank_b", F.row_number().over(wb))
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+        "rank_a",
+        "rank_b",
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

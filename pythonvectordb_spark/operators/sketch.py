@@ -117,3 +117,39 @@ def cms_estimate(df: DataFrame, key_col: str, probe_keys: list) -> DataFrame:
     return est.join(true, "key", "left").select(
         "key", "est_n", F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row shuffle-key skew diagnostic: before committing a 100 TB
+    join/agg to a key, measure how lopsided its distribution is — the
+    number that decides between a plain shuffle, AQE skew-split, and
+    explicit salting (``relational.salted_agg``'s whole reason to exist).
+
+    Reports row/key counts, the max and hottest-key share, exact
+    interpolated p50/p90/p99 of the per-key count distribution, and
+    ``skew_factor`` = max_cnt / mean_cnt — the multiple by which the
+    hottest reducer outweighs the average one (1.0 = perfectly even;
+    >> shuffle-partition head-room = salt or split).
+
+    Two aggregations: per-key counts (map-side combined — the shuffle
+    carries one row per distinct key), then a single-row reduce over the
+    (much smaller) key-count table. Percentiles are exact here because
+    the reduce input is |keys| rows, not |rows|; at extreme key
+    cardinality swap stage 2's percentile for approx_percentile — the
+    report's consumers only need order-of-magnitude quantiles.
+    """
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top = F.max(F.struct(F.col("cnt"), F.col("_k").cast("string").alias("k")))
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        top.getField("k").alias("top_key"),
+        F.round(F.max("cnt") / F.sum("cnt"), 9).alias("top_share"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.9)"), 6).alias("p90_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_factor"),
+    )

@@ -3982,10 +3982,21 @@ FROM top
 def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-apply: encode every document as an integer-id array via
     a broadcast one-row vocabulary map (single corpus scan, no token
-    explode/join); OOV -> 0."""
+    explode/join); OOV -> 0.
+
+    The id array is projected to a '-'-joined string for the driver:
+    its pandas canonicalizer cannot sort/hash array cells (the round-2
+    pq_encode lesson — same fix, applied before the first driver row
+    this time). The operator itself still returns the real array."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = TX.build_vocab(docs, vocab_size=512)
-    return TX.encode_tokens(docs, vocab)
+    enc = TX.encode_tokens(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.concat_ws("-", F.col("token_ids").cast("array<string>")).alias("token_ids_str"),
+        "n_tok",
+        "n_oov",
+    )
 
 
 def o_encode_tokens() -> str:
@@ -4004,7 +4015,8 @@ m AS (
   FROM vocab
 )
 SELECT doc_id,
-       list_transform(tk, t -> CAST(coalesce(mp[t][1], 0) AS INT)) AS token_ids,
+       array_to_string(list_transform(tk, t -> CAST(coalesce(mp[t][1], 0) AS INT)), '-')
+         AS token_ids_str,
        CAST(len(tk) AS INT) AS n_tok,
        CAST(len(list_filter(list_transform(tk, t -> CAST(coalesce(mp[t][1], 0) AS INT)),
                 x -> x = 0)) AS INT) AS n_oov
@@ -4448,6 +4460,216 @@ GROUP BY user_id
 """
 
 
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and int8-cosine knn top-20
+    fused by Reciprocal Rank Fusion (operators/search.py `rrf_fuse`) —
+    the production hybrid-search combiner (no score calibration needed
+    across retrievers). Documents pair with embeddings by doc_id ==
+    vec_id (the corpus's multimodal keying). Both inputs are shortlists,
+    so fusion cost is independent of corpus size; ranks are computed on
+    the ROUNDED scores with id tie-breaks so rank order is
+    engine-portable."""
+    bm25 = q_bm25_rank(spark, sf_dir)  # (doc_id, bm25) top-20
+    knn = S.knn_search(_emb(spark, sf_dir), FX.QUERY_VEC, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.round("score", 9).alias("score")
+    )
+    return S.rrf_fuse(bm25, knn, "doc_id", "bm25", "score", k=10)
+
+
+def o_hybrid_rrf_search() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH bm AS ({o_bm25_rank()}),
+knn AS (
+  SELECT vec_id AS doc_id, round({O.sql_cosine_int8_lit(FX.QUERY_VEC, 'qvec')}, 9) AS score
+  FROM (SELECT vec_id, {qv} AS qvec FROM embeddings) q
+  ORDER BY score DESC, doc_id ASC LIMIT 20
+),
+ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank_a FROM bm),
+rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank_b FROM knn)
+SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + rank_a), 0.0) + coalesce(1.0 / (60 + rank_b), 0.0), 9)
+         AS rrf_score,
+       rank_a, rank_b
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export manifest: the corpus hash-assigned to 8 shards
+    (md5(doc_id) mod 8 — `operators/export.py`), with per-shard doc and
+    token counts plus the first/last within-shard order keys. The stats
+    twin of `write_training_shards`; assignment is a pure projection, the
+    manifest is one small-key aggregation."""
+    from pythonvectordb_spark.operators import export as EX
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(_tokens("text")).cast("long")
+    )
+    return EX.shard_stats(docs, 8, token_col="n_tok")
+
+
+def o_training_shard_stats() -> str:
+    h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8)"
+    return f"""
+SELECT CAST({h} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT)
+         AS n_tokens,
+       min(md5(CAST(doc_id AS VARCHAR))) AS first_key,
+       max(md5(CAST(doc_id AS VARCHAR))) AS last_key
+FROM documents GROUP BY 1
+"""
+
+
+def q_source_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget (`curation.cap_per_source`): within each
+    source, documents admit in content-hash order until the source's
+    running token total reaches 700 — the RefinedWeb-style anti-dominance
+    cap that stops any one crawl from owning the mixture. Deterministic
+    and layout-independent (md5 order, not arrival order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.cap_per_source(docs, 700)
+
+
+def o_source_token_caps() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tok
+  FROM d
+)
+SELECT doc_id, source, n_tok, cum_tok FROM r WHERE cum_tok <= 700
+"""
+
+
+def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over events.user_id
+    (`sketch.key_skew_report`): one row with key counts, hottest-key
+    share, per-key-count percentiles, and skew_factor = max/mean — the
+    pre-flight check that decides plain shuffle vs AQE skew-split vs
+    salting before a 100 TB join commits to a key."""
+    from pythonvectordb_spark.operators import sketch as SK
+
+    events = load_table(spark, sf_dir, "events")
+    return SK.key_skew_report(events, "user_id")
+
+
+def o_event_key_skew() -> str:
+    return """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       (SELECT k FROM counts ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 9) AS top_share,
+       round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+       round(quantile_cont(cnt, 0.9), 6) AS p90_cnt,
+       round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+       round(CAST(max(cnt) AS DOUBLE) / avg(cnt), 6) AS skew_factor
+FROM counts
+"""
+
+
+def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-to-nation trade graph (supplier nation →
+    customer nation, edge weight = exact integer revenue cents·e2):
+    10 fixed power iterations, damping 0.85, dangling-mass
+    redistribution (`operators/graph.py`). The second iterative family
+    next to connected components — deterministic because the iteration
+    count is fixed, so DuckDB replays the identical rounds unrolled.
+    Ranks rounded to 6 (both engines sum the same ≤25 doubles)."""
+    from pythonvectordb_spark.operators.graph import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("long")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).cast("long").alias("w"))
+    )
+    pr = pagerank(edges, "supp_nation", "cust_nation", weight_col="w")
+    return pr.select(
+        F.col("node").alias("nation"), F.round("rank", 6).alias("rank")
+    )
+
+
+def o_trade_pagerank(iterations: int = 10, damping: float = 0.85) -> str:
+    steps = []
+    for i in range(1, iterations + 1):
+        p = f"pr{i - 1}"
+        # MATERIALIZED is load-bearing: pr{{i}} references pr{{i-1}}
+        # twice (dangling mass + contributions); inlined CTEs would
+        # expand the chain 2^iterations times
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0.0) AS dmass FROM {p}
+  WHERE node NOT IN (SELECT src FROM outw)
+),
+c{i} AS MATERIALIZED (
+  SELECT t.dst AS node, sum(t.p * pp.rank) AS in_rank
+  FROM trans t JOIN {p} pp ON t.src = pp.node GROUP BY 1
+),
+pr{i} AS MATERIALIZED (
+  SELECT nd.node,
+         (1.0 - {damping!r}) / n.nn
+           + {damping!r} * (coalesce(c.in_rank, 0.0) + d.dmass / n.nn) AS rank
+  FROM nodes nd CROSS JOIN n CROSS JOIN d{i} d LEFT JOIN c{i} c ON c.node = nd.node
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH agg AS MATERIALIZED (
+  SELECT n1.n_name AS src, n2.n_name AS dst,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+),
+outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM agg GROUP BY 1),
+trans AS MATERIALIZED (SELECT agg.src, agg.dst, agg.w / outw.out_w AS p FROM agg JOIN outw USING (src)),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM agg UNION ALL SELECT dst FROM agg)),
+n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+pr0 AS MATERIALIZED (SELECT node, 1.0 / n.nn AS rank FROM nodes CROSS JOIN n),
+{chain}
+SELECT node AS nation, round(rank, 6) AS rank FROM pr{iterations}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 32 entries never driver-checked in
@@ -4597,6 +4819,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_running": q_customer_order_running,
     "mktsegment_rollup": q_mktsegment_rollup,
     "order_priority_counts": q_order_priority_counts,
+    # round-3 additions (post-window: first driver rows at the round-4
+    # rotation; locally oracle-checked by test_oracle_parity meanwhile)
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "training_shard_stats": q_training_shard_stats,
+    "source_token_caps": q_source_token_caps,
+    "event_key_skew": q_event_key_skew,
+    "trade_pagerank": q_trade_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4734,6 +4963,11 @@ ORACLES: dict[str, str] = {
     "zorder_pruning": o_zorder_pruning(),
     "snapshot_diff": o_snapshot_diff(),
     "bloom_prune_join": o_bloom_prune_join(),
+    "hybrid_rrf_search": o_hybrid_rrf_search(),
+    "training_shard_stats": o_training_shard_stats(),
+    "source_token_caps": o_source_token_caps(),
+    "event_key_skew": o_event_key_skew(),
+    "trade_pagerank": o_trade_pagerank(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
 }
