@@ -78,6 +78,13 @@ HEADLINE = [
     "zorder_pruning",
     "snapshot_diff",
     "bloom_prune_join",
+    # round-3 late additions: hybrid retrieval, training export,
+    # per-source caps, skew diagnostic, iterative graph
+    "hybrid_rrf_search",
+    "training_shard_stats",
+    "source_token_caps",
+    "event_key_skew",
+    "trade_pagerank",
 ]
 
 
@@ -93,9 +100,14 @@ def _control_query_s(spark, sf_dir: str) -> float:
     df = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
         F.sum("l_quantity"), F.count(F.lit(1))
     )
-    df.collect()  # warm
+    # 5 warm iterations: the start-of-run call must pay down JIT/codegen
+    # and page-cache warm-up HERE, or the marker reads "cold JVM" as
+    # "co-tenant load" (round-3 first run: start 0.062 vs end 0.018 —
+    # all warm-up, no co-tenant)
+    for _ in range(5):
+        df.collect()
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         df.collect()
         best = min(best, time.time() - t0)
@@ -337,9 +349,11 @@ def main() -> None:
         "lsh_single_band_6bit": mean_recall(
             lambda q: S.ann_lsh_search(emb, q, FX.HYPERPLANES, k=10)
         ),
-        # the registered ann_lsh default since round 3
-        "lsh_default_16x6": mean_recall(
-            lambda q: S.ann_lsh_multiprobe_search(emb, q, lsh_band_planes(16, 6), k=10)
+        # the registered ann_lsh default since round 3 (A/B: 16x6=0.58,
+        # 20x5=0.80, 24x4=0.98 at ~equal cost; 20x5 is the ≥0.8 point
+        # distinct from the multiprobe entry below)
+        "lsh_default_20x5": mean_recall(
+            lambda q: S.ann_lsh_multiprobe_search(emb, q, lsh_band_planes(20, 5), k=10)
         ),
         "lsh_multiprobe_24x4": mean_recall(
             lambda q: S.ann_lsh_multiprobe_search(emb, q, lsh_band_planes(24, 4), k=10)
@@ -364,6 +378,16 @@ def main() -> None:
             lambda q: S.ann_ivf_pq_search(
                 emb, q, FT.CENTROIDS_TRAINED, FT.PQ_CODEBOOKS_TRAINED,
                 k=10, nprobe=4, rerank=100,
+            ),
+            n_probes=5,
+        ),
+        # the registered ann_ivf_pq_trained default since round 3 (the
+        # >=0.8 point on uniform-random testdata; clustered corpora get
+        # there at much smaller probe fractions)
+        "ivf_pq_nprobe6_rerank100": mean_recall(
+            lambda q: S.ann_ivf_pq_search(
+                emb, q, FT.CENTROIDS_TRAINED, FT.PQ_CODEBOOKS_TRAINED,
+                k=10, nprobe=6, rerank=100,
             ),
             n_probes=5,
         ),

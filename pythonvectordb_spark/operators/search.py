@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -562,6 +564,46 @@ def pq_code_expr(
     return F.expr("array(" + ", ".join(codes) + ")")
 
 
+def pq_code_arrow(
+    vec_col: str, codebooks: Sequence[Sequence[Sequence[float]]]
+) -> Column:
+    """Arrow-vectorized twin of ``pq_code_expr`` — bit-identical codes
+    (pinned by test), ~10-50x faster for big codebooks (the trained
+    16x64x4 books cost 4096 interpreted-HOF multiplies per row as an
+    expression; here they are a handful of numpy ops per Arrow batch).
+
+    Bit-equality argument: the expression computes
+    ``CAST(elem AS DOUBLE)`` (float32→float64, exact), squared diffs
+    accumulated by a LEFT-ASSOCIATIVE sequential fold from 0.0, then
+    ``array_position(ds, array_min(ds)) - 1`` (FIRST index of the min).
+    The kernel mirrors each step: float64 upcast, an explicit j-ascending
+    ``acc = acc + sq[..., j]`` loop (numpy's pairwise-summed ``sum()``
+    would NOT match), and ``np.argmin`` (also first-min). Same doubles
+    in, same op order, same tie-break → same codes.
+    """
+    import numpy as np
+
+    mats = [np.asarray(c, dtype=np.float64) for c in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        codes = np.empty((X.shape[0], len(mats)), dtype=np.int32)
+        off = 0
+        for s, C in enumerate(mats):
+            d = C.shape[1]
+            diff = X[:, None, off : off + d] - C[None, :, :]
+            sq = diff * diff
+            acc = sq[..., 0].copy()
+            for j in range(1, d):
+                acc = acc + sq[..., j]
+            codes[:, s] = np.argmin(acc, axis=1)
+            off += d
+        return pd.Series(list(codes))
+
+    return _encode(F.col(vec_col))
+
+
 def pq_adc_tables(
     query: Sequence[float], codebooks: Sequence[Sequence[Sequence[float]]]
 ) -> list[list[float]]:
@@ -595,11 +637,16 @@ def ann_pq_search(
     vec_col: str = "embedding",
     code_col: str | None = None,
     rerank: int | None = None,
+    encode: str = "arrow",
 ) -> DataFrame:
     """PQ/ADC approximate nearest neighbours: approximate distance =
     sum over subspaces of the query's precomputed distance to the
     row's sub-centroid — ``m`` array lookups + adds per row, never a
     full-dimension scan.
+
+    Inline encoding (no ``code_col``) runs the Arrow kernel by default
+    (``pq_code_arrow``, bit-equal to the expression twin — pinned);
+    pass ``encode='expr'`` to force the pure-expression path.
 
     ``rerank=R`` adds the standard second stage: take the top-R ADC
     shortlist (deterministic (adc, id) tie-break), score only those R
@@ -622,9 +669,13 @@ def ann_pq_search(
     # alternative (referencing the code expression from each of the m
     # lookup terms) re-embeds the whole encoding subtree m times in the
     # plan, multiplying both analysis and per-row work
-    base = df.withColumn(
-        "_pq_code", F.col(code_col) if code_col else pq_code_expr(vec_col, codebooks)
-    )
+    if code_col:
+        code = F.col(code_col)
+    elif encode == "arrow":
+        code = pq_code_arrow(vec_col, codebooks)
+    else:
+        code = pq_code_expr(vec_col, codebooks)
+    base = df.withColumn("_pq_code", code)
     adc = F.expr(
         " + ".join(
             "element_at(array("

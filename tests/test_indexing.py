@@ -164,3 +164,21 @@ def test_pq_rerank_recovers_recall_over_raw_adc(spark, raw):
     ]
     assert len(set(rr) & exact) >= len(set(adc) & exact)
     assert rr[0] == 11  # self-match survives quantization + re-rank
+
+
+def test_pq_code_arrow_bit_equal_to_expr(spark, raw):
+    """The Arrow encode kernel must produce byte-identical codes to the
+    expression twin for BOTH codebook shapes (random 8x16x8 and trained
+    16x64x4) — it is the default inline-encode path in ann_pq_search,
+    and the DuckDB oracles replicate the expression's fold order."""
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark import fixtures_trained as FT
+    from pythonvectordb_spark.operators.search import pq_code_arrow, pq_code_expr
+
+    for books in (FX.PQ_CODEBOOKS, FT.PQ_CODEBOOKS_TRAINED):
+        got = raw.select(
+            "vec_id",
+            pq_code_expr("embedding", books).alias("e"),
+            pq_code_arrow("embedding", books).alias("a"),
+        ).collect()
+        assert all(list(r.e) == list(r.a) for r in got)
