@@ -422,13 +422,20 @@ def main() -> None:
         log(f"bench {name}: {timings[name]}s")
 
     control_end = _control_query_s(spark, sf_dir)
+    # SIGNED delta: co-tenant load arriving mid-run makes the END
+    # control SLOWER than the start; end-faster-than-start is residual
+    # JVM warm-up (C2 compilation reaches steady state only after many
+    # jobs — both measured rounds showed start ~3x end with zero load)
+    # and does NOT invalidate the run. Cross-ROUND comparisons should
+    # use the END control, which is always fully warm.
     control_delta_pct = round(
-        abs(control_end - control_start) / max(control_start, 1e-9) * 100, 1
+        (control_end - control_start) / max(control_start, 1e-9) * 100, 1
     )
     log(
         f"bench control query (end): {control_end}s "
-        f"(delta {control_delta_pct}% vs start — >20% means co-tenant load,"
-        " rerun before comparing rounds)"
+        f"(signed delta {control_delta_pct}% vs start — END slower by >20%"
+        " means co-tenant load arrived mid-run, rerun; end faster than"
+        " start is JVM warm-up, compare rounds on the END value)"
     )
 
     total = round(sum(timings.values()), 3)
