@@ -19,7 +19,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from pyspark.errors import AnalysisException
+
 from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+
+
+def _read_existing(spark: SparkSession, target_dir: str, id_col: str):
+    """Existing snapshot ids, or None iff the target doesn't exist yet.
+    Only the missing-path case means "first batch" — any other read
+    failure (corrupt footer, permissions, transient FS error) must fail
+    the batch so the checkpoint retries it; swallowing it would skip the
+    dup-guard and append duplicates permanently (the round-2 ADVICE bug
+    class, fixed in streaming/curation.py:186 and mirrored here)."""
+    try:
+        return spark.read.parquet(target_dir).select(id_col)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(getattr(e, "errorClass", "") or str(e)):
+            raise
+        return None
 
 
 def stream_vectors_from_dir(
@@ -47,15 +64,62 @@ def start_vector_ingest(
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prepared = batch.withColumn("qvec", quantize(l2_normalize(vec_col)))
-        try:
-            existing = spark.read.parquet(target_dir).select(id_col)
+        existing = _read_existing(spark, target_dir, id_col)
+        if existing is not None:
             prepared = prepared.join(existing, id_col, "left_anti")
-        except Exception:
-            pass  # first batch: nothing to guard against
         prepared.write.mode("append").parquet(target_dir)
 
     return (
         stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_indexed_ingest(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Ingest-time INDEX maintenance: each micro-batch is normalized,
+    quantized, assigned its IVF cluster, optionally PQ-encoded, and
+    appended into a ``cluster_id``-partitioned parquet layout — the
+    write-side half of `indexing.ann_ivf_search_indexed`'s read-side
+    partition pruning.
+
+    This is the 100 TB serving posture: index work happens ONCE per
+    vector at ingest (cluster assignment = one distance row per
+    centroid; PQ code = one byte per subspace via the Arrow kernel,
+    bit-equal to the expression/oracle), so a query probing n of K
+    clusters never reads — not "reads and filters", never READS —
+    (K-n)/K of the table, and ADC scans touch one-byte codes instead of
+    float vectors. The batch twin is ``indexing.build_ivf_index``; the
+    same exact-id replay guard as ``start_vector_ingest`` makes
+    re-delivered batches idempotent."""
+    from pythonvectordb_spark.operators.search import ivf_cluster_id, pq_code_arrow
+
+    def index_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prepared = (
+            batch.withColumn("qvec", quantize(l2_normalize(vec_col)))
+            .withColumn("cluster_id", ivf_cluster_id(vec_col, centroids))
+        )
+        if codebooks is not None:
+            prepared = prepared.withColumn(
+                "pq_code", pq_code_arrow(vec_col, codebooks)
+            )
+        existing = _read_existing(spark, target_dir, id_col)
+        if existing is not None:
+            prepared = prepared.join(existing, id_col, "left_anti")
+        prepared.write.mode("append").partitionBy("cluster_id").parquet(target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(index_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

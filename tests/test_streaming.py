@@ -104,3 +104,61 @@ def test_stream_sessionize(spark, tmpdirs):
     # session integrity: total events across sessions == total events
     total = out.agg(F.sum("n_events")).first()[0]
     assert total == events.count()
+
+
+def test_stream_indexed_ingest_matches_batch_index(spark, tmpdirs):
+    """Ingest-time IVF+PQ indexing: the streamed, cluster-partitioned
+    table must carry the same cluster assignments and PQ codes the batch
+    index path produces, replay must be idempotent, and the hive layout
+    must actually partition by cluster."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.operators.search import ivf_cluster_id, pq_code_expr
+    from pythonvectordb_spark.sources.testdata import load_table
+    from pythonvectordb_spark.streaming.ingest import (
+        start_indexed_ingest,
+        stream_vectors_from_dir,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    emb.repartition(2).write.parquet(tmpdirs["src"])
+
+    q = start_indexed_ingest(
+        stream_vectors_from_dir(spark, tmpdirs["src"], emb.schema),
+        tmpdirs["tgt"],
+        tmpdirs["chk"],
+        FX.CENTROIDS,
+        FX.PQ_CODEBOOKS,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(tmpdirs["tgt"])
+    assert out.count() == n
+    # batch twin: same assignment + codes (expression path, oracle order)
+    expected = emb.select(
+        "vec_id",
+        ivf_cluster_id("embedding", FX.CENTROIDS).alias("cluster_id"),
+        pq_code_expr("embedding", FX.PQ_CODEBOOKS).alias("pq_code"),
+    )
+    got = out.select("vec_id", "cluster_id", "pq_code")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # replay with a fresh checkpoint: exact-id guard keeps it idempotent
+    q2 = start_indexed_ingest(
+        stream_vectors_from_dir(spark, tmpdirs["src"], emb.schema),
+        tmpdirs["tgt"],
+        tmpdirs["chk2"],
+        FX.CENTROIDS,
+        FX.PQ_CODEBOOKS,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(tmpdirs["tgt"]).count() == n
+
+    # the layout is really hive-partitioned: a cluster filter prunes to
+    # that cluster's rows without scanning the rest
+    one = out.filter(F.col("cluster_id") == 0).count()
+    byhand = expected.filter(F.col("cluster_id") == 0).count()
+    assert one == byhand
