@@ -156,7 +156,9 @@ def main() -> None:
     )
     S.knn_join(table, queries, k=10, query_vec="qvec_query").count()  # warm-up
     batch_sec = float("inf")
-    for _ in range(2):  # best-of-2: isolate steady-state throughput
+    for _ in range(3):  # best-of-3: the 4096-batch number swung 3-8 s
+        # across otherwise-identical runs on this host; min-of-3 is the
+        # steady-state estimator (matches the control-marker rationale)
         t0 = time.time()
         S.knn_join(table, queries, k=10, query_vec="qvec_query").count()
         batch_sec = min(batch_sec, time.time() - t0)
@@ -177,9 +179,11 @@ def main() -> None:
         .limit(n_big)
         .select("query_id", F.col("embedding").alias("qvec_query"))
     )
-    t0 = time.time()
-    S.knn_join(table, big_queries, k=10, query_vec="qvec_query").count()
-    big_sec = time.time() - t0
+    big_sec = float("inf")
+    for _ in range(2):  # best-of-2 (one-shot swung 13-30 s across runs)
+        t0 = time.time()
+        S.knn_join(table, big_queries, k=10, query_vec="qvec_query").count()
+        big_sec = min(big_sec, time.time() - t0)
     qps_32k = n_big / big_sec
     log(f"bench knn_join 32k batch: {big_sec:.2f}s -> {qps_32k:.0f} qps")
 
@@ -249,9 +253,11 @@ def main() -> None:
     # coalesce per job) instead of collapsing into the per-job floor
     concurrent_qps_coalesced = serve_qps(8, 256)
     concurrent_qps_coalesced_64 = serve_qps(64, 1024)
+    concurrent_qps_coalesced_256 = serve_qps(256, 4096)
     log(
         f"bench concurrent coalesced: 8 threads -> {concurrent_qps_coalesced:.0f} qps; "
-        f"64 threads -> {concurrent_qps_coalesced_64:.0f} qps"
+        f"64 threads -> {concurrent_qps_coalesced_64:.0f} qps; "
+        f"256 threads -> {concurrent_qps_coalesced_256:.0f} qps"
     )
     serve_table.unpersist()
 
@@ -451,6 +457,7 @@ def main() -> None:
         "concurrent_qps": round(concurrent_qps, 1),
         "concurrent_qps_coalesced": round(concurrent_qps_coalesced, 1),
         "concurrent_qps_coalesced_64clients": round(concurrent_qps_coalesced_64, 1),
+        "concurrent_qps_coalesced_256clients": round(concurrent_qps_coalesced_256, 1),
         "mem_bytes_per_vector": mem_scaling,
         "ann_recall_at_10": ann_recall,
         "dedup_pair_recall": dedup_pair_recall,
