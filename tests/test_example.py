@@ -17,3 +17,13 @@ def test_llm_pipeline_example_runs(spark):
     assert 0 < s["vocab_size"] <= 512
     assert s["n_sequences"] > 0
     assert 0.0 <= s["boundary_doc_frac"] <= 1.0
+
+
+def test_hybrid_search_and_export_example_runs(spark):
+    from hybrid_search_and_export import run
+
+    s = run("/root/testdata/sf0.001")
+    assert len(s["ivf_hits"]) == 10
+    assert len(s["hybrid_top"]) == 10
+    assert s["skew_factor"] >= 1.0
+    assert sum(s["shards"].values()) == s["n_exported"] > 0

@@ -68,3 +68,31 @@ def test_int8_cosine_matches_numpy_model(spark, vec, qvec):
     else:
         want = float(np.dot(q, v)) / (qn * vn)
     assert got == pytest.approx(want, abs=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(vectors, min_size=1, max_size=4),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_pq_arrow_matches_expr_on_arbitrary_vectors(spark, vecs, seed):
+    """pq_code_arrow must stay bit-equal to pq_code_expr on ARBITRARY
+    float32 vectors and random small codebooks, not just the shipped
+    fixtures — the equality claim is about fold order, upcast, and
+    first-min tie-break, none of which may depend on the data."""
+    import random
+
+    from pythonvectordb_spark.operators.search import pq_code_arrow, pq_code_expr
+
+    rng = random.Random(seed)
+    # 2 subspaces x 3 centroids x DIM//2 dims of small uniform floats
+    books = [
+        [[rng.uniform(-1, 1) for _ in range(DIM // 2)] for _ in range(3)]
+        for _ in range(2)
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<float>")
+    got = df.select(
+        pq_code_expr("v", books).alias("e"), pq_code_arrow("v", books).alias("a")
+    ).collect()
+    for r in got:
+        assert list(r.e) == list(r.a)
