@@ -4676,6 +4676,72 @@ SELECT node AS nation, round(rank, 6) AS rank FROM pr{iterations}
 """
 
 
+def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching as a join predicate: pairs of distinct
+    source names within Levenshtein distance 2 — the entity-resolution
+    shape (near-identical feed/crawl names) on the engine's native edit
+    distance. The self-join runs on the DISTINCT key set (tiny relative
+    to the corpus — the standard fuzzy-join reduction: dedupe to the key
+    directory first, then pay O(|keys|^2) where |keys| << |rows|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("source").distinct()
+    a = src.select(F.col("source").alias("src_a"))
+    b = src.select(F.col("source").alias("src_b"))
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .withColumn("dist", F.levenshtein("src_a", "src_b").cast("int"))
+        .filter(F.col("dist") <= 2)
+    )
+
+
+def o_fuzzy_source_pairs() -> str:
+    return """
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(levenshtein(a.source, b.source) AS INT) AS dist
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 2
+"""
+
+
+def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: median and MAD (median absolute
+    deviation) of the value column — the outlier-resistant complement of
+    `event_outliers`' mean/stddev fences. Two passes by construction
+    (MAD needs the median first): pass 1 reduces to one 5-row median
+    table (map-side combined percentile), pass 2 broadcasts it back and
+    reduces the absolute deviations — the event table is scanned twice
+    but shuffled never (both aggregations carry partial percentile state
+    keyed by the 5-value type)."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+        )
+    )
+
+
+def o_event_value_mad() -> str:
+    return """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(med), 6) AS median_value,
+       round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 32 entries never driver-checked in
@@ -4832,6 +4898,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_token_caps": q_source_token_caps,
     "event_key_skew": q_event_key_skew,
     "trade_pagerank": q_trade_pagerank,
+    "fuzzy_source_pairs": q_fuzzy_source_pairs,
+    "event_value_mad": q_event_value_mad,
 }
 
 ORACLES: dict[str, str] = {
@@ -4974,6 +5042,8 @@ ORACLES: dict[str, str] = {
     "source_token_caps": o_source_token_caps(),
     "event_key_skew": o_event_key_skew(),
     "trade_pagerank": o_trade_pagerank(),
+    "fuzzy_source_pairs": o_fuzzy_source_pairs(),
+    "event_value_mad": o_event_value_mad(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
 }

@@ -1,15 +1,14 @@
-"""Driver-canonicalization contract for the front-50 window.
+"""Driver-canonicalization contract for every oracled query.
 
 The driver's CORRECTNESS comparator canonicalizes each result by sorting
 all columns in pandas and hashing the values; array/map/struct cells are
-unhashable there (round 2's `pq_encode` err). Every query in the first-50
-window — the slice the driver actually checks — must therefore emit only
-scalar columns. Queries past the window may keep their natural array
-outputs (the operator contracts do); when they rotate forward they get a
-string projection like `pq_encode`/`encode_tokens`.
+unhashable there (round 2's `pq_encode` err). Any ORACLED query can
+rotate into the driver's front-50 window in a later round, so every one
+of them must emit only scalar columns — operators keep their natural
+array outputs; the REGISTERED projection strings them
+(`pq_encode`/`encode_tokens` pattern). Rows-only entries (no oracle) are
+exempt: the driver only counts their rows.
 """
-
-from itertools import islice
 
 from pyspark.sql import types as T
 
@@ -18,12 +17,12 @@ from tests.conftest import SF_SMOKE
 NON_SCALAR = (T.ArrayType, T.MapType, T.StructType)
 
 
-def test_front50_schemas_are_driver_canonicalizable(spark):
-    from pythonvectordb_spark.registry import QUERIES
+def test_oracled_schemas_are_driver_canonicalizable(spark):
+    from pythonvectordb_spark.registry import ORACLES, QUERIES
 
     bad = []
-    for name, fn in islice(QUERIES.items(), 50):
-        for f in fn(spark, SF_SMOKE).schema.fields:
+    for name in ORACLES:
+        for f in QUERIES[name](spark, SF_SMOKE).schema.fields:
             if isinstance(f.dataType, NON_SCALAR):
                 bad.append((name, f.name, f.dataType.simpleString()))
-    assert not bad, f"non-scalar columns in driver window: {bad}"
+    assert not bad, f"non-scalar columns in oracled queries: {bad}"
