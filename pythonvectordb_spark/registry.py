@@ -4891,8 +4891,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_running": q_customer_order_running,
     "mktsegment_rollup": q_mktsegment_rollup,
     "order_priority_counts": q_order_priority_counts,
-    # round-3 additions (post-window: first driver rows at the round-4
-    # rotation; locally oracle-checked by test_oracle_parity meanwhile)
+    # ROUND-4 ROTATION TODO: these round-3-late entries are the ONLY
+    # registered queries without a driver CORRECTNESS row after round 3
+    # — rotate all of them into the front-50 next round (pad with
+    # round-3-green continuity witnesses). All are oracled and
+    # hash-match locally at sf0.001 AND sf0.01; all emit scalar-only
+    # schemas (pinned by tests/test_registry_contract.py).
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
