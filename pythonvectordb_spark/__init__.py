@@ -104,3 +104,8 @@ from pythonvectordb_spark.operators.layout import (  # noqa: F401
     zorder_key,
     zorder_pruning_stats,
 )
+from pythonvectordb_spark.sources.zonemap import (  # noqa: F401
+    build_zone_map,
+    pruned_read,
+    zone_files_for_range,
+)

@@ -4742,6 +4742,36 @@ GROUP BY 1
 """
 
 
+def q_zone_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (`sources/zonemap.py`): build the per-file
+    (count, min/max) manifest in one grouped scan, turn a value-range
+    predicate into the intersecting file list, read ONLY those files,
+    re-apply the exact predicate, aggregate. Results are the plain
+    filter's by contract (zones pass a superset; the predicate re-check
+    makes it exact — same prune-then-verify shape as bloom_prune_join),
+    so the oracle is the plain filtered aggregate. The multi-file
+    skipping behavior itself is pinned by tests/test_zonemap.py on a
+    range-clustered layout."""
+    from pythonvectordb_spark.sources.zonemap import build_zone_map, pruned_read
+
+    ev = load_table(spark, sf_dir, "events")
+    zm = build_zone_map(ev, ["value"])
+    hits = pruned_read(spark, zm, "value", 100.0, 200.0)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+    )
+
+
+def o_zone_pruned_scan() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE value >= 100.0 AND value <= 200.0
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 32 entries never driver-checked in
@@ -4904,6 +4934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trade_pagerank": q_trade_pagerank,
     "fuzzy_source_pairs": q_fuzzy_source_pairs,
     "event_value_mad": q_event_value_mad,
+    "zone_pruned_scan": q_zone_pruned_scan,
 }
 
 ORACLES: dict[str, str] = {
@@ -5048,6 +5079,7 @@ ORACLES: dict[str, str] = {
     "trade_pagerank": o_trade_pagerank(),
     "fuzzy_source_pairs": o_fuzzy_source_pairs(),
     "event_value_mad": o_event_value_mad(),
+    "zone_pruned_scan": o_zone_pruned_scan(),
     # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
     # MLlib hashing are engine-specific); driver records rows-only checks
 }
