@@ -5,3 +5,4 @@ from pythonvectordb_spark.plans.explain import (  # noqa: F401
     pruned_columns,
     scan_schema,
 )
+from pythonvectordb_spark.plans.advisor import Finding, advise  # noqa: F401

@@ -1,0 +1,66 @@
+"""Plan advisor: each anti-pattern detector must fire on a plan built to
+exhibit it and stay quiet on the engine's own (deliberately clean)
+flagship plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+
+
+def _codes(findings):
+    return {f.code for f in findings}
+
+
+def test_flags_cartesian(spark, events):
+    from pythonvectordb_spark.plans.advisor import advise
+
+    small = events.limit(5).select(F.col("event_id").alias("b_id"))
+    cross = events.crossJoin(small)
+    # a crossJoin surfaces as CartesianProduct or BroadcastNestedLoopJoin
+    # depending on size estimates — either way the advisor must object
+    assert _codes(advise(cross)) & {"cartesian-product", "nested-loop-join"}
+
+
+def test_flags_python_row_udf(spark, events):
+    from pyspark.sql.types import DoubleType
+
+    from pythonvectordb_spark.plans.advisor import advise
+
+    slow = F.udf(lambda x: x * 2.0, DoubleType())
+    df = events.select(slow("value").alias("v2"))
+    found = advise(df)
+    assert "python-row-udf" in _codes(found)
+    assert found[0].severity == "high"  # sorted most-severe first
+
+
+def test_flags_unpushed_filter(spark, events):
+    from pyspark.sql.types import BooleanType
+
+    from pythonvectordb_spark.plans.advisor import advise
+
+    pred = F.udf(lambda x: x > 100.0, BooleanType())
+    df = events.filter(pred("value"))
+    assert "unpushed-filter" in _codes(advise(df))
+
+
+def test_flags_global_sort_but_not_topk(spark, events):
+    from pythonvectordb_spark.plans.advisor import advise
+
+    assert "global-sort" in _codes(advise(events.orderBy("value")))
+    assert "global-sort" not in _codes(advise(events.orderBy("value").limit(10)))
+
+
+def test_clean_plans_stay_clean(spark):
+    from pythonvectordb_spark.plans.advisor import advise
+    from pythonvectordb_spark.registry import QUERIES
+
+    # the flagship exact search and the pushdown-pinned filtered variant
+    for name in ("knn_search", "knn_search_filtered", "pricing_summary"):
+        found = advise(QUERIES[name](spark, SF_SMOKE))
+        assert not {"cartesian-product", "python-row-udf"} & _codes(found), name
