@@ -94,6 +94,20 @@ def advise(
         )
 
     for frag in _findall_ops(txt, "BatchEvalPython"):
+        if "UDTF" in frag:
+            # UDTFs have no Arrow execution mode — row-wise is the only
+            # way to write one, so this is informational, not a defect
+            out.append(
+                Finding(
+                    "python-udtf",
+                    "low",
+                    "Python UDTF in the data path (row-wise by construction). "
+                    "Keep the exploded row count bounded; if the logic is "
+                    "per-row scalar, a pandas_udf is the vectorized form.",
+                    frag,
+                )
+            )
+            continue
         out.append(
             Finding(
                 "python-row-udf",

@@ -64,3 +64,23 @@ def test_clean_plans_stay_clean(spark):
     for name in ("knn_search", "knn_search_filtered", "pricing_summary"):
         found = advise(QUERIES[name](spark, SF_SMOKE))
         assert not {"cartesian-product", "python-row-udf"} & _codes(found), name
+
+
+@pytest.mark.slow
+def test_registry_has_no_scale_killers(spark):
+    """Self-audit: NO registered query may plan a cartesian product or a
+    row-at-a-time Python UDF (the UDTF surface is exempt by design —
+    UDTFs have no Arrow mode and the advisor classes them separately)."""
+    from pythonvectordb_spark.plans.advisor import advise
+    from pythonvectordb_spark.registry import QUERIES
+
+    flagged = {}
+    for name, fn in QUERIES.items():
+        bad = [
+            f.code
+            for f in advise(fn(spark, SF_SMOKE))
+            if f.code in ("cartesian-product", "python-row-udf")
+        ]
+        if bad:
+            flagged[name] = bad
+    assert not flagged, f"scale-killer plans in registry: {flagged}"
