@@ -1822,6 +1822,20 @@ def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RL.approx_distinct_events(load_table(spark, sf_dir, "events"))
 
 
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) per event type — the 100 TB
+    percentile path: bounded sketch state with partial merge, vs the
+    exact `value_percentiles` twin whose state is the group's values.
+    Rows-only driver check (sketch internals are engine-specific);
+    tests/test_properties.py bounds its error against the exact twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("ap99"),
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event values per event_type
     (SURVEY §2.9 latency-percentile analogue, exact `percentile` not the
@@ -4935,6 +4949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_source_pairs": q_fuzzy_source_pairs,
     "event_value_mad": q_event_value_mad,
     "zone_pruned_scan": q_zone_pruned_scan,
+    "approx_value_percentiles": q_approx_value_percentiles,  # rows-only
 }
 
 ORACLES: dict[str, str] = {

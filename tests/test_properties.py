@@ -483,3 +483,24 @@ def test_boilerplate_share_template_vs_unique(spark):
     assert abs(by_id[1].boilerplate_share - round(4 / 7, 9)) < 1e-12
     assert by_id[3].n_shared == 0 and by_id[3].boilerplate_share == 0.0
     assert 4 not in by_id  # 2 tokens < n: no shingles, no row
+
+
+def test_approx_percentiles_bounded_error_vs_exact(spark):
+    """The GK-sketch percentiles must land within rank-error distance of
+    the exact interpolated twin at accuracy 10000 (rank eps = 1/10000 —
+    far below the value spread here, so approx p50 must sit between the
+    exact p25 and p95, and ap99 at/above exact p95)."""
+    from tests.conftest import SF_SMOKE
+
+    from pythonvectordb_spark.registry import (
+        q_approx_value_percentiles,
+        q_value_percentiles,
+    )
+
+    approx = {r.event_type: r for r in q_approx_value_percentiles(spark, SF_SMOKE).collect()}
+    exact = {r.event_type: r for r in q_value_percentiles(spark, SF_SMOKE).collect()}
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert e.p25 <= a.ap50 <= e.p95, (et, a.ap50, e.p25, e.p95)
+        assert a.ap99 >= e.p95, (et, a.ap99, e.p95)
