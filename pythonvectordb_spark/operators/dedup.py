@@ -153,13 +153,26 @@ def _minhash_banded(
             for i, (a, b) in enumerate(params)
         ]
     )
-    band_frames = []
-    for b in range(bands):
-        key = F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)]))
-        band_frames.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
-    banded = band_frames[0]
-    for f in band_frames[1:]:
-        banded = banded.unionByName(f)
+    # ONE explode, not a bands-way union: each union branch re-derives
+    # the whole signature subtree (Spark has no cross-branch CSE for
+    # DataFrame unions), so the shingle+hash+min-aggregate pipeline ran
+    # `bands` times — the round-2 plan dump in EXPLAIN.md shows the 4
+    # identical subtrees. The struct-array explode computes signatures
+    # once and fans out (band, bkey) rows from them.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("p")).select(
+        F.col(id_col), F.col("p.band").alias("band"), F.col("p.bkey").alias("bkey")
+    )
     return sh, banded
 
 
