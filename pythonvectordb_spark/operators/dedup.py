@@ -362,15 +362,28 @@ def simhash_pairs(
     shuffles on a 1-byte+band key and AQE handles block skew.
     """
     fps = simhash_fingerprints(df, n, text_col, id_col)
-    blocks = None
-    for byte in range(4):
-        blk = fps.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(byte).alias("blk"),
-            F.shiftright(F.col("simhash"), byte * 8).bitwiseAND(F.lit(255)).alias("bval"),
-        )
-        blocks = blk if blocks is None else blocks.unionByName(blk)
+    # one explode, not a 4-way union: union branches would re-derive the
+    # whole fingerprint pipeline per byte (and the self-join below
+    # doubles that) — same no-cross-branch-CSE fix as _minhash_banded
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(byte).cast("int").alias("blk"),
+                F.shiftright(F.col("simhash"), byte * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("bval"),
+            )
+            for byte in range(4)
+        ]
+    )
+    blocks = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("p")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("p.blk").alias("blk"),
+        F.col("p.bval").alias("bval"),
+    )
     x = blocks.alias("x")
     y = blocks.alias("y")
     cand = (
