@@ -424,13 +424,19 @@ def connected_components(
     stay bounded. Returns (node, component) with component = min node id
     reachable.
     """
+    # symmetrize with one explode, not a union of pairs + flipped pairs:
+    # the two union branches would each re-derive the (possibly
+    # expensive) pair-generation DAG at checkpoint time
+    both = F.array(
+        F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+        F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+    )
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(F.explode(both).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
         # materialize once: every propagation round joins against edges,
-        # and without this the (possibly expensive) pair derivation would
-        # re-execute per round
+        # and without this the pair derivation would re-execute per round
         .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
