@@ -52,8 +52,11 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
-    # collapse parallel edges, compute per-src transition probabilities
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # collapse parallel edges, compute per-src transition probabilities.
+    # Checkpoint the collapsed edge frame FIRST: out/trans/nodes all
+    # derive from it, and without this the caller's upstream edge DAG
+    # (a 5-table join for the trade graph) executes once per reference.
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).localCheckpoint(eager=True)
     out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     trans = e.join(out, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
