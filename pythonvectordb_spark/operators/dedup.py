@@ -95,7 +95,11 @@ def ngram_jaccard_pairs(
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) on exact integer counts, so the
     comparison against ``threshold`` is deterministic.
     """
-    sh = _shingled(df, text_col, id_col, n)
+    # materialize the shingle frame once (lazy checkpoint): sizes, the
+    # inverted index, the df-cap scan, and both self-join sides all read
+    # it, and without this the Arrow shingling UDF re-executes per
+    # branch (shuffle reuse only dedups post-Exchange subtrees)
+    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     if max_df is not None:
@@ -137,7 +141,10 @@ def _minhash_banded(
     construction, ~6x cheaper than num_hashes md5 calls per row and
     mirrorable in SQL (constants from minhash_params)."""
     r = num_hashes // bands
-    sh = _shingled(df, text_col, id_col, n)
+    # lazy checkpoint: the shingle frame feeds BOTH the signature
+    # pipeline and the exact-Jaccard verify join — one Arrow shingling
+    # pass, not one per consumer
+    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     hashed = inv.select(
         F.col(id_col),
