@@ -720,11 +720,14 @@ def semantic_dedup_pairs(
     )
     from pythonvectordb_spark.operators.search import ivf_cluster_id
 
+    # lazy checkpoint: both self-join sides read the quantized+assigned
+    # frame, and the normalize/quantize/argmax expressions are the
+    # operator's per-row cost — compute them once, not per side
     q = df.select(
         F.col(id_col),
         quantize(l2_normalize(vec_col)).alias("qv"),
         ivf_cluster_id(vec_col, centroids).alias("cluster_id"),
-    )
+    ).localCheckpoint(eager=False)
     a = q.select(
         F.col(id_col).alias("id_a"), F.col("qv").alias("va"), "cluster_id"
     )
