@@ -579,7 +579,11 @@ def embedding_near_dup(
         quantize,
     )
 
-    q = df.select(F.col(id_col), quantize(l2_normalize(vec_col)).alias("qv"))
+    # lazy checkpoint: the quantized frame feeds the signature pass AND
+    # both verify-join sides — one normalize+quantize execution, not three
+    q = df.select(
+        F.col(id_col), quantize(l2_normalize(vec_col)).alias("qv")
+    ).localCheckpoint(eager=False)
     if method == "expr":
         a = q.select(F.col(id_col).alias("id_a"), F.col("qv").alias("va"))
         b = q.select(F.col(id_col).alias("id_b"), F.col("qv").alias("vb"))
