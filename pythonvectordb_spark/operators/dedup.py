@@ -450,23 +450,26 @@ def connected_components(
         "component", F.col("node")
     )
     for _ in range(max_iterations):
-        neighbor = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"), F.col("component")
+        # min over {self} ∪ neighbors = least(own, min(neighbors)); the
+        # change flag rides along in the SAME checkpointed frame, so the
+        # convergence check is a narrow filter+count over materialized
+        # rows — no per-round shuffle join against the previous labels
+        nmin = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("ncomp"))
         )
         proposed = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            labels.join(nmin, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.col("ncomp")).alias("component"),
+                (F.col("ncomp") < F.col("component")).alias("_changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            proposed.join(
-                labels.withColumnRenamed("component", "old"), "node"
-            )
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = proposed
+        changed = proposed.filter(F.col("_changed")).count()
+        labels = proposed.drop("_changed")
         if changed == 0:
             break
     return labels
