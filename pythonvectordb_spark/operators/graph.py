@@ -74,7 +74,7 @@ def pagerank(
     # size the iteration's partitioning to the GRAPH, not the session
     # default: per-round state is one (node, rank) row per node, and a
     # 25-node graph iterated over 32 shuffle partitions spends the whole
-    # round on empty-task overhead (measured 8.7 s -> ~2 s at sf0.1).
+    # round on empty-task overhead.
     # ~100k nodes per partition keeps rank rows cache-resident per task;
     # a billion-node graph still gets 10k-way parallelism.
     n_part = max(1, -(-n_nodes // 100_000))
