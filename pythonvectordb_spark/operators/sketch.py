@@ -153,3 +153,63 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
         F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_factor"),
     )
+
+
+def gk_error_bound(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    probes: tuple[float, ...] = (0.5, 0.99),
+    accuracy: int = 10000,
+    slack: float = 0.02,
+) -> DataFrame:
+    """Per-group GK approx-percentile with its error bound asserted as
+    data: for each probe p, emit ``within_bound`` = 1 iff the sketch
+    value lies inside the EXACT percentile band [p - slack, p + slack].
+
+    This turns the engine-specific sketch into an oracle-checkable
+    contract (the CMS-family pattern): DuckDB cannot replay Spark's GK
+    summary, but it can assert the guarantee — GK with ``accuracy`` a
+    has rank error <= n/a, far inside a ``slack`` band of interpolated
+    exact percentiles for any non-degenerate group — so the oracle emits
+    the constant 1 and a sketch regression breaks the value hash.
+
+    Scale posture: one grouped aggregation; GK state is O(accuracy)
+    per group with partial merge (the whole point vs the exact twin
+    ``value_percentiles``, whose state is the group's values). The exact
+    band here is the verification harness, not the production path.
+    """
+    probes = tuple(probes)
+    band = []
+    for p in probes:
+        band.append(max(0.0, p - slack))
+        band.append(min(1.0, p + slack))
+    ap_sql = ", ".join(repr(float(p)) + "D" for p in probes)
+    band_sql = ", ".join(repr(float(b)) + "D" for b in band)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"approx_percentile({value_col}, array({ap_sql}), {accuracy})").alias("ap"),
+        F.expr(f"percentile({value_col}, array({band_sql}))").alias("ex"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(round(p * 10000))).cast("long").alias("probe_bp"),
+                (
+                    (F.col("ap")[i] >= F.col("ex")[2 * i])
+                    & (F.col("ap")[i] <= F.col("ex")[2 * i + 1])
+                )
+                .cast("long")
+                .alias("within_bound"),
+            )
+            for i, p in enumerate(probes)
+        ]
+    )
+    return agg.select(
+        F.col(group_col), F.col("n"), F.explode(rows).alias("r")
+    ).select(
+        group_col,
+        F.col("r.probe_bp").alias("probe_bp"),
+        "n",
+        F.col("r.within_bound").alias("within_bound"),
+    )

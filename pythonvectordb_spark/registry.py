@@ -1836,6 +1836,31 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK sketch percentiles with the error bound asserted as data:
+    ``within_bound`` = 1 iff approx_percentile(value, p, 10000) lands
+    inside the EXACT interpolated [p-0.02, p+0.02] band, per event type
+    and probe. The oracle emits the constant 1 (DuckDB cannot replay the
+    sketch but CAN assert its guarantee) — so a sketch regression breaks
+    the value hash. Graduates the `approx_value_percentiles` family from
+    rows-only to hash-matched (the CMS-family pattern)."""
+    from pythonvectordb_spark.operators.sketch import gk_error_bound
+
+    ev = load_table(spark, sf_dir, "events")
+    return gk_error_bound(ev, "value", "event_type")
+
+
+def o_approx_percentile_error() -> str:
+    return """
+SELECT event_type,
+       CAST(p.probe_bp AS BIGINT) AS probe_bp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events CROSS JOIN (VALUES (5000), (9900)) AS p(probe_bp)
+GROUP BY 1, 2
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event values per event_type
     (SURVEY §2.9 latency-percentile analogue, exact `percentile` not the
@@ -4787,26 +4812,29 @@ GROUP BY 1
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-3 front block (driver CORRECTNESS checks the FIRST 50
-    # entries). Composition: the 32 entries never driver-checked in
-    # rounds 1-2, the 6 queries new or changed this round, and 12
-    # round-2-green continuity witnesses. After this round every
-    # registered query has had a driver row. -------------------------
-    "mllib_word2vec": q_mllib_word2vec,
-    "mllib_ivf_search": q_mllib_ivf_search,
+    # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
+    # entries). Composition: the 9 entries never driver-checked after
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 1 query new
+    # this round (approx_percentile_error — the GK sketch's error-bound
+    # contract), and 40 round-3-green continuity witnesses. After this
+    # round every registered query has had a driver row: coverage
+    # closes at 149/149 witnessed. ------------------------------------
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "training_shard_stats": q_training_shard_stats,
+    "source_token_caps": q_source_token_caps,
+    "event_key_skew": q_event_key_skew,
+    "trade_pagerank": q_trade_pagerank,
+    "fuzzy_source_pairs": q_fuzzy_source_pairs,
+    "event_value_mad": q_event_value_mad,
+    "zone_pruned_scan": q_zone_pruned_scan,
+    "approx_value_percentiles": q_approx_value_percentiles,  # rows-only
+    "approx_percentile_error": q_approx_percentile_error,  # new r4
+    # --- round-3-green continuity witnesses --------------------------
     "chunk_documents": q_chunk_documents,
     "repetition_stats": q_repetition_stats,
     "unigram_surprisal": q_unigram_surprisal,
     "quality_filter": q_quality_filter,
     "boilerplate_share": q_boilerplate_share,
-    "knn_classify": q_knn_classify,
-    "top_brands_by_share": q_top_brands_by_share,
-    "promo_revenue_share": q_promo_revenue_share,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "heavy_part_suppliers": q_heavy_part_suppliers,
-    "sole_late_suppliers": q_sole_late_suppliers,
-    "nation_profit_trend": q_nation_profit_trend,
-    "min_cost_supplier": q_min_cost_supplier,
     "lateship_priority_counts": q_lateship_priority_counts,
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -4844,8 +4872,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "bloom_prune_join": q_bloom_prune_join,
     # --- previously driver-witnessed block (green rows in
-    # CORRECTNESS_r01/CORRECTNESS_r02; still covered every round by
+    # CORRECTNESS_r01/r02/r03; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ------------------------
+    "mllib_word2vec": q_mllib_word2vec,
+    "mllib_ivf_search": q_mllib_ivf_search,
+    "knn_classify": q_knn_classify,
+    "top_brands_by_share": q_top_brands_by_share,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "heavy_part_suppliers": q_heavy_part_suppliers,
+    "sole_late_suppliers": q_sole_late_suppliers,
+    "nation_profit_trend": q_nation_profit_trend,
+    "min_cost_supplier": q_min_cost_supplier,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "distinct_agg_stats": q_distinct_agg_stats,
     "salted_segment_revenue": q_salted_segment_revenue,
@@ -4935,21 +4973,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_running": q_customer_order_running,
     "mktsegment_rollup": q_mktsegment_rollup,
     "order_priority_counts": q_order_priority_counts,
-    # ROUND-4 ROTATION TODO: these round-3-late entries are the ONLY
-    # registered queries without a driver CORRECTNESS row after round 3
-    # — rotate all of them into the front-50 next round (pad with
-    # round-3-green continuity witnesses). All are oracled and
-    # hash-match locally at sf0.001 AND sf0.01; all emit scalar-only
-    # schemas (pinned by tests/test_registry_contract.py).
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "training_shard_stats": q_training_shard_stats,
-    "source_token_caps": q_source_token_caps,
-    "event_key_skew": q_event_key_skew,
-    "trade_pagerank": q_trade_pagerank,
-    "fuzzy_source_pairs": q_fuzzy_source_pairs,
-    "event_value_mad": q_event_value_mad,
-    "zone_pruned_scan": q_zone_pruned_scan,
-    "approx_value_percentiles": q_approx_value_percentiles,  # rows-only
 }
 
 ORACLES: dict[str, str] = {
@@ -5049,6 +5072,7 @@ ORACLES: dict[str, str] = {
     "events_tumbling": o_events_tumbling(),
     "nation_customer_stats": o_nation_customer_stats(),
     "value_percentiles": o_value_percentiles(),
+    "approx_percentile_error": o_approx_percentile_error(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),
