@@ -57,6 +57,7 @@ def train_pq_codebooks(
     ks: int = 16,
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace KMeans codebooks for product quantization — the
     offline training step that random fixture codebooks stand in for
@@ -81,7 +82,11 @@ def train_pq_codebooks(
         base = base.sample(fraction=sample_fraction, seed=SEED)
     base = base.cache()
     try:
-        n_dim = len(base.first()[0])
+        # parquet array columns carry no length in the schema, so the
+        # dimensionality comes from the caller (it always knows its
+        # embedding width); the first() sniff is only the no-arg
+        # fallback and costs one extra tiny job at training time
+        n_dim = dim if dim is not None else len(base.first()[0])
         sub_dim = n_dim // m
         books = []
         for s in range(m):

@@ -51,6 +51,7 @@ def knn_search(
     pred: Column | None = None,
     id_col: str = "vec_id",
     qvec_col: str = "qvec",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Reference ``search`` (pythonvectordb.py:327-402): brute-force exact
     top-k by int8 cosine score.
@@ -59,15 +60,21 @@ def knn_search(
     Catalyst pushes it into the scan; score only survivors. Deterministic
     tie-break on id (the reference's tie order is unstable, SURVEY §2.1 K4).
     Returns (id, score) — the reference's result projection (:384-397).
+
+    ``round_to``: when set, the score is rounded to that many decimals
+    BEFORE the top-k cut (and returned rounded) — two raw scores that
+    collide at the rounded precision then resolve by the id tie-break
+    identically in any engine, making the shortlist BOUNDARY
+    engine-portable, not just the ranks (hybrid_rrf_search's contract).
     """
     if k <= 0:
         raise ValueError("k must be positive")  # ref :347-348
     if pred is not None:
         df = df.filter(pred)
-    scored = df.select(
-        F.col(id_col),
-        cosine_similarity_int8(_query_lit(query), qvec_col).alias("score"),
-    )
+    score = cosine_similarity_int8(_query_lit(query), qvec_col)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = df.select(F.col(id_col), score.alias("score"))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
@@ -875,12 +882,19 @@ def rrf_fuse(
 
     Ranks are computed over each list's OWN rows (dense ordering by
     score desc, id asc — the id tiebreak keeps ranks engine-portable
-    when scores tie), then the lists full-outer join on id. Both inputs
-    are top-N shortlists (k..hundreds of rows), so at 100 TB this whole
-    operator is driver-trivial: the expensive work — corpus-scale BM25
-    and ANN — already reduced to shortlists upstream; the fusion
-    window/join touch only those rows. Returns the fused top-``k`` as
-    (id, rrf_score, rank_a, rank_b).
+    when scores tie), then the lists full-outer join on id. Returns the
+    fused top-``k`` as (id, rrf_score, rank_a, rank_b).
+
+    Parameter contract: ``ranked_a`` / ``ranked_b`` MUST be bounded
+    shortlists (k..hundreds of rows — e.g. the LIMIT-k output of
+    knn_search / a BM25 top-N), because the rank windows are
+    deliberately UNPARTITIONED: Spark evaluates each through a single
+    task (it only logs a WindowExec warning, it does not fail). That is
+    exactly right for shortlists — at 100 TB the expensive work
+    (corpus-scale BM25 and ANN) has already reduced to shortlists
+    upstream and fusion touches only those rows — but feeding an
+    unbounded table here would silently serialize it through one
+    partition. Keep the corpus cut upstream of this function.
     """
     wa = Window.orderBy(F.desc(score_a), F.asc(id_col))
     wb = Window.orderBy(F.desc(score_b), F.asc(id_col))

@@ -4511,12 +4511,13 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production hybrid-search combiner (no score calibration needed
     across retrievers). Documents pair with embeddings by doc_id ==
     vec_id (the corpus's multimodal keying). Both inputs are shortlists,
-    so fusion cost is independent of corpus size; ranks are computed on
-    the ROUNDED scores with id tie-breaks so rank order is
+    so fusion cost is independent of corpus size; the knn shortlist cut
+    AND the ranks are computed on the ROUNDED scores with id tie-breaks
+    so both the shortlist boundary and the rank order are
     engine-portable."""
     bm25 = q_bm25_rank(spark, sf_dir)  # (doc_id, bm25) top-20
-    knn = S.knn_search(_emb(spark, sf_dir), FX.QUERY_VEC, k=20).select(
-        F.col("vec_id").alias("doc_id"), F.round("score", 9).alias("score")
+    knn = S.knn_search(_emb(spark, sf_dir), FX.QUERY_VEC, k=20, round_to=9).select(
+        F.col("vec_id").alias("doc_id"), F.col("score")
     )
     return S.rrf_fuse(bm25, knn, "doc_id", "bm25", "score", k=10)
 

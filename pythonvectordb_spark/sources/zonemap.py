@@ -68,13 +68,22 @@ def pruned_read(
     """Read only the files whose zone intersects [lo, hi], then re-apply
     the exact predicate. Equal rows to the full-scan filter (pinned by
     test); unmatched files are never opened. Returns an empty-but-typed
-    frame when no zone matches."""
+    frame when no zone matches (schema recovered from ONE manifest file,
+    not the full list); raises on an empty manifest — there is no schema
+    to type an empty result with, and a zero-file zone map is a build
+    error upstream, not a no-matches read."""
     files = zone_files_for_range(zone_map, col, lo, hi)
     if not files:
-        # preserve the schema without touching any data file content
-        all_files = [r.file for r in zone_map.select("file").collect()]
+        # preserve the schema without touching any data file content;
+        # one file is enough to read a parquet footer's schema
+        first = zone_map.select("file").limit(1).collect()
+        if not first:
+            raise ValueError(
+                "pruned_read: zone map has no files — build_zone_map saw an "
+                "empty table; cannot derive a result schema"
+            )
         return (
-            spark.read.parquet(*all_files)
+            spark.read.parquet(first[0].file)
             .filter(F.lit(False))
             .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         )

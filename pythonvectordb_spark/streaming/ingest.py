@@ -34,7 +34,15 @@ def _read_existing(spark: SparkSession, target_dir: str, id_col: str):
     try:
         return spark.read.parquet(target_dir).select(id_col)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(getattr(e, "errorClass", "") or str(e)):
+        # getCondition() is the structured error class (pyspark 4 name;
+        # getErrorClass() pre-4.1) — match on it, not on the message
+        # text, which is format-dependent across Spark versions. The
+        # str(e) fallback only runs when neither accessor exists.
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cond = (getter() if getter else None) or str(e)
+        if "PATH_NOT_FOUND" not in cond:
             raise
         return None
 
