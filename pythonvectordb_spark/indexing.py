@@ -171,7 +171,9 @@ def brp_lsh_near_dup(
     """
     import math
 
-    feats = _as_vec(df.select(id_col, vec_col), vec_col)
+    # lazy checkpoint: the featurized frame feeds fit() AND both sides
+    # of the self approxSimilarityJoin — one featurization pass, not 3
+    feats = _as_vec(df.select(id_col, vec_col), vec_col).localCheckpoint(eager=False)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -210,9 +212,11 @@ def minhash_lsh_text_pairs(
     ).transform(df.select(id_col, text_col))
     grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(toks)
     cv = CountVectorizer(inputCol="grams", outputCol="features", binary=True).fit(grams)
+    # lazy checkpoint: tokenization + n-grams + term vectors feed fit()
+    # AND both sides of the self approxSimilarityJoin
     feats = cv.transform(grams).filter(
         F.expr("size(grams) > 0")
-    )
+    ).localCheckpoint(eager=False)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=SEED
     ).fit(feats)

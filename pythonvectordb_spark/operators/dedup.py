@@ -368,7 +368,11 @@ def simhash_pairs(
     4 equi-joins on bytes replace the n^2 scan — at 100 TB each block join
     shuffles on a 1-byte+band key and AQE handles block skew.
     """
-    fps = simhash_fingerprints(df, n, text_col, id_col)
+    # lazy checkpoint: the fingerprint pipeline (shingle explode + 32-bit
+    # vote aggregate) feeds BOTH self-join sides below; shuffle reuse only
+    # dedups the pre-Exchange half, the final vote aggregate would still
+    # run once per side (caught by plans/advisor union-recompute)
+    fps = simhash_fingerprints(df, n, text_col, id_col).localCheckpoint(eager=False)
     # one explode, not a 4-way union: union branches would re-derive the
     # whole fingerprint pipeline per byte (and the self-join below
     # doubles that) — same no-cross-branch-CSE fix as _minhash_banded

@@ -101,7 +101,14 @@ def tfidf_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # lazy checkpoint: tf feeds BOTH the document-frequency aggregate and
+    # the final join — shuffle reuse shares tf's exchange, but the final
+    # per-(doc,token) aggregate above it would still run once per reader
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log(
         (F.col("_n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1)).cast("double")

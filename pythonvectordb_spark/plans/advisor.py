@@ -28,6 +28,18 @@ ones in user queries before they run):
                         one plan: each is a full materialization
                         barrier; often a missing cache()/checkpoint or
                         a join tree that re-derives the same frame.
+  union-recompute       the same expensive subtree (contains a shuffle
+                        / aggregation / join / window) appears two or
+                        more times in one plan — DataFrame unions and
+                        self-joins have NO cross-branch common-subtree
+                        elimination, so each branch re-executes the
+                        whole upstream pipeline (the round-3 perf-bug
+                        class: per-band/per-block fan-outs built as
+                        unions). Build fan-outs as ONE struct-array
+                        explode, and localCheckpoint any frame read by
+                        multiple join sides. Reads of the SAME
+                        checkpointed RDD from several branches are the
+                        fixed pattern and are not flagged.
 
 Heuristics over explain text, deliberately: the advisor must not change
 the plan or trigger execution (it never calls an action), and the same
@@ -57,6 +69,168 @@ class Finding:
 
 def _findall_ops(txt: str, op: str) -> list[str]:
     return re.findall(rf"^\s*[+:*\-|\s]*({op}[^\n]*)", txt, flags=re.MULTILINE)
+
+
+# operators that represent real recomputed WORK when duplicated; a
+# duplicated subtree made only of scan/filter/project is conventional
+# double-IO, not the union-recompute bug class
+_EXPENSIVE_OPS = (
+    "Exchange",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Window",
+    "Generate",
+    "Expand",
+    "Sort",
+)
+
+
+def _duplicated_subtrees(txt: str, min_nodes: int = 3) -> list[tuple[str, int, int]]:
+    """(root op, subtree size, occurrence count) for maximal subtrees that
+    appear >= 2x in the main physical-plan tree and contain expensive work.
+
+    Fingerprints combine each operator's tree label with its normalized
+    detail block (expression ids ``#N`` and plan ids stripped — duplicate
+    plan instances get fresh ids) plus child fingerprints, so two
+    branches differing only in literals-above-a-shared-pipeline still
+    match on the shared pipeline below. ``Scan ExistingRDD`` leaves keep
+    their RAW attribute ids: distinct localCheckpoints stay distinct,
+    and multiple reads of one checkpoint (cached blocks — the sanctioned
+    fan-out pattern) are deliberately not reported.
+
+    Two execution realities shape what counts as a duplicate:
+      * ``InMemoryTableScan`` (a .cache()/.persist() read) is treated as
+        a LEAF — explain prints the cached plan beneath it, but
+        execution reads cached blocks, so that subtree is not recomputed.
+      * a duplicated subtree rooted AT an ``Exchange`` is not reported
+        on its own: Spark's runtime exchange reuse shares identical
+        shuffle results, so the duplication costs (almost) nothing. A
+        duplicate is reported only when it carries expensive work that
+        sits ABOVE every such reusable exchange (that work — final
+        aggregates, windows, joins — really does run once per
+        occurrence).
+    """
+    lines = txt.splitlines()
+    try:
+        start = next(
+            i for i, ln in enumerate(lines) if ln.startswith("== Physical Plan ==")
+        )
+    except StopIteration:
+        return []
+    tree: list[tuple[int, str, str | None]] = []  # (depth, label, op id)
+    i = start + 1
+    while i < len(lines) and lines[i].strip():
+        ln = lines[i]
+        m = re.match(r"^([:+\-|\s]*)\*?\s?(.*?)(?:\s+\((\d+)\))?$", ln)
+        if not m or not m.group(2).strip():
+            break
+        prefix, label, nid = m.group(1), m.group(2).strip(), m.group(3)
+        tree.append((len(prefix) // 3, label, nid))
+        i += 1
+    if not tree:
+        return []
+
+    # detail blocks: "(N) OpName" followed by attribute lines
+    details: dict[str, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) [^\n]*\n((?:(?!\(\d+\) )(?!=)[^\n]*\n?)*)", txt, re.MULTILINE
+    ):
+        details[m.group(1)] = m.group(2)
+
+    def _opkey(label: str, nid: str | None) -> str:
+        det = details.get(nid or "", "")
+        if label.startswith("Scan ExistingRDD"):
+            return f"{label}|{det}"  # keep raw ids (see docstring)
+        det = re.sub(r"#\d+", "#", det)
+        det = re.sub(r"plan_id=\d+", "plan_id=", det)
+        det = re.sub(r"\s+", " ", det)
+        label = re.sub(r"#\d+", "#", label)
+        return f"{label}|{det}"
+
+    # build the tree (preorder + depth), then fingerprint bottom-up
+    n = len(tree)
+    children: list[list[int]] = [[] for _ in range(n)]
+    stack: list[int] = []
+    for idx, (depth, _label, _nid) in enumerate(tree):
+        while stack and tree[stack[-1]][0] >= depth:
+            stack.pop()
+        if stack:
+            children[stack[-1]].append(idx)
+        stack.append(idx)
+
+    # cached/reused nodes are leaves at execution time: explain prints
+    # the producing plan beneath them, but it does not run per read —
+    # detach those subtrees from fingerprints and from reporting
+    _LEAF_OPS = ("InMemoryTableScan", "ReusedExchange", "ReusedSubquery")
+    covered: set[int] = set()
+    for idx in range(n):
+        if tree[idx][1].startswith(_LEAF_OPS):
+            todo = list(children[idx])
+            children[idx] = []
+            while todo:
+                c = todo.pop()
+                covered.add(c)
+                todo.extend(children[c])
+
+    fps: list[str] = [""] * n
+    sizes: list[int] = [0] * n
+
+    for idx in range(n - 1, -1, -1):
+        depth, label, nid = tree[idx]
+        ch = children[idx]
+        fps[idx] = _opkey(label, nid) + "[" + ",".join(fps[c] for c in ch) + "]"
+        sizes[idx] = 1 + sum(sizes[c] for c in ch)
+
+    counts: dict[str, int] = {}
+    for idx in range(n):
+        if idx not in covered:
+            counts[fps[idx]] = counts.get(fps[idx], 0) + 1
+
+    # heavy = carries expensive work that will NOT be runtime-reused: a
+    # duplicated Exchange shields everything beneath it (identical
+    # shuffles share their result at execution), so only expensive ops
+    # sitting above every such exchange count
+    heavy: list[bool] = [False] * n
+    for idx in range(n - 1, -1, -1):
+        label = tree[idx][1]
+        if label.startswith("Exchange") and counts.get(fps[idx], 0) >= 2:
+            heavy[idx] = False  # reusable shuffle: subtree shielded
+            continue
+        heavy[idx] = label.startswith(_EXPENSIVE_OPS) or any(
+            heavy[c] for c in children[idx]
+        )
+
+    out: list[tuple[str, int, int]] = []
+    seen: set[str] = set()
+    # `covered` already holds the cached-leaf descendants; reported
+    # roots' descendants join it below
+
+    def _cover(idx: int) -> None:
+        todo = list(children[idx])
+        while todo:
+            c = todo.pop()
+            covered.add(c)
+            todo.extend(children[c])
+
+    for idx in range(n):  # preorder: parents first -> report maximal only
+        fp = fps[idx]
+        if idx in covered:
+            continue
+        if fp in seen:  # another occurrence of a reported subtree
+            _cover(idx)
+            continue
+        if counts[fp] < 2 or sizes[idx] < min_nodes or not heavy[idx]:
+            continue
+        seen.add(fp)
+        out.append((tree[idx][1], sizes[idx], counts[fp]))
+        _cover(idx)
+    return out
 
 
 def advise(
@@ -159,6 +333,22 @@ def advise(
                 "If only the first k rows matter, orderBy(...).limit(k) "
                 "compiles to TakeOrderedAndProject (per-partition heaps).",
                 "Exchange rangepartitioning",
+            )
+        )
+
+    for root_op, n_nodes, n_occ in _duplicated_subtrees(txt):
+        out.append(
+            Finding(
+                "union-recompute",
+                "medium",
+                f"An expensive {n_nodes}-operator subtree rooted at "
+                f"'{root_op}' appears {n_occ}x in this plan. Unions and "
+                "self-joins have no cross-branch subtree elimination, so "
+                "each occurrence re-executes the whole upstream pipeline. "
+                "Build per-band/per-block fan-outs as ONE struct-array "
+                "explode, and localCheckpoint frames read by multiple "
+                "join sides.",
+                f"{n_occ} x {root_op} ({n_nodes} ops each)",
             )
         )
 

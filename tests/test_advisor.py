@@ -56,6 +56,41 @@ def test_flags_global_sort_but_not_topk(spark, events):
     assert "global-sort" not in _codes(advise(events.orderBy("value").limit(10)))
 
 
+def test_flags_union_recompute(spark, events):
+    from pythonvectordb_spark.plans.advisor import advise
+
+    agg = events.groupBy("user_id").agg(F.sum("value").alias("s"))
+    # regression twin: the same expensive subtree under two union branches
+    assert "union-recompute" in _codes(advise(agg.union(agg)))
+    # ... and under two self-join sides
+    sj = agg.alias("a").join(
+        agg.alias("b"), F.col("a.user_id") == F.col("b.user_id")
+    )
+    assert "union-recompute" in _codes(advise(sj))
+
+
+def test_union_recompute_respects_checkpoints_and_caches(spark, events):
+    """The sanctioned fan-out patterns must stay silent: reads of one
+    localCheckpoint (cached blocks), reads of one .cache()d frame, and
+    unions of genuinely different pipelines."""
+    from pythonvectordb_spark.plans.advisor import advise
+
+    agg = events.groupBy("user_id").agg(F.sum("value").alias("s"))
+    cp = agg.localCheckpoint(eager=True)
+    assert "union-recompute" not in _codes(advise(cp.union(cp)))
+    cached = agg.cache()
+    try:
+        assert "union-recompute" not in _codes(advise(cached.union(cached)))
+    finally:
+        cached.unpersist()
+    other = (
+        events.groupBy("event_type")
+        .agg(F.sum("value").alias("s"))
+        .select(F.col("event_type").cast("long").alias("user_id"), "s")
+    )
+    assert "union-recompute" not in _codes(advise(agg.union(other)))
+
+
 def test_clean_plans_stay_clean(spark):
     from pythonvectordb_spark.plans.advisor import advise
     from pythonvectordb_spark.registry import QUERIES
@@ -68,9 +103,12 @@ def test_clean_plans_stay_clean(spark):
 
 @pytest.mark.slow
 def test_registry_has_no_scale_killers(spark):
-    """Self-audit: NO registered query may plan a cartesian product or a
-    row-at-a-time Python UDF (the UDTF surface is exempt by design —
-    UDTFs have no Arrow mode and the advisor classes them separately)."""
+    """Self-audit: NO registered query may plan a cartesian product, a
+    row-at-a-time Python UDF, or a duplicated expensive subtree (the
+    union-recompute class — every fan-out must be an explode and every
+    multiply-read frame checkpointed; the UDTF surface is exempt by
+    design — UDTFs have no Arrow mode and the advisor classes them
+    separately)."""
     from pythonvectordb_spark.plans.advisor import advise
     from pythonvectordb_spark.registry import QUERIES
 
@@ -79,7 +117,7 @@ def test_registry_has_no_scale_killers(spark):
         bad = [
             f.code
             for f in advise(fn(spark, SF_SMOKE))
-            if f.code in ("cartesian-product", "python-row-udf")
+            if f.code in ("cartesian-product", "python-row-udf", "union-recompute")
         ]
         if bad:
             flagged[name] = bad
