@@ -19,6 +19,15 @@ def test_llm_pipeline_example_runs(spark):
     assert 0.0 <= s["boundary_doc_frac"] <= 1.0
 
 
+def test_serving_knn_example_runs(spark):
+    from serving_knn import run
+
+    s = run("/root/testdata/sf0.001", n_clients=8)
+    assert s["parity"], "server results must equal per-query knn_join"
+    assert s["raw_qps"] > 0 and s["coalesced_qps"] > 0
+    assert s["n_clients"] == 8
+
+
 def test_hybrid_search_and_export_example_runs(spark):
     from hybrid_search_and_export import run
 
