@@ -27,6 +27,8 @@ every operator here is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -324,31 +326,51 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
 ) -> DataFrame:
-    """32-bit SimHash per document over word n-grams.
+    """``bits``-wide SimHash per document over word n-grams.
 
-    bit b of the fingerprint = majority vote (>0) of bit b over the 32-bit
-    md5-derived hashes of the document's shingles. One explode + one
-    grouped agg: O(corpus) with a single shuffle.
+    bit b of the fingerprint = majority vote (>0) of bit b over the
+    md5-derived ``bits``-bit hashes of the document's shingles. One
+    explode + one grouped agg: O(corpus) with a single shuffle.
+
+    ``bits`` is the family's SIZE RULE knob: blocking (simhash_pairs)
+    buckets on fingerprint blocks, and bucket count is 2^(bits/blocks) —
+    fixed 32-bit fingerprints keep candidate pairs ~quadratic in corpus
+    size, while 60-bit (15-bit blocks, 32k buckets) holds rows-per-bucket
+    constant through the 10x scale rehearsal (bench.py). 32 remains the
+    default (and the registered oracle contract). Max supported: 60
+    (15 hex chars of md5 -> exact long, no sign issues).
     """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
     inv = _shingled(df, text_col, id_col, n).select(
         F.col(id_col), F.explode("sh").alias("shingle")
     )
-    # materialize the 32-bit hash ONCE per row; the 32 bit-vote aggregates
-    # then read a long column instead of each recomputing md5+conv
-    hashed = inv.select(F.col(id_col), hash32(F.col("shingle")).alias("h"))
+    # materialize the hash ONCE per row; the per-bit vote aggregates then
+    # read a long column instead of each recomputing md5+conv
+    n_hex = (bits + 3) // 4
+    hashed = inv.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, n_hex), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     h = F.col("h")
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(32)
+            for b in range(bits)
         ]
     )
     fp = None
-    for b in range(32):
+    for b in range(bits):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return votes.select(F.col(id_col), fp.alias("simhash"))
@@ -360,31 +382,44 @@ def simhash_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    Candidates via byte blocking: a pair within hamming<=3 of a 32-bit
-    fingerprint must agree on at least one of its 4 bytes (pigeonhole), so
-    4 equi-joins on bytes replace the n^2 scan — at 100 TB each block join
-    shuffles on a 1-byte+band key and AQE handles block skew.
+    Candidates via block pigeonhole: the fingerprint splits into
+    ``max_hamming + 1`` equal blocks, and a pair within the hamming
+    bound must agree on at least one whole block — so block equi-joins
+    replace the n^2 scan. At 100 TB each block join shuffles on a
+    (block-id, block-value) key and AQE handles block skew; bucket count
+    is 2^(bits/blocks) per block, so ``bits`` is the size-rule knob that
+    keeps rows-per-bucket (and with it candidate volume) constant as the
+    corpus grows (see simhash_fingerprints).
     """
-    # lazy checkpoint: the fingerprint pipeline (shingle explode + 32-bit
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    if width < 1:
+        raise ValueError("bits must be >= max_hamming + 1")
+    mask = (1 << width) - 1
+    # lazy checkpoint: the fingerprint pipeline (shingle explode + per-bit
     # vote aggregate) feeds BOTH self-join sides below; shuffle reuse only
     # dedups the pre-Exchange half, the final vote aggregate would still
     # run once per side (caught by plans/advisor union-recompute)
-    fps = simhash_fingerprints(df, n, text_col, id_col).localCheckpoint(eager=False)
-    # one explode, not a 4-way union: union branches would re-derive the
-    # whole fingerprint pipeline per byte (and the self-join below
-    # doubles that) — same no-cross-branch-CSE fix as _minhash_banded
+    fps = simhash_fingerprints(df, n, text_col, id_col, bits=bits).localCheckpoint(
+        eager=False
+    )
+    # one explode, not an n_blocks-way union: union branches would
+    # re-derive the whole fingerprint pipeline per block (and the
+    # self-join below doubles that) — same no-cross-branch-CSE fix as
+    # _minhash_banded
     block_structs = F.array(
         *[
             F.struct(
-                F.lit(byte).cast("int").alias("blk"),
-                F.shiftright(F.col("simhash"), byte * 8)
-                .bitwiseAND(F.lit(255))
+                F.lit(blk).cast("int").alias("blk"),
+                F.shiftright(F.col("simhash"), blk * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("bval"),
             )
-            for byte in range(4)
+            for blk in range(n_blocks)
         ]
     )
     blocks = fps.select(
@@ -699,11 +734,24 @@ def semantic_dedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "expr",
 ) -> DataFrame:
     """SemDeDup-shape semantic near-dup pairs: cluster-blocked candidate
     generation + exact verify (Abbas et al. 2023, "SemDeDup" — prune
     semantic duplicates WITHIN k-means clusters only, never across the
     full corpus).
+
+    ``assign`` picks the nearest-centroid strategy:
+      * ``"expr"`` (default): the pure-expression argmax — bit-equal to
+        the DuckDB oracle, right for the registered small-k contract.
+      * ``"arrow"``: Arrow-batched numpy matmul argmax — the SIZE-RULE
+        path. SemDeDup holds rows-per-block constant by growing k with
+        the corpus, and the expression argmax costs O(n * k * dim) as a
+        per-row expression tree; the matmul path is the same assignment
+        as one vectorized (n x dim) @ (dim x k) product per batch
+        (measured in bench.py's 10x rehearsal: exponent 1.26 -> ~1.0).
+        BLAS dot ordering can flip exact near-ties vs the sequential
+        fold, so this path is for scale, not for oracle parity.
 
     Each vector is assigned to its nearest coarse centroid with the same
     pure-expression argmax the IVF index uses (at scale the assignment
@@ -731,13 +779,39 @@ def semantic_dedup_pairs(
     )
     from pythonvectordb_spark.operators.search import ivf_cluster_id
 
+    if assign == "arrow":
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn < 1e-10] = np.inf  # zero-norm centroid -> similarity 0
+        Cu = (C / cn[:, None]).T  # dim x k, pre-normalized once
+
+        @pandas_udf("int")
+        def _assign(col: pd.Series) -> pd.Series:
+            if len(col) == 0:
+                return pd.Series([], dtype="int32")
+            M = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+            nrm = np.linalg.norm(M, axis=1)
+            safe = nrm >= 1e-10
+            M[safe] = M[safe] / nrm[safe, None]
+            sims = M @ Cu
+            sims[~safe] = 0.0
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+        cluster = _assign(F.col(vec_col))
+    elif assign == "expr":
+        cluster = ivf_cluster_id(vec_col, centroids)
+    else:
+        raise ValueError(f"unknown assign method: {assign!r}")
     # lazy checkpoint: both self-join sides read the quantized+assigned
-    # frame, and the normalize/quantize/argmax expressions are the
-    # operator's per-row cost — compute them once, not per side
+    # frame, and the normalize/quantize/argmax work is the operator's
+    # per-row cost — compute it once, not per side
     q = df.select(
         F.col(id_col),
         quantize(l2_normalize(vec_col)).alias("qv"),
-        ivf_cluster_id(vec_col, centroids).alias("cluster_id"),
+        cluster.alias("cluster_id"),
     ).localCheckpoint(eager=False)
     a = q.select(
         F.col(id_col).alias("id_a"), F.col("qv").alias("va"), "cluster_id"
