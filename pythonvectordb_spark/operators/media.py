@@ -1,12 +1,15 @@
 """Multimodal column handling: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas`` (driver mandate, SURVEY §2.12).
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic stand-in (byte length + md5) behind the same interface a
-real decoder would use; the Spark-side plumbing — binary column, schema,
-batch iteration, partition behavior — is real and oracle-checked.
-A real deployment swaps ``_decode_batch``'s body for PIL/ffmpeg calls;
-nothing else changes.
+PNG images are decoded FOR REAL (``functions/png.py``, pure
+stdlib zlib — ``text_as_png`` builds genuine PNG payloads and
+``media_image_stats`` decompresses + unfilters them, oracle-checked
+end-to-end). The container has no JPEG/video/audio codecs, so for those
+formats the *decode* step is a deterministic stand-in (byte length +
+md5) behind the same interface a real decoder would use; the Spark-side
+plumbing — binary column, schema, batch iteration, partition behavior —
+is real and oracle-checked. A real deployment swaps ``_decode_batch``'s
+body for PIL/ffmpeg calls; nothing else changes.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python), media
 payloads stay in executor memory one batch at a time, and feature
@@ -24,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -181,11 +185,119 @@ def media_frame_sample(
     return src.mapInPandas(_frames, MEDIA_FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL image decode (round 4): pure-stdlib PNG codec, oracle-checked
+# ---------------------------------------------------------------------------
+
+PNG_SIDE = 16  # fixture image side; 16x16 grey = 256 pixels = 16 md5 digests
+
+_PNG_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+MEDIA_IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_md5", StringType()),
+    ]
+)
+
+
+def text_as_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG payloads, deterministically derived from text: pixel k of
+    the 16x16 greyscale image is byte (k mod 16) of md5(text || ':' ||
+    (k div 16)) — a definition BOTH engines can compute, which is what
+    makes the decode below oracle-checkable without shipping image files
+    in the testdata. The payloads are genuine PNGs (zlib-compressed,
+    CRC-checked; any external viewer opens them)."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.png import png_encode
+
+    side = PNG_SIDE
+    n_digests = side * side // 16
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                png_encode(
+                    np.frombuffer(
+                        b"".join(
+                            hashlib.md5(f"{text}:{i}".encode("utf-8")).digest()
+                            for i in range(n_digests)
+                        ),
+                        dtype=np.uint8,
+                    ).reshape(side, side)
+                )
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_build, _PNG_PAYLOAD_SCHEMA)
+
+
+def media_image_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode end-to-end: zlib-decompress + unfilter each PNG
+    payload (functions/png.py) and report (dims, pixel sum, md5 of the
+    pixel bytes' hex rendering). Against `text_as_png` payloads the DuckDB oracle
+    recomputes the same stats straight from the pixel DEFINITION — so a
+    codec bug (filter math, scanline layout, chunk parsing) breaks the
+    value hash. This retires the "decode is a stand-in" marker for
+    images; JPEG/video/audio stay behind `decode_media_stub_real`."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.png import png_decode
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, np_, sums, md5s = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_decode(bytes(payload))
+                h, w = arr.shape[:2]
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                np_.append(int(arr.size))
+                sums.append(int(np.asarray(arr, dtype=np.int64).sum()))
+                # digest of the HEX rendering (not raw bytes): SQL md5()
+                # implementations hash strings, so this exact contract is
+                # reproducible in any engine; same verification strength
+                md5s.append(
+                    hashlib.md5(arr.tobytes().hex().encode("ascii")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(np_, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pixel_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_stats, MEDIA_IMAGE_STATS_SCHEMA)
+
+
 def decode_media_stub_real() -> None:
     """Marker for the genuinely-unimplementable step in this container:
-    actual image/audio decoding requires codec libraries not installed
-    here."""
+    JPEG/video/audio decoding requires codec libraries not installed
+    here. PNG images are now REALLY decoded (functions/png.py,
+    ``media_image_stats`` — oracle-checked); this marker covers the
+    remaining formats only."""
     raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg; _decode_batch is the "
-        "deterministic stand-in wired through the same mapInPandas path"
+        "JPEG/video/audio decoding requires PIL/ffmpeg; PNG decodes for "
+        "real via functions/png.py, other formats use the deterministic "
+        "stand-in wired through the same mapInPandas path"
     )

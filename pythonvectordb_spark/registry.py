@@ -1283,6 +1283,44 @@ FROM documents
 """
 
 
+def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (new round 4): build genuine PNG
+    payloads whose 16x16 grey pixels are an md5 chain of the text
+    (`media.text_as_png`), then zlib-decompress + unfilter them with the
+    pure-stdlib codec (`functions/png.py`) and report dims / pixel sum /
+    pixel digest. The oracle recomputes the same stats straight from the
+    pixel DEFINITION, so a codec regression (filter math, scanline
+    layout, chunk parsing) breaks the value hash — this retires the
+    'decode is a stand-in' marker for images."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_image_stats(MM.text_as_png(docs))
+
+
+def o_media_image_stats() -> str:
+    side = 16  # MM.PNG_SIDE; 16 md5 digests of 16 bytes = 256 pixels
+    n_digests = side * side // 16
+    n_px = side * side
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         string_agg(md5(text || ':' || CAST(i AS VARCHAR)), '' ORDER BY i) AS hexpix
+  FROM documents CROSS JOIN range(0, {n_digests}) r(i)
+  GROUP BY doc_id
+),
+sums AS (
+  SELECT doc_id,
+         CAST(sum(('0x' || substr(hexpix, CAST(2 * j + 1 AS INT), 2))::BIGINT)
+              AS BIGINT) AS pixel_sum
+  FROM px CROSS JOIN range(0, {n_px}) s(j)
+  GROUP BY doc_id
+)
+SELECT px.doc_id, CAST({side} AS INT) AS width, CAST({side} AS INT) AS height,
+       CAST({n_px} AS BIGINT) AS n_pixels, sums.pixel_sum,
+       md5(px.hexpix) AS pixel_md5
+FROM px JOIN sums USING (doc_id)
+"""
+
+
 def q_media_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow execution shape (raw RecordBatches, no pandas) —
     byte-identical to the mapInPandas path, same oracle."""
@@ -4846,12 +4884,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zone_pruned_scan": q_zone_pruned_scan,
     "approx_value_percentiles": q_approx_value_percentiles,  # rows-only
     "approx_percentile_error": q_approx_percentile_error,  # new r4
+    "media_image_stats": q_media_image_stats,  # new r4: real PNG decode
     # --- round-3-green continuity witnesses --------------------------
     "chunk_documents": q_chunk_documents,
     "repetition_stats": q_repetition_stats,
     "unigram_surprisal": q_unigram_surprisal,
     "quality_filter": q_quality_filter,
-    "boilerplate_share": q_boilerplate_share,
     "lateship_priority_counts": q_lateship_priority_counts,
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -4891,6 +4929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- previously driver-witnessed block (green rows in
     # CORRECTNESS_r01/r02/r03; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ------------------------
+    "boilerplate_share": q_boilerplate_share,
     "mllib_word2vec": q_mllib_word2vec,
     "mllib_ivf_search": q_mllib_ivf_search,
     "knn_classify": q_knn_classify,
@@ -5090,6 +5129,7 @@ ORACLES: dict[str, str] = {
     "nation_customer_stats": o_nation_customer_stats(),
     "value_percentiles": o_value_percentiles(),
     "approx_percentile_error": o_approx_percentile_error(),
+    "media_image_stats": o_media_image_stats(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -54,3 +54,122 @@ def test_frame_sample_boundary_payloads(spark):
     assert got.get(4) == _frames_of(b"y" * 1025)
     assert [i for i, _, _ in got[4]] == [0, 1]
     assert got[4][1][1] == 1  # second frame carries the single spill byte
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib PNG codec (functions/png.py) — the REAL image decode path
+# ---------------------------------------------------------------------------
+
+
+def _crafted_png(arr, ftypes):
+    """Encode ``arr`` (greyscale uint8) using the given per-row filter
+    types — exercises decode paths our own encoder (filter 0 only)
+    never emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape
+    out = bytearray()
+    prev = np.zeros(w, dtype="int32")
+    for y in range(h):
+        cur = arr[y].astype("int32")
+        ft = ftypes[y % len(ftypes)]
+        out.append(ft)
+        for x in range(w):
+            left = int(cur[x - 1]) if x >= 1 else 0
+            up = int(prev[x])
+            ul = int(arr[y - 1, x - 1]) if (y > 0 and x >= 1) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_grey_and_rgb():
+    import numpy as np
+
+    from pythonvectordb_spark.functions.png import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    grey = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(grey)), grey)
+    rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(rgb)), rgb)
+
+
+def test_png_decode_all_filter_types():
+    """Sub/Up/Average/Paeth scanlines (and a mix) must reconstruct —
+    externally-produced baseline PNGs use all five."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.png import png_decode
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(10, 8), dtype=np.uint8)
+    for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(png_decode(_crafted_png(arr, fts)), arr), fts
+
+
+def test_png_decode_rejects_garbage():
+    import pytest
+
+    from pythonvectordb_spark.functions.png import png_decode
+
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+def test_media_image_stats_real_decode(spark):
+    """End-to-end: text -> REAL PNG payload -> decode -> stats, checked
+    against the pixel definition computed independently in Python."""
+    import hashlib as hl
+
+    import numpy as np
+
+    from pythonvectordb_spark.operators.media import (
+        PNG_SIDE,
+        media_image_stats,
+        text_as_png,
+    )
+
+    texts = [(1, "hello world"), (2, ""), (3, "x" * 500)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in media_image_stats(text_as_png(df)).collect()}
+    for doc_id, text in texts:
+        chain = b"".join(
+            hl.md5(f"{text}:{i}".encode()).digest()
+            for i in range(PNG_SIDE * PNG_SIDE // 16)
+        )
+        px = np.frombuffer(chain, dtype=np.uint8)
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_pixels) == (PNG_SIDE, PNG_SIDE, PNG_SIDE**2)
+        assert r.pixel_sum == int(px.astype("int64").sum())
+        assert r.pixel_md5 == hl.md5(chain.hex().encode()).hexdigest()
