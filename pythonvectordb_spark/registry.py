@@ -754,18 +754,27 @@ FROM ver WHERE {_JACCARD} >= 0.8
 """
 
 
-_SIMHASH_CTE = (
-    "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),\n"
-    "hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM inv),\n"
-    "votes AS (SELECT doc_id, "
-    + ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+def _simhash_cte(bits: int = 32) -> str:
+    """SimHash fingerprint CTE chain (requires `sh` from _SH_CTE),
+    parameterized by fingerprint width — mirrors
+    ``dedup.simhash_fingerprints(bits=...)`` exactly (same md5 prefix,
+    same per-bit votes)."""
+    n_hex = (bits + 3) // 4
+    return (
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),\n"
+        f"hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, {n_hex}))::BIGINT AS h FROM inv),\n"
+        "votes AS (SELECT doc_id, "
+        + ", ".join(
+            f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+        )
+        + " FROM hv GROUP BY doc_id),\n"
+        "fps AS (SELECT doc_id, CAST("
+        + " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+        + " AS BIGINT) AS simhash FROM votes)"
     )
-    + " FROM hv GROUP BY doc_id),\n"
-    "fps AS (SELECT doc_id, CAST("
-    + " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
-    + " AS BIGINT) AS simhash FROM votes)"
-)
+
+
+_SIMHASH_CTE = _simhash_cte(32)
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +801,37 @@ WITH {_SH_CTE},
 {_SIMHASH_CTE},
 blocks AS (
   SELECT doc_id, simhash, b.blk, (simhash >> (b.blk * 8)) & 255 AS bval
+  FROM fps, (VALUES (0), (1), (2), (3)) b(blk)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS fa, y.simhash AS fb
+  FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with the SIZE-RULE SimHash (new round 4): 60-bit
+    fingerprints, four 15-bit pigeonhole blocks (32k buckets per block
+    vs the 32-bit default's 256) — the configuration the 10x scale
+    rehearsal runs, here driver-oracled so the wide path's exact
+    fingerprint/blocking math has its own correctness row. Hamming <= 3
+    on 60 bits is a tighter similarity bound than on 32 (distance
+    scales with width), so pair sets differ from `dedup_simhash` by
+    design."""
+    return DD.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, bits=60
+    )
+
+
+def o_dedup_simhash_wide() -> str:
+    return f"""
+WITH {_SH_CTE},
+{_simhash_cte(60)},
+blocks AS (
+  SELECT doc_id, simhash, b.blk, (simhash >> (b.blk * 15)) & 32767 AS bval
   FROM fps, (VALUES (0), (1), (2), (3)) b(blk)
 ),
 cand AS (
@@ -4885,9 +4925,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_value_percentiles": q_approx_value_percentiles,  # rows-only
     "approx_percentile_error": q_approx_percentile_error,  # new r4
     "media_image_stats": q_media_image_stats,  # new r4: real PNG decode
+    "dedup_simhash_wide": q_dedup_simhash_wide,  # new r4: size-rule path
     # --- round-3-green continuity witnesses --------------------------
     "chunk_documents": q_chunk_documents,
-    "repetition_stats": q_repetition_stats,
     "unigram_surprisal": q_unigram_surprisal,
     "quality_filter": q_quality_filter,
     "lateship_priority_counts": q_lateship_priority_counts,
@@ -4930,6 +4970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r01/r02/r03; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ------------------------
     "boilerplate_share": q_boilerplate_share,
+    "repetition_stats": q_repetition_stats,
     "mllib_word2vec": q_mllib_word2vec,
     "mllib_ivf_search": q_mllib_ivf_search,
     "knn_classify": q_knn_classify,
@@ -5130,6 +5171,7 @@ ORACLES: dict[str, str] = {
     "value_percentiles": o_value_percentiles(),
     "approx_percentile_error": o_approx_percentile_error(),
     "media_image_stats": o_media_image_stats(),
+    "dedup_simhash_wide": o_dedup_simhash_wide(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -235,3 +235,24 @@ def test_bm25_single_scan_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # one-row stats side
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_dedup_arrow_assignment_matches_expr(spark):
+    """The size-rule vectorized assignment (numpy matmul argmax) must
+    produce the same pair set as the oracle-exact expression argmax on
+    the registered config — the at-scale path may only diverge on exact
+    float ties, which the fixture corpus does not contain."""
+    from pythonvectordb_spark import fixtures as FX
+    from pythonvectordb_spark.operators.dedup import semantic_dedup_pairs
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    expr_pairs = {
+        (r.id_a, r.id_b, r.cluster_id, round(r.cosine, 9))
+        for r in semantic_dedup_pairs(emb, FX.CENTROIDS, 0.4).collect()
+    }
+    arrow_pairs = {
+        (r.id_a, r.id_b, r.cluster_id, round(r.cosine, 9))
+        for r in semantic_dedup_pairs(emb, FX.CENTROIDS, 0.4, assign="arrow").collect()
+    }
+    assert expr_pairs == arrow_pairs and len(expr_pairs) > 0
