@@ -85,6 +85,11 @@ HEADLINE = [
     "source_token_caps",
     "event_key_skew",
     "trade_pagerank",
+    # round-4 additions: GK error-bound contract, real PNG decode,
+    # size-rule SimHash
+    "approx_percentile_error",
+    "media_image_stats",
+    "dedup_simhash_wide",
 ]
 
 
@@ -606,14 +611,22 @@ def main() -> None:
     }
     log(f"bench near-dup pair recall: {dedup_pair_recall}")
 
+    # best-of-2 after warm-up (methodology change in round 4 — rounds 1-3
+    # timed a single post-warm run; min-of-N is the same steady-state
+    # estimator the knn batch sections have always used, and it removes
+    # most of the ±15% co-tenant drift seen in cross-round per-query
+    # comparisons)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: JIT/codegen/IO caches
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        log(f"bench {name}: {timings[name]}s")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        log(f"bench {name}: {timings[name]}s (best of 2)")
 
     control_end = _control_query_s(spark, sf_dir)
     # SIGNED delta: co-tenant load arriving mid-run makes the END
