@@ -90,6 +90,7 @@ HEADLINE = [
     "approx_percentile_error",
     "media_image_stats",
     "dedup_simhash_wide",
+    "duplicate_spans",
 ]
 
 

@@ -547,3 +547,81 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.round(F.max(s), 9).alias("max_surprisal"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate TEXT SPANS — the ExactSubstr-dedup shape
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): maximal runs of >= ``window`` consecutive tokens that also
+    appear in at least one OTHER document. Document-level dedup misses
+    these (a unique page quoting a boilerplate paragraph survives); span
+    detection finds the paragraph itself for surgical removal.
+
+    Relational construction, no suffix array needed:
+      1. every length-``window`` token window, hashed to a 60-bit key
+         (md5 prefix -> BIGINT, the SimHash trick: an 8-byte shuffle key
+         instead of a 32-char digest string);
+      2. windows whose hash occurs in >= 2 DISTINCT docs are duplicate
+         windows (one grouped count — map-side combined);
+      3. per doc, overlapping/adjacent duplicate positions merge into
+         maximal spans with the gaps-and-islands pattern (pos -
+         row_number is constant within a consecutive run).
+
+    Cost: O(total tokens) window rows, one shuffle on the 8-byte hash,
+    one window function over duplicate positions only (tiny unless the
+    corpus is mostly boilerplate — in which case that IS the signal).
+    Returns (doc_id, start_tok, end_tok, span_tokens, n_windows);
+    token positions are 0-based, end exclusive.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("w")).where(
+        F.size("w") >= window
+    )
+    whash = F.conv(
+        F.substring(
+            F.md5(F.array_join(F.slice("w", F.col("i") + 1, window), " ")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    wins = (
+        toks.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.size("w") - window)).alias("i"),
+            "w",
+        )
+        .select(F.col(id_col), F.col("i").alias("pos"), whash.alias("whash"))
+    )
+    # lazy checkpoint: the window frame feeds the duplicate-hash count
+    # AND the position join below (advisor union-recompute discipline)
+    wins = wins.localCheckpoint(eager=False)
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("whash")
+    )
+    from pyspark.sql import Window
+
+    dpos = wins.join(dup, "whash").select(F.col(id_col), "pos").distinct()
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    return (
+        dpos.withColumn("grp", F.col("pos") - rn)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("int").alias("start_tok"),
+            (F.max("pos") + window).cast("int").alias("end_tok"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).cast("int").alias("span_tokens"),
+            "n_windows",
+        )
+    )

@@ -843,6 +843,45 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 3
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate text spans (ExactSubstr-dedup shape, new
+    round 4): maximal runs of >= 8 consecutive tokens shared with
+    another document, via 60-bit window hashes + a distinct-doc count +
+    gaps-and-islands merge (`operators/textops.duplicate_spans`).
+    Document-level dedup keeps a unique page that quotes boilerplate;
+    this finds the quoted span itself."""
+    return TX.duplicate_spans(load_table(spark, sf_dir, "documents"), window=8)
+
+
+def o_duplicate_spans(window: int = 8) -> str:
+    wh = (
+        "('0x' || substr(md5(array_to_string("
+        f"w[CAST(i + 1 AS INT):CAST(i + {window} AS INT)], ' ')), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {O.sql_tokens('text')} AS w FROM documents),
+big AS (SELECT doc_id, w FROM t WHERE len(w) >= {window}),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, len(w) - {window - 1})) AS pos,
+         unnest(list_transform(range(0, len(w) - {window - 1}), i -> {wh})) AS whash
+  FROM big
+),
+dup AS (SELECT whash FROM wins GROUP BY whash HAVING count(DISTINCT doc_id) >= 2),
+dpos AS (SELECT DISTINCT wins.doc_id, wins.pos FROM wins JOIN dup USING (whash)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dpos
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+       CAST(max(pos) + {window} AS INT) AS end_tok,
+       CAST(max(pos) + {window} - min(pos) AS INT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4), banded-LSH
     blocked candidates + exact int8 verify (the scale path)."""
@@ -4926,8 +4965,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentile_error": q_approx_percentile_error,  # new r4
     "media_image_stats": q_media_image_stats,  # new r4: real PNG decode
     "dedup_simhash_wide": q_dedup_simhash_wide,  # new r4: size-rule path
+    "duplicate_spans": q_duplicate_spans,  # new r4: ExactSubstr shape
     # --- round-3-green continuity witnesses --------------------------
-    "chunk_documents": q_chunk_documents,
     "unigram_surprisal": q_unigram_surprisal,
     "quality_filter": q_quality_filter,
     "lateship_priority_counts": q_lateship_priority_counts,
@@ -4971,6 +5010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_oracle_parity.py at sf0.001) ------------------------
     "boilerplate_share": q_boilerplate_share,
     "repetition_stats": q_repetition_stats,
+    "chunk_documents": q_chunk_documents,
     "mllib_word2vec": q_mllib_word2vec,
     "mllib_ivf_search": q_mllib_ivf_search,
     "knn_classify": q_knn_classify,
@@ -5172,6 +5212,7 @@ ORACLES: dict[str, str] = {
     "approx_percentile_error": o_approx_percentile_error(),
     "media_image_stats": o_media_image_stats(),
     "dedup_simhash_wide": o_dedup_simhash_wide(),
+    "duplicate_spans": o_duplicate_spans(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -146,3 +146,36 @@ def test_pack_sequences_no_global_window(spark):
     for line in analyzed.splitlines():
         if "windowspecdefinition" in line and "_pid" not in line:
             raise AssertionError(f"unpartitioned window over data: {line}")
+
+
+def test_duplicate_spans_islands_and_cross_doc(spark):
+    """ExactSubstr-shape span detection: only >= window-token runs shared
+    ACROSS documents count; overlapping duplicate windows merge into one
+    maximal span; disjoint shared runs stay separate islands; docs
+    shorter than the window never emit."""
+    from pythonvectordb_spark.operators.textops import duplicate_spans
+
+    shared1 = "a b c d e f g h"          # 8 tokens, shared by A and B
+    shared2 = "p q r s t u v w x"        # 9 tokens -> 2 windows, A and C
+    docs = [
+        (1, f"x {shared1} mid1 mid2 mid3 {shared2} tail1"),   # A: both spans
+        (2, f"y {shared1} completely other ending here"),      # B: span 1
+        (3, f"z zz {shared2} another distinct finish"),        # C: span 2
+        (4, shared1),                                          # exactly 8 toks
+        (5, "a b c d e f g"),                                  # 7 toks: short
+        (6, "nothing in common with anything else at all ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.span_tokens, r.n_windows)
+        for r in duplicate_spans(df, window=8).collect()
+    }
+    # A: tokens = x a..h mid1 mid2 mid3 p..x tail1 -> shared1 at pos 1..8,
+    # shared2 at pos 12..20 (9 tokens -> windows at 12 and 13)
+    assert (1, 1, 9, 8, 1) in got
+    assert (1, 12, 21, 9, 2) in got
+    assert (2, 1, 9, 8, 1) in got
+    assert (3, 2, 11, 9, 2) in got
+    assert (4, 0, 8, 8, 1) in got          # whole-doc span, exactly window
+    assert not any(r[0] in (5, 6) for r in got)
+    assert len(got) == 5
