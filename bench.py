@@ -91,6 +91,7 @@ HEADLINE = [
     "media_image_stats",
     "dedup_simhash_wide",
     "duplicate_spans",
+    "media_image_resize",
 ]
 
 

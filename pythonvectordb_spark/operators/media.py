@@ -290,6 +290,68 @@ def media_image_stats(
     return src.mapInPandas(_stats, MEDIA_IMAGE_STATS_SCHEMA)
 
 
+MEDIA_IMAGE_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_sum", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def media_image_resize(
+    df: DataFrame, factor: int = 2, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image resize: decode each PNG payload, box-downsample by
+    ``factor`` (mean of each factor x factor block, floor division —
+    integer-exact, so any engine reproduces it), re-encode to PNG, then
+    decode the re-encoded image for the reported stats — the round trip
+    exercises BOTH codec directions on every row. Emits the resized
+    dims, pixel sum, and digest of the resized pixels' hex rendering
+    (same engine-portable digest contract as `media_image_stats`)."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.png import png_decode, png_encode
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, md5s = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_decode(bytes(payload))
+                if arr.ndim != 2:
+                    raise ValueError("media_image_resize expects greyscale")
+                h, w = arr.shape
+                oh, ow = h // factor, w // factor
+                blocks = (
+                    arr[: oh * factor, : ow * factor]
+                    .reshape(oh, factor, ow, factor)
+                    .astype(np.int64)
+                )
+                small = (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+                small = png_decode(png_encode(small))  # round-trip the output
+                ids.append(doc_id)
+                ws.append(ow)
+                hs.append(oh)
+                sums.append(int(small.astype(np.int64).sum()))
+                md5s.append(
+                    hashlib.md5(small.tobytes().hex().encode("ascii")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_width": pd.Series(ws, dtype="int32"),
+                    "out_height": pd.Series(hs, dtype="int32"),
+                    "resized_sum": pd.Series(sums, dtype="int64"),
+                    "resized_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_resize, MEDIA_IMAGE_RESIZE_SCHEMA)
+
+
 def decode_media_stub_real() -> None:
     """Marker for the genuinely-unimplementable step in this container:
     JPEG/video/audio decoding requires codec libraries not installed

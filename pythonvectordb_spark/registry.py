@@ -1400,6 +1400,44 @@ FROM px JOIN sums USING (doc_id)
 """
 
 
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (new round 4): decode each `text_as_png` PNG,
+    2x2 box-downsample with integer-exact floor means, re-encode and
+    decode again (both codec directions exercised per row), report
+    resized dims / sum / digest. The oracle computes the identical
+    downsample straight from the pixel definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_image_resize(MM.text_as_png(docs), factor=2)
+
+
+def o_media_image_resize() -> str:
+    def byte_at(idx_expr: str) -> str:
+        return f"('0x' || substr(hexpix, 2 * ({idx_expr}) + 1, 2))::BIGINT"
+
+    base = "32 * rc.r + 2 * cc.c"
+    v = (
+        "("
+        + " + ".join(byte_at(f"{base} + {off}") for off in (0, 1, 16, 17))
+        + ") // 4"
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         string_agg(md5(text || ':' || CAST(i AS VARCHAR)), '' ORDER BY i) AS hexpix
+  FROM documents CROSS JOIN range(0, 16) r(i)
+  GROUP BY doc_id
+),
+rv AS (
+  SELECT doc_id, rc.r AS r, cc.c AS c, {v} AS v
+  FROM px CROSS JOIN range(0, 8) rc(r) CROSS JOIN range(0, 8) cc(c)
+)
+SELECT doc_id, CAST(8 AS INT) AS out_width, CAST(8 AS INT) AS out_height,
+       CAST(sum(v) AS BIGINT) AS resized_sum,
+       md5(string_agg(lpad(lower(hex(v)), 2, '0'), '' ORDER BY r, c)) AS resized_md5
+FROM rv GROUP BY doc_id
+"""
+
+
 def q_media_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow execution shape (raw RecordBatches, no pandas) —
     byte-identical to the mapInPandas path, same oracle."""
@@ -4966,9 +5004,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_image_stats": q_media_image_stats,  # new r4: real PNG decode
     "dedup_simhash_wide": q_dedup_simhash_wide,  # new r4: size-rule path
     "duplicate_spans": q_duplicate_spans,  # new r4: ExactSubstr shape
+    "media_image_resize": q_media_image_resize,  # new r4: real resize
     # --- round-3-green continuity witnesses --------------------------
     "unigram_surprisal": q_unigram_surprisal,
-    "quality_filter": q_quality_filter,
     "lateship_priority_counts": q_lateship_priority_counts,
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5011,6 +5049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_share": q_boilerplate_share,
     "repetition_stats": q_repetition_stats,
     "chunk_documents": q_chunk_documents,
+    "quality_filter": q_quality_filter,
     "mllib_word2vec": q_mllib_word2vec,
     "mllib_ivf_search": q_mllib_ivf_search,
     "knn_classify": q_knn_classify,
@@ -5213,6 +5252,7 @@ ORACLES: dict[str, str] = {
     "media_image_stats": o_media_image_stats(),
     "dedup_simhash_wide": o_dedup_simhash_wide(),
     "duplicate_spans": o_duplicate_spans(),
+    "media_image_resize": o_media_image_resize(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -173,3 +173,34 @@ def test_media_image_stats_real_decode(spark):
         assert (r.width, r.height, r.n_pixels) == (PNG_SIDE, PNG_SIDE, PNG_SIDE**2)
         assert r.pixel_sum == int(px.astype("int64").sum())
         assert r.pixel_md5 == hl.md5(chain.hex().encode()).hexdigest()
+
+
+def test_media_image_resize_real_box_filter(spark):
+    """Decode -> 2x2 integer box downsample -> re-encode -> decode must
+    equal an independent numpy computation from the pixel definition."""
+    import hashlib as hl
+
+    import numpy as np
+
+    from pythonvectordb_spark.operators.media import (
+        PNG_SIDE,
+        media_image_resize,
+        text_as_png,
+    )
+
+    texts = [(1, "resize me"), (2, "")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in media_image_resize(text_as_png(df), factor=2).collect()}
+    for doc_id, text in texts:
+        chain = b"".join(
+            hl.md5(f"{text}:{i}".encode()).digest()
+            for i in range(PNG_SIDE * PNG_SIDE // 16)
+        )
+        arr = np.frombuffer(chain, dtype=np.uint8).reshape(PNG_SIDE, PNG_SIDE)
+        small = (
+            arr.reshape(8, 2, 8, 2).astype(np.int64).sum(axis=(1, 3)) // 4
+        ).astype(np.uint8)
+        r = got[doc_id]
+        assert (r.out_width, r.out_height) == (8, 8)
+        assert r.resized_sum == int(small.astype(np.int64).sum())
+        assert r.resized_md5 == hl.md5(small.tobytes().hex().encode()).hexdigest()
