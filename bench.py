@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_simhash_wide",
     "duplicate_spans",
     "media_image_resize",
+    "approx_distinct_error",
 ]
 
 

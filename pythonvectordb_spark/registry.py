@@ -1977,6 +1977,34 @@ def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RL.approx_distinct_events(load_table(spark, sf_dir, "events"))
 
 
+def q_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch with its error bound asserted as data (new round 4 —
+    the GK `approx_percentile_error` pattern applied to the last
+    sketch family): per event type, within_bound = 1 iff
+    approx_count_distinct(user_id, rsd=0.05) lands within 15% of the
+    exact distinct count. Max observed error on the testdata is 6.7%
+    (sf0.1), so the bound has >2x margin while still being ~3-sigma for
+    HLL++ at rsd 0.05 — a sketch regression breaks the value hash. The
+    raw estimate stays rows-only (`approx_distinct_events`): the VALUE
+    is engine-specific, the GUARANTEE is not."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.05)
+    return ev.groupBy("event_type").agg(
+        exact.cast("long").alias("n_exact_users"),
+        (F.abs(approx - exact) <= 0.15 * exact).cast("long").alias("within_bound"),
+    )
+
+
+def o_approx_distinct_error() -> str:
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events GROUP BY 1
+"""
+
+
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (GK sketch) per event type — the 100 TB
     percentile path: bounded sketch state with partial merge, vs the
@@ -5005,8 +5033,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_wide": q_dedup_simhash_wide,  # new r4: size-rule path
     "duplicate_spans": q_duplicate_spans,  # new r4: ExactSubstr shape
     "media_image_resize": q_media_image_resize,  # new r4: real resize
+    "approx_distinct_error": q_approx_distinct_error,  # new r4: HLL bound
     # --- round-3-green continuity witnesses --------------------------
-    "unigram_surprisal": q_unigram_surprisal,
     "lateship_priority_counts": q_lateship_priority_counts,
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5050,6 +5078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "chunk_documents": q_chunk_documents,
     "quality_filter": q_quality_filter,
+    "unigram_surprisal": q_unigram_surprisal,
     "mllib_word2vec": q_mllib_word2vec,
     "mllib_ivf_search": q_mllib_ivf_search,
     "knn_classify": q_knn_classify,
@@ -5253,6 +5282,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_wide": o_dedup_simhash_wide(),
     "duplicate_spans": o_duplicate_spans(),
     "media_image_resize": o_media_image_resize(),
+    "approx_distinct_error": o_approx_distinct_error(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),
