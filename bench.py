@@ -93,6 +93,7 @@ HEADLINE = [
     "duplicate_spans",
     "media_image_resize",
     "approx_distinct_error",
+    "contamination_spans",
 ]
 
 

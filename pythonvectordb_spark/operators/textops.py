@@ -578,6 +578,25 @@ def duplicate_spans(
     Returns (doc_id, start_tok, end_tok, span_tokens, n_windows);
     token positions are 0-based, end exclusive.
     """
+    # lazy checkpoint: the window frame feeds the duplicate-hash count
+    # AND the position join below (advisor union-recompute discipline)
+    wins = _token_windows(df, window, text_col, id_col).localCheckpoint(eager=False)
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("whash")
+    )
+    dpos = wins.join(dup, "whash").select(F.col(id_col), "pos").distinct()
+    return _merge_spans(dpos, window, id_col)
+
+
+def _token_windows(
+    df: DataFrame, window: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, whash): every length-``window`` token window hashed to a
+    60-bit key (md5 prefix -> BIGINT — 8-byte shuffle key). Docs shorter
+    than the window emit nothing."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("w")).where(
         F.size("w") >= window
     )
@@ -588,26 +607,18 @@ def duplicate_spans(
         16,
         10,
     ).cast("long")
-    wins = (
-        toks.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.size("w") - window)).alias("i"),
-            "w",
-        )
-        .select(F.col(id_col), F.col("i").alias("pos"), whash.alias("whash"))
-    )
-    # lazy checkpoint: the window frame feeds the duplicate-hash count
-    # AND the position join below (advisor union-recompute discipline)
-    wins = wins.localCheckpoint(eager=False)
-    dup = (
-        wins.groupBy("whash")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("whash")
-    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.size("w") - window)).alias("i"),
+        "w",
+    ).select(F.col(id_col), F.col("i").alias("pos"), whash.alias("whash"))
+
+
+def _merge_spans(dpos: DataFrame, window: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions into maximal
+    (start_tok, end_tok) spans per document (end exclusive)."""
     from pyspark.sql import Window
 
-    dpos = wins.join(dup, "whash").select(F.col(id_col), "pos").distinct()
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
     return (
         dpos.withColumn("grp", F.col("pos") - rn)
@@ -625,3 +636,34 @@ def duplicate_spans(
             "n_windows",
         )
     )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination: the exact token runs (>=
+    ``window`` tokens) of each corpus document that also appear verbatim
+    in the held-out benchmark set. `curation.decontaminate` answers
+    "WHICH documents overlap the eval set"; this answers "WHERE" — the
+    13-gram-style contamination report that lets a pipeline surgically
+    cut the leaked passage instead of dropping the whole document.
+
+    Plan: corpus windows (O(corpus tokens), 60-bit keys) semi-joined
+    against the benchmark's DISTINCT window-hash set (eval sets are
+    small — the join broadcasts), islands merged per doc. The corpus is
+    scanned once and shuffles only its flagged positions.
+    """
+    bwins = (
+        _token_windows(benchmark, window, text_col, id_col)
+        .select("whash")
+        .distinct()
+    )
+    cwins = _token_windows(corpus, window, text_col, id_col)
+    dpos = cwins.join(F.broadcast(bwins), "whash", "left_semi").select(
+        F.col(id_col), "pos"
+    )
+    return _merge_spans(dpos, window, id_col)

@@ -882,6 +882,52 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (new round 4): the exact
+    >=8-token runs of corpus documents that appear verbatim in the
+    held-out set (doc_id % 7 == 0 stands in for an eval set — a wider
+    split than `decontaminate_corpus`'s %97 so the span report is
+    non-trivial at every SF). `decontaminate_corpus` flags WHICH docs
+    overlap; this reports WHERE, for surgical span removal
+    (`operators/textops.contamination_spans`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return TX.contamination_spans(corpus, bench, window=8)
+
+
+def o_contamination_spans(window: int = 8) -> str:
+    wh = (
+        "('0x' || substr(md5(array_to_string("
+        f"w[CAST(i + 1 AS INT):CAST(i + {window} AS INT)], ' ')), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {O.sql_tokens('text')} AS w FROM documents),
+big AS (SELECT doc_id, w FROM t WHERE len(w) >= {window}),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, len(w) - {window - 1})) AS pos,
+         unnest(list_transform(range(0, len(w) - {window - 1}), i -> {wh})) AS whash
+  FROM big
+),
+bw AS (SELECT DISTINCT whash FROM wins WHERE doc_id % 7 = 0),
+dpos AS (
+  SELECT wins.doc_id, wins.pos FROM wins JOIN bw USING (whash)
+  WHERE wins.doc_id % 7 != 0
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dpos
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+       CAST(max(pos) + {window} AS INT) AS end_tok,
+       CAST(max(pos) + {window} - min(pos) AS INT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4), banded-LSH
     blocked candidates + exact int8 verify (the scale path)."""
@@ -5034,8 +5080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,  # new r4: ExactSubstr shape
     "media_image_resize": q_media_image_resize,  # new r4: real resize
     "approx_distinct_error": q_approx_distinct_error,  # new r4: HLL bound
+    "contamination_spans": q_contamination_spans,  # new r4: span decontam
     # --- round-3-green continuity witnesses --------------------------
-    "lateship_priority_counts": q_lateship_priority_counts,
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
     "ann_ivf_pq": q_ann_ivf_pq,
@@ -5079,6 +5125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "quality_filter": q_quality_filter,
     "unigram_surprisal": q_unigram_surprisal,
+    "lateship_priority_counts": q_lateship_priority_counts,
     "mllib_word2vec": q_mllib_word2vec,
     "mllib_ivf_search": q_mllib_ivf_search,
     "knn_classify": q_knn_classify,
@@ -5283,6 +5330,7 @@ ORACLES: dict[str, str] = {
     "duplicate_spans": o_duplicate_spans(),
     "media_image_resize": o_media_image_resize(),
     "approx_distinct_error": o_approx_distinct_error(),
+    "contamination_spans": o_contamination_spans(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

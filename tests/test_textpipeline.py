@@ -179,3 +179,30 @@ def test_duplicate_spans_islands_and_cross_doc(spark):
     assert (4, 0, 8, 8, 1) in got          # whole-doc span, exactly window
     assert not any(r[0] in (5, 6) for r in got)
     assert len(got) == 5
+
+
+def test_contamination_spans_against_benchmark(spark):
+    """Span-level decontamination: only corpus runs present verbatim in
+    the benchmark set are reported, merged into maximal spans; corpus-
+    internal duplication without a benchmark hit emits nothing."""
+    from pythonvectordb_spark.operators.textops import contamination_spans
+
+    leak = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    corpus = spark.createDataFrame(
+        [
+            (10, f"intro {leak} outro words here"),        # contaminated
+            (11, "shared corpus only run one two three four five six"),
+            (12, "shared corpus only run one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, f"eval question contains {leak} inside")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.span_tokens, r.n_windows)
+        for r in contamination_spans(corpus, bench, window=8).collect()
+    }
+    # doc 10: leak at tokens 1..9 (9 tokens -> windows at pos 1 and 2)
+    assert got == {(10, 1, 10, 9, 2)}
