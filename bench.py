@@ -94,11 +94,30 @@ HEADLINE = [
     "media_image_resize",
     "approx_distinct_error",
     "contamination_spans",
+    # round-4 continuation: span scrubbing, temperature mixing, export
+    # interleave audit, reciprocal-kNN degrees
+    "scrub_spans",
+    "source_mixture",
+    "interleave_audit",
+    "mutual_knn",
+    "importance_weights",
 ]
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _tx():
+    from pythonvectordb_spark.operators import textops
+
+    return textops
+
+
+def _cu():
+    from pythonvectordb_spark.operators import curation
+
+    return curation
 
 
 def _control_query_s(spark, sf_dir: str) -> float:
@@ -254,6 +273,11 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
                 k=10,
                 query_vec="qvec_query",
             ),
+            # round-4 continuation: O(tokens) window-hash spans and the
+            # two-pass (checkpointed single-scan) mixture — both must
+            # stay ~linear in corpus size
+            "duplicate_spans": lambda d, e, n: _tx().duplicate_spans(d, window=8),
+            "temperature_mixture": lambda d, e, n: _cu().temperature_mixture(d),
         }
         for name, fn in cases.items():
             fn(docs1, emb1, n1).count()  # warm (JIT/codegen on the small SF)

@@ -25,6 +25,11 @@ stops at vector storage/search).
                         component labels — the corpus-health metric that
                         tells you whether dedup is removing 2-cliques or
                         thousand-document template farms.
+``cap_per_source``      per-source running token budget (RefinedWeb-style
+                        anti-dominance cap) in content-hash order.
+``temperature_mixture`` GPT-3/Pile temperature mixing: n_i^alpha source
+                        weights applied as deterministic hash-threshold
+                        admit rates, never upsampling.
 """
 
 from __future__ import annotations
@@ -264,4 +269,196 @@ def cap_per_source(
         d.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
         .filter(F.col("cum_tok") <= int(max_tokens_per_source))
         .drop("_h")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted source mixture (the GPT-3/Pile data-mixing
+    rule): re-balance the corpus toward sampling weights
+    ``w_i = n_i^alpha / sum_j n_j^alpha`` (token counts tempered by
+    ``alpha`` < 1 so small sources gain share), WITHOUT upsampling —
+    each source's admit rate is ``r_i = min(1, T * n_i^(alpha-1) / S)``
+    where ``T`` is the corpus token total and ``S = sum_j n_j^alpha``,
+    and each document admits iff its md5-derived uniform in [0,1) is
+    below its source's rate (deterministic, replayable, engine-portable
+    — the same hash-threshold discipline as ``stratified_sample``).
+
+    Returns the per-source audit frame:
+    (source, n_docs, n_tokens, weight, admit_rate, admitted_docs,
+    admitted_tokens) — weight/admit_rate rounded to 9 places for
+    display; the admission comparison itself uses the unrounded double.
+
+    Float-parity contract: with the default ``alpha=0.5`` every term is
+    an IEEE-exact ``sqrt`` of an integer (correctly rounded by spec, so
+    bit-identical across engines, unlike ``pow``), and ``S`` is a
+    SORTED left-associated fold over the per-source terms — the oracle
+    reproduces the identical double. Non-0.5 alphas are supported but
+    use ``pow`` (libm-dependent last-ULP; fine for production, not for
+    a bit-exact oracle).
+
+    Scale shape: one map-side-combined agg on the source key (stats), a
+    one-row sorted-fold reduction broadcast back, and one pass applying
+    a per-row hash threshold. The corpus text is scanned and tokenized
+    ONCE: the per-doc projection (id, source, n_tok, u — ~30 bytes/row,
+    no text) is lazily checkpointed and both the counting and admission
+    branches read the materialized rows.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    per_doc = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        n_tok.alias("n_tok"),
+        # 8 hex digits of md5 -> exact integer in [0, 2^32); dividing by
+        # the power of two is exact, so the uniform is bit-identical to
+        # the oracle's ('0x' || substr(md5,1,8))::BIGINT / 4294967296.0
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(2**32))
+        ).alias("u"),
+    ).localCheckpoint(eager=False)
+    stats = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    term = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    # S and T as a one-row frame: fold the per-source terms in source
+    # order (left-assoc, deterministic) and cross-broadcast-join back
+    totals = (
+        stats.select(F.struct("source", term.alias("t"), "n_tokens").alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            F.aggregate(
+                "arr", F.lit(0.0), lambda acc, x: acc + x.getField("t")
+            ).alias("S"),
+            F.aggregate(
+                "arr", F.lit(0).cast("long"), lambda acc, x: acc + x.getField("n_tokens")
+            ).alias("T"),
+        )
+    )
+    rated = stats.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (term / F.col("S")).alias("weight"),
+        F.least(
+            F.lit(1.0),
+            F.col("T").cast("double") * term / (F.col("n_tokens").cast("double") * F.col("S")),
+        ).alias("admit_rate"),
+    )
+    admitted = (
+        per_doc.join(F.broadcast(rated.select("source", "admit_rate")), "source")
+        .filter(F.col("u") < F.col("admit_rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("admitted_docs"),
+            F.sum("n_tok").cast("long").alias("admitted_tokens"),
+        )
+    )
+    return (
+        rated.join(admitted, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("weight", 9).alias("weight"),
+            F.round("admit_rate", 9).alias("admit_rate"),
+            F.coalesce("admitted_docs", F.lit(0).cast("long")).alias("admitted_docs"),
+            F.coalesce("admitted_tokens", F.lit(0).cast("long")).alias(
+                "admitted_tokens"
+            ),
+        )
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by the log-likelihood ratio of
+    its tokens under a TARGET-domain unigram model vs the corpus
+    background model — the standard cheap proxy for "how much does this
+    document look like the domain I want more of". Positive score =
+    more target-like than average; downstream selection thresholds or
+    resamples on it.
+
+    ``target_pred`` is a boolean Column marking the target-domain rows
+    (e.g. ``F.col("lang") == "en"`` or a quality flag). Add-one
+    smoothing on both models; every corpus token has background count
+    >= 1 by construction. Per-token weight:
+
+        ln( (c_t + 1) * (N_c + V)  /  ((c_c + 1) * (N_t + V)) )
+
+    computed on exact integer counts promoted to double (products stay
+    far below 2^53), so both engines see identical ratio arguments.
+    Doc score = grouped sum of its tokens' weights, ROUNDED TO 6 —
+    grouped float-sum order is engine-dependent, but the ~1e-13 noise
+    is far below the rounding grain (the `event_value_regression`
+    moment-aggregate discipline). Returns
+    (doc_id, n_tok, lr_score, selected) with ``selected`` computed
+    from the rounded score (> 0).
+
+    Scale shape: ONE corpus tokenize feeding both model builds — the
+    exploded (doc, token, is_target) frame is checkpointed because it
+    feeds the count agg AND the scoring join (a DSIR run materializes
+    its n-gram feature table anyway; if local disk were the constraint,
+    dropping the checkpoint trades it for a second scan+tokenize).
+    The token-count agg is map-side combined; the scoring join keys on
+    token against the |vocab|-row weight table (AQE broadcasts it while
+    it fits, sort-merge beyond), then one per-doc sum. No window, no
+    global sort, no Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("is_t"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).localCheckpoint(eager=False)
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_c"),
+        F.sum("is_t").cast("long").alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_c").cast("long").alias("N_c"),
+        F.sum("c_t").cast("long").alias("N_t"),
+        F.count(F.lit(1)).cast("long").alias("V"),
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.log(
+            ((F.col("c_t") + 1) * (F.col("N_c") + F.col("V"))).cast("double")
+            / ((F.col("c_c") + 1) * (F.col("N_t") + F.col("V"))).cast("double")
+        ).alias("lw"),
+    )
+    ds = (
+        toks.join(w, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("lw").alias("s"),
+        )
+    )
+    score = F.round(F.coalesce("s", F.lit(0.0)), 6)
+    return (
+        df.select(F.col(id_col))
+        .join(ds, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
+            score.alias("lr_score"),
+            (score > 0.0).cast("int").alias("selected"),
+        )
     )

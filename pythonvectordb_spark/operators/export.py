@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["assign_shards", "shard_stats", "write_training_shards"]
+__all__ = [
+    "assign_shards",
+    "shard_stats",
+    "write_training_shards",
+    "interleave_audit",
+]
 
 
 def _shard_col(id_col: str, n_shards: int):
@@ -104,3 +109,56 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def interleave_audit(
+    df: DataFrame,
+    n_blocks: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Mixing audit for the deterministic global shuffle: slice the md5
+    hash space into ``n_blocks`` EQUAL RANGES (``floor(h32 * n / 2^32)``
+    — order-preserving, so block k is exactly the k-th contiguous run of
+    the shard-key order that ``write_training_shards`` lays down) and
+    report, per block, how well-mixed a sequential reader's window is:
+
+    (block, n_docs, n_tokens?, n_sources, top_source_share)
+
+    ``top_source_share`` = largest single source's fraction of the
+    block's docs. A healthy hash shuffle gives every block ~the corpus
+    source distribution; a block whose share spikes means id-space
+    clustering leaked through (e.g. ids assigned per-crawl AND a hash
+    collision-prone id scheme) and a training run would see correlated
+    batches. This is the check run BEFORE burning cluster-months.
+
+    Scale shape: pure-projection block id (integer multiply + shift, no
+    sort, no window), one (block, source) map-side-combined agg, then a
+    tiny (block) agg — shuffle keys are n_blocks x n_sources.
+    """
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # h32 in [0, 2^32); h32 * n < 2^63 for any sane n -> exact bigint
+    # math; >> 32 is the floor divide by 2^32
+    block = F.shiftright(h32 * F.lit(int(n_blocks)), 32).cast("int")
+    d = df.select(
+        block.alias("block"),
+        F.col(source_col).alias("source"),
+        *( [F.col(token_col).alias("n_tok")] if token_col else [] ),
+    )
+    per_bs = d.groupBy("block", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bs"),
+        *( [F.sum("n_tok").cast("long").alias("t_bs")] if token_col else [] ),
+    )
+    aggs = [
+        F.sum("n_bs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.round(
+            F.max("n_bs").cast("double") / F.sum("n_bs").cast("double"), 9
+        ).alias("top_source_share"),
+    ]
+    if token_col:
+        aggs.insert(1, F.sum("t_bs").cast("long").alias("n_tokens"))
+    return per_bs.groupBy("block").agg(*aggs)

@@ -221,3 +221,64 @@ def _iterate_large(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def mutual_knn_degrees(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Mutual-kNN graph density: build the exact top-``k`` neighbor list
+    of every vector (symmetric int8 cosine — exact integer arithmetic,
+    so ranks are engine-portable), keep the edges that are RECIPROCAL
+    (a in topk(b) AND b in topk(a)), and return each vector's mutual
+    degree: (vec_id, mutual_degree), degree 0 kept.
+
+    Mutual-kNN degree is the standard graph statistic behind
+    density-based near-dup clustering and embedding-quality audits: hub
+    vectors (high asymmetric in-degree, low mutual degree) signal
+    anisotropic/collapsed embedding spaces, while uniformly high mutual
+    degree signals redundancy the sampler can exploit.
+
+    Neighbor rule (mirrored exactly by the oracle): rank ALL pairs
+    including self by (score desc, neighbor id asc), keep rank <= k+1,
+    then drop the self pair — so every vector contributes exactly k
+    neighbors unless >k+1 vectors tie at score 1.0 (identical quantized
+    vectors; deterministic either way).
+
+    Scale shape: this EXACT variant scores base x base through the
+    BLAS-batched ``knn_join`` (one broadcast of the query matrix, one
+    window shuffle proportional to n*k) — right for corpora up to a
+    broadcastable query matrix (eval sets, centroid sets, <=1M rows).
+    At 100 TB corpus scale, swap the scorer for the banded-LSH candidate
+    pairs of ``dedup.embedding_near_dup`` and apply the same
+    reciprocal-join + degree count on its verified edges.
+    """
+    from pythonvectordb_spark.operators.search import knn_join
+
+    queries = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    topk = (
+        knn_join(emb, queries, k=k + 1, data_id=id_col, query_vec=vec_col,
+                 qvec_col=qvec_col)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(F.col("query_id").alias("a"), F.col(id_col).alias("b"))
+    )
+    # lazy checkpoint: the edge list feeds both sides of the reciprocal
+    # self-join (advisor union-recompute discipline)
+    topk = topk.localCheckpoint(eager=False)
+    mutual = topk.join(
+        topk.select(F.col("b").alias("a"), F.col("a").alias("b")),
+        ["a", "b"],
+        "left_semi",
+    )
+    deg = mutual.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("mutual_degree"))
+    return (
+        emb.select(F.col(id_col))
+        .join(deg, F.col(id_col) == F.col("a"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("mutual_degree", F.lit(0).cast("long")).alias("mutual_degree"),
+        )
+    )

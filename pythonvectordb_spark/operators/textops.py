@@ -667,3 +667,46 @@ def contamination_spans(
         F.col(id_col), "pos"
     )
     return _merge_spans(dpos, window, id_col)
+
+
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surgical CUT that consumes a span report (`duplicate_spans` /
+    `contamination_spans`): remove the reported token ranges from each
+    document and emit an auditable result row per input doc —
+    (doc_id, n_tok_before, n_tok_after, n_spans, clean_md5), where
+    clean_md5 digests the scrubbed text (kept tokens re-joined with
+    single spaces). Detect -> cut -> verify, all oracle-checkable.
+
+    Spans are collected per doc (a handful of (start, end) structs — the
+    report is small by construction) and applied with ONE indexed
+    filter expression over the token array: no explode, no shuffle of
+    the corpus text; the only shuffle is the span report's own tiny
+    groupBy. Docs without spans pass through with their token count
+    unchanged."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    j = df.join(sp, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<start_tok:int,end_tok:int>>"),
+    )
+    toks = tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_arr, lambda s: (i >= s.start_tok) & (i < s.end_tok)
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tok_before"),
+        F.size(kept).cast("long").alias("n_tok_after"),
+        F.size(spans_arr).cast("long").alias("n_spans"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )

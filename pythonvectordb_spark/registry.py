@@ -928,6 +928,80 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surgical CUT that completes the decontamination pipeline (new
+    round 4): detect the leaked >=8-token runs (`contamination_spans`,
+    same %7 eval split) and REMOVE them from each corpus document,
+    emitting an auditable row per doc — token counts before/after, span
+    count, and an md5 of the scrubbed text
+    (`operators/textops.scrub_spans`). Detect -> cut -> verify: the
+    clean_md5 pins the exact post-scrub byte content, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    spans = TX.contamination_spans(corpus, bench, window=8)
+    return TX.scrub_spans(corpus, spans)
+
+
+def o_scrub_spans(window: int = 8) -> str:
+    wh = (
+        "('0x' || substr(md5(array_to_string("
+        f"w[CAST(i + 1 AS INT):CAST(i + {window} AS INT)], ' ')), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {O.sql_tokens('text')} AS w FROM documents),
+corpus AS (SELECT doc_id, w FROM t WHERE doc_id % 7 != 0),
+big AS (SELECT doc_id, w FROM t WHERE len(w) >= {window}),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, len(w) - {window - 1})) AS pos,
+         unnest(list_transform(range(0, len(w) - {window - 1}), i -> {wh})) AS whash
+  FROM big
+),
+bw AS (SELECT DISTINCT whash FROM wins WHERE doc_id % 7 = 0),
+dpos AS (
+  SELECT wins.doc_id, wins.pos FROM wins JOIN bw USING (whash)
+  WHERE wins.doc_id % 7 != 0
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dpos
+),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+         CAST(max(pos) + {window} AS INT) AS end_tok
+  FROM isl GROUP BY doc_id, grp
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS p FROM corpus
+),
+-- spans are disjoint per doc (gaps-and-islands output), so a position
+-- matches at most one span: LEFT JOIN + IS NULL is an exact anti-join
+kept AS (
+  SELECT tk.doc_id, tk.tok, tk.p
+  FROM tok tk
+  LEFT JOIN spans s
+    ON s.doc_id = tk.doc_id AND tk.p >= s.start_tok AND tk.p < s.end_tok
+  WHERE s.doc_id IS NULL
+),
+ka AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok_after,
+         string_agg(tok, ' ' ORDER BY p) AS clean
+  FROM kept GROUP BY doc_id
+),
+ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(len(c.w) AS BIGINT) AS n_tok_before,
+       coalesce(ka.n_tok_after, 0) AS n_tok_after,
+       coalesce(ns.n_spans, 0) AS n_spans,
+       md5(coalesce(ka.clean, '')) AS clean_md5
+FROM corpus c
+LEFT JOIN ka USING (doc_id)
+LEFT JOIN ns USING (doc_id)
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4), banded-LSH
     blocked candidates + exact int8 verify (the scale path)."""
@@ -5057,14 +5131,195 @@ GROUP BY 1
 """
 
 
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (new round 4, the GPT-3/Pile
+    data-mixing rule): per-source sampling weights n_i^0.5 / S with
+    hash-threshold admission at rate min(1, T*n_i^-0.5/S) — re-balances
+    toward small sources without upsampling
+    (`operators/curation.temperature_mixture`). alpha=0.5 keeps every
+    float an IEEE-exact sqrt and S a sorted left-assoc fold, so the
+    admit boundary is bit-identical across engines."""
+    return CU.temperature_mixture(load_table(spark, sf_dir, "documents"), alpha=0.5)
+
+
+def o_source_mixture() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({O.sql_tokens('text')}) AS BIGINT) AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1
+),
+-- S: left-assoc fold over per-source sqrt terms in source order
+-- (list_aggregate('sum') == Spark's sequential F.aggregate fold)
+tot AS (
+  SELECT list_aggregate(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+                        'sum') AS S,
+         CAST(sum(n_tokens) AS BIGINT) AS T
+  FROM s
+),
+r AS (
+  SELECT source, n_docs, n_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) / S AS weight,
+         least(1.0, CAST(T AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE))
+                      / (CAST(n_tokens AS DOUBLE) * S)) AS admit_rate
+  FROM s CROSS JOIN tot
+),
+adm AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS admitted_docs,
+         CAST(sum(d.n_tok) AS BIGINT) AS admitted_tokens
+  FROM d JOIN r USING (source) WHERE d.u < r.admit_rate GROUP BY 1
+)
+SELECT r.source, r.n_docs, r.n_tokens,
+       round(r.weight, 9) AS weight,
+       round(r.admit_rate, 9) AS admit_rate,
+       coalesce(adm.admitted_docs, 0) AS admitted_docs,
+       coalesce(adm.admitted_tokens, 0) AS admitted_tokens
+FROM r LEFT JOIN adm USING (source)
+"""
+
+
+def q_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing audit of the deterministic export shuffle (new round 4):
+    the md5 hash space sliced into 16 equal order-preserving ranges
+    (each block = a contiguous run of `write_training_shards`'s
+    shard-key order); per block, doc/token counts, distinct sources,
+    and the largest single source's share — the pre-training check that
+    a sequential reader's window sees the corpus mixture, not one crawl
+    (`operators/export.interleave_audit`)."""
+    from pythonvectordb_spark.operators import export as EX
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(_tokens("text")).cast("long")
+    )
+    return EX.interleave_audit(docs, 16, token_col="n_tok")
+
+
+def o_interleave_audit(n_blocks: int = 16) -> str:
+    return f"""
+WITH d AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h32,
+         source,
+         CAST(len({O.sql_tokens('text')}) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (SELECT CAST((h32 * {n_blocks}) >> 32 AS INT) AS block, source, n_tok FROM d),
+bs AS (
+  SELECT block, source, CAST(count(*) AS BIGINT) AS n_bs,
+         CAST(sum(n_tok) AS BIGINT) AS t_bs
+  FROM b GROUP BY 1, 2
+)
+SELECT block, CAST(sum(n_bs) AS BIGINT) AS n_docs,
+       CAST(sum(t_bs) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       round(CAST(max(n_bs) AS DOUBLE) / CAST(sum(n_bs) AS DOUBLE), 9)
+         AS top_source_share
+FROM bs GROUP BY 1
+"""
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (new round 4): per-document unigram
+    log-likelihood ratio of the lang='en' target model vs the corpus
+    background model, add-one smoothed — positive score = more
+    target-like than average (`operators/curation.importance_weights`).
+    Integer count ratios promoted exactly to double on both engines;
+    the grouped float sum rounds to 6 (the moment-aggregate
+    discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.importance_weights(docs, F.col("lang") == "en")
+
+
+def o_importance_weights() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, lang, {O.sql_tokens('text')} AS w FROM documents),
+tok AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t, unnest(w) AS tok FROM t
+),
+cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_c,
+         CAST(sum(is_t) AS BIGINT) AS c_t
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_c) AS BIGINT) AS N_c, CAST(sum(c_t) AS BIGINT) AS N_t,
+         CAST(count(*) AS BIGINT) AS V
+  FROM cnt
+),
+w AS (
+  SELECT tok,
+         ln(CAST((c_t + 1) * (N_c + V) AS DOUBLE)
+            / CAST((c_c + 1) * (N_t + V) AS DOUBLE)) AS lw
+  FROM cnt CROSS JOIN tot
+),
+ds AS (
+  SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok, sum(w.lw) AS s
+  FROM tok JOIN w USING (tok) GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(ds.n_tok, 0) AS n_tok,
+       round(coalesce(ds.s, 0.0), 6) AS lr_score,
+       CAST(round(coalesce(ds.s, 0.0), 6) > 0.0 AS INT) AS selected
+FROM t LEFT JOIN ds USING (doc_id)
+"""
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph density (new round 4): exact top-5 neighbors per
+    vector (symmetric int8 cosine through the BLAS-batched knn_join),
+    reciprocal edges kept, per-vector mutual degree returned — the
+    embedding-quality / redundancy audit behind density-based curation
+    (`operators/graph.mutual_knn_degrees`; scale path swaps the exact
+    scorer for `dedup.embedding_near_dup`'s banded-LSH candidates)."""
+    from pythonvectordb_spark.operators import graph as GR
+
+    return GR.mutual_knn_degrees(_emb(spark, sf_dir), k=5)
+
+
+def o_mutual_knn(k: int = 5) -> str:
+    qv = O.sql_qvec("embedding")
+    # symmetric int8 cosine: exact integer dot/norms (order-free), the
+    # same arithmetic the BLAS verifier is pinned bit-equal to; testdata
+    # vectors are non-zero so the zero-norm guard is a dead branch
+    cos = (
+        "(list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        " / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        " * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb, {cos} AS score
+  FROM q a CROSS JOIN q b
+),
+rk AS (
+  SELECT qa, qb,
+         row_number() OVER (PARTITION BY qa ORDER BY score DESC, qb ASC) AS rn
+  FROM p
+),
+e AS (SELECT qa AS a, qb AS b FROM rk WHERE rn <= {k + 1} AND qa != qb),
+m AS (
+  SELECT e.a, CAST(count(*) AS BIGINT) AS mutual_degree
+  FROM e JOIN e r ON e.a = r.b AND e.b = r.a GROUP BY e.a
+)
+SELECT q.vec_id, coalesce(m.mutual_degree, CAST(0 AS BIGINT)) AS mutual_degree
+FROM q LEFT JOIN m ON q.vec_id = m.a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 1 query new
-    # this round (approx_percentile_error — the GK sketch's error-bound
-    # contract), and 40 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 12 queries new
+    # this round, and 29 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 149/149 witnessed. ------------------------------------
+    # closes at 160/160 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5081,6 +5336,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_image_resize": q_media_image_resize,  # new r4: real resize
     "approx_distinct_error": q_approx_distinct_error,  # new r4: HLL bound
     "contamination_spans": q_contamination_spans,  # new r4: span decontam
+    "scrub_spans": q_scrub_spans,  # new r4: span removal + md5 audit
+    "source_mixture": q_source_mixture,  # new r4: temperature mixing
+    "interleave_audit": q_interleave_audit,  # new r4: shuffle-mix audit
+    "mutual_knn": q_mutual_knn,  # new r4: reciprocal-kNN degrees
+    "importance_weights": q_importance_weights,  # new r4: DSIR selection
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5113,7 +5373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "hypertable_rollup": q_hypertable_rollup,
     "cms_user_estimates": q_cms_user_estimates,
-    # round-3 layout/pruning additions (new — need their first driver row)
+    # round-3 layout/pruning additions (r3 driver-green)
     "zorder_pruning": q_zorder_pruning,
     "snapshot_diff": q_snapshot_diff,
     "bloom_prune_join": q_bloom_prune_join,
@@ -5331,6 +5591,11 @@ ORACLES: dict[str, str] = {
     "media_image_resize": o_media_image_resize(),
     "approx_distinct_error": o_approx_distinct_error(),
     "contamination_spans": o_contamination_spans(),
+    "scrub_spans": o_scrub_spans(),
+    "source_mixture": o_source_mixture(),
+    "interleave_audit": o_interleave_audit(),
+    "mutual_knn": o_mutual_knn(),
+    "importance_weights": o_importance_weights(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -85,3 +85,63 @@ def test_dup_cluster_stats_histogram(spark):
     hist = {r.cluster_size: (r.n_clusters, r.n_docs) for r in dup_cluster_stats(resolved).collect()}
     assert hist == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
     assert sum(nd for _, nd in hist.values()) == 7
+
+
+def test_temperature_mixture_rebalances_without_upsampling(spark):
+    from pythonvectordb_spark.operators.curation import temperature_mixture
+
+    # big source: 60 docs x 20 tokens; small: 6 docs x 20 tokens
+    rows = [(i, "big", "tok " * 19 + "tok") for i in range(60)]
+    rows += [(100 + i, "small", "tok " * 19 + "tok") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in temperature_mixture(df, alpha=0.5).collect()}
+    # tempering: small source's weight exceeds its raw token share
+    assert out["small"].weight > 6 / 66
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-9
+    # no upsampling: the small source is under target -> admit everything
+    assert out["small"].admit_rate == 1.0
+    assert out["small"].admitted_docs == 6
+    # the big source is over target -> thinned, and admitted counts can
+    # never exceed the source's own size
+    assert 0.0 < out["big"].admit_rate < 1.0
+    assert 0 <= out["big"].admitted_docs <= 60
+    # alpha=1 is a no-op mixture: every source admits at rate 1
+    flat = temperature_mixture(df, alpha=1.0).collect()
+    assert all(r.admit_rate == 1.0 for r in flat)
+
+
+def test_temperature_mixture_is_deterministic(spark):
+    from pythonvectordb_spark.operators.curation import temperature_mixture
+
+    rows = [(i, f"s{i % 5}", f"w{i} " * (5 + i % 7)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, temperature_mixture(df).collect()))
+    b = sorted(map(tuple, temperature_mixture(df.repartition(11)).collect()))
+    assert a == b
+
+
+def test_importance_weights_separates_domains(spark):
+    from pythonvectordb_spark.operators.curation import importance_weights
+
+    # target docs share a distinctive vocabulary; background docs another;
+    # one doc mixes both; one is empty
+    rows = [
+        (1, "en", "alpha beta alpha gamma beta alpha"),
+        (2, "en", "beta gamma alpha beta gamma beta"),
+        (3, "de", "delta epsilon zeta delta epsilon zeta"),
+        (4, "de", "zeta delta epsilon zeta delta epsilon"),
+        (5, "de", "alpha beta gamma delta epsilon zeta"),  # mixed
+        (6, "de", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in importance_weights(df, F.col("lang") == "en").collect()}
+    # pure-target vocabulary scores positive, pure-background negative
+    assert got[1].lr_score > 0 and got[1].selected == 1
+    assert got[2].lr_score > 0 and got[2].selected == 1
+    assert got[3].lr_score < 0 and got[3].selected == 0
+    assert got[4].lr_score < 0 and got[4].selected == 0
+    # the mixed doc sits between the pure docs
+    assert got[3].lr_score < got[5].lr_score < got[1].lr_score
+    # empty doc: zero tokens, zero score, not selected
+    assert got[6].n_tok == 0 and got[6].lr_score == 0.0 and got[6].selected == 0
+    assert len(got) == 6

@@ -54,3 +54,31 @@ def test_write_then_read_roundtrip_sorted(spark, docs, tmp_path):
     # within a shard, rows come back in shard_key order per file
     one = back.filter(F.col("shard") == 0).select("shard_key").toPandas()["shard_key"]
     assert list(one) == sorted(one)
+
+
+def test_interleave_audit_blocks_cover_and_mix(spark, docs):
+    from pythonvectordb_spark.operators.export import interleave_audit
+
+    d = docs.withColumn("n_tok", F.lit(10).cast("long"))
+    out = interleave_audit(d, 16, token_col="n_tok").collect()
+    # every doc lands in exactly one of 16 blocks
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert all(0 <= r.block < 16 for r in out)
+    assert {r.block for r in out} == set(range(16))  # 500 docs: none empty
+    # token sums follow doc counts with the constant token col
+    assert all(r.n_tokens == 10 * r.n_docs for r in out)
+    # share is a valid fraction and consistent with source count
+    for r in out:
+        assert 0.0 < r.top_source_share <= 1.0
+        assert r.top_source_share >= 1.0 / r.n_sources
+    # hash-mixed blocks: no block should be one-source dominated
+    assert max(r.top_source_share for r in out) < 0.8
+
+
+def test_interleave_audit_is_layout_independent(spark, docs):
+    from pythonvectordb_spark.operators.export import interleave_audit
+
+    a = interleave_audit(docs, 8).collect()
+    b = interleave_audit(docs.repartition(13), 8).collect()
+    key = lambda r: r.block  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)

@@ -52,3 +52,31 @@ def test_unweighted_uniform_cycle(spark):
     pr = pagerank(cyc).collect()
     for r in pr:
         assert abs(r["rank"] - 1.0 / 3) < 1e-9
+
+
+def test_mutual_knn_degrees_reciprocity(spark):
+    """Two tight 3-cliques far apart in direction + one outlier: within a
+    clique everyone is mutual with everyone (degree 2 at k=2); the
+    outlier picks neighbors but is nobody's top-2 -> degree 0."""
+    import math
+
+    from pythonvectordb_spark.operators.graph import mutual_knn_degrees
+    from pythonvectordb_spark.operators.search import with_qvec
+
+    def unit(theta):
+        v = [math.cos(theta), math.sin(theta)] + [0.0] * 62
+        return [float(x) for x in v]
+
+    rows = [
+        (1, unit(0.00)), (2, unit(0.02)), (3, unit(0.04)),      # clique A
+        (11, unit(1.50)), (12, unit(1.52)), (13, unit(1.54)),   # clique B
+        (99, unit(0.75)),                                        # equidistant outlier
+    ]
+    emb = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    got = {r.vec_id: r.mutual_degree for r in mutual_knn_degrees(emb, k=2).collect()}
+    assert got[1] == got[2] == got[3] == 2
+    assert got[11] == got[12] == got[13] == 2
+    assert got[99] == 0
+    assert len(got) == 7

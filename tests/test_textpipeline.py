@@ -206,3 +206,42 @@ def test_contamination_spans_against_benchmark(spark):
     }
     # doc 10: leak at tokens 1..9 (9 tokens -> windows at pos 1 and 2)
     assert got == {(10, 1, 10, 9, 2)}
+
+
+def test_scrub_spans_cuts_and_audits(spark):
+    """Detect -> cut -> verify: spans reported by contamination_spans are
+    removed token-exactly; untouched docs pass through with clean_md5 ==
+    md5 of their own (token-normalized) text; a fully-leaked doc scrubs
+    to the empty string."""
+    import hashlib
+
+    from pythonvectordb_spark.operators.textops import (
+        contamination_spans,
+        scrub_spans,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    corpus = spark.createDataFrame(
+        [
+            (10, f"intro {leak} outro words here"),  # leak at tokens 1..9
+            (11, "totally original content with no overlap at all"),
+            (12, leak),  # the whole doc IS the leak
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, f"eval question contains {leak} inside")],
+        "doc_id long, text string",
+    )
+    spans = contamination_spans(corpus, bench, window=8)
+    got = {
+        r.doc_id: (r.n_tok_before, r.n_tok_after, r.n_spans, r.clean_md5)
+        for r in scrub_spans(corpus, spans).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[10] == (13, 4, 1, md5("intro outro words here"))
+    assert got[11] == (
+        8, 8, 0, md5("totally original content with no overlap at all")
+    )
+    assert got[12] == (9, 0, 1, md5(""))
+    assert len(got) == 3
