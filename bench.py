@@ -101,6 +101,7 @@ HEADLINE = [
     "interleave_audit",
     "mutual_knn",
     "importance_weights",
+    "media_audio_stats",
 ]
 
 

@@ -4,7 +4,10 @@ processed with Arrow-batched ``mapInPandas`` (driver mandate, SURVEY §2.12).
 PNG images are decoded FOR REAL (``functions/png.py``, pure
 stdlib zlib — ``text_as_png`` builds genuine PNG payloads and
 ``media_image_stats`` decompresses + unfilters them, oracle-checked
-end-to-end). The container has no JPEG/video/audio codecs, so for those
+end-to-end), and so is PCM WAV audio (``functions/wav.py`` —
+``value_as_wav`` builds genuine RIFF files, ``media_audio_stats``
+chunk-walks and parses them, oracle-checked). The container has no
+JPEG/video/compressed-audio codecs, so for those
 formats the *decode* step is a deterministic stand-in (byte length +
 md5) behind the same interface a real decoder would use; the Spark-side
 plumbing — binary column, schema, batch iteration, partition behavior —
@@ -352,14 +355,118 @@ def media_image_resize(
     return src.mapInPandas(_resize, MEDIA_IMAGE_RESIZE_SCHEMA)
 
 
+_WAV_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+# closed-form sample definition (BOTH engines can compute it, which is
+# what makes the decode oracle-checkable without shipping audio files):
+#   n_samples   = 800 + doc_id % 400
+#   sample_rate = 8000 + (doc_id % 3) * 4000
+#   sample[i]   = (doc_id * 1103515245 + i * 12345) % 65536 - 32768
+WAV_N_BASE, WAV_N_MOD = 800, 400
+WAV_RATE_BASE, WAV_RATE_STEP = 8000, 4000
+WAV_MUL_ID, WAV_MUL_I = 1103515245, 12345
+
+
+def value_as_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WAV payloads, deterministically derived from the id via the
+    closed-form integer sample definition above. The payloads are
+    genuine RIFF/PCM files (the stdlib ``wave`` module and any audio
+    tool opens them); lengths and sample rates vary per row so header
+    parsing is load-bearing, not constant-folded."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.wav import wav_encode
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = WAV_N_BASE + did % WAV_N_MOD
+                rate = WAV_RATE_BASE + (did % 3) * WAV_RATE_STEP
+                i = np.arange(n, dtype=np.int64)
+                s = (did * WAV_MUL_ID + i * WAV_MUL_I) % 65536 - 32768
+                payloads.append(wav_encode(s.astype("<i2"), rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+    return src.mapInPandas(_build, _WAV_PAYLOAD_SCHEMA)
+
+
+MEDIA_AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def media_audio_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode end-to-end: walk each WAV payload's RIFF chunks
+    (functions/wav.py) and report (sample count, rate from the parsed
+    header, integer peak amplitude, exact sum of squares, md5 of the PCM
+    bytes' hex rendering). Against `value_as_wav` payloads the DuckDB
+    oracle recomputes the same stats straight from the sample
+    DEFINITION — a codec bug (chunk walk, header offsets, endianness)
+    breaks the value hash. Together with `media_image_stats` this
+    retires the audio half of the decode stand-in for uncompressed
+    formats; compressed audio/JPEG/video stay behind
+    `decode_media_stub_real`."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.wav import wav_decode
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rates, peaks, sums, md5s = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = wav_decode(bytes(payload))
+                s64 = s.astype(np.int64)
+                ids.append(doc_id)
+                ns.append(len(s))
+                rates.append(rate)
+                peaks.append(int(np.abs(s64).max()) if len(s) else 0)
+                sums.append(int((s64 * s64).sum()))
+                # hex rendering of the little-endian PCM bytes: the same
+                # engine-portable digest contract as media_image_stats
+                md5s.append(
+                    hashlib.md5(s.tobytes().hex().encode("ascii")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                    "sum_sq": pd.Series(sums, dtype="int64"),
+                    "pcm_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_stats, MEDIA_AUDIO_STATS_SCHEMA)
+
+
 def decode_media_stub_real() -> None:
     """Marker for the genuinely-unimplementable step in this container:
-    JPEG/video/audio decoding requires codec libraries not installed
-    here. PNG images are now REALLY decoded (functions/png.py,
-    ``media_image_stats`` — oracle-checked); this marker covers the
-    remaining formats only."""
+    JPEG / video / COMPRESSED-audio decoding requires codec libraries
+    not installed here. PNG images (functions/png.py) and PCM WAV audio
+    (functions/wav.py) are now REALLY decoded, both oracle-checked;
+    this marker covers the remaining formats only."""
     raise NotImplementedError(
-        "JPEG/video/audio decoding requires PIL/ffmpeg; PNG decodes for "
-        "real via functions/png.py, other formats use the deterministic "
-        "stand-in wired through the same mapInPandas path"
+        "JPEG/video/compressed-audio decoding requires PIL/ffmpeg; PNG "
+        "and PCM WAV decode for real via functions/png.py + wav.py, "
+        "other formats use the deterministic stand-in wired through the "
+        "same mapInPandas path"
     )
