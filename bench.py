@@ -102,6 +102,8 @@ HEADLINE = [
     "mutual_knn",
     "importance_weights",
     "media_audio_stats",
+    "media_audio_resample",
+    "corpus_drift",
 ]
 
 

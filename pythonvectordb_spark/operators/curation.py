@@ -30,6 +30,10 @@ stops at vector storage/search).
 ``temperature_mixture`` GPT-3/Pile temperature mixing: n_i^alpha source
                         weights applied as deterministic hash-threshold
                         admit rates, never upsampling.
+``importance_weights``  DSIR data selection: per-doc unigram
+                        log-likelihood ratio, target vs background.
+``distribution_drift``  PSI drift monitor between corpus snapshots,
+                        per-category terms, add-half smoothed.
 """
 
 from __future__ import annotations
@@ -461,4 +465,83 @@ def importance_weights(
             score.alias("lr_score"),
             (score > 0.0).cast("int").alias("selected"),
         )
+    )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots, per
+    categorical dimension — the standard drift monitor run before a new
+    crawl/dump is admitted into the mixture (PSI < 0.1 stable, 0.1-0.25
+    shifting, > 0.25 investigate). Emits one row per (dim, value):
+
+        (dim, value, n_a, n_b, psi_term)
+
+    with ``psi_term = (p_a - p_b) * ln(p_a / p_b)`` on add-half
+    (Laplace 0.5) smoothed shares, so categories present in only one
+    snapshot contribute a finite, dominant term instead of infinity.
+    The dimension's PSI is the sum of its terms; per-term rows are kept
+    because the actionable question is WHICH category moved.
+
+    Float contract: both engines compute the identical double chain
+    (exact-integer counts -> +0.5 -> divide -> subtract/divide/ln) and
+    the term rounds to 6 (the moment-aggregate discipline).
+
+    Scale shape: each snapshot is scanned once — all ``dims`` fan out
+    per row through ONE struct-array explode (the explode-not-union
+    lesson: a per-dim union would rescan the corpus len(dims) times) —
+    then one grouped count per side on (dim, value) keys; everything
+    after the counts is |categories|-sized. The joined category frame is
+    checkpointed (it feeds the per-dim totals AND the final join).
+    """
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        dv = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.col(d).cast("string").alias("value"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("dv")
+        return (
+            df.select(dv)
+            .groupBy(F.col("dv.dim").alias("dim"), F.col("dv.value").alias("value"))
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    j = (
+        counts(df_a, "n_a")
+        .join(counts(df_b, "n_b"), ["dim", "value"], "full_outer")
+        .select(
+            "dim",
+            "value",
+            F.coalesce("n_a", F.lit(0).cast("long")).alias("n_a"),
+            F.coalesce("n_b", F.lit(0).cast("long")).alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = j.groupBy("dim").agg(
+        F.sum("n_a").cast("long").alias("sa"),
+        F.sum("n_b").cast("long").alias("sb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    pa = (F.col("n_a").cast("double") + 0.5) / (
+        F.col("sa").cast("double") + 0.5 * F.col("k")
+    )
+    pb = (F.col("n_b").cast("double") + 0.5) / (
+        F.col("sb").cast("double") + 0.5 * F.col("k")
+    )
+    return j.join(F.broadcast(tot), "dim").select(
+        "dim",
+        "value",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )

@@ -458,6 +458,71 @@ def media_audio_stats(
     return src.mapInPandas(_stats, MEDIA_AUDIO_STATS_SCHEMA)
 
 
+MEDIA_AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def media_audio_resample(
+    df: DataFrame, factor: int = 2, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio resample: decode each WAV payload, decimate by
+    ``factor`` with an integer-exact box filter, re-encode at the
+    reduced rate, then decode the re-encoded file for the reported
+    stats — the round trip exercises BOTH codec directions on every
+    row (the `media_image_resize` contract, applied to audio).
+
+    The box mean is computed in the UNSIGNED domain (u = s + 32768,
+    mean = floor(sum(u) / factor), back to signed): floor division of
+    non-negative integers is truncation in every engine, whereas
+    negative-operand integer division truncates in SQL but floors in
+    Python — the shift to unsigned removes the discrepancy instead of
+    papering over it. Trailing samples short of a full block drop
+    (n_out = n_in // factor); the output rate is rate // factor."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.wav import wav_decode, wav_encode
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rates, sums, md5s = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = wav_decode(bytes(payload))
+                n_out = len(s) // factor
+                u = s[: n_out * factor].astype(np.int64) + 32768
+                small = (
+                    u.reshape(n_out, factor).sum(axis=1) // factor - 32768
+                ).astype("<i2")
+                out_rate = rate // factor
+                rate2, back = wav_decode(wav_encode(small, out_rate))
+                ids.append(doc_id)
+                ns.append(len(back))
+                rates.append(rate2)
+                b64 = back.astype(np.int64)
+                sums.append(int((b64 * b64).sum()))
+                md5s.append(
+                    hashlib.md5(back.tobytes().hex().encode("ascii")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "sum_sq": pd.Series(sums, dtype="int64"),
+                    "pcm_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_resample, MEDIA_AUDIO_RESAMPLE_SCHEMA)
+
+
 def decode_media_stub_real() -> None:
     """Marker for the genuinely-unimplementable step in this container:
     JPEG / video / COMPRESSED-audio decoding requires codec libraries

@@ -1531,6 +1531,101 @@ FROM base JOIN agg USING (doc_id)
 """
 
 
+def q_media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample round trip (new round 4): decode each WAV,
+    2:1 integer box decimate (unsigned-domain floor mean — portable
+    across engines, see `media.media_audio_resample`), re-encode at the
+    halved rate, decode again, report stats. The oracle computes the
+    identical decimation straight from the closed-form sample
+    definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_audio_resample(MM.value_as_wav(docs), factor=2)
+
+
+def o_media_audio_resample(factor: int = 2) -> str:
+    n_out_max = (MM.WAV_N_BASE + MM.WAV_N_MOD) // factor + 1
+    m = lambda i: f"((doc_id * {MM.WAV_MUL_ID} + ({i}) * {MM.WAV_MUL_I}) % 65536)"  # noqa: E731
+    # unsigned box mean of the block, back to signed
+    s = (
+        "("
+        + " + ".join(m(f"{factor} * r.j + {t}") for t in range(factor))
+        + f") // {factor} - 32768"
+    )
+    u16 = "((s + 65536) % 65536)"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(({MM.WAV_N_BASE} + doc_id % {MM.WAV_N_MOD}) // {factor} AS BIGINT)
+           AS n_out,
+         CAST(({MM.WAV_RATE_BASE} + (doc_id % 3) * {MM.WAV_RATE_STEP}) // {factor}
+           AS INT) AS out_rate
+  FROM documents
+),
+smp AS (
+  SELECT b.doc_id, r.j, {s} AS s
+  FROM base b CROSS JOIN range(0, {n_out_max}) r(j)
+  WHERE r.j < b.n_out
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(s * s) AS BIGINT) AS sum_sq,
+         md5(string_agg(printf('%02x%02x',
+                               CAST({u16} % 256 AS INT),
+                               CAST({u16} // 256 AS INT)),
+                        '' ORDER BY j)) AS pcm_md5
+  FROM smp GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_out AS n_samples, base.out_rate AS sample_rate,
+       agg.sum_sq, agg.pcm_md5
+FROM base JOIN agg USING (doc_id)
+"""
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report (new round 4): the lang
+    and source distributions of the doc_id-even half vs the doc_id-odd
+    half (stand-ins for two crawl snapshots), add-half smoothed, one
+    psi_term row per category (`operators/curation.distribution_drift`)
+    — the pre-admission drift monitor for a new dump."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def o_corpus_drift() -> str:
+    p_a = "((CAST(n_a AS DOUBLE) + 0.5) / (CAST(sa AS DOUBLE) + 0.5 * k))"
+    p_b = "((CAST(n_b AS DOUBLE) + 0.5) / (CAST(sb AS DOUBLE) + 0.5 * k))"
+    return f"""
+WITH dv AS (
+  SELECT doc_id, 'lang' AS dim, lang AS value FROM documents
+  UNION ALL
+  SELECT doc_id, 'source', source FROM documents
+),
+a AS (
+  SELECT dim, value, CAST(count(*) AS BIGINT) AS n_a
+  FROM dv WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+b AS (
+  SELECT dim, value, CAST(count(*) AS BIGINT) AS n_b
+  FROM dv WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+j AS (
+  SELECT dim, value, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b USING (dim, value)
+),
+tot AS (
+  SELECT dim, CAST(sum(n_a) AS BIGINT) AS sa, CAST(sum(n_b) AS BIGINT) AS sb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM j GROUP BY 1
+)
+SELECT j.dim, j.value, j.n_a, j.n_b,
+       round(({p_a} - {p_b}) * ln({p_a} / {p_b}), 6) AS psi_term
+FROM j JOIN tot USING (dim)
+"""
+
+
 def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode end-to-end (new round 4): build genuine PNG
     payloads whose 16x16 grey pixels are an md5 chain of the text
@@ -5365,10 +5460,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 13 queries new
-    # this round, and 28 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 15 queries new
+    # this round, and 26 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 161/161 witnessed. ------------------------------------
+    # closes at 163/163 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5391,6 +5486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_knn": q_mutual_knn,  # new r4: reciprocal-kNN degrees
     "importance_weights": q_importance_weights,  # new r4: DSIR selection
     "media_audio_stats": q_media_audio_stats,  # new r4: real WAV decode
+    "media_audio_resample": q_media_audio_resample,  # new r4: real 2:1 decimate
+    "corpus_drift": q_corpus_drift,  # new r4: PSI drift monitor
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5647,6 +5744,8 @@ ORACLES: dict[str, str] = {
     "mutual_knn": o_mutual_knn(),
     "importance_weights": o_importance_weights(),
     "media_audio_stats": o_media_audio_stats(),
+    "media_audio_resample": o_media_audio_resample(),
+    "corpus_drift": o_corpus_drift(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

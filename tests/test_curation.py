@@ -145,3 +145,36 @@ def test_importance_weights_separates_domains(spark):
     # empty doc: zero tokens, zero score, not selected
     assert got[6].n_tok == 0 and got[6].lr_score == 0.0 and got[6].selected == 0
     assert len(got) == 6
+
+
+def test_distribution_drift_psi_semantics(spark):
+    import math
+
+    from pythonvectordb_spark.operators.curation import distribution_drift
+
+    a = spark.createDataFrame(
+        [(i, "en" if i < 8 else "de", "s0") for i in range(10)],
+        "doc_id long, lang string, source string",
+    )
+    # shifted: en collapses 8->2, de grows 2->8, plus a NEW category zh
+    b = spark.createDataFrame(
+        [(100 + i, "de" if i < 8 else ("en" if i < 9 else "zh"), "s0")
+         for i in range(10)],
+        "doc_id long, lang string, source string",
+    )
+    rows = {(r.dim, r.value): r for r in distribution_drift(a, b).collect()}
+    # identical source distribution -> near-zero term (exactly 0 after
+    # rounding: same counts, same smoothed shares)
+    assert rows[("source", "s0")].psi_term == 0.0
+    # every psi term is non-negative by construction
+    assert all(r.psi_term >= 0 for r in rows.values())
+    # the category present only in B exists as a row with n_a = 0 and a
+    # positive, finite term (smoothing), and the big movers dominate
+    zh = rows[("lang", "zh")]
+    assert zh.n_a == 0 and zh.n_b == 1
+    assert 0 < zh.psi_term < rows[("lang", "en")].psi_term
+    # hand-compute the en term: k=3 lang categories after the union
+    pa = (8 + 0.5) / (10 + 1.5)
+    pb = (1 + 0.5) / (10 + 1.5)
+    assert abs(rows[("lang", "en")].psi_term - round((pa - pb) * math.log(pa / pb), 6)) < 1e-9
+    assert len(rows) == 4  # en, de, zh, s0

@@ -306,3 +306,37 @@ def test_media_audio_stats_real_decode(spark):
         assert r.sum_sq == int((s * s).sum())
         expect = hl.md5(s.astype("<i2").tobytes().hex().encode("ascii")).hexdigest()
         assert r.pcm_md5 == expect
+
+
+def test_media_audio_resample_box_decimate(spark):
+    """2:1 decimation: unsigned-domain floor means of sample pairs, rate
+    halved, odd trailing sample dropped; stats recomputed independently."""
+    import hashlib as hl
+
+    import numpy as np
+
+    from pythonvectordb_spark.operators.media import (
+        WAV_MUL_I,
+        WAV_MUL_ID,
+        WAV_N_BASE,
+        WAV_N_MOD,
+        WAV_RATE_BASE,
+        WAV_RATE_STEP,
+        media_audio_resample,
+        value_as_wav,
+    )
+
+    df = spark.createDataFrame([(5,), (42,)], "doc_id long")
+    got = {r.doc_id: r for r in media_audio_resample(value_as_wav(df), factor=2).collect()}
+    for did in (5, 42):
+        n = WAV_N_BASE + did % WAV_N_MOD
+        i = np.arange(n, dtype=np.int64)
+        m = (did * WAV_MUL_ID + i * WAV_MUL_I) % 65536  # unsigned samples
+        n_out = n // 2
+        out = (m[: n_out * 2].reshape(n_out, 2).sum(axis=1) // 2 - 32768).astype("<i2")
+        r = got[did]
+        assert r.n_samples == n_out
+        assert r.sample_rate == (WAV_RATE_BASE + (did % 3) * WAV_RATE_STEP) // 2
+        o64 = out.astype(np.int64)
+        assert r.sum_sq == int((o64 * o64).sum())
+        assert r.pcm_md5 == hl.md5(out.tobytes().hex().encode("ascii")).hexdigest()
