@@ -104,6 +104,7 @@ HEADLINE = [
     "media_audio_stats",
     "media_audio_resample",
     "corpus_drift",
+    "hard_negatives",
 ]
 
 

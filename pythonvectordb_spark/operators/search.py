@@ -911,3 +911,51 @@ def rrf_fuse(
         "rank_b",
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the
+    exact top-``k`` most-similar vectors with a DIFFERENT label — the
+    pairs a contrastive/triplet trainer wants most (high similarity,
+    wrong class) and the embedding-quality audit for class bleed.
+    Returns (query_id, neg_id, score, rank), score rounded to 9.
+
+    Physical plan: one BLAS-batched ``knn_join`` per label class —
+    anchors of label L score against the non-L corpus, so the label
+    constraint is enforced by CONSTRUCTION (no over-fetch-then-filter,
+    which can silently return < k when a neighborhood is same-label
+    dominated). The class list is collected to the driver: label sets
+    are small by definition (classes, not ids) — this is the documented
+    small-side contract, same as knn_join's query matrix. Per class the
+    corpus scans once with the label filter pushed to the parquet scan;
+    at 100 TB swap the exact scorer for ANN candidates per class and
+    keep the same union shape.
+    """
+    from functools import reduce
+
+    labels = sorted(
+        r[0] for r in emb.select(label_col).distinct().collect()
+    )  # class set: small by contract
+    parts = []
+    for lab in labels:
+        q = emb.filter(F.col(label_col) == lab).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col)
+        )
+        d = emb.filter(F.col(label_col) != lab)
+        parts.append(
+            knn_join(d, q, k=k, data_id=id_col, query_vec=vec_col, qvec_col=qvec_col)
+            .select(
+                "query_id",
+                F.col(id_col).alias("neg_id"),
+                F.round("score", 9).alias("score"),
+                "rank",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)

@@ -1581,6 +1581,39 @@ FROM base JOIN agg USING (doc_id)
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (new round 4): for every anchor,
+    the exact top-5 most-similar vectors with a DIFFERENT label, via one
+    BLAS knn_join per class against the non-class corpus — the label
+    constraint holds by construction, never by over-fetch-then-filter
+    (`operators/search.hard_negatives`)."""
+    return S.hard_negatives(_emb(spark, sf_dir), k=5)
+
+
+def o_hard_negatives(k: int = 5) -> str:
+    qv = O.sql_qvec("embedding")
+    cos = (
+        "(list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        " / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        " * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, label, {qv} AS qv FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neg_id, {cos} AS score
+  FROM q a JOIN q b ON a.label != b.label
+),
+rk AS (
+  SELECT query_id, neg_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neg_id ASC) AS INT) AS rank
+  FROM p
+)
+SELECT query_id, neg_id, round(score, 9) AS score, rank
+FROM rk WHERE rank <= {k}
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5460,10 +5493,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 15 queries new
-    # this round, and 26 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 16 queries new
+    # this round, and 25 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 163/163 witnessed. ------------------------------------
+    # closes at 164/164 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5488,6 +5521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_stats": q_media_audio_stats,  # new r4: real WAV decode
     "media_audio_resample": q_media_audio_resample,  # new r4: real 2:1 decimate
     "corpus_drift": q_corpus_drift,  # new r4: PSI drift monitor
+    "hard_negatives": q_hard_negatives,  # new r4: contrastive mining
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5746,6 +5780,7 @@ ORACLES: dict[str, str] = {
     "media_audio_stats": o_media_audio_stats(),
     "media_audio_resample": o_media_audio_resample(),
     "corpus_drift": o_corpus_drift(),
+    "hard_negatives": o_hard_negatives(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -504,3 +504,39 @@ def test_approx_percentiles_bounded_error_vs_exact(spark):
         e = exact[et]
         assert e.p25 <= a.ap50 <= e.p95, (et, a.ap50, e.p25, e.p95)
         assert a.ap99 >= e.p95, (et, a.ap99, e.p95)
+
+
+def test_hard_negatives_cross_label_only_and_nearest(spark):
+    """Hard negatives are exactly the top-k most-similar OTHER-label
+    vectors: same-label neighbors never appear even when they are the
+    globally nearest, every anchor gets exactly k rows, and rank 1 is
+    the best cross-label match."""
+    import math
+
+    from pythonvectordb_spark.operators.search import hard_negatives, with_qvec
+
+    def unit(theta):
+        return [float(x) for x in
+                [math.cos(theta), math.sin(theta)] + [0.0] * 62]
+
+    # label 0 pair nearly parallel; label 1 pair nearly parallel but
+    # rotated; vector 3 (label 1) sits close to the label-0 pair
+    rows = [
+        (1, unit(0.00), 0),
+        (2, unit(0.01), 0),     # 1's nearest overall is 2 (same label)
+        (3, unit(0.10), 1),     # 1's nearest OTHER label is 3
+        (4, unit(1.50), 1),
+        (5, unit(1.52), 1),
+    ]
+    emb = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    )
+    out = hard_negatives(emb, k=2).collect()
+    labels = {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    by_anchor = {}
+    for r in out:
+        assert labels[r.query_id] != labels[r.neg_id]
+        by_anchor.setdefault(r.query_id, []).append((r.rank, r.neg_id))
+    assert all(len(v) == 2 for v in by_anchor.values())
+    assert sorted(by_anchor[1])[0] == (1, 3)   # nearest cross-label, not 2
+    assert {n for _, n in by_anchor[4]} == {1, 2}  # 4's negs: the label-0 pair
