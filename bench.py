@@ -105,6 +105,7 @@ HEADLINE = [
     "media_audio_resample",
     "corpus_drift",
     "hard_negatives",
+    "dup_source_matrix",
 ]
 
 

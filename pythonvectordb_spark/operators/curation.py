@@ -545,3 +545,37 @@ def distribution_drift(
         "n_b",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+def cross_source_dup_matrix(
+    pairs: DataFrame,
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Which crawls duplicate each other: fold a near-dup PAIR report
+    (any `dedup.*_pairs` output) with the corpus's source column into a
+    symmetric (source_a, source_b, n_pairs) matrix, pair key ordered
+    lexicographically so (A,B) and (B,A) land in one cell. The
+    mirror-site / re-crawl detector: a hot off-diagonal cell means two
+    "different" sources are substantially the same feed, and the
+    mixture weights built on source counts are double-counting it.
+
+    Cost beyond the dedup run itself: two joins of the (small) pair
+    report against the (id, source) projection, one grouped count —
+    the source directory broadcasts."""
+    src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    j = (
+        pairs.join(src.withColumnRenamed(id_col, id_a).withColumnRenamed("_src", "sa"), id_a)
+        .join(src.withColumnRenamed(id_col, id_b).withColumnRenamed("_src", "sb"), id_b)
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

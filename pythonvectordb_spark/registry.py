@@ -1614,6 +1614,34 @@ FROM rk WHERE rank <= {k}
 """
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (new round 4): the MinHash+LSH
+    near-dup pairs folded with each side's source into a symmetric
+    (source_a, source_b, n_pairs) matrix — the mirror-site / re-crawl
+    detector that tells the mixture weights two sources are one feed
+    (`operators/curation.cross_source_dup_matrix` over
+    `dedup.minhash_lsh_pairs`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.8)
+    return CU.cross_source_dup_matrix(pairs, docs)
+
+
+def o_dup_source_matrix() -> str:
+    # the verified near-dup pair report IS the existing minhash oracle;
+    # wrap it as a derived table and fold in the source directory
+    return f"""
+WITH pairs AS (SELECT * FROM ({o_dedup_minhash_lsh()})),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN src sa ON pairs.id_a = sa.doc_id
+JOIN src sb ON pairs.id_b = sb.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5493,10 +5521,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 16 queries new
-    # this round, and 25 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 17 queries new
+    # this round, and 24 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 164/164 witnessed. ------------------------------------
+    # closes at 165/165 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5522,6 +5550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_resample": q_media_audio_resample,  # new r4: real 2:1 decimate
     "corpus_drift": q_corpus_drift,  # new r4: PSI drift monitor
     "hard_negatives": q_hard_negatives,  # new r4: contrastive mining
+    "dup_source_matrix": q_dup_source_matrix,  # new r4: mirror detector
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5781,6 +5810,7 @@ ORACLES: dict[str, str] = {
     "media_audio_resample": o_media_audio_resample(),
     "corpus_drift": o_corpus_drift(),
     "hard_negatives": o_hard_negatives(),
+    "dup_source_matrix": o_dup_source_matrix(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -178,3 +178,22 @@ def test_distribution_drift_psi_semantics(spark):
     pb = (1 + 0.5) / (10 + 1.5)
     assert abs(rows[("lang", "en")].psi_term - round((pa - pb) * math.log(pa / pb), 6)) < 1e-9
     assert len(rows) == 4  # en, de, zh, s0
+
+
+def test_cross_source_dup_matrix_symmetry_and_counts(spark):
+    from pythonvectordb_spark.operators.curation import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "crawlA"), (2, "crawlB"), (3, "crawlB"), (4, "crawlA")],
+        "doc_id long, source string",
+    )
+    # pair (2,1) deliberately reversed vs (1,3): both must fold into the
+    # same (crawlA, crawlB) cell; (2,3) is within-source
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in cross_source_dup_matrix(pairs, docs).collect()
+    }
+    assert got == {("crawlA", "crawlB"): 2, ("crawlB", "crawlB"): 1}
