@@ -106,6 +106,7 @@ HEADLINE = [
     "corpus_drift",
     "hard_negatives",
     "dup_source_matrix",
+    "containment_pairs",
 ]
 
 

@@ -127,6 +127,61 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by one-sided shingle CONTAINMENT: |A∩B| / min(|A|,|B|)
+    >= threshold. Symmetric Jaccard misses the quote/snippet case — a
+    short document wholly embedded in a much longer one scores
+    |A| / |B| ≈ 0 on Jaccard but 1.0 on containment (Broder's original
+    "containment" companion to resemblance). The standard detector for
+    extraction duplicates: a paragraph re-posted inside an aggregator
+    page, a doc whose text is a strict prefix of another crawl of the
+    same page.
+
+    Same inverted-index skeleton and ``max_df`` boilerplate guard as
+    ``ngram_jaccard_pairs`` (the shingle frame is materialized once and
+    feeds sizes, the df-cap scan, and both join sides); only the final
+    metric differs. The min() denominator uses the FULL shingle counts
+    while common counts only df-kept shingles, mirroring the Jaccard
+    operator's cap semantics (capped containment is a slight
+    underestimate for pairs sharing a capped shingle). Exact integer
+    division promoted to double, so the threshold comparison is
+    engine-deterministic.
+
+    Returns (id_a, id_b, containment) with id_a < id_b, containment
+    rounded to 9 for display.
+    """
+    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        keep = inv.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        inv = inv.join(keep.select("shingle"), "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )
+    return out.select("id_a", "id_b", F.round("containment", 9).alias("containment"))
+
+
 def _minhash_banded(
     df: DataFrame,
     n: int,

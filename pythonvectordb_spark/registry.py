@@ -713,6 +713,39 @@ FROM pairs WHERE {_JACCARD} >= 0.8
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle-containment near-dup pairs (new round 4):
+    |A∩B| / min(|A|,|B|) >= 0.8 — Broder's containment companion to
+    resemblance. Catches the quote/snippet/prefix case symmetric
+    Jaccard misses: a short doc wholly embedded in a longer one scores
+    ~|A|/|B| on Jaccard but 1.0 here
+    (`operators/dedup.containment_pairs`, same inverted-index +
+    df-cap skeleton as `dedup_ngram_jaccard`)."""
+    return DD.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=NGRAM_MAX_DF
+    )
+
+
+def o_containment_pairs() -> str:
+    # independent brute-force twin of o_dedup_ngram_jaccard with the
+    # one-sided denominator: common counted on df-capped shingles,
+    # min() sizes on the full lists (mirrors the operator's cap
+    # semantics); exact integer division promoted to double
+    cont = "n_common::DOUBLE / least(n_a, n_b)::DOUBLE"
+    return f"""
+WITH {_SH_CTE},
+{_SH_KEPT_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shv, b.shv))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM shk a JOIN shk b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round({cont}, 9) AS containment
+FROM pairs WHERE {cont} >= 0.8
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding candidates, exact-Jaccard verified at 0.8."""
     return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
@@ -5521,10 +5554,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 17 queries new
-    # this round, and 24 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 18 queries new
+    # this round, and 23 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 165/165 witnessed. ------------------------------------
+    # closes at 166/166 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5551,6 +5584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift": q_corpus_drift,  # new r4: PSI drift monitor
     "hard_negatives": q_hard_negatives,  # new r4: contrastive mining
     "dup_source_matrix": q_dup_source_matrix,  # new r4: mirror detector
+    "containment_pairs": q_containment_pairs,  # new r4: one-sided dedup
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5811,6 +5845,7 @@ ORACLES: dict[str, str] = {
     "corpus_drift": o_corpus_drift(),
     "hard_negatives": o_hard_negatives(),
     "dup_source_matrix": o_dup_source_matrix(),
+    "containment_pairs": o_containment_pairs(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

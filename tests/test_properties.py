@@ -540,3 +540,43 @@ def test_hard_negatives_cross_label_only_and_nearest(spark):
     assert all(len(v) == 2 for v in by_anchor.values())
     assert sorted(by_anchor[1])[0] == (1, 3)   # nearest cross-label, not 2
     assert {n for _, n in by_anchor[4]} == {1, 2}  # 4's negs: the label-0 pair
+
+
+def test_containment_catches_embedded_snippet_jaccard_misses(spark):
+    """A short doc whose text is a contiguous substring of a longer one:
+    containment = 1.0 (every shingle of the short doc appears in the
+    long one) while Jaccard = |A|/|B| is far below threshold — the
+    exact asymmetry the one-sided metric exists for."""
+    from pythonvectordb_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "w1 w2 w3 w4 w5 w6"
+    page = snippet + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    rows = [(1, snippet), (2, page), (3, "y1 y2 y3 y4 y5 y6 y7 y8")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    assert cont == {(1, 2): 1.0}  # snippet fully contained; doc 3 unrelated
+
+    jac = {(r.id_a, r.id_b)
+           for r in ngram_jaccard_pairs(df, threshold=0.8).collect()}
+    assert jac == set()  # symmetric Jaccard misses the embedded snippet
+
+
+def test_containment_maxdf_cap_underestimates_like_jaccard(spark):
+    """With a df cap, common counts drop capped shingles while min()
+    sizes keep them — capped containment underestimates, mirroring the
+    Jaccard operator's documented cap semantics."""
+    from pythonvectordb_spark.operators.dedup import containment_pairs
+
+    boiler = "subscribe to our newsletter for updates today"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i}") for i in range(20)]
+    rows += [(101, "a1 a2 a3 a4 a5"), (102, "a1 a2 a3 a4 a5 b1 b2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, threshold=0.8, max_df=5).collect()}
+    assert got == {(101, 102): 1.0}  # boilerplate-only overlap never pairs
