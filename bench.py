@@ -107,6 +107,7 @@ HEADLINE = [
     "hard_negatives",
     "dup_source_matrix",
     "containment_pairs",
+    "split_leakage",
 ]
 
 

@@ -579,3 +579,72 @@ def cross_source_dup_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+# train/val/test hash-split thresholds on the md5-derived u32: exact
+# integer constants (floor(0.90 * 2^32), floor(0.95 * 2^32)) so split
+# assignment is a pure integer comparison — bit-identical on any engine
+# and stable as the corpus grows (a doc's split never changes when new
+# docs arrive, unlike row_number()-based splits).
+SPLIT_BOUNDS: tuple[tuple[str, int], ...] = (
+    ("train", 3865470566),
+    ("val", 4080218931),
+)
+SPLIT_LAST = "test"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bounds: tuple[tuple[str, int], ...] = SPLIT_BOUNDS,
+    last: str = SPLIT_LAST,
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split from the
+    first 8 hex digits of md5(id) — the content-addressed split every
+    training pipeline needs: reproducible across runs and engines, no
+    global sort or shuffle (a pure projection), and append-stable
+    (new rows never move old rows between splits).
+
+    ``bounds`` are (name, exclusive u32 upper bound) in ascending
+    order; rows at or above the last bound get ``last``.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    expr = F.lit(last)
+    for name, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_leakage(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Held-out contamination audit: fold a near-dup PAIR report with
+    the deterministic ``hash_split`` assignment into a symmetric
+    (split_a, split_b, n_pairs, leak) matrix. An off-diagonal cell
+    (leak = 1) counts near-duplicate pairs that STRADDLE a split
+    boundary — eval examples whose near-copy sits in train, the exact
+    failure mode benchmark decontamination exists to prevent. Run this
+    before trusting any held-out metric on a deduplicated-but-split
+    corpus; the fix is cluster-aware splitting (assign whole dup
+    clusters, e.g. `dedup.resolve_duplicates` components, to one
+    split).
+
+    Same fold shape as ``cross_source_dup_matrix``: two joins of the
+    small pair report against the (id, split) projection — the split
+    column is computed inline, so this adds no scan of the corpus text.
+    """
+    m = cross_source_dup_matrix(
+        pairs, hash_split(df, id_col), source_col="split", id_col=id_col, id_a=id_a, id_b=id_b
+    )
+    return m.select(
+        F.col("source_a").alias("split_a"),
+        F.col("source_b").alias("split_b"),
+        "n_pairs",
+        (F.col("source_a") != F.col("source_b")).cast("int").alias("leak"),
+    )

@@ -1675,6 +1675,45 @@ GROUP BY 1, 2
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out contamination audit (new round 4): deterministic
+    md5-u32 train/val/test split (90/5/5, exact integer thresholds —
+    append-stable, engine-portable) folded with the MinHash near-dup
+    pair report into a symmetric (split_a, split_b, n_pairs, leak)
+    matrix; off-diagonal cells are eval docs whose near-copy sits in
+    train (`operators/curation.hash_split` + `split_leakage`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.8)
+    return CU.split_leakage(pairs, docs)
+
+
+def o_split_leakage() -> str:
+    from pythonvectordb_spark.operators.curation import SPLIT_BOUNDS, SPLIT_LAST
+
+    # split assignment mirrored as pure-integer CASE thresholds on the
+    # same md5 u32; the verified minhash oracle is the pair source
+    u = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {u} < {b} THEN '{name}'" for name, b in SPLIT_BOUNDS)
+        + f" ELSE '{SPLIT_LAST}' END"
+    )
+    return f"""
+WITH pairs AS (SELECT * FROM ({o_dedup_minhash_lsh()})),
+assigned AS (SELECT doc_id, {case} AS split FROM documents),
+m AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs
+  JOIN assigned sa ON pairs.id_a = sa.doc_id
+  JOIN assigned sb ON pairs.id_b = sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT split_a, split_b, n_pairs, CAST(split_a != split_b AS INT) AS leak FROM m
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5554,10 +5593,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 18 queries new
-    # this round, and 23 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 19 queries new
+    # this round, and 22 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 166/166 witnessed. ------------------------------------
+    # closes at 167/167 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5585,6 +5624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,  # new r4: contrastive mining
     "dup_source_matrix": q_dup_source_matrix,  # new r4: mirror detector
     "containment_pairs": q_containment_pairs,  # new r4: one-sided dedup
+    "split_leakage": q_split_leakage,  # new r4: held-out contamination
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5846,6 +5886,7 @@ ORACLES: dict[str, str] = {
     "hard_negatives": o_hard_negatives(),
     "dup_source_matrix": o_dup_source_matrix(),
     "containment_pairs": o_containment_pairs(),
+    "split_leakage": o_split_leakage(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -197,3 +197,46 @@ def test_cross_source_dup_matrix_symmetry_and_counts(spark):
         for r in cross_source_dup_matrix(pairs, docs).collect()
     }
     assert got == {("crawlA", "crawlB"): 2, ("crawlB", "crawlB"): 1}
+
+
+def test_hash_split_matches_reference_md5_and_is_append_stable(spark):
+    import hashlib
+
+    from pythonvectordb_spark.operators.curation import hash_split
+
+    def expected(i):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return "train" if u < 3865470566 else ("val" if u < 4080218931 else "test")
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert got == {i: expected(i) for i in range(200)}
+    assert {"train", "val", "test"} == set(got.values())  # all splits hit
+    # append-stable: assignment of a subset is the full corpus's restriction
+    sub = {r.doc_id: r.split for r in hash_split(df.filter("doc_id < 50")).collect()}
+    assert sub == {i: got[i] for i in range(50)}
+
+
+def test_split_leakage_counts_straddling_pairs(spark):
+    import hashlib
+
+    from pythonvectordb_spark.operators.curation import hash_split, split_leakage
+
+    def split_of(i):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return "train" if u < 3865470566 else ("val" if u < 4080218931 else "test")
+
+    ids = range(500)
+    trains = [i for i in ids if split_of(i) == "train"]
+    vals = [i for i in ids if split_of(i) == "val"]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    # one leaking pair (train x val, deliberately listed val-first) and
+    # one safe pair (train x train)
+    pairs = spark.createDataFrame(
+        [(vals[0], trains[0]), (trains[1], trains[2])], "id_a long, id_b long"
+    )
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.leak)
+        for r in split_leakage(pairs, docs).collect()
+    }
+    assert got == {("train", "val"): (1, 1), ("train", "train"): (1, 0)}
