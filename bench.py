@@ -108,6 +108,7 @@ HEADLINE = [
     "dup_source_matrix",
     "containment_pairs",
     "split_leakage",
+    "nb_lang_confusion",
 ]
 
 

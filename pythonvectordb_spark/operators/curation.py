@@ -648,3 +648,103 @@ def split_leakage(
         "n_pairs",
         (F.col("source_a") != F.col("source_b")).cast("int").alias("leak"),
     )
+
+
+def nb_classifier_confusion(
+    df: DataFrame,
+    train_pred,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and evaluated
+    in one distributed pass — the deterministic stand-in for the
+    fastText-style classifier every curation pipeline runs (CCNet /
+    GPT-3 "looks like the reference corpus" quality gates, language and
+    domain routing). Rows matching ``train_pred`` train the model; the
+    rest are scored; returns the confusion matrix
+    (label, predicted, n_docs) — the artifact you actually review
+    before trusting the gate.
+
+    Add-one smoothed unigram model. Every log argument is a ratio of
+    exact integers promoted to double — prior ln(n_c/N), conditional
+    ln((c_tc+1)/(tok_c+V)) with V the train vocabulary size and c_tc=0
+    for tokens the class never saw — so both engines see identical
+    per-term values. Per-(doc, class) score = ROUND(prior + grouped
+    token sum, 6): grouped float-sum order is engine-dependent but its
+    ~1e-13 noise sits far below the rounding grain (the
+    `importance_weights` discipline), and argmax runs on the ROUNDED
+    score with class-name tie-break, so the decision boundary is
+    engine-portable. Documents with zero tokens are excluded (not
+    classified) by contract.
+
+    Scale shape: ONE corpus tokenize (checkpointed — it feeds the three
+    model aggs and the scoring join); model frames are class-count
+    sized and broadcast; scoring is test_tokens × C classes (C small)
+    left-joined against the (class, token) conditional table — AQE
+    broadcasts it while the vocabulary fits, sort-merge beyond; then
+    one per-doc sum and a C-row-per-doc argmax window. No Python, no
+    global sort.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        train_pred.alias("_is_tr"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).localCheckpoint(eager=False)
+    tr = toks.filter(F.col("_is_tr"))
+    te = toks.filter(~F.col("_is_tr"))
+
+    cond = tr.groupBy(F.col("_lbl").alias("cls"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_tc")
+    )
+    cls_tok = tr.groupBy(F.col("_lbl").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("tok_c")
+    )
+    vocab = tr.agg(F.countDistinct("tok").cast("long").alias("V"))
+    ndocs = (
+        df.filter(train_pred)
+        .groupBy(F.col(label_col).alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = ndocs.agg(F.sum("n_docs").cast("long").alias("N"))
+    classes = (
+        ndocs.join(cls_tok, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cls",
+            F.log(F.col("n_docs").cast("double") / F.col("N").cast("double")).alias(
+                "prior_ln"
+            ),
+            (F.col("tok_c") + F.col("V")).alias("denom"),
+        )
+    )
+    sc = (
+        te.crossJoin(F.broadcast(classes))
+        .join(cond, ["cls", "tok"], "left")
+        .groupBy(id_col, "_lbl", "cls", "prior_ln")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce("c_tc", F.lit(0)) + 1).cast("double")
+                    / F.col("denom").cast("double")
+                )
+            ).alias("s")
+        )
+        .select(
+            id_col,
+            "_lbl",
+            "cls",
+            F.round(F.col("prior_ln") + F.col("s"), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cls").asc())
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("_lbl").alias(label_col), F.col("cls").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

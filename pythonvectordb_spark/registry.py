@@ -1714,6 +1714,60 @@ SELECT split_a, split_b, n_pairs, CAST(split_a != split_b AS INT) AS leak FROM m
 """
 
 
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes language classifier confusion matrix (new round 4):
+    add-one-smoothed multinomial NB trained on the doc_id-even half of
+    the corpus, scored on the odd half, argmax on ROUNDED per-class
+    scores with class tie-break — the deterministic stand-in for the
+    fastText-style quality/domain gates (CCNet, GPT-3) every curation
+    pipeline runs (`operators/curation.nb_classifier_confusion`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.nb_classifier_confusion(docs, (F.col("doc_id") % 2) == 0)
+
+
+def o_nb_lang_confusion() -> str:
+    # mirror: every log argument an exact-integer ratio promoted to
+    # double; per-(doc,class) score = round(prior + grouped sum, 6)
+    # (the importance_weights float discipline); argmax via row_number
+    # on the rounded score with class-name tie-break
+    return f"""
+WITH t AS (SELECT doc_id, lang, {O.sql_tokens('text')} AS w,
+                  doc_id % 2 = 0 AS is_tr FROM documents),
+tok AS (SELECT doc_id, lang, is_tr, unnest(w) AS tok FROM t),
+tr AS (SELECT * FROM tok WHERE is_tr),
+te AS (SELECT * FROM tok WHERE NOT is_tr),
+cond AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+         FROM tr GROUP BY 1, 2),
+clstok AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tok_c
+           FROM tr GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM tr),
+ndocs AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM ndocs),
+classes AS (
+  SELECT cls, ln(n_docs::DOUBLE / N::DOUBLE) AS prior_ln, tok_c + V AS denom
+  FROM ndocs JOIN clstok USING (cls) CROSS JOIN vocab CROSS JOIN tot
+),
+sc AS (
+  SELECT te.doc_id, te.lang, c.cls,
+         round(c.prior_ln
+               + sum(ln((coalesce(cond.c_tc, 0) + 1)::DOUBLE
+                        / c.denom::DOUBLE)), 6) AS score
+  FROM te CROSS JOIN classes c
+  LEFT JOIN cond ON cond.cls = c.cls AND cond.tok = te.tok
+  GROUP BY 1, 2, 3, c.prior_ln
+),
+rk AS (
+  SELECT doc_id, lang, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM sc
+)
+SELECT lang, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM rk WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5593,10 +5647,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 19 queries new
-    # this round, and 22 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 20 queries new
+    # this round, and 21 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 167/167 witnessed. ------------------------------------
+    # closes at 168/168 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5625,6 +5679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_source_matrix": q_dup_source_matrix,  # new r4: mirror detector
     "containment_pairs": q_containment_pairs,  # new r4: one-sided dedup
     "split_leakage": q_split_leakage,  # new r4: held-out contamination
+    "nb_lang_confusion": q_nb_lang_confusion,  # new r4: NB quality gate
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5887,6 +5942,7 @@ ORACLES: dict[str, str] = {
     "dup_source_matrix": o_dup_source_matrix(),
     "containment_pairs": o_containment_pairs(),
     "split_leakage": o_split_leakage(),
+    "nb_lang_confusion": o_nb_lang_confusion(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -240,3 +240,52 @@ def test_split_leakage_counts_straddling_pairs(spark):
         for r in split_leakage(pairs, docs).collect()
     }
     assert got == {("train", "val"): (1, 1), ("train", "train"): (1, 0)}
+
+
+def test_nb_classifier_confusion_matches_python_replica(spark):
+    """Separable vocab classifies perfectly; an unseen-vocab doc falls
+    back to the smoothing+prior decision — both pinned against a
+    15-line pure-Python NB replica of the exact same arithmetic."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.curation import nb_classifier_confusion
+
+    rows = []
+    for i in range(8):  # even ids train, odd ids test
+        rows.append((2 * i, "a", "apple banana cherry apple"))
+        rows.append((2 * i + 1, "a", "banana apple cherry"))
+    for i in range(4):
+        rows.append((100 + 2 * i, "b", "dog elephant fox dog"))
+        rows.append((101 + 2 * i, "b", "fox dog elephant"))
+    rows.append((999, "b", "zzz yyy xxx"))  # test doc, fully unseen vocab
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = {
+        (r.lang, r.predicted): r.n_docs
+        for r in nb_classifier_confusion(df, (F.col("doc_id") % 2) == 0).collect()
+    }
+
+    # pure-Python replica
+    train = [(l, t.split()) for i, l, t in rows if i % 2 == 0]
+    test = [(i, l, t.split()) for i, l, t in rows if i % 2 == 1]
+    nd = Counter(l for l, _ in train)
+    N = sum(nd.values())
+    cond = Counter((l, w) for l, ws in train for w in ws)
+    tokc = Counter()
+    for l, ws in train:
+        tokc[l] += len(ws)
+    V = len({w for _, ws in train for w in ws})
+    exp = Counter()
+    for _, true, ws in test:
+        scores = {}
+        for c in sorted(nd):
+            s = sum(math.log((cond[(c, w)] + 1) / (tokc[c] + V)) for w in ws)
+            scores[c] = round(math.log(nd[c] / N) + s, 6)
+        pred = sorted(scores, key=lambda c: (-scores[c], c))[0]
+        exp[(true, pred)] += 1
+    assert got == dict(exp)
+    # and the separable bulk really is classified correctly
+    assert got[("a", "a")] == 8 and got[("b", "b")] >= 4
