@@ -109,6 +109,7 @@ HEADLINE = [
     "containment_pairs",
     "split_leakage",
     "nb_lang_confusion",
+    "perplexity_buckets",
 ]
 
 

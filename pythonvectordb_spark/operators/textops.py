@@ -275,6 +275,52 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): rank every document WITHIN its language by the unigram
+    surprisal score and cut into ``n_buckets`` equal tertiles —
+    head (corpus-typical, kept), middle, tail (noise, dropped or
+    down-weighted). The classic cheap quality triage that feeds
+    mixture decisions before any model-based scoring.
+
+    Buckets are assigned by ``ntile`` over (ROUNDED avg_surprisal asc,
+    id asc) — the surprisal score is already rounded to 9 by
+    ``unigram_surprisal``, and the id tie-break makes the bucket
+    boundary engine-portable even when scores tie. Returns per
+    (lang, bucket): doc count and the bucket's surprisal range.
+
+    Scale shape: the surprisal plan (vocabulary join with a reused
+    token-key exchange) plus ONE window shuffle partitioned by
+    language. The per-language sort is the audit-grade path; at 100 TB
+    with a skewed language mix, swap the exact ntile for GK-sketch
+    quantile boundaries (`operators/sketch.approx_percentiles`)
+    broadcast back as range predicates — same output grain, no
+    full sort.
+    """
+    from pyspark.sql import Window
+
+    s = unigram_surprisal(df, text_col=text_col, id_col=id_col)
+    j = df.select(F.col(id_col), F.col(lang_col)).join(s, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_surprisal").asc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(lang_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_surprisal").alias("lo_surprisal"),
+            F.max("avg_surprisal").alias("hi_surprisal"),
+        )
+    )
+
+
 def boilerplate_share(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

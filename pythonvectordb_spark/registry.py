@@ -1768,6 +1768,33 @@ FROM rk WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tertiles (new round 4):
+    docs ranked within language by rounded unigram surprisal, ntile(3)
+    head/middle/tail cut, per-bucket counts and surprisal ranges — the
+    classic quality triage feeding mixture decisions
+    (`operators/textops.perplexity_buckets`)."""
+    return TX.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def o_perplexity_buckets() -> str:
+    # wraps the verified surprisal oracle as a derived table; ntile on
+    # (rounded score, id) is deterministic on both engines
+    return f"""
+WITH s AS (SELECT * FROM ({o_unigram_surprisal()})),
+j AS (SELECT d.lang, s.doc_id, s.avg_surprisal
+      FROM s JOIN documents d USING (doc_id)),
+b AS (SELECT lang, avg_surprisal,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY avg_surprisal ASC, doc_id ASC) AS bucket
+      FROM j)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_surprisal) AS lo_surprisal,
+       max(avg_surprisal) AS hi_surprisal
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5647,10 +5674,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 20 queries new
-    # this round, and 21 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 21 queries new
+    # this round, and 20 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 168/168 witnessed. ------------------------------------
+    # closes at 169/169 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5680,6 +5707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,  # new r4: one-sided dedup
     "split_leakage": q_split_leakage,  # new r4: held-out contamination
     "nb_lang_confusion": q_nb_lang_confusion,  # new r4: NB quality gate
+    "perplexity_buckets": q_perplexity_buckets,  # new r4: CCNet tertiles
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5943,6 +5971,7 @@ ORACLES: dict[str, str] = {
     "containment_pairs": o_containment_pairs(),
     "split_leakage": o_split_leakage(),
     "nb_lang_confusion": o_nb_lang_confusion(),
+    "perplexity_buckets": o_perplexity_buckets(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -245,3 +245,60 @@ def test_scrub_spans_cuts_and_audits(spark):
     )
     assert got[12] == (9, 0, 1, md5(""))
     assert len(got) == 3
+
+
+def test_perplexity_buckets_tertile_semantics(spark):
+    """Buckets are the per-language ntile of the (already-oracled)
+    surprisal scores: pin against a Python ntile over the operator's
+    own per-doc output, and check the head bucket really holds the
+    corpus-typical (low-surprisal) docs."""
+    from pythonvectordb_spark.operators.textops import (
+        perplexity_buckets,
+        unigram_surprisal,
+    )
+
+    rows = []
+    # lang A: 7 docs, increasing share of unique (rare) tokens
+    for i in range(7):
+        common = ["the"] * 8
+        rare = [f"rare{i}_{j}" for j in range(i)]
+        rows.append((i, "A", " ".join(common + rare)))
+    # lang B: 5 docs, its own vocabulary
+    for i in range(5):
+        rows.append((100 + i, "B", " ".join(["la"] * 6 + [f"uniq{i}_{j}" for j in range(i)])))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    per_doc = {r.doc_id: r.avg_surprisal for r in unigram_surprisal(df).collect()}
+
+    def py_ntile(ids, n=3):
+        order = sorted(ids, key=lambda i: (per_doc[i], i))
+        sz, rem = divmod(len(order), n)
+        out, pos = {}, 0
+        for b in range(1, n + 1):
+            take = sz + (1 if b <= rem else 0)
+            for i in order[pos : pos + take]:
+                out[i] = b
+            pos += take
+        return out
+
+    exp_assign = {}
+    for lang, ids in (("A", range(7)), ("B", range(100, 105))):
+        exp_assign.update({i: (lang, b) for i, b in py_ntile(list(ids)).items()})
+    exp = {}
+    for i, (lang, b) in exp_assign.items():
+        cur = exp.setdefault((lang, b), [0, None, None])
+        cur[0] += 1
+        s = per_doc[i]
+        cur[1] = s if cur[1] is None else min(cur[1], s)
+        cur[2] = s if cur[2] is None else max(cur[2], s)
+
+    got = {
+        (r.lang, r.bucket): [r.n_docs, r.lo_surprisal, r.hi_surprisal]
+        for r in perplexity_buckets(df).collect()
+    }
+    assert got == exp
+    # head bucket of lang A = the all-common-token docs
+    head_ids = [i for i, lb in exp_assign.items() if lb == ("A", 1)]
+    assert max(per_doc[i] for i in head_ids) <= min(
+        per_doc[i] for i, lb in exp_assign.items() if lb == ("A", 3)
+    )
