@@ -110,6 +110,7 @@ HEADLINE = [
     "split_leakage",
     "nb_lang_confusion",
     "perplexity_buckets",
+    "zipf_fit",
 ]
 
 

@@ -321,6 +321,76 @@ def perplexity_buckets(
     )
 
 
+def zipf_fit(
+    df: DataFrame,
+    max_rank: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary health check: OLS fit of ln(frequency) on ln(rank)
+    over the top-``max_rank`` tokens — a natural corpus follows Zipf's
+    law with slope ≈ −1; a slope collapsing toward 0 flags template
+    spam / token-soup contamination, a much steeper slope flags
+    boilerplate domination. Standard corpus-card material (the fit is
+    run on the head ranks, where Zipf holds; the tail always deviates).
+
+    Determinism: ranks come from row_number over (count desc, token
+    asc) — pure integer ordering; x = ln(rank), y = ln(count) are
+    ln's of exact integers, so both engines see identical terms; the
+    OLS moments are single-group float sums ROUNDED TO 6 after the
+    closed-form division (the `event_value_regression` moment
+    discipline).
+
+    Scale shape: one token-count agg (map-side combined), then the
+    top-``max_rank`` cut is TakeOrderedAndProject — the rank window
+    runs over at most ``max_rank`` rows, never the full vocabulary, so
+    there is no global sort at any corpus size. The full-vocab size is
+    a second aggregate over the counted frame (checkpointed — two
+    readers).
+
+    Returns one row: (n_vocab, n_fit, slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    nv = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(max_rank)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("token").asc())),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (m["n_fit"] * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m["n_fit"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.crossJoin(F.broadcast(nv))
+        .withColumn("slope", F.round(slope, 6))
+        .select(
+            "n_vocab",
+            "n_fit",
+            "slope",
+            F.round((F.col("sy") - F.col("slope") * F.col("sx")) / m["n_fit"], 6).alias(
+                "intercept"
+            ),
+        )
+    )
+
+
 def boilerplate_share(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1795,6 +1795,42 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf-law fit (new round 4): OLS of ln(freq) on
+    ln(rank) over the top-1000 tokens — slope ≈ −1 on natural text;
+    drift toward 0 flags token-soup/template contamination. The rank
+    cut is TakeOrderedAndProject so no global vocab sort exists at any
+    scale (`operators/textops.zipf_fit`)."""
+    return TX.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+def o_zipf_fit(max_rank: int = 1000) -> str:
+    # ranks from pure integer ordering; x/y are ln's of exact integers;
+    # moment sums rounded at 6 after the closed-form division, and the
+    # intercept reuses the ROUNDED slope (mirroring the operator), so
+    # both engines compute the residual from identical slope values
+    return f"""
+WITH tok AS (SELECT unnest({O.sql_tokens('text')}) AS token FROM documents),
+vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab),
+top AS (SELECT token, cnt FROM vocab ORDER BY cnt DESC, token ASC LIMIT {max_rank}),
+ranked AS (
+  SELECT ln((row_number() OVER (ORDER BY cnt DESC, token ASC))::DOUBLE) AS x,
+         ln(cnt::DOUBLE) AS y
+  FROM top
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_fit, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM ranked),
+s AS (SELECT n_fit, sx, sy,
+             round((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx), 6) AS slope
+      FROM m)
+SELECT nv.n_vocab, s.n_fit, s.slope,
+       round((s.sy - s.slope * s.sx) / s.n_fit, 6) AS intercept
+FROM s CROSS JOIN nv
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5674,10 +5710,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 21 queries new
-    # this round, and 20 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 22 queries new
+    # this round, and 19 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 169/169 witnessed. ------------------------------------
+    # closes at 170/170 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5708,6 +5744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,  # new r4: held-out contamination
     "nb_lang_confusion": q_nb_lang_confusion,  # new r4: NB quality gate
     "perplexity_buckets": q_perplexity_buckets,  # new r4: CCNet tertiles
+    "zipf_fit": q_zipf_fit,  # new r4: vocabulary Zipf slope
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -5972,6 +6009,7 @@ ORACLES: dict[str, str] = {
     "split_leakage": o_split_leakage(),
     "nb_lang_confusion": o_nb_lang_confusion(),
     "perplexity_buckets": o_perplexity_buckets(),
+    "zipf_fit": o_zipf_fit(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

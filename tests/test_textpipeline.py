@@ -302,3 +302,30 @@ def test_perplexity_buckets_tertile_semantics(spark):
     assert max(per_doc[i] for i in head_ids) <= min(
         per_doc[i] for i, lb in exp_assign.items() if lb == ("A", 3)
     )
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """Plant an exact power law (freq = round(1000 * rank^-1)) and the
+    OLS fit must recover slope ~ -1; a flat (uniform-frequency) corpus
+    must fit slope 0 exactly. Also pins the top-k cap: n_fit <=
+    max_rank while n_vocab counts the whole vocabulary."""
+    import math
+
+    from pythonvectordb_spark.operators.textops import zipf_fit
+
+    # power-law corpus: token w_r appears round(1000 / r) times
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    doc = " ".join(words)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = zipf_fit(df, max_rank=30).collect()[0]
+    assert row.n_vocab == 40 and row.n_fit == 30
+    assert abs(row.slope - (-1.0)) < 0.02  # rounding of counts only
+    assert abs(row.intercept - math.log(1000)) < 0.05
+
+    flat = spark.createDataFrame(
+        [(1, " ".join([f"u{i}" for i in range(25)] * 3))], "doc_id long, text string"
+    )
+    frow = zipf_fit(flat).collect()[0]
+    assert frow.slope == 0.0 and frow.n_fit == 25
