@@ -111,6 +111,7 @@ HEADLINE = [
     "nb_lang_confusion",
     "perplexity_buckets",
     "zipf_fit",
+    "cluster_split_leakage",
 ]
 
 

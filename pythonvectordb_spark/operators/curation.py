@@ -617,6 +617,28 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def split_leakage_matrix(
+    pairs: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fold a near-dup PAIR report with a (id, split) assignment into
+    the symmetric (split_a, split_b, n_pairs, leak) matrix. Same fold
+    shape as ``cross_source_dup_matrix``: two joins of the small pair
+    report against the assignment projection."""
+    m = cross_source_dup_matrix(
+        pairs, assigned, source_col="split", id_col=id_col, id_a=id_a, id_b=id_b
+    )
+    return m.select(
+        F.col("source_a").alias("split_a"),
+        F.col("source_b").alias("split_b"),
+        "n_pairs",
+        (F.col("source_a") != F.col("source_b")).cast("int").alias("leak"),
+    )
+
+
 def split_leakage(
     pairs: DataFrame,
     df: DataFrame,
@@ -631,23 +653,36 @@ def split_leakage(
     boundary — eval examples whose near-copy sits in train, the exact
     failure mode benchmark decontamination exists to prevent. Run this
     before trusting any held-out metric on a deduplicated-but-split
-    corpus; the fix is cluster-aware splitting (assign whole dup
-    clusters, e.g. `dedup.resolve_duplicates` components, to one
-    split).
+    corpus; the fix is ``cluster_aware_split``.
 
-    Same fold shape as ``cross_source_dup_matrix``: two joins of the
-    small pair report against the (id, split) projection — the split
-    column is computed inline, so this adds no scan of the corpus text.
+    The split column is computed inline, so this adds no scan of the
+    corpus text beyond the dedup run itself.
     """
-    m = cross_source_dup_matrix(
-        pairs, hash_split(df, id_col), source_col="split", id_col=id_col, id_a=id_a, id_b=id_b
+    return split_leakage_matrix(
+        pairs, hash_split(df, id_col), id_col=id_col, id_a=id_a, id_b=id_b
     )
-    return m.select(
-        F.col("source_a").alias("split_a"),
-        F.col("source_b").alias("split_b"),
-        "n_pairs",
-        (F.col("source_a") != F.col("source_b")).cast("int").alias("leak"),
-    )
+
+
+def cluster_aware_split(
+    components: DataFrame,
+    comp_col: str = "component",
+    bounds: tuple[tuple[str, int], ...] = SPLIT_BOUNDS,
+    last: str = SPLIT_LAST,
+) -> DataFrame:
+    """Leak-free train/val/test split: hash the near-dup COMPONENT id
+    (from ``dedup.resolve_duplicates``) instead of the document id, so
+    every member of a duplicate cluster lands in the same split — the
+    standard fix for the contamination ``split_leakage`` measures
+    (cross-split near-dup pairs are zero BY CONSTRUCTION, since a
+    pair's endpoints share a component and a component has one split).
+    Singleton docs hash their own id (their component), so the split
+    remains append-stable for unduplicated content.
+
+    Pure projection over the components frame — the only added cost
+    versus ``hash_split`` is the dedup resolution the pipeline already
+    ran.
+    """
+    return hash_split(components, id_col=comp_col, bounds=bounds, last=last)
 
 
 def nb_classifier_confusion(

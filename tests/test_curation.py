@@ -289,3 +289,40 @@ def test_nb_classifier_confusion_matches_python_replica(spark):
     assert got == dict(exp)
     # and the separable bulk really is classified correctly
     assert got[("a", "a")] == 8 and got[("b", "b")] >= 4
+
+
+def test_cluster_aware_split_eliminates_leakage_by_construction(spark):
+    import hashlib
+
+    from pythonvectordb_spark.operators.curation import (
+        cluster_aware_split,
+        split_leakage,
+        split_leakage_matrix,
+    )
+    from pythonvectordb_spark.operators.dedup import resolve_duplicates
+
+    def split_of(x):
+        u = int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+        return "train" if u < 3865470566 else ("val" if u < 4080218931 else "test")
+
+    ids = list(range(300))
+    # a near-dup pair that straddles splits under doc-id hashing
+    a = next(i for i in ids if split_of(i) == "train")
+    b = next(i for i in ids if split_of(i) == "val")
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame([(min(a, b), max(a, b))], "id_a long, id_b long")
+
+    naive = {(r.split_a, r.split_b): r.leak for r in split_leakage(pairs, docs).collect()}
+    assert naive == {("train", "val"): 1}  # doc-hash split leaks
+
+    comps = resolve_duplicates(docs, pairs)
+    assigned = cluster_aware_split(comps)
+    fixed = split_leakage_matrix(pairs, assigned).collect()
+    assert [(r.split_a, r.split_b, r.n_pairs, r.leak) for r in fixed] == [
+        (split_of(min(a, b)), split_of(min(a, b)), 1, 0)
+    ]  # whole cluster inherits the component's split: no off-diagonal cell
+    # and singletons keep their own-id split (append-stable for unique docs)
+    got = {r.doc_id: r.split for r in assigned.collect()}
+    singleton = next(i for i in ids if i not in (a, b))
+    assert got[singleton] == split_of(singleton)
+    assert got[a] == got[b] == split_of(min(a, b))
