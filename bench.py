@@ -112,6 +112,7 @@ HEADLINE = [
     "perplexity_buckets",
     "zipf_fit",
     "cluster_split_leakage",
+    "epoch_plan",
 ]
 
 

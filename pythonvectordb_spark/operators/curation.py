@@ -685,6 +685,71 @@ def cluster_aware_split(
     return hash_split(components, id_col=comp_col, bounds=bounds, last=last)
 
 
+def epoch_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget epoch planner: given a total training budget B and
+    the ``n^alpha`` temperature mixture, how many PASSES over each
+    source does the run make? ``epochs_i = B * w_i / n_i`` with
+    ``w_i = n_i^alpha / S`` — the other half of the mixing story:
+    ``temperature_mixture`` answers "how do I thin oversized sources
+    without upsampling", this answers "which sources repeat, and how
+    often" (GPT-3 Table 2.2's epochs column; >1 means the source is
+    seen multiple times, the deliberate upsampling of small
+    high-quality corpora, and a flag worth staring at past ~4 epochs
+    where repetition starts to hurt).
+
+    Same float-parity contract as ``temperature_mixture``: alpha=0.5
+    keeps every term an IEEE-exact sqrt and S a SORTED left-assoc
+    fold; epochs/weights are rounded (6/9) for display and the
+    ``oversampled`` flag is computed from the ROUNDED epochs so the
+    boundary is engine-portable.
+
+    Scale shape: one map-side-combined agg on the source key, a
+    one-row sorted-fold reduction broadcast back, |sources| output
+    rows. The corpus text is scanned once.
+    """
+    stats = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    term = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    totals = (
+        stats.select(F.struct("source", term.alias("t")).alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x.getField("t")).alias(
+                "S"
+            )
+        )
+    )
+    epochs = F.round(
+        F.lit(float(budget_tokens)) * term / (F.col("S") * F.col("n_tokens").cast("double")),
+        6,
+    )
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_tokens",
+        F.round(term / F.col("S"), 9).alias("weight"),
+        epochs.alias("epochs"),
+        (epochs > 1.0).cast("int").alias("oversampled"),
+    )
+
+
 def nb_classifier_confusion(
     df: DataFrame,
     train_pred,

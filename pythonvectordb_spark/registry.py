@@ -1886,6 +1886,45 @@ SELECT split_a, split_b, n_pairs, CAST(split_a != split_b AS INT) AS leak FROM m
 """
 
 
+EPOCH_BUDGET = 500_000
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner (new round 4): at a 500k-token
+    training budget under the sqrt temperature mixture, how many
+    passes does each source make — the GPT-3 epochs column, with an
+    `oversampled` flag on the rounded boundary
+    (`operators/curation.epoch_plan`)."""
+    return CU.epoch_plan(load_table(spark, sf_dir, "documents"), EPOCH_BUDGET)
+
+
+def o_epoch_plan() -> str:
+    # same sorted-fold S as the mixture oracle; epochs rounded at 6
+    # BEFORE the >1 comparison so the flag boundary is engine-portable
+    return f"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len({O.sql_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT list_aggregate(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+                        'sum') AS S
+  FROM s
+),
+r AS (
+  SELECT source, n_tokens,
+         round(sqrt(CAST(n_tokens AS DOUBLE)) / S, 9) AS weight,
+         round({float(EPOCH_BUDGET)!r} * sqrt(CAST(n_tokens AS DOUBLE))
+               / (S * CAST(n_tokens AS DOUBLE)), 6) AS epochs
+  FROM s CROSS JOIN tot
+)
+SELECT source, n_tokens, weight, epochs,
+       CAST(epochs > 1.0 AS INT) AS oversampled
+FROM r
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5765,10 +5804,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 23 queries new
-    # this round, and 18 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 24 queries new
+    # this round, and 17 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 171/171 witnessed. ------------------------------------
+    # closes at 172/172 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5801,6 +5840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,  # new r4: CCNet tertiles
     "zipf_fit": q_zipf_fit,  # new r4: vocabulary Zipf slope
     "cluster_split_leakage": q_cluster_split_leakage,  # new r4: leak-free split
+    "epoch_plan": q_epoch_plan,  # new r4: token-budget pass planner
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -6067,6 +6107,7 @@ ORACLES: dict[str, str] = {
     "perplexity_buckets": o_perplexity_buckets(),
     "zipf_fit": o_zipf_fit(),
     "cluster_split_leakage": o_cluster_split_leakage(),
+    "epoch_plan": o_epoch_plan(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

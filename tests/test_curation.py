@@ -326,3 +326,29 @@ def test_cluster_aware_split_eliminates_leakage_by_construction(spark):
     singleton = next(i for i in ids if i not in (a, b))
     assert got[singleton] == split_of(singleton)
     assert got[a] == got[b] == split_of(min(a, b))
+
+
+def test_epoch_plan_semantics(spark):
+    """Equal sources split the budget evenly; under sqrt tempering a
+    small source gets >1 epoch before a big one; budget conservation:
+    sum(epochs * n_tokens) == budget."""
+    import math
+
+    from pythonvectordb_spark.operators.curation import epoch_plan
+
+    # big: 9000 tokens, small: 1000 tokens -> weights 3/4, 1/4
+    rows = [(i, "big", "t " * 89 + "t") for i in range(100)]      # 90 tok x 100
+    rows += [(1000 + i, "small", "t " * 99 + "t") for i in range(10)]  # 100 x 10
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in epoch_plan(df, budget_tokens=8000).collect()}
+    assert got["big"].n_tokens == 9000 and got["small"].n_tokens == 1000
+    assert abs(got["big"].weight - 0.75) < 1e-9
+    assert abs(got["small"].weight - 0.25) < 1e-9
+    # epochs = B*w/n: big 8000*.75/9000 = 0.6667 (thinned), small
+    # 8000*.25/1000 = 2.0 (repeated twice)
+    assert abs(got["big"].epochs - 8000 * 0.75 / 9000) < 1e-6
+    assert got["small"].epochs == 2.0
+    assert got["big"].oversampled == 0 and got["small"].oversampled == 1
+    # budget conservation across sources
+    total = sum(r.epochs * r.n_tokens for r in got.values())
+    assert abs(total - 8000) < 1e-2
