@@ -113,6 +113,7 @@ HEADLINE = [
     "zipf_fit",
     "cluster_split_leakage",
     "epoch_plan",
+    "dedup_inflation",
 ]
 
 

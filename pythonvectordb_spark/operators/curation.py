@@ -750,6 +750,61 @@ def epoch_plan(
     )
 
 
+def dedup_inflation(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source duplication inflation: raw vs exact-unique doc and
+    token counts, and the ratio between them. Mixture weights computed
+    on RAW counts double-weight sources that are mostly self-copies
+    (the mirror-crawl failure mode) — this report says by how much, so
+    the `temperature_mixture` / `epoch_plan` inputs can be corrected
+    to unique tokens. Inflation 1.0 = no exact duplication; 2.0 = half
+    the source's tokens are copies.
+
+    Two map-side-combined aggs: (source, md5(text)) collapses copies —
+    the 16-byte hash is the shuffle key, never the text — then one agg
+    on the source key. Token counts ride the first agg (any copy's
+    count — identical text, identical count), so the corpus is scanned
+    and tokenized once. Exact-integer ratio promoted to double,
+    rounded to 6.
+    """
+    per_text = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.md5(F.col(text_col)).alias("h"),
+            F.size(tokens(text_col)).cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("n_tok").alias("n_tok"),
+        )
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("unique_docs"),
+            F.sum(F.col("n_tok") * F.col("n_copies")).cast("long").alias("n_tokens"),
+            F.sum("n_tok").cast("long").alias("unique_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "unique_docs",
+            "n_tokens",
+            "unique_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("unique_tokens").cast("double"),
+                6,
+            ).alias("inflation"),
+        )
+    )
+
+
 def nb_classifier_confusion(
     df: DataFrame,
     train_pred,

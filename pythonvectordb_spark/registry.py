@@ -1925,6 +1925,36 @@ FROM r
 """
 
 
+def q_dedup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication inflation (new round 4): raw vs
+    exact-unique doc/token counts and their ratio — the correction
+    factor mixture weights need when a source is mostly self-copies
+    (`operators/curation.dedup_inflation`)."""
+    return CU.dedup_inflation(load_table(spark, sf_dir, "documents"))
+
+
+def o_dedup_inflation() -> str:
+    return f"""
+WITH per_text AS (
+  SELECT source, md5(text) AS h,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(min(len({O.sql_tokens('text')})) AS BIGINT) AS n_tok
+  FROM documents GROUP BY 1, 2
+),
+s AS (
+  SELECT source,
+         CAST(sum(n_copies) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS unique_docs,
+         CAST(sum(n_tok * n_copies) AS BIGINT) AS n_tokens,
+         CAST(sum(n_tok) AS BIGINT) AS unique_tokens
+  FROM per_text GROUP BY 1
+)
+SELECT source, n_docs, unique_docs, n_tokens, unique_tokens,
+       round(n_tokens::DOUBLE / unique_tokens::DOUBLE, 6) AS inflation
+FROM s
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5804,10 +5834,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 24 queries new
-    # this round, and 17 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 25 queries new
+    # this round, and 16 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 172/172 witnessed. ------------------------------------
+    # closes at 173/173 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5841,6 +5871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,  # new r4: vocabulary Zipf slope
     "cluster_split_leakage": q_cluster_split_leakage,  # new r4: leak-free split
     "epoch_plan": q_epoch_plan,  # new r4: token-budget pass planner
+    "dedup_inflation": q_dedup_inflation,  # new r4: per-source copy ratio
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -6108,6 +6139,7 @@ ORACLES: dict[str, str] = {
     "zipf_fit": o_zipf_fit(),
     "cluster_split_leakage": o_cluster_split_leakage(),
     "epoch_plan": o_epoch_plan(),
+    "dedup_inflation": o_dedup_inflation(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

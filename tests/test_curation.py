@@ -352,3 +352,24 @@ def test_epoch_plan_semantics(spark):
     # budget conservation across sources
     total = sum(r.epochs * r.n_tokens for r in got.values())
     assert abs(total - 8000) < 1e-2
+
+
+def test_dedup_inflation_counts_copies(spark):
+    from pythonvectordb_spark.operators.curation import dedup_inflation
+
+    rows = [
+        (1, "clean", "a b c d"),        # 4 unique tokens
+        (2, "clean", "e f g"),          # 3 unique
+        (3, "mirror", "x y z w"),       # 4 tokens...
+        (4, "mirror", "x y z w"),       # ...copied
+        (5, "mirror", "x y z w"),       # ...twice
+        (6, "mirror", "q r"),           # 2 unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in dedup_inflation(df).collect()}
+    c = got["clean"]
+    assert (c.n_docs, c.unique_docs, c.n_tokens, c.unique_tokens) == (2, 2, 7, 7)
+    assert c.inflation == 1.0
+    m = got["mirror"]
+    assert (m.n_docs, m.unique_docs, m.n_tokens, m.unique_tokens) == (4, 2, 14, 6)
+    assert m.inflation == round(14 / 6, 6)
