@@ -114,6 +114,7 @@ HEADLINE = [
     "cluster_split_leakage",
     "epoch_plan",
     "dedup_inflation",
+    "quantization_recall",
 ]
 
 

@@ -959,3 +959,90 @@ def hard_negatives(
             )
         )
     return reduce(DataFrame.unionByName, parts)
+
+
+def quantization_recall(
+    emb: DataFrame,
+    k: int = 10,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Audit of the int8 quantization at the heart of the store
+    (reference pythonvectordb.py:86-108 quantizes every vector to int8):
+    for each query vector, overlap@k between the int8-cosine exact
+    top-k and the float-cosine exact top-k — the measured answer to
+    "how much recall does 4x memory compression cost". Returns
+    (query_id, n_overlap, recall) per query, recall = overlap/k.
+
+    Both sides are exact brute-force scans, deterministically ranked:
+    the int8 side rides ``knn_join``'s BLAS path (exact integer
+    arithmetic, ranks engine-portable by construction, self dropped
+    after a k+1 cut — the ``mutual_knn_degrees`` neighbor rule); the
+    float side scores through the sequential double-fold cosine and
+    ranks on the ROUND-9 score with id tie-break, so the top-k boundary
+    is engine-portable too.
+
+    Scale shape: the query set is bounded by contract (an audit probes
+    tens of queries, not the corpus). The float side joins the corpus
+    to the broadcast query set on a constant key — a broadcast hash
+    join whose cost is |queries| x n row pairs, the irreducible work of
+    exact multi-query scoring (identical to the BLAS side's flop
+    count); per-pair evaluation is an interpreted HOF fold, acceptable
+    at audit scale, and the candidate swap-in at production scale is
+    the same ANN shortlist every other eval op uses. Each top-k edge
+    list feeds one equi-join; the int8 edge list is what the join
+    probes, so only the (small) per-query lists ever shuffle.
+    """
+    from pythonvectordb_spark.functions.vector import cosine_similarity
+
+    if query_pred is None:
+        query_pred = F.col(id_col) < 16
+    queries = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    i8 = (
+        knn_join(
+            emb,
+            queries.select("query_id", F.col("_qv").alias(vec_col)),
+            k=k + 1,
+            data_id=id_col,
+            query_vec=vec_col,
+            qvec_col=qvec_col,
+        )
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+    )
+    fpairs = (
+        emb.select(F.col(id_col), F.col(vec_col)).withColumn("_one", F.lit(1))
+        .join(F.broadcast(queries.withColumn("_one", F.lit(1))), "_one")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine_similarity("_qv", vec_col), 9).alias("score"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    fl = (
+        fpairs.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col)
+    )
+    overlap = i8.join(fl, ["query_id", id_col]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return (
+        queries.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0).cast("long")).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+    )

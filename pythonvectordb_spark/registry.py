@@ -1955,6 +1955,62 @@ FROM s
 """
 
 
+def q_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization recall audit (new round 4): per probe query
+    (vec_id < 16), overlap@10 between the int8-cosine exact top-k and
+    the float-cosine exact top-k — the measured price of the
+    reference's 4x int8 compression
+    (`operators/search.quantization_recall`)."""
+    return S.quantization_recall(_emb(spark, sf_dir), k=10)
+
+
+def o_quantization_recall(k: int = 10) -> str:
+    qv = O.sql_qvec("embedding")
+    icos = (
+        "(list_aggregate(list_transform(q.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        " / (sqrt(list_aggregate(list_transform(q.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        " * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)))"
+    )
+    fcos = O.sql_cosine_float_cols("q.fv", "b.fv")
+    return f"""
+WITH base AS (SELECT vec_id, {qv} AS qv, embedding AS fv FROM embeddings),
+qs AS (SELECT vec_id AS query_id, qv, fv FROM base WHERE vec_id < 16),
+ip AS (
+  SELECT q.query_id, b.vec_id, {icos} AS score
+  FROM qs q CROSS JOIN base b
+),
+irk AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM ip
+),
+i8 AS (SELECT query_id, vec_id FROM irk
+       WHERE rn <= {k + 1} AND query_id != vec_id),
+fp AS (
+  SELECT q.query_id, b.vec_id, round({fcos}, 9) AS score
+  FROM qs q CROSS JOIN base b
+  WHERE q.query_id != b.vec_id
+),
+frk AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM fp
+),
+fl AS (SELECT query_id, vec_id FROM frk WHERE rn <= {k}),
+ov AS (
+  SELECT i8.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM i8 JOIN fl ON i8.query_id = fl.query_id AND i8.vec_id = fl.vec_id
+  GROUP BY 1
+)
+SELECT qs.query_id,
+       coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       round(coalesce(ov.n_overlap, 0)::DOUBLE / {float(k)!r}, 6) AS recall
+FROM qs LEFT JOIN ov ON qs.query_id = ov.query_id
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5834,10 +5890,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 25 queries new
-    # this round, and 16 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 26 queries new
+    # this round, and 15 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 173/173 witnessed. ------------------------------------
+    # closes at 174/174 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5872,6 +5928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_split_leakage": q_cluster_split_leakage,  # new r4: leak-free split
     "epoch_plan": q_epoch_plan,  # new r4: token-budget pass planner
     "dedup_inflation": q_dedup_inflation,  # new r4: per-source copy ratio
+    "quantization_recall": q_quantization_recall,  # new r4: int8-vs-float audit
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -6140,6 +6197,7 @@ ORACLES: dict[str, str] = {
     "cluster_split_leakage": o_cluster_split_leakage(),
     "epoch_plan": o_epoch_plan(),
     "dedup_inflation": o_dedup_inflation(),
+    "quantization_recall": o_quantization_recall(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -580,3 +580,44 @@ def test_containment_maxdf_cap_underestimates_like_jaccard(spark):
     got = {(r.id_a, r.id_b): r.containment
            for r in containment_pairs(df, threshold=0.8, max_df=5).collect()}
     assert got == {(101, 102): 1.0}  # boilerplate-only overlap never pairs
+
+
+def test_quantization_recall_detects_int8_rank_flip(spark):
+    """Two candidates whose float order is clear but whose int8
+    quantizations collide: the float top-1 is the true nearest, the
+    int8 top-1 resolves the tie by id the other way — recall@1 = 0 for
+    that probe, while a well-separated probe scores 1.0. The audit
+    measures exactly this compression loss."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.search import (
+        quantization_recall,
+        with_qvec,
+    )
+
+    def unit(vals):
+        import math
+
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = [
+        (0, unit([1.0, 0.0, 0.0, 0.0])),        # probe
+        (1, unit([1.0, 0.001, 0.0, 0.0])),      # int8-identical to 2, id wins tie
+        (2, unit([1.0, 0.0005, 0.0, 0.0])),     # float-nearest to probe
+        (3, unit([0.0, 1.0, 0.0, 0.0])),        # far
+        (10, unit([0.0, 0.0, 1.0, 0.0])),       # probe 2: isolated direction
+        (11, unit([0.1, 0.0, 1.0, 0.0])),       # its clear nearest, both metrics
+        (12, unit([0.0, 0.0, 0.0, 1.0])),
+    ]
+    emb = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    got = {
+        r.query_id: (r.n_overlap, r.recall)
+        for r in quantization_recall(
+            emb, k=1, query_pred=F.col("vec_id").isin(0, 10)
+        ).collect()
+    }
+    assert got[0] == (0, 0.0)   # int8 tie-break picked id 1, float picked 2
+    assert got[10] == (1, 1.0)  # unambiguous neighbor: no loss
