@@ -4,7 +4,8 @@
 
 Composes the engine's operator families the way a pretraining data job
 would: corpus card -> quality gate -> exact + near-dup removal ->
-benchmark decontamination -> vocabulary -> token-id encoding ->
+leakage-audited train/val/test split (doc-hash audit, cluster-aware
+fix) -> token-budget epoch plan -> vocabulary -> token-id encoding ->
 sequence packing -> embedding near-dup audit. Every step is a pure
 DataFrame transform; nothing collects until the final summary.
 
@@ -41,12 +42,43 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     kept = quality_filter(docs).filter(F.col("keep")).select("doc_id")
     docs_q = docs.join(kept, "doc_id")
 
-    # 3. dedup: exact survivors, then near-dup pair resolution
-    pairs = pv.minhash_lsh_pairs(docs_q, threshold=0.8)
-    resolved = pv.resolve_duplicates(docs_q, pairs)
+    # 3. dedup: exact survivors, then near-dup pair resolution (pairs
+    # and the resolution feed several later steps -> lazy checkpoints)
+    pairs = pv.minhash_lsh_pairs(docs_q, threshold=0.8).localCheckpoint(eager=False)
+    resolved = pv.resolve_duplicates(docs_q, pairs).localCheckpoint(eager=False)
     docs_d = docs_q.join(
         resolved.filter(F.col("is_survivor")).select("doc_id"), "doc_id"
     )
+
+    # 3b. train/val/test split, leakage-audited: the doc-hash split is
+    # checked against the near-dup pairs; the cluster-aware split
+    # (hash the dup component, not the doc) is leak-free by construction
+    from pythonvectordb_spark.operators.curation import (
+        cluster_aware_split,
+        epoch_plan,
+        split_leakage,
+        split_leakage_matrix,
+    )
+
+    naive_leak = (
+        split_leakage(pairs, docs_q)
+        .filter(F.col("leak") == 1)
+        .agg(F.sum("n_pairs"))
+        .first()[0]
+        or 0
+    )
+    assigned = cluster_aware_split(resolved).localCheckpoint(eager=False)
+    fixed_leak = (
+        split_leakage_matrix(pairs, assigned)
+        .filter(F.col("leak") == 1)
+        .agg(F.sum("n_pairs"))
+        .first()[0]
+        or 0
+    )
+
+    # 3c. token-budget epoch plan over the deduplicated corpus
+    plan = epoch_plan(docs_d, budget_tokens=100_000)
+    n_oversampled = plan.filter(F.col("oversampled") == 1).count()
 
     # 4. vocabulary + token-id encoding (single corpus scan encode)
     vocab = pv.build_vocab(docs_d, vocab_size=512)
@@ -62,6 +94,9 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "corpus": card,
         "after_quality": docs_q.count(),
         "after_dedup": docs_d.count(),
+        "split_leak_pairs_doc_hash": int(naive_leak),
+        "split_leak_pairs_cluster": int(fixed_leak),
+        "sources_oversampled": n_oversampled,
         "vocab_size": vocab.count(),
         "encoded_docs": encoded.count(),
         "n_sequences": int(
