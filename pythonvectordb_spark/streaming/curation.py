@@ -191,8 +191,14 @@ def start_dedup_gate(
             # read failure (corrupt footer, permissions, transient FS
             # error) must fail the batch so the checkpoint retries it —
             # silently skipping the gate would append un-deduped rows
-            # permanently.
-            if "PATH_NOT_FOUND" not in str(getattr(e, "errorClass", "") or str(e)):
+            # permanently. getCondition() is the structured error class
+            # (pyspark 4 name; getErrorClass() pre-4.1) — match on it,
+            # not the version-dependent message text.
+            getter = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            cond = (getter() if getter else None) or str(e)
+            if "PATH_NOT_FOUND" not in cond:
                 raise
             corpus = None  # first batch: nothing to gate against
         gate_batch(
@@ -201,6 +207,65 @@ def start_dedup_gate(
 
     return (
         stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    dims: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+):
+    """Ingest-time distribution-drift monitor: every arriving
+    micro-batch is PSI-scored against a STATIC reference snapshot
+    (`operators/curation.distribution_drift` — the oracled batch
+    operator IS the per-batch body), and the per-(dim, value) drift
+    terms land in ``target_dir`` tagged with the batch id. The
+    streaming lift of the "run the drift report before admitting a new
+    crawl dump" step: the report exists the moment the batch does, so
+    an alerting threshold on sum(psi_term) can gate admission instead
+    of auditing after the fact.
+
+    The reference frame is fixed per deployment (the stream-static
+    pattern, like `decontaminate_stream`'s benchmark vocabulary); each
+    batch job re-aggregates only the reference's |categories|-sized
+    distribution plus the batch's own counts. Exactly-once: the sink is
+    append-only parquet keyed by batch_id, and a re-delivered batch
+    (commit-window crash) finds its batch_id already present and writes
+    nothing — the same replay-guard discipline as `start_dedup_gate`.
+    """
+    from pythonvectordb_spark.operators.curation import distribution_drift
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            done = (
+                spark.read.parquet(target_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if done:
+                return  # replayed batch: report already committed
+        except AnalysisException as e:
+            getter = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            cond = (getter() if getter else None) or str(e)
+            if "PATH_NOT_FOUND" not in cond:
+                raise
+        report = distribution_drift(reference, batch, dims=dims, id_col=id_col)
+        report.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            target_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(monitor)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

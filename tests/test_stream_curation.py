@@ -192,3 +192,63 @@ def test_stream_dedup_gate_blocks_corpus_near_dups(spark, tmpdirs, tmp_path):
     )
     q.awaitTermination(180)
     assert {r.doc_id for r in spark.read.parquet(tgt).collect()} == {1, 2, 12}
+
+
+def test_stream_drift_monitor_matches_batch_twin_and_replay_guard(spark, tmp_path):
+    """Each micro-batch's PSI report must equal the batch operator run
+    on (reference, that batch); a crash-replay of an already-committed
+    batch id writes nothing."""
+    from pythonvectordb_spark.operators.curation import distribution_drift
+    from pythonvectordb_spark.streaming.curation import start_drift_monitor
+
+    ref = spark.createDataFrame(
+        [(i, "en" if i < 8 else "de", "s0") for i in range(10)],
+        "doc_id long, lang string, source string",
+    )
+    b1 = spark.createDataFrame(
+        [(100 + i, "de" if i < 7 else "en", "s0") for i in range(10)],
+        "doc_id long, lang string, source string",
+    )
+    b2 = spark.createDataFrame(
+        [(200 + i, "zh", "s1") for i in range(5)],
+        "doc_id long, lang string, source string",
+    )
+    src = str(tmp_path / "drift_src")
+    tgt = str(tmp_path / "drift_tgt")
+    chk = str(tmp_path / "drift_chk")
+
+    def rows_of(df):
+        return {(r.dim, r.value): r.psi_term for r in df.collect()}
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = start_drift_monitor(
+        spark.readStream.schema(b1.schema).parquet(src), ref, tgt, chk
+    )
+    q.awaitTermination(120)
+    got0 = spark.read.parquet(tgt).filter(F.col("batch_id") == 0).drop("batch_id")
+    assert rows_of(got0) == rows_of(distribution_drift(ref, b1))
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = start_drift_monitor(
+        spark.readStream.schema(b1.schema).parquet(src), ref, tgt, chk
+    )
+    q.awaitTermination(120)
+    all_rows = spark.read.parquet(tgt)
+    got1 = all_rows.filter(F.col("batch_id") == 1).drop("batch_id")
+    assert rows_of(got1) == rows_of(distribution_drift(ref, b2))
+    # batch 0's committed report untouched by the second run
+    assert rows_of(all_rows.filter(F.col("batch_id") == 0).drop("batch_id")) == rows_of(
+        distribution_drift(ref, b1)
+    )
+    n_before = all_rows.count()
+
+    # crash-replay: a fresh checkpoint re-delivers batch id 0 — the
+    # guard must find it committed and append nothing
+    q = start_drift_monitor(
+        spark.readStream.schema(b1.schema).parquet(src),
+        ref,
+        tgt,
+        str(tmp_path / "drift_chk2"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(tgt).count() == n_before
