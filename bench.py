@@ -115,6 +115,7 @@ HEADLINE = [
     "epoch_plan",
     "dedup_inflation",
     "quantization_recall",
+    "minhash_precision",
 ]
 
 

@@ -380,6 +380,84 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def minhash_banding_report(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banding-precision report for the MinHash LSH dedup: how many
+    candidate pairs did the (bands x rows) banding emit, and what
+    fraction survived exact verification — the measured cost knob for
+    tuning banding parameters at corpus scale. Precision near 1 means
+    the verify stage only touches true near-dups; precision collapsing
+    toward 0 means band keys are colliding on sub-threshold pairs and
+    the verify join is where the cluster's money goes (more bands of
+    fewer rows raises recall but lowers this number; the S-curve
+    says where).
+
+    Returns one row: (n_docs, n_candidates, n_verified, precision),
+    precision = verified/candidates rounded to 6 (defined 1.0 when no
+    candidates — an empty verify stage wastes nothing).
+
+    Same plan skeleton as ``minhash_lsh_pairs`` (one signature
+    pipeline, one struct-array band explode, bucket equi-join); the
+    candidate frame feeds both the count and the verify join, so it is
+    lazily checkpointed.
+    """
+    sh, banded = _minhash_banded(df, n, num_hashes, bands, text_col, id_col)
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pa = sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"})
+    pb = sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"})
+    verified = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    nd = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nv = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    return (
+        nd.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_docs",
+            "n_candidates",
+            "n_verified",
+            F.when(F.col("n_candidates") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_verified").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    6,
+                )
+            )
+            .alias("precision"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     n: int = 3,

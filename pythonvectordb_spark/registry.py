@@ -2011,6 +2011,58 @@ FROM qs LEFT JOIN ov ON qs.query_id = ov.query_id
 """
 
 
+def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding precision report (new round 4): candidate pairs
+    emitted by the 4x3 banding vs pairs surviving exact verification —
+    the measured knob for tuning banding parameters
+    (`operators/dedup.minhash_banding_report`)."""
+    return DD.minhash_banding_report(load_table(spark, sf_dir, "documents"))
+
+
+def o_minhash_precision() -> str:
+    from pythonvectordb_spark.functions.text import MINHASH_P, minhash_params
+
+    params = minhash_params(12)
+    sigs = ", ".join(
+        f"min(({a}::BIGINT * h1 + {b}::BIGINT * h2) % {MINHASH_P}::BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(h{b * 3}::VARCHAR || '|' || h{b * 3 + 1}::VARCHAR || '|' || h{b * 3 + 2}::VARCHAR) AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH {_SH_CTE},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+hashed AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+           FROM inv),
+sig AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id),
+banded AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM ver
+          WHERE {_JACCARD} >= 0.8) AS n_verified
+)
+SELECT n_docs, n_candidates, n_verified,
+       CASE WHEN n_candidates = 0 THEN 1.0
+            ELSE round(n_verified::DOUBLE / n_candidates::DOUBLE, 6) END AS precision
+FROM counts
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift report (new round 4): the lang
     and source distributions of the doc_id-even half vs the doc_id-odd
@@ -5890,10 +5942,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 26 queries new
-    # this round, and 15 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 27 queries new
+    # this round, and 14 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 174/174 witnessed. ------------------------------------
+    # closes at 175/175 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5929,6 +5981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_plan": q_epoch_plan,  # new r4: token-budget pass planner
     "dedup_inflation": q_dedup_inflation,  # new r4: per-source copy ratio
     "quantization_recall": q_quantization_recall,  # new r4: int8-vs-float audit
+    "minhash_precision": q_minhash_precision,  # new r4: banding-cost knob
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -6198,6 +6251,7 @@ ORACLES: dict[str, str] = {
     "epoch_plan": o_epoch_plan(),
     "dedup_inflation": o_dedup_inflation(),
     "quantization_recall": o_quantization_recall(),
+    "minhash_precision": o_minhash_precision(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

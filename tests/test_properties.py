@@ -621,3 +621,22 @@ def test_quantization_recall_detects_int8_rank_flip(spark):
     }
     assert got[0] == (0, 0.0)   # int8 tie-break picked id 1, float picked 2
     assert got[10] == (1, 1.0)  # unambiguous neighbor: no loss
+
+
+def test_minhash_banding_report_reconciles_with_pairs(spark):
+    """n_verified must equal the pair operator's output count on the
+    same corpus/params; exact copies give precision-1 candidates, and
+    a disjoint doc contributes none."""
+    from pythonvectordb_spark.operators.dedup import (
+        minhash_banding_report,
+        minhash_lsh_pairs,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again " * 2
+    rows = [(1, dup), (2, dup), (3, "totally different words live here now " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = minhash_banding_report(df, threshold=0.8).collect()[0]
+    n_pairs = minhash_lsh_pairs(df, threshold=0.8).count()
+    assert rep.n_docs == 3
+    assert rep.n_verified == n_pairs == 1
+    assert rep.n_candidates == 1 and rep.precision == 1.0
