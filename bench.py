@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_inflation",
     "quantization_recall",
     "minhash_precision",
+    "contrastive_triplets",
 ]
 
 

@@ -1046,3 +1046,66 @@ def quantization_recall(
             ).alias("recall"),
         )
     )
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Triplet mining for contrastive training: per anchor, the nearest
+    SAME-label vector (the positive) and the nearest OTHER-label vector
+    (the hard negative), with the margin between them — the exact
+    (anchor, positive, negative) rows a triplet/InfoNCE trainer
+    consumes, plus the ``violation`` flag (margin <= 0: the negative is
+    closer than the positive, the triplets that actually carry
+    gradient, and the audit signal for class bleed).
+
+    Positives come from a within-class exact knn (k=2 cut, self dropped,
+    re-ranked — an anchor whose class has no other member yields no
+    triplet, by contract); negatives are ``hard_negatives`` at k=1.
+    Margins and the violation flag are computed from the ROUND-9 scores
+    both sides already emit, keeping the boundary engine-portable.
+
+    Scale shape: two per-class BLAS ``knn_join`` unions (the
+    ``hard_negatives`` plan — label constraints by construction, label
+    filters pushed to the scan); the per-anchor top rows are the only
+    shuffled frames. At 100 TB swap both exact scorers for per-class
+    ANN candidates, same join shape.
+    """
+    from functools import reduce
+
+    labels = sorted(
+        r[0] for r in emb.select(label_col).distinct().collect()
+    )  # class set: small by contract
+    parts = []
+    for lab in labels:
+        cls = emb.filter(F.col(label_col) == lab)
+        q = cls.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        parts.append(
+            knn_join(cls, q, k=2, data_id=id_col, query_vec=vec_col, qvec_col=qvec_col)
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", F.col(id_col).alias("pos_id"), "score")
+        )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("pos_id"))
+    pos = (
+        reduce(DataFrame.unionByName, parts)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "pos_id", F.round("score", 9).alias("pos_score"))
+    )
+    neg = hard_negatives(
+        emb, k=1, id_col=id_col, vec_col=vec_col, label_col=label_col, qvec_col=qvec_col
+    ).select("query_id", F.col("neg_id"), F.col("score").alias("neg_score"))
+    m = F.round(F.col("pos_score") - F.col("neg_score"), 9)
+    return pos.join(neg, "query_id").select(
+        F.col("query_id").alias("anchor_id"),
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        m.alias("margin"),
+        (m <= 0.0).cast("int").alias("violation"),
+    )

@@ -1647,6 +1647,55 @@ FROM rk WHERE rank <= {k}
 """
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (new round 4): per anchor the nearest
+    same-label positive and nearest cross-label hard negative with the
+    round-9 margin and violation flag — the rows a triplet/InfoNCE
+    trainer consumes (`operators/search.contrastive_triplets`)."""
+    return S.contrastive_triplets(_emb(spark, sf_dir))
+
+
+def o_contrastive_triplets() -> str:
+    qv = O.sql_qvec("embedding")
+    cos = (
+        "(list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        " / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        " * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, label, {qv} AS qv FROM embeddings),
+pp AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS pos_id, {cos} AS score
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id != b.vec_id
+),
+prk AS (
+  SELECT query_id, pos_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, pos_id ASC) AS rn
+  FROM pp
+),
+pos AS (SELECT query_id, pos_id, round(score, 9) AS pos_score
+        FROM prk WHERE rn = 1),
+np AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neg_id, {cos} AS score
+  FROM q a JOIN q b ON a.label != b.label
+),
+nrk AS (
+  SELECT query_id, neg_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neg_id ASC) AS rn
+  FROM np
+),
+neg AS (SELECT query_id, neg_id, round(score, 9) AS neg_score
+        FROM nrk WHERE rn = 1)
+SELECT pos.query_id AS anchor_id, pos.pos_id, pos.pos_score,
+       neg.neg_id, neg.neg_score,
+       round(pos.pos_score - neg.neg_score, 9) AS margin,
+       CAST(round(pos.pos_score - neg.neg_score, 9) <= 0.0 AS INT) AS violation
+FROM pos JOIN neg ON pos.query_id = neg.query_id
+"""
+
+
 def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix (new round 4): the MinHash+LSH
     near-dup pairs folded with each side's source into a symmetric
@@ -5942,10 +5991,10 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 27 queries new
-    # this round, and 14 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 28 queries new
+    # this round, and 13 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 175/175 witnessed. ------------------------------------
+    # closes at 176/176 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -5982,6 +6031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_inflation": q_dedup_inflation,  # new r4: per-source copy ratio
     "quantization_recall": q_quantization_recall,  # new r4: int8-vs-float audit
     "minhash_precision": q_minhash_precision,  # new r4: banding-cost knob
+    "contrastive_triplets": q_contrastive_triplets,  # new r4: triplet mining
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -6252,6 +6302,7 @@ ORACLES: dict[str, str] = {
     "dedup_inflation": o_dedup_inflation(),
     "quantization_recall": o_quantization_recall(),
     "minhash_precision": o_minhash_precision(),
+    "contrastive_triplets": o_contrastive_triplets(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -640,3 +640,43 @@ def test_minhash_banding_report_reconciles_with_pairs(spark):
     assert rep.n_docs == 3
     assert rep.n_verified == n_pairs == 1
     assert rep.n_candidates == 1 and rep.precision == 1.0
+
+
+def test_contrastive_triplets_picks_nearest_pos_and_neg(spark):
+    """Anchor 1: positive must be its same-label nearest (2, not the
+    farther 6), negative the cross-label nearest (3); the planted
+    violation case (negative closer than positive) is flagged; a
+    singleton class yields no triplet."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pythonvectordb_spark.operators.search import (
+        contrastive_triplets,
+        with_qvec,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (1, unit(0.00), 0),
+        (2, unit(0.05), 0),   # 1's same-label nearest
+        (6, unit(0.60), 0),   # same label, farther
+        (3, unit(0.10), 1),   # 1's cross-label nearest — CLOSER than 2? no: 0.10 > 0.05
+        (4, unit(1.50), 1),
+        (9, unit(3.00), 2),   # singleton class: no triplet
+    ]
+    emb = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    )
+    got = {r.anchor_id: r for r in contrastive_triplets(emb).collect()}
+    assert 9 not in got  # singleton class
+    t1 = got[1]
+    assert (t1.pos_id, t1.neg_id) == (2, 3)
+    assert t1.margin > 0 and t1.violation == 0
+    # anchor 2 sits between 1 (same label, d=0.05) and 3 (other label,
+    # d=0.05): pos 1 at 0.05, neg 3 at 0.05 -> margin ~0/positive tiny
+    t3 = got[3]  # anchor 3's own positive is 4 (d=1.4), negative 2 (d=0.05)
+    assert (t3.pos_id, t3.neg_id) == (4, 2)
+    assert t3.margin < 0 and t3.violation == 1  # planted violation
