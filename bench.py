@@ -117,6 +117,9 @@ HEADLINE = [
     "quantization_recall",
     "minhash_precision",
     "contrastive_triplets",
+    "dq_violations",
+    "tokenizer_fertility",
+    "bpe_merge_pairs",
 ]
 
 

@@ -826,3 +826,110 @@ def scrub_spans(
         F.size(spans_arr).cast("long").alias("n_spans"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility: subword tokens (the GPT-2-style
+    regex pre-tokenization classes given as ``pattern``) per whitespace
+    word, plus characters per subword — the standard multilingual-budget
+    diagnostic (a language with fertility 2.3 pays 2.3x the sequence
+    length per word, so token budgets and mixture weights must be set in
+    TOKENS, not words; cf. the reference's whole-corpus token accounting,
+    ``benchmark_suite.py:204-233``, which this breaks down per language).
+
+    One projection computes both token counts per document (two JVM-side
+    regex/split expressions over the same scanned text column — the
+    corpus is read ONCE, no Python in the loop), then one grouped sum on
+    the low-cardinality language key (map-side combined; the shuffle
+    carries langs x 4 longs, not text). Ratios are exact-integer
+    divisions promoted to double, rounded to 6.
+    """
+    t = tokens(text_col)
+    sub = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(t).cast("long").alias("n_words"),
+        F.size(sub).cast("long").alias("n_subwords"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    words = F.col("n_words").cast("double")
+    subs = F.col("n_subwords").cast("double")
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        F.round(F.when(F.col("n_words") > 0, subs / words).otherwise(F.lit(0.0)), 6)
+        .alias("fertility"),
+        F.round(
+            F.when(F.col("n_subwords") > 0, F.col("n_chars").cast("double") / subs)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("chars_per_subword"),
+    )
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """The first BPE training iteration: the ``top_n`` most frequent
+    adjacent-character pairs across the corpus' pre-tokenized words —
+    exactly the statistic a byte-pair-encoding trainer merges on (each
+    subsequent merge round recomputes this table over the rewritten
+    symbol sequences; round 1 is the expensive one because it sees raw
+    characters). Complements `build_vocab` (whole-token vocabulary) with
+    the subword-unit view.
+
+    Scale shape: the corpus text is scanned once and collapsed to the
+    DISTINCT-WORD frequency table first (one map-side-combined grouped
+    count — the classic BPE-trainer trick: pair counts are word-count
+    weighted, so the explode that follows fans out over unique words,
+    not corpus tokens). Char pairs per distinct word come from ONE
+    `transform(sequence(...))` expression (guarded: Spark's `sequence`
+    runs DESCENDING when stop < start, so 1-char words get an explicit
+    empty array), then one grouped sum on the pair key and a
+    TakeOrdered top-N with (count DESC, pair ASC) tie-break. The final
+    rank window runs on top_n rows — after the limit, not before.
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    ln = F.length(F.col("w"))
+    pairs_arr = F.when(
+        ln > 1,
+        F.transform(
+            F.sequence(F.lit(1), ln - 1), lambda i: F.col("w").substr(i, F.lit(2))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pair_counts = (
+        words.select(F.explode(pairs_arr).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_n)
+    )
+    rank = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return pair_counts.select(
+        F.row_number().over(rank).cast("int").alias("rank"),
+        "pair",
+        "n_occurrences",
+    )

@@ -5988,13 +5988,155 @@ FROM q LEFT JOIN m ON q.vec_id = m.a
 """
 
 
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation suite (new round 4): the dbt-test / Deequ
+    role — NOT-NULL + range rules as conditional sums inside ONE agg
+    pass per table, PK uniqueness via count-minus-distinct, FK orphans
+    via key-projected anti-joins (broadcast for the customer dim,
+    shuffle for lineitem->orders). One row per rule
+    (`operators/validate.dq_report`)."""
+    from pythonvectordb_spark.operators import validate as V
+
+    return V.dq_report(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def o_dq_violations() -> str:
+    def intra(rule: str, table: str, pred: str) -> str:
+        return (
+            f"SELECT '{rule}' AS rule, CAST(count(*) AS BIGINT) AS n_checked,"
+            f" CAST(coalesce(sum(CASE WHEN {pred} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            f" AS n_violations FROM {table}"
+        )
+
+    def pk(rule: str, table: str, keys: str) -> str:
+        return (
+            f"SELECT '{rule}' AS rule, CAST(count(*) AS BIGINT) AS n_checked,"
+            f" CAST(count(*) - count(DISTINCT ({keys})) AS BIGINT) AS n_violations"
+            f" FROM {table}"
+        )
+
+    def fk(rule: str, fact: str, fkey: str, dim: str, dkey: str) -> str:
+        # NULL fact keys are skipped on both sides (nullable FK is legal;
+        # null-ness is covered by the NOT-NULL rules)
+        return (
+            f"SELECT '{rule}' AS rule, CAST(count(*) AS BIGINT) AS n_checked,"
+            f" CAST(coalesce(sum(CASE WHEN NOT EXISTS"
+            f" (SELECT 1 FROM {dim} d WHERE d.{dkey} = f.{fkey})"
+            f" THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM {fact} f"
+            f" WHERE f.{fkey} IS NOT NULL"
+        )
+
+    parts = [
+        intra("orders_custkey_null", "orders", "o_custkey IS NULL"),
+        intra("orders_totalprice_nonpos", "orders", "o_totalprice <= 0"),
+        intra("orders_orderdate_null", "orders", "o_orderdate IS NULL"),
+        intra(
+            "lineitem_qty_range", "lineitem", "l_quantity <= 0 OR l_quantity > 50"
+        ),
+        intra(
+            "lineitem_discount_range", "lineitem", "l_discount < 0 OR l_discount > 1"
+        ),
+        intra("lineitem_price_nonpos", "lineitem", "l_extendedprice <= 0"),
+        pk("orders_pk_unique", "orders", "o_orderkey"),
+        pk("lineitem_pk_unique", "lineitem", "l_orderkey, l_linenumber"),
+        pk("customer_pk_unique", "customer", "c_custkey"),
+        fk("orders_fk_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        fk("lineitem_fk_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH r AS (
+{body}
+)
+SELECT rule, n_checked, n_violations,
+       CAST(n_violations = 0 AS INT) AS ok
+FROM r
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (new round 4): subwords-per-word
+    and chars-per-subword under the GPT-2-style regex pre-tokenizer —
+    the multilingual budget diagnostic that says which languages pay
+    more tokens per word (`operators/textops.tokenizer_fertility`)."""
+    return TX.tokenizer_fertility(
+        load_table(spark, sf_dir, "documents"), pattern=_BPE_SPLIT
+    )
+
+
+def o_tokenizer_fertility() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         len({O.sql_tokens('text')}) AS n_words,
+         len(regexp_extract_all(text, '{_BPE_SPLIT}')) AS n_subwords,
+         len(text) AS n_chars
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_words,
+         CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs, n_words, n_subwords,
+       round(CASE WHEN n_words > 0
+                  THEN n_subwords::DOUBLE / n_words::DOUBLE ELSE 0.0 END, 6)
+         AS fertility,
+       round(CASE WHEN n_subwords > 0
+                  THEN n_chars::DOUBLE / n_subwords::DOUBLE ELSE 0.0 END, 6)
+         AS chars_per_subword
+FROM g
+"""
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer's first merge table (new round 4): top-20 adjacent
+    character pairs, word-frequency weighted over distinct pre-tokenized
+    words — the statistic byte-pair-encoding merges on
+    (`operators/textops.bpe_merge_pairs`)."""
+    return TX.bpe_merge_pairs(
+        load_table(spark, sf_dir, "documents"), pattern=_BPE_SPLIT, top_n=20
+    )
+
+
+def o_bpe_merge_pairs(top_n: int = 20) -> str:
+    return f"""
+WITH wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_SPLIT}')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair, wc
+  FROM wc
+),
+agg AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY 1
+  ORDER BY n_occurrences DESC, pair ASC LIMIT {top_n}
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INT)
+         AS rank,
+       pair, n_occurrences
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 28 queries new
-    # this round, and 13 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 31 queries new
+    # this round, and 10 round-3-green continuity witnesses. After this
     # round every registered query has had a driver row: coverage
-    # closes at 176/176 witnessed. ------------------------------------
+    # closes at 179/179 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -6032,6 +6174,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantization_recall": q_quantization_recall,  # new r4: int8-vs-float audit
     "minhash_precision": q_minhash_precision,  # new r4: banding-cost knob
     "contrastive_triplets": q_contrastive_triplets,  # new r4: triplet mining
+    "dq_violations": q_dq_violations,  # new r4: dbt-test rule suite
+    "tokenizer_fertility": q_tokenizer_fertility,  # new r4: tokens-per-word
+    "bpe_merge_pairs": q_bpe_merge_pairs,  # new r4: BPE merge-1 table
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -6303,6 +6448,9 @@ ORACLES: dict[str, str] = {
     "quantization_recall": o_quantization_recall(),
     "minhash_precision": o_minhash_precision(),
     "contrastive_triplets": o_contrastive_triplets(),
+    "dq_violations": o_dq_violations(),
+    "tokenizer_fertility": o_tokenizer_fertility(),
+    "bpe_merge_pairs": o_bpe_merge_pairs(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -329,3 +329,41 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     )
     frow = zipf_fit(flat).collect()[0]
     assert frow.slope == 0.0 and frow.n_fit == 25
+
+
+def test_tokenizer_fertility(spark):
+    from pythonvectordb_spark.operators.textops import tokenizer_fertility
+
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    df = spark.createDataFrame(
+        [
+            # "ab12" splits into 2 subwords; "x!" into 2; plain words 1:1
+            (1, "ab12 cd", "en"),   # words=2 subwords=3 chars=7
+            (2, "x! y", "en"),      # words=2 subwords=3 chars=4
+            (3, "uno dos", "es"),   # words=2 subwords=2 chars=7
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rep = {r["lang"]: r.asDict() for r in tokenizer_fertility(df, pat).collect()}
+    en, es = rep["en"], rep["es"]
+    assert (en["n_docs"], en["n_words"], en["n_subwords"]) == (2, 4, 6)
+    assert en["fertility"] == 1.5
+    assert en["chars_per_subword"] == round(11 / 6, 6)
+    assert (es["n_words"], es["n_subwords"], es["fertility"]) == (2, 2, 1.0)
+
+
+def test_bpe_merge_pairs(spark):
+    from pythonvectordb_spark.operators.textops import bpe_merge_pairs
+
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    # "aaa" contributes pair "aa" twice per occurrence; 3 docs of it -> 6
+    df = spark.createDataFrame(
+        [(1, "aaa aaa"), (2, "aaa ab"), (3, "b ab x")],
+        "doc_id long, text string",
+    )
+    rows = bpe_merge_pairs(df, pat, top_n=3).collect()
+    got = {r["pair"]: (r["rank"], r["n_occurrences"]) for r in rows}
+    assert got["aa"] == (1, 6)  # 3 occurrences of "aaa" x 2 in-word pairs
+    assert got["ab"] == (2, 2)
+    # single-char words ("b", "x") contribute no pairs
+    assert len(rows) == 2
