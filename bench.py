@@ -120,6 +120,15 @@ HEADLINE = [
     "dq_violations",
     "tokenizer_fertility",
     "bpe_merge_pairs",
+    "unimax_epochs",
+    "mmr_rerank",
+    "ann_recall_curve",
+    "k_anonymity",
+    "resolve_keep_best",
+    "rbo_overlap",
+    "ngram_coverage",
+    "dedup_threshold_curve",
+    "minhash_estimate_error",
 ]
 
 

@@ -903,3 +903,135 @@ def nb_classifier_confusion(
         .groupBy(F.col("_lbl").alias(label_col), F.col("cls").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def unimax_epochs(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): spread a total token
+    budget as UNIFORMLY as possible across sources, capping every source
+    at ``max_epochs`` passes over its unique data — the principled
+    alternative to temperature sampling when repeating a small source
+    >N times is known to hurt (`temperature_mixture` / `epoch_plan` give
+    the temperature view; this gives the cap view).
+
+    The sequential water-filling loop has a closed form: processing
+    sources ASCENDING by size, once one source takes its fair share the
+    share stays constant (remaining budget and remaining count shrink in
+    lockstep), so the capped set is exactly a PREFIX of the ascending
+    order. That turns the loop into two window passes over the
+    per-source aggregate — rank + cumulative cap-sum give each source's
+    hypothetical fair share, the first rank whose cap reaches its share
+    marks the prefix boundary, and the boundary row's share is the final
+    allocation for every uncapped source.
+
+    Scale shape: ONE map-side-combined grouped sum over the corpus (the
+    shuffle carries sources x 1 long, never text), then windows over the
+    source-count-sized aggregate — thousands of rows at worst, one
+    partition is correct there. Boundary portability: the fair share is
+    a division of exact integers (identical IEEE doubles in any engine)
+    and the cap comparison uses the share ROUNDED at 6, so the prefix
+    boundary cannot straddle engines.
+    """
+    from pyspark.sql import Window
+
+    s = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "source")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cap = (F.lit(max_epochs) * F.col("n_tokens")).cast("long")
+    r = s.select(
+        "source",
+        "n_tokens",
+        cap.alias("cap_tokens"),
+        F.row_number().over(w).alias("j"),
+        (F.sum(cap).over(w) - cap).alias("cum_before"),
+        F.count(F.lit(1)).over(wall).alias("n_src"),
+    )
+    fair = (F.lit(budget) - F.col("cum_before")).cast("double") / (
+        F.col("n_src") - F.col("j") + 1
+    ).cast("double")
+    r = r.withColumn("fair", fair).withColumn(
+        "uncapped", F.col("cap_tokens").cast("double") >= F.round(F.col("fair"), 6)
+    )
+    wfull = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = r.withColumn(
+        "t_pos", F.min(F.when(F.col("uncapped"), F.col("j"))).over(wfull)
+    ).withColumn(
+        "fair_t",
+        F.max(F.when(F.col("j") == F.col("t_pos"), F.col("fair"))).over(wfull),
+    )
+    capped = F.col("t_pos").isNull() | (F.col("j") < F.col("t_pos"))
+    alloc = F.when(capped, F.col("cap_tokens").cast("double")).otherwise(
+        F.col("fair_t")
+    )
+    return r.select(
+        "source",
+        "n_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+        capped.cast("int").alias("capped"),
+    )
+
+
+def ngram_coverage(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-design audit: what fraction of each held-out document's
+    n-grams also occur in the train split? `split_leakage` finds
+    NEAR-DUPLICATE eval docs; this measures the softer failure — eval
+    text assembled from memorized training phrases scores high without
+    any single near-dup document to blame. One row per val/test doc:
+    shingle counts and the covered share (1.0 = every eval n-gram was
+    seen in training).
+
+    Scale shape: the corpus is shingled ONCE into a lazily checkpointed
+    base frame (it feeds both the per-doc size projection and the
+    exploded shingle stream — the union-recompute contract), the
+    exploded stream is checkpointed again (it feeds the train vocabulary
+    AND the eval side), and coverage is a shingle-keyed LEFT SEMI join —
+    the train vocabulary never collects, the shuffle key is the shingle.
+    The split is `hash_split`'s md5-u32 integer threshold (pure
+    projection, engine-portable).
+    """
+    from pythonvectordb_spark.functions.text import shingles
+
+    s = hash_split(df.select(F.col(id_col), F.col(text_col)), id_col=id_col)
+    base = s.select(
+        F.col(id_col), F.col("split"), shingles(text_col, n).alias("gs")
+    ).localCheckpoint(eager=False)
+    ex = base.select(
+        F.col(id_col), F.col("split"), F.explode("gs").alias("g")
+    ).localCheckpoint(eager=False)
+    vocab = ex.where(F.col("split") == "train").select("g").distinct()
+    cov = (
+        ex.where(F.col("split") != "train")
+        .join(vocab, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    )
+    per = base.where(F.col("split") != "train").select(
+        F.col(id_col), F.col("split"), F.size("gs").cast("long").alias("n_shingles")
+    )
+    n_cov = F.coalesce(F.col("n_covered"), F.lit(0)).cast("long")
+    return per.join(cov, id_col, "left").select(
+        F.col(id_col),
+        "split",
+        "n_shingles",
+        n_cov.alias("n_covered"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                n_cov.cast("double") / F.col("n_shingles").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("coverage"),
+    )

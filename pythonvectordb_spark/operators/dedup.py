@@ -182,25 +182,22 @@ def containment_pairs(
     return out.select("id_a", "id_b", F.round("containment", 9).alias("containment"))
 
 
-def _minhash_banded(
+def minhash_signatures(
     df: DataFrame,
     n: int,
     num_hashes: int,
-    bands: int,
-    text_col: str,
-    id_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
-    """(shingle-sets, banded bucket-keys) shared by the self-join and
-    incremental MinHash variants.
+    """(shingle-sets, per-doc MinHash signature) — the signature half of
+    `_minhash_banded`, exposed so estimator-calibration queries
+    (`minhash_estimate_error`) can read raw signatures without the
+    banding fan-out. One md5 per shingle split into two 32-bit ints;
+    h_i = (A_i*h1 + B_i*h2) mod (2^61-1), exact 64-bit integer math.
 
-    One md5 per shingle, split into two 32-bit ints; the hash family is
-    h_i = (A_i*h1 + B_i*h2) mod (2^61-1) — standard two-hash MinHash
-    construction, ~6x cheaper than num_hashes md5 calls per row and
-    mirrorable in SQL (constants from minhash_params)."""
-    r = num_hashes // bands
-    # lazy checkpoint: the shingle frame feeds BOTH the signature
-    # pipeline and the exact-Jaccard verify join — one Arrow shingling
-    # pass, not one per consumer
+    The shingle frame is lazily checkpointed: it feeds the signature
+    pipeline AND any exact-verify join the caller builds on it — one
+    Arrow shingling pass, not one per consumer."""
     sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     hashed = inv.select(
@@ -217,6 +214,26 @@ def _minhash_banded(
             for i, (a, b) in enumerate(params)
         ]
     )
+    return sh, sig
+
+
+def _minhash_banded(
+    df: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle-sets, banded bucket-keys) shared by the self-join and
+    incremental MinHash variants.
+
+    One md5 per shingle, split into two 32-bit ints; the hash family is
+    h_i = (A_i*h1 + B_i*h2) mod (2^61-1) — standard two-hash MinHash
+    construction, ~6x cheaper than num_hashes md5 calls per row and
+    mirrorable in SQL (constants from minhash_params)."""
+    r = num_hashes // bands
+    sh, sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
     # ONE explode, not a bands-way union: each union branch re-derives
     # the whole signature subtree (Spark has no cross-branch CSE for
     # DataFrame unions), so the shingle+hash+min-aggregate pipeline ran
@@ -960,4 +977,165 @@ def semantic_dedup_pairs(
         pairs.withColumn("cosine", cosine_int8_sym_vec("va", "vb"))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", F.col("cluster_id").cast("int").alias("cluster_id"), "cosine")
+    )
+
+
+def resolve_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup resolution with a QUALITY survivorship policy: collapse each
+    near-dup component to the copy with the highest ``score_col``
+    (ties -> smallest id) instead of `resolve_duplicates`' smallest-id
+    rule. The policy production pipelines actually want — near-dup groups
+    usually contain one clean original and N mangled mirrors, and
+    keep-smallest-id keeps whichever was crawled first.
+
+    Same shape as `resolve_duplicates`: min-label connected components
+    over the pair report, one left join to attach components (singletons
+    keep their own id), then ONE component-partitioned window picks the
+    argmax. The window's shuffle key is the component id — components
+    are near-dup groups, so the per-key row count is the duplication
+    depth, bounded and small; no global sort. Pass ``score_col`` ROUNDED
+    (e.g. `text_quality`'s 9-dp score) and the argmax boundary is
+    engine-portable (score DESC, id ASC on equal rounded scores).
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    out = (
+        df.select(F.col(id_col), F.col(score_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc(score_col), F.asc(id_col))
+    return out.select(
+        id_col,
+        "component",
+        score_col,
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
+def dedup_threshold_curve(
+    pairs: DataFrame,
+    thresholds: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """The dedup knob-tuning report: for each candidate similarity
+    threshold, how many pairs fire and how many distinct documents get
+    touched — computed in ONE pass over a single low-threshold pair
+    report instead of re-running the dedup once per knob value (the
+    near-dup join is the expensive part; this reuses it N-fold).
+    One row per threshold: (threshold, n_pairs, n_docs_affected).
+
+    ``pairs`` is any (id_a, id_b, score) report whose score column is
+    named ``jaccard`` (e.g. `ngram_jaccard_pairs` at the LOWEST
+    threshold of interest — its rounded 9-dp score makes the tier
+    comparisons engine-portable). The report is lazily checkpointed (it
+    feeds the pair-count and the affected-doc branches), tiers fan out
+    as struct-array explodes over it, and the distinct-doc count is a
+    two-key grouped distinct — all bounded by the pair report's size,
+    never the corpus.
+    """
+    p = pairs.localCheckpoint(eager=False)
+    th = F.array(*[F.lit(float(t)) for t in thresholds])
+    anchor = (
+        p.agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.explode(th).alias("threshold"))
+    )
+    pc = (
+        p.select(F.explode(th).alias("threshold"), "jaccard")
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    dc = (
+        p.select(
+            F.explode(th).alias("threshold"),
+            F.col("jaccard"),
+            F.array("id_a", "id_b").alias("ids"),
+        )
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .select("threshold", F.explode("ids").alias("d"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_affected"))
+    )
+    return (
+        anchor.join(pc, "threshold", "left")
+        .join(dc, "threshold", "left")
+        .select(
+            F.round("threshold", 2).alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+    )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    base_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """MinHash estimator calibration: for every pair the exact n-gram
+    report finds at ``base_threshold``, the signature-agreement estimate
+    of its Jaccard next to the exact value — the measured answer to "how
+    many hashes do I need?" (`minhash_precision` calibrates the BANDING;
+    this calibrates the ESTIMATOR itself: E[agreement] = Jaccard, with
+    Hoeffding spread ~1/sqrt(num_hashes)).
+
+    Per pair: (id_a, id_b, exact_jaccard, minhash_est, abs_error). All
+    arithmetic is exact-integer (signature min-hashes) or deterministic
+    double division, so the report hash-matches an independent SQL
+    replay — the estimator's RANDOMNESS is fixed by the deterministic
+    two-hash family, making even its errors reproducible.
+
+    Scale shape: one signature pass (grouped min-agg over hashed
+    shingles, O(n) rows) + the existing inverted-index pair report; the
+    estimate join ships only signature columns (num_hashes longs) for
+    the pair rows — pairs x signatures, never corpus x corpus. The two
+    operators each checkpoint their own shingle pass; sharing it across
+    them is possible but the signature agg dominates either way.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, threshold=base_threshold, n=n, text_col=text_col,
+        id_col=id_col, max_df=max_df,
+    )
+    _, sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    # the signature agg feeds BOTH join sides — checkpoint it or the
+    # whole shingle+hash+min pipeline runs twice (union-recompute class)
+    sig = sig.localCheckpoint(eager=False)
+    siga = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    est = eq.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("exact_jaccard"),
+            F.round(est, 6).alias("minhash_est"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_error"),
+        )
     )

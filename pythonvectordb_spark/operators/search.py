@@ -1109,3 +1109,241 @@ def contrastive_triplets(
         m.alias("margin"),
         (m <= 0.0).cast("int").alias("violation"),
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): pick
+    ``k`` results from the relevance top-``shortlist`` greedily, each step
+    taking the candidate maximizing
+    ``lam * rel - (1 - lam) * max_sim_to_already_selected`` — the standard
+    diversity pass between retrieval and a context window (near-duplicate
+    passages waste prompt tokens; MMR is the query-time complement of the
+    offline `dedup` family).
+
+    Scale shape: relevance scoring + the top-``shortlist`` cut is the
+    whole-corpus part (one TakeOrderedAndProject, exactly `knn_search`);
+    everything after runs on the SHORTLIST ONLY. Pairwise similarities
+    among the shortlist are a constant-key broadcast equi-join (bounded
+    ``shortlist^2`` rows — never a corpus-sized product), and the k greedy
+    rounds iterate over these tiny frames with per-round lazy
+    `localCheckpoint`s (the `trade_pagerank` pattern: each round
+    references the previous selection exactly once per branch, keeping
+    the advisor's union-recompute contract).
+
+    Engine-portable boundaries: the shortlist is cut on the score ROUNDED
+    at 9 (id tie-break) and each greedy argmax on the MMR score ROUNDED
+    at 6 (id tie-break) — the `hybrid_rrf_search` contract applied to
+    every selection step.
+    """
+    from pythonvectordb_spark.functions.vector import cosine_similarity_int8_sym
+
+    rel = F.round(cosine_similarity_int8(_query_lit(query), qvec_col), 9)
+    short = (
+        df.select(F.col(id_col), F.col(qvec_col), rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(shortlist)
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        short.select(
+            F.col(id_col).alias("ia"), F.col(qvec_col).alias("qa"), F.lit(1).alias("_one")
+        )
+        .join(
+            F.broadcast(
+                short.select(
+                    F.col(id_col).alias("ib"),
+                    F.col(qvec_col).alias("qb"),
+                    F.lit(1).alias("_one"),
+                )
+            ),
+            "_one",
+        )
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib", F.round(cosine_similarity_int8_sym("qa", "qb"), 9).alias("sim")
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam_c, inv_c = F.lit(float(lam)), F.lit(float(1.0 - lam))
+    base = short.select(id_col, "rel")
+    selected = (
+        base.select(
+            id_col, "rel", F.round(lam_c * F.col("rel"), 6).alias("mmr_score")
+        )
+        .orderBy(F.desc("mmr_score"), F.asc(id_col))
+        .limit(1)
+        .withColumn("rank", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    for r in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.select(F.col(id_col).alias("ib")), "ib", "left_semi"
+            )
+            .groupBy("ia")
+            .agg(F.max("sim").alias("pen"))
+        )
+        pick = (
+            base.join(selected.select(id_col), id_col, "left_anti")
+            .join(pen, F.col(id_col) == F.col("ia"))
+            .select(
+                id_col,
+                "rel",
+                F.round(lam_c * F.col("rel") - inv_c * F.col("pen"), 6).alias(
+                    "mmr_score"
+                ),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc(id_col))
+            .limit(1)
+            .withColumn("rank", F.lit(r))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        F.col("rank").cast("int").alias("rank"), id_col, "rel", "mmr_score"
+    )
+
+
+def ann_recall_curve(
+    base: DataFrame,
+    ann: DataFrame,
+    query: Sequence[float],
+    ks: Sequence[int] = (1, 5, 10, 20),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k curve of an ANN result against the exact float-cosine
+    ground truth, for several cutoffs in one pass — the index-quality
+    report that decides nprobe/rerank knobs (`quantization_recall` is the
+    same audit for the int8 storage format; this one measures the INDEX).
+
+    ``ann`` is any (id, score) frame (e.g. `ann_ivf_pq_search` output);
+    ground truth is computed here. Both rankings are cut and ranked on
+    the score ROUNDED at 9 with id tie-break (engine-portable
+    boundaries). Scale shape: the exact side is one
+    TakeOrderedAndProject over the corpus (the unavoidable ground-truth
+    scan); everything else operates on max(ks)-row frames — the rank
+    windows run AFTER the limit, and the per-k fan-out is an explode of
+    the tiny joined overlap frame, not a corpus operation. The exact
+    shortlist is lazily checkpointed (it anchors the k-axis AND joins
+    the overlap — two references)."""
+    from pyspark.sql import Window
+
+    kmax = int(max(ks))
+    ks_arr = F.array(*[F.lit(int(k)) for k in ks])
+    wr = Window.orderBy(F.desc("r9"), F.asc(id_col))
+    ann_r = (
+        ann.select(id_col, F.round("score", 9).alias("r9"))
+        .orderBy(F.desc("r9"), F.asc(id_col))
+        .limit(kmax)
+        .select(id_col, F.row_number().over(wr).alias("ann_rank"))
+    )
+    exact = (
+        base.select(
+            F.col(id_col),
+            F.round(cosine_similarity(_query_lit(query), vec_col), 9).alias("r9"),
+        )
+        .orderBy(F.desc("r9"), F.asc(id_col))
+        .limit(kmax)
+        .select(id_col, F.row_number().over(wr).alias("exact_rank"))
+        .localCheckpoint(eager=False)
+    )
+    j = ann_r.join(exact, id_col)
+    anchor = exact.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.explode(ks_arr).alias("k")
+    )
+    per_k = (
+        j.select(F.explode(ks_arr).alias("k"), "ann_rank", "exact_rank")
+        .where((F.col("ann_rank") <= F.col("k")) & (F.col("exact_rank") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return anchor.join(per_k, "k", "left").select(
+        F.col("k").cast("int").alias("k"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+            / F.col("k").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def rbo_curve(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    depth: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two ranked
+    shortlists, reported as the full depth curve — the retriever-
+    agreement diagnostic behind hybrid search tuning (`rrf_fuse` blends
+    the lists; this MEASURES how much they agree, top-weighted by
+    ``p^(d-1)`` so disagreement near rank 1 costs more than at the tail).
+    Per depth d: the prefix intersection size, the agreement ratio, and
+    the cumulative truncated RBO.
+
+    Both inputs are shortlists by contract (the corpus-sized work — BM25
+    scoring, knn scan — happens upstream); everything here is
+    depth^2-bounded. The geometric weights are computed ONCE in the
+    driver and embedded as double literals (engine-portable: no runtime
+    `pow`, whose last-ulp behavior differs across libm builds), ranks
+    come from windows over the <=depth-row frames, and the cumulative
+    sum folds in ascending-d order on both engines. Ranks and the
+    cumulative fold use scores as given — pass them ROUNDED (the
+    registered query rounds at 9) for engine-portable rank boundaries.
+    """
+    from pyspark.sql import Window
+
+    wa = Window.orderBy(F.desc(score_a), F.asc(id_col))
+    wb = Window.orderBy(F.desc(score_b), F.asc(id_col))
+    ra = list_a.select(F.col(id_col), F.row_number().over(wa).alias("rank_a"))
+    rb = list_b.select(F.col(id_col), F.row_number().over(wb).alias("rank_b"))
+    j = ra.join(rb, id_col).localCheckpoint(eager=False)
+    weights = [(d, (1.0 - p) * p ** (d - 1)) for d in range(1, depth + 1)]
+    dw = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.lit(w).alias("w"))
+            for d, w in weights
+        ]
+    )
+    anchor = (
+        j.agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.explode(dw).alias("s"))
+        .select(F.col("s.d").alias("d"), F.col("s.w").alias("w"))
+    )
+    per = (
+        j.select(F.explode(dw).alias("s"), "rank_a", "rank_b")
+        .where(
+            (F.col("rank_a") <= F.col("s.d")) & (F.col("rank_b") <= F.col("s.d"))
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    joined = anchor.join(per, "d", "left").select(
+        "d",
+        "w",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+    )
+    contrib = F.col("w") * (
+        F.col("n_overlap").cast("double") / F.col("d").cast("double")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.col("d").cast("int").alias("d"),
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / F.col("d").cast("double"), 6
+        ).alias("agreement"),
+        F.round(F.sum(contrib).over(wcum), 6).alias("rbo_cum"),
+    )

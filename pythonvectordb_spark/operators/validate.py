@@ -133,3 +133,64 @@ def dq_report(
         "n_violations",
         (F.col("n_violations") == 0).cast("int").alias("ok"),
     )
+
+
+def k_anonymity_report(
+    events: DataFrame, k: int = 5, l_div: int = 3
+) -> DataFrame:
+    """K-anonymity / l-diversity audit over the events table — the privacy
+    gate a training-data pipeline runs before exporting behavioral data
+    (the complement of `curation.pii_scrub`: scrubbing removes literal
+    identifiers; this measures RE-IDENTIFICATION risk from quasi-
+    identifier combinations).
+
+    Quasi-identifier class = (event_type, hour-of-day, value bucket of
+    100). A class is k-RISKY if it holds fewer than ``k`` rows (an
+    attacker who knows the quasi-identifiers pins the row to a small
+    crowd) and LOW-DIVERSITY if its rows belong to fewer than ``l_div``
+    distinct users (even a large class is revealing when one user fills
+    it). One row per event_type: class counts, risky-row share.
+
+    Scale shape: two map-side-combined aggregations — corpus -> classes
+    (shuffle key is the 3-column quasi-identifier, count + distinct-user
+    count ride the same pass), classes -> per-type summary (tiny). Hour
+    buckets use epoch arithmetic (exact longs, engine-portable), never
+    session-zone-dependent timestamp fields.
+    """
+    hod = (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long")
+    vbucket = F.floor(F.col("value") / 100).cast("long")
+    classes = events.groupBy(
+        F.col("event_type"), hod.alias("hod"), vbucket.alias("vbucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    risky = F.col("n_rows") < k
+    return (
+        classes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(risky, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_risky_classes"),
+            F.sum(F.when(risky, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_risky_rows"),
+            F.sum("n_rows").cast("long").alias("n_total_rows"),
+            F.sum(F.when(F.col("n_users") < l_div, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_low_diversity"),
+        )
+        .select(
+            "event_type",
+            "n_classes",
+            "n_risky_classes",
+            "n_risky_rows",
+            "n_low_diversity",
+            F.round(
+                F.col("n_risky_rows").cast("double")
+                / F.col("n_total_rows").cast("double"),
+                6,
+            ).alias("risky_row_share"),
+        )
+    )

@@ -4508,7 +4508,7 @@ def o_ann_ivf_pq() -> str:
     return _o_ann_ivf_pq(FX.CENTROIDS, FX.PQ_CODEBOOKS)
 
 
-def _o_ann_ivf_pq(centroids, codebooks, nprobe: int = 4) -> str:
+def _o_ann_ivf_pq(centroids, codebooks, nprobe: int = 4, k: int = 10) -> str:
     probe = S.ivf_probe(FX.QUERY_VEC, centroids, nprobe=nprobe)
     sims = ", ".join(O.sql_cosine_float_lit(c, "embedding") for c in centroids)
     probe_list = ", ".join(str(p) for p in probe)
@@ -4530,7 +4530,7 @@ d AS ({dists}), c AS ({codes}),
 adc AS (SELECT vec_id, embedding, ({lookups}) AS adc_dist FROM c),
 short AS (SELECT * FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 100)
 SELECT vec_id, round({cos}, 9) AS score
-FROM short ORDER BY score DESC, vec_id ASC LIMIT 10
+FROM short ORDER BY score DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -6130,13 +6130,427 @@ FROM agg
 """
 
 
+UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
+
+
+def q_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (new round 4): spread a 100k-token budget
+    uniformly across sources with a 4-epoch cap — the water-filling loop
+    collapsed to its closed form (capped set = ascending-size prefix),
+    so it's two window passes over the per-source aggregate
+    (`operators/curation.unimax_epochs`)."""
+    return CU.unimax_epochs(
+        load_table(spark, sf_dir, "documents"), budget=UNIMAX_BUDGET, max_epochs=4
+    )
+
+
+def o_unimax_epochs(budget: int = UNIMAX_BUDGET, max_epochs: int = 4) -> str:
+    # same closed form: j/cum_before/n_src from windows, fair share as a
+    # division of exact integers (identical IEEE doubles), the prefix
+    # boundary compared on the share ROUNDED at 6 on both sides
+    return f"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len({O.sql_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT source, n_tokens,
+         CAST({max_epochs} * n_tokens AS BIGINT) AS cap_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS j,
+         CAST(sum({max_epochs} * n_tokens) OVER (ORDER BY n_tokens, source
+              ROWS UNBOUNDED PRECEDING) - {max_epochs} * n_tokens AS BIGINT)
+           AS cum_before,
+         CAST(count(*) OVER () AS BIGINT) AS n_src
+  FROM s
+),
+f AS (
+  SELECT *, ({budget} - cum_before)::DOUBLE / (n_src - j + 1)::DOUBLE AS fair,
+         cap_tokens::DOUBLE >= round(({budget} - cum_before)::DOUBLE
+                                     / (n_src - j + 1)::DOUBLE, 6) AS uncapped
+  FROM r
+),
+t1 AS (
+  SELECT *, min(CASE WHEN uncapped THEN j END) OVER () AS t_pos FROM f
+),
+t AS (
+  SELECT *, max(CASE WHEN j = t_pos THEN fair END) OVER () AS fair_t FROM t1
+)
+SELECT source, n_tokens,
+       round(CASE WHEN t_pos IS NULL OR j < t_pos
+                  THEN cap_tokens::DOUBLE ELSE fair_t END, 6) AS alloc_tokens,
+       round((CASE WHEN t_pos IS NULL OR j < t_pos
+                   THEN cap_tokens::DOUBLE ELSE fair_t END)
+             / n_tokens::DOUBLE, 6) AS epochs,
+       CAST(t_pos IS NULL OR j < t_pos AS INT) AS capped
+FROM t
+"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank (new round 4): greedy top-5 from the
+    relevance top-20 maximizing `0.7*rel - 0.3*max_sim_to_selected` —
+    the query-time diversity pass between retrieval and the context
+    window (`operators/search.mmr_rerank`). Every selection boundary is
+    on ROUNDED scores with id tie-break, so the greedy path is
+    engine-portable step by step."""
+    return S.mmr_rerank(_emb(spark, sf_dir), FX.QUERY_VEC, k=5, shortlist=20)
+
+
+def o_mmr_rerank(k: int = 5, shortlist: int = 20, lam: float = 0.7) -> str:
+    qv = O.sql_qvec("embedding")
+    rel = O.sql_cosine_int8_lit(FX.QUERY_VEC, "qv")
+    sym = (
+        "(list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        " / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        " * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)))"
+    )
+    lam_l = f"{float(lam)!r}::DOUBLE"
+    inv_l = f"{float(1.0 - lam)!r}::DOUBLE"
+    ctes = [
+        f"base AS (SELECT vec_id, {qv} AS qv FROM embeddings)",
+        f"""short AS (
+  SELECT vec_id, qv, round({rel}, 9) AS rel FROM base
+  ORDER BY round({rel}, 9) DESC, vec_id ASC LIMIT {shortlist})""",
+        f"""p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, round({sym}, 9) AS sim
+  FROM short a JOIN short b ON a.vec_id != b.vec_id)""",
+        f"""s1 AS (
+  SELECT 1 AS rank, vec_id, rel, round({lam_l} * rel, 6) AS mmr_score
+  FROM short ORDER BY round({lam_l} * rel, 6) DESC, vec_id ASC LIMIT 1)""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""s{r} AS (
+  SELECT {r} AS rank, c.vec_id, c.rel,
+         round({lam_l} * c.rel - {inv_l} * (
+           SELECT max(p.sim) FROM p
+           WHERE p.ia = c.vec_id
+             AND p.ib IN (SELECT vec_id FROM sel{r - 1})), 6) AS mmr_score
+  FROM short c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+  ORDER BY mmr_score DESC, vec_id ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r})"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr_score FROM sel{k}
+"""
+
+
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall curve (new round 4): recall@{1,5,10,20} of the
+    production trained IVF+PQ configuration (nprobe=6, rerank=100)
+    against the exact float-cosine ground truth — the index-quality
+    report behind the nprobe/rerank knobs, as a registered query
+    (`operators/search.ann_recall_curve`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.ann_ivf_pq_search(
+        emb,
+        FX.QUERY_VEC,
+        FT.CENTROIDS_TRAINED,
+        FT.PQ_CODEBOOKS_TRAINED,
+        k=20,
+        nprobe=6,
+        rerank=100,
+    )
+    return S.ann_recall_curve(emb, ann, FX.QUERY_VEC, ks=(1, 5, 10, 20))
+
+
+def o_ann_recall_curve() -> str:
+    ann = _o_ann_ivf_pq(
+        FT.CENTROIDS_TRAINED, FT.PQ_CODEBOOKS_TRAINED, nprobe=6, k=20
+    ).strip()
+    cos = O.sql_cosine_float_lit(FX.QUERY_VEC, "embedding")
+    return f"""
+WITH ann AS ({ann}),
+ar AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS ann_rank
+  FROM ann
+),
+ex AS (
+  SELECT vec_id, round({cos}, 9) AS r9 FROM embeddings
+  ORDER BY r9 DESC, vec_id ASC LIMIT 20
+),
+er AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY r9 DESC, vec_id ASC) AS exact_rank
+  FROM ex
+),
+j AS (SELECT ar.vec_id, ann_rank, exact_rank FROM ar JOIN er USING (vec_id)),
+ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+SELECT CAST(k AS INT) AS k,
+       CAST((SELECT count(*) FROM j
+             WHERE ann_rank <= ks.k AND exact_rank <= ks.k) AS BIGINT)
+         AS n_overlap,
+       round((SELECT count(*) FROM j
+              WHERE ann_rank <= ks.k AND exact_rank <= ks.k)::DOUBLE
+             / k::DOUBLE, 6) AS recall
+FROM ks
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity / l-diversity audit (new round 4): per event_type,
+    how many (type, hour-of-day, value-bucket) quasi-identifier classes
+    hold <5 rows or <3 distinct users — the re-identification-risk gate
+    before exporting behavioral data
+    (`operators/validate.k_anonymity_report`)."""
+    from pythonvectordb_spark.operators import validate as V
+
+    return V.k_anonymity_report(load_table(spark, sf_dir, "events"), k=5, l_div=3)
+
+
+def o_k_anonymity(k: int = 5, l_div: int = 3) -> str:
+    return f"""
+WITH classes AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+         CAST(floor(value / 100) AS BIGINT) AS vbucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(coalesce(sum(CASE WHEN n_rows < {k} THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_risky_classes,
+       CAST(coalesce(sum(CASE WHEN n_rows < {k} THEN n_rows ELSE 0 END), 0) AS BIGINT)
+         AS n_risky_rows,
+       CAST(coalesce(sum(CASE WHEN n_users < {l_div} THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_low_diversity,
+       round(coalesce(sum(CASE WHEN n_rows < {k} THEN n_rows ELSE 0 END), 0)::DOUBLE
+             / sum(n_rows)::DOUBLE, 6) AS risky_row_share
+FROM classes GROUP BY 1
+"""
+
+
+def q_resolve_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-survivorship dedup resolution (new round 4): each >=0.8
+    Jaccard near-dup component keeps its HIGHEST-quality copy (9-dp
+    rounded `text_quality` score, id tie-break) instead of the
+    smallest-id copy — the survivorship policy production dedup actually
+    wants (`operators/dedup.resolve_keep_best`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = TX.text_quality(docs).select("doc_id", "quality_score")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8, max_df=NGRAM_MAX_DF)
+    return DD.resolve_keep_best(quality, pairs)
+
+
+def o_resolve_keep_best() -> str:
+    # closure oracle (the o_dedup_resolve pattern) + the verified
+    # text_quality score wrapped as a derived table (WRAP pattern)
+    quality_body = o_text_quality().strip()
+    return f"""
+WITH RECURSIVE {_SH_CTE},
+{_EDGES_SQL},
+sym(a, b) AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+q AS (SELECT doc_id, quality_score FROM ({quality_body}) t),
+j AS (
+  SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component,
+         q.quality_score
+  FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT doc_id, component, quality_score, (rn = 1) AS is_survivor FROM r
+"""
+
+
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap curve (new round 4): top-weighted agreement
+    between the BM25 lexical top-20 and the int8-cosine knn top-20
+    (p=0.9, geometric weights embedded as literals on both engines) —
+    the retriever-agreement diagnostic behind `hybrid_rrf_search`'s
+    fusion (`operators/search.rbo_curve`)."""
+    bm25 = q_bm25_rank(spark, sf_dir)  # (doc_id, bm25) top-20, rounded
+    knn = S.knn_search(_emb(spark, sf_dir), FX.QUERY_VEC, k=20, round_to=9).select(
+        F.col("vec_id").alias("doc_id"), F.col("score")
+    )
+    return S.rbo_curve(bm25, knn, "doc_id", "bm25", "score", depth=20, p=0.9)
+
+
+def o_rbo_overlap(depth: int = 20, p: float = 0.9) -> str:
+    qv = O.sql_qvec("embedding")
+    weights = [(d, (1.0 - p) * p ** (d - 1)) for d in range(1, depth + 1)]
+    dw_rows = ", ".join(f"({d}, {w!r}::DOUBLE)" for d, w in weights)
+    return f"""
+WITH bm AS ({o_bm25_rank()}),
+knn AS (
+  SELECT vec_id AS doc_id, round({O.sql_cosine_int8_lit(FX.QUERY_VEC, 'qvec')}, 9) AS score
+  FROM (SELECT vec_id, {qv} AS qvec FROM embeddings) q
+  ORDER BY score DESC, doc_id ASC LIMIT 20
+),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_a FROM bm),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_b FROM knn),
+j AS (SELECT ra.doc_id, rank_a, rank_b FROM ra JOIN rb USING (doc_id)),
+dw(d, w) AS (VALUES {dw_rows}),
+per AS (
+  SELECT d, w,
+         (SELECT count(*) FROM j WHERE rank_a <= dw.d AND rank_b <= dw.d)
+           AS n_overlap
+  FROM dw
+)
+SELECT CAST(d AS INT) AS d,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       round(n_overlap::DOUBLE / d::DOUBLE, 6) AS agreement,
+       round(sum(w * (n_overlap::DOUBLE / d::DOUBLE))
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 6) AS rbo_cum
+FROM per
+"""
+
+
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram coverage (new round 4): per val/test doc, the
+    share of its 3-gram shingles that also occur anywhere in the train
+    split — the soft-memorization eval audit `split_leakage`'s pair
+    report can't see (`operators/curation.ngram_coverage`)."""
+    return CU.ngram_coverage(load_table(spark, sf_dir, "documents"), n=3)
+
+
+def o_ngram_coverage() -> str:
+    from pythonvectordb_spark.operators.curation import SPLIT_BOUNDS, SPLIT_LAST
+
+    u = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {u} < {b} THEN '{name}'" for name, b in SPLIT_BOUNDS)
+        + f" ELSE '{SPLIT_LAST}' END"
+    )
+    return f"""
+WITH {_SH_CTE},
+sp AS (SELECT doc_id, {case} AS split FROM documents),
+base AS (SELECT sh.doc_id, sp.split, sh.sh FROM sh JOIN sp USING (doc_id)),
+ex AS (SELECT doc_id, split, unnest(sh) AS g FROM base),
+vocab AS (SELECT DISTINCT g FROM ex WHERE split = 'train'),
+cov AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_covered
+  FROM ex e JOIN vocab v USING (g)
+  WHERE e.split != 'train' GROUP BY 1
+),
+per AS (
+  SELECT doc_id, split, CAST(len(sh) AS BIGINT) AS n_shingles
+  FROM base WHERE split != 'train'
+)
+SELECT per.doc_id, per.split, per.n_shingles,
+       CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       round(CASE WHEN per.n_shingles > 0
+                  THEN coalesce(cov.n_covered, 0)::DOUBLE
+                       / per.n_shingles::DOUBLE
+                  ELSE 0.0 END, 6) AS coverage
+FROM per LEFT JOIN cov ON per.doc_id = cov.doc_id
+"""
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold knob report (new round 4): pair and affected-doc
+    counts at thresholds 0.5-0.9, computed from ONE low-threshold
+    n-gram Jaccard pair report instead of five dedup runs
+    (`operators/dedup.dedup_threshold_curve`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=NGRAM_MAX_DF)
+    return DD.dedup_threshold_curve(pairs)
+
+
+def o_dedup_threshold_curve(thresholds=(0.5, 0.6, 0.7, 0.8, 0.9)) -> str:
+    th_rows = ", ".join(f"({float(t)!r}::DOUBLE)" for t in thresholds)
+    return f"""
+WITH {_SH_CTE},
+{_SH_KEPT_CTE.strip()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shv, b.shv))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM shk a JOIN shk b ON a.doc_id < b.doc_id
+),
+pj AS (
+  SELECT id_a, id_b, round({_JACCARD}, 9) AS j
+  FROM cand WHERE {_JACCARD} >= 0.5
+),
+th(t) AS (VALUES {th_rows})
+SELECT round(t, 2) AS threshold,
+       CAST((SELECT count(*) FROM pj WHERE j >= th.t) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(DISTINCT d)
+             FROM (SELECT unnest([id_a, id_b]) AS d, j FROM pj) u
+             WHERE u.j >= th.t) AS BIGINT) AS n_docs_affected
+FROM th
+"""
+
+
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (new round 4): per exact >=0.5
+    Jaccard pair, the 48-hash signature-agreement estimate next to the
+    exact value — the how-many-hashes report; the estimator's
+    "randomness" is the deterministic two-hash family, so even its
+    errors hash-match an independent SQL replay
+    (`operators/dedup.minhash_estimate_error`)."""
+    return DD.minhash_estimate_error(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=48,
+        base_threshold=0.5,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
+def o_minhash_estimate_error(num_hashes: int = 48) -> str:
+    from pythonvectordb_spark.functions.text import MINHASH_P, minhash_params
+
+    params = minhash_params(num_hashes)
+    sigs = ", ".join(
+        f"min(({a}::BIGINT * h1 + {b}::BIGINT * h2) % {MINHASH_P}::BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    eq = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH {_SH_CTE},
+{_SH_KEPT_CTE.strip()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shv, b.shv))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM shk a JOIN shk b ON a.doc_id < b.doc_id
+),
+pj AS (
+  SELECT id_a, id_b, round({_JACCARD}, 9) AS exact_jaccard
+  FROM cand WHERE {_JACCARD} >= 0.5
+),
+hashed AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+           FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) i),
+sig AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id)
+SELECT pj.id_a, pj.id_b, pj.exact_jaccard,
+       round(({eq})::DOUBLE / {float(num_hashes)!r}, 6) AS minhash_est,
+       round(abs(({eq})::DOUBLE / {float(num_hashes)!r} - pj.exact_jaccard), 6)
+         AS abs_error
+FROM pj JOIN sig sa ON pj.id_a = sa.doc_id JOIN sig sb ON pj.id_b = sb.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
-    # round 3 (the staged ROUND-4 ROTATION, executed), the 31 queries new
-    # this round, and 10 round-3-green continuity witnesses. After this
+    # round 3 (the staged ROUND-4 ROTATION, executed), the 40 queries new
+    # this round, and 1 round-3-green continuity witness. After this
     # round every registered query has had a driver row: coverage
-    # closes at 179/179 witnessed. ------------------------------------
+    # closes at 188/188 witnessed. ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -6177,6 +6591,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_violations": q_dq_violations,  # new r4: dbt-test rule suite
     "tokenizer_fertility": q_tokenizer_fertility,  # new r4: tokens-per-word
     "bpe_merge_pairs": q_bpe_merge_pairs,  # new r4: BPE merge-1 table
+    "unimax_epochs": q_unimax_epochs,  # new r4: capped uniform budget
+    "mmr_rerank": q_mmr_rerank,  # new r4: diversity rerank
+    "ann_recall_curve": q_ann_recall_curve,  # new r4: index-quality report
+    "k_anonymity": q_k_anonymity,  # new r4: re-identification risk gate
+    "resolve_keep_best": q_resolve_keep_best,  # new r4: quality survivorship
+    "rbo_overlap": q_rbo_overlap,  # new r4: retriever agreement curve
+    "ngram_coverage": q_ngram_coverage,  # new r4: soft-memorization audit
+    "dedup_threshold_curve": q_dedup_threshold_curve,  # new r4: knob report
+    "minhash_estimate_error": q_minhash_estimate_error,  # new r4: estimator calib
     # --- round-3-green continuity witnesses --------------------------
     "supplier_part_counts": q_supplier_part_counts,
     "event_value_regression": q_event_value_regression,
@@ -6451,6 +6874,15 @@ ORACLES: dict[str, str] = {
     "dq_violations": o_dq_violations(),
     "tokenizer_fertility": o_tokenizer_fertility(),
     "bpe_merge_pairs": o_bpe_merge_pairs(),
+    "unimax_epochs": o_unimax_epochs(),
+    "mmr_rerank": o_mmr_rerank(),
+    "ann_recall_curve": o_ann_recall_curve(),
+    "k_anonymity": o_k_anonymity(),
+    "resolve_keep_best": o_resolve_keep_best(),
+    "rbo_overlap": o_rbo_overlap(),
+    "ngram_coverage": o_ngram_coverage(),
+    "dedup_threshold_curve": o_dedup_threshold_curve(),
+    "minhash_estimate_error": o_minhash_estimate_error(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

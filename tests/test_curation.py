@@ -373,3 +373,68 @@ def test_dedup_inflation_counts_copies(spark):
     m = got["mirror"]
     assert (m.n_docs, m.unique_docs, m.n_tokens, m.unique_tokens) == (4, 2, 14, 6)
     assert m.inflation == round(14 / 6, 6)
+
+
+def test_unimax_epochs_water_filling(spark):
+    from pythonvectordb_spark.operators.curation import unimax_epochs
+
+    # sources of 10 / 20 / 70 tokens
+    rows = [
+        (1, " ".join(["a"] * 10), "small"),
+        (2, " ".join(["b"] * 20), "mid"),
+        (3, " ".join(["c"] * 70), "big"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def run(budget, cap=2):
+        return {
+            r["source"]: r.asDict()
+            for r in unimax_epochs(df, budget=budget, max_epochs=cap).collect()
+        }
+
+    # budget >= cap * total: every source fully capped
+    allcap = run(1000)
+    assert all(v["capped"] == 1 and v["epochs"] == 2.0 for v in allcap.values())
+    assert sum(v["alloc_tokens"] for v in allcap.values()) == 200.0
+
+    # tiny budget: nobody reaches the cap, equal fair shares
+    none = run(30)
+    assert all(v["capped"] == 0 for v in none.values())
+    assert all(v["alloc_tokens"] == 10.0 for v in none.values())
+
+    # mixed: small is capped at 2x10=20, the rest split the remainder
+    mixed = run(120)
+    assert mixed["small"]["capped"] == 1 and mixed["small"]["alloc_tokens"] == 20.0
+    assert mixed["mid"]["capped"] == 1 and mixed["mid"]["alloc_tokens"] == 40.0
+    assert mixed["big"]["capped"] == 0 and mixed["big"]["alloc_tokens"] == 60.0
+    # the water-filling invariant: the budget is exactly spent
+    assert sum(v["alloc_tokens"] for v in mixed.values()) == 120.0
+
+
+def test_ngram_coverage_bounds_and_identity(spark):
+    """A held-out doc repeating only train text covers 1.0; one made of
+    unseen words covers 0.0; short docs (<n tokens) report 0 shingles."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.curation import hash_split, ngram_coverage
+
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+        + [(100, "alpha beta gamma delta"), (106, "qq ww ee rr tt"), (102, "one two")],
+        "doc_id long, text string",
+    )
+    splits = {r["doc_id"]: r["split"] for r in hash_split(base).collect()}
+    # the fixed ids 100-102 must be non-train for the assertions to bite;
+    # md5 split is deterministic, so just verify the assumption explicitly
+    out = {r["doc_id"]: r.asDict() for r in ngram_coverage(base, n=3).collect()}
+    for d in (100, 106, 102):
+        if splits[d] == "train":
+            continue  # deterministic split happened to bucket it as train
+        assert d in out
+    if splits[100] != "train" and any(splits[i] == "train" for i in range(40)):
+        assert out[100]["coverage"] == 1.0  # all 3-grams seen in train
+    # 100 -> test, 106 -> val, 102 -> val under the registered md5 split
+    assert splits[100] != "train" and splits[106] != "train" and splits[102] != "train"
+    assert out[106]["coverage"] == 0.0  # novel vocabulary
+    if splits[102] != "train":
+        assert out[102]["n_shingles"] == 0 and out[102]["coverage"] == 0.0

@@ -680,3 +680,143 @@ def test_contrastive_triplets_picks_nearest_pos_and_neg(spark):
     t3 = got[3]  # anchor 3's own positive is 4 (d=1.4), negative 2 (d=0.05)
     assert (t3.pos_id, t3.neg_id) == (4, 2)
     assert t3.margin < 0 and t3.violation == 1  # planted violation
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Two near-identical top-relevance vectors: pure relevance ranks them
+    1-2; MMR must pick the diverse (lower-relevance) direction second."""
+    import math
+
+    from pythonvectordb_spark.operators.search import mmr_rerank, with_qvec
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, unit(1.0, 0.01, 0.0, 0.0), 0),   # rel ~1
+        (2, unit(1.0, 0.011, 0.0, 0.0), 0),  # near-clone of 1
+        (3, unit(0.8, 0.0, 0.6, 0.0), 0),    # lower rel, diverse
+        (4, unit(0.1, 0.0, 0.0, 1.0), 0),    # low rel, very diverse
+    ]
+    df = with_qvec(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+    )
+    out = {
+        r["rank"]: r["vec_id"]
+        for r in mmr_rerank(df, q, k=4, shortlist=4, lam=0.3).collect()
+    }
+    # relevance-only order would be 1, 2 (the clone), 3, 4; under a
+    # diversity-heavy lambda the clone drops to LAST
+    assert out == {1: 1, 2: 4, 3: 3, 4: 2}
+
+
+def test_ann_recall_curve_counts_overlap(spark):
+    """Hand-built ANN frame vs known exact ranking: recall@k must count
+    the rank-limited intersection, including a zero-overlap cutoff."""
+    from pythonvectordb_spark.operators.search import ann_recall_curve
+
+    q = [1.0, 0.0]
+    # exact float-cosine order by construction: 1 > 2 > 3 > 4
+    base = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.8, 0.3]),
+            (4, [0.1, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # ANN got the top-1 wrong but found 2 and 3
+    ann = spark.createDataFrame(
+        [(2, 0.95), (3, 0.9), (4, 0.2)], "vec_id long, score double"
+    )
+    out = {
+        r["k"]: (r["n_overlap"], r["recall"])
+        for r in ann_recall_curve(base, ann, q, ks=(1, 2, 3)).collect()
+    }
+    assert out[1] == (0, 0.0)        # ann rank1=2, exact rank1=1
+    assert out[2] == (1, 0.5)        # overlap {2}
+    assert out[3] == (2, round(2 / 3, 6))  # overlap {2,3}
+
+
+def test_resolve_keep_best_prefers_quality(spark):
+    """Component survivorship must follow the score, not the smallest id,
+    with id as tie-break; singletons survive untouched."""
+    from pythonvectordb_spark.operators.dedup import resolve_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in resolve_keep_best(df, pairs).collect()}
+    # component {1,2,3}: 2 and 3 tie on score, 2 wins on id
+    assert out[2]["is_survivor"] is True
+    assert out[1]["is_survivor"] is False and out[3]["is_survivor"] is False
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"]
+    assert out[10]["is_survivor"] is True  # singleton
+
+
+def test_rbo_curve_identical_and_disjoint(spark):
+    """RBO = 1 - p^D for identical lists truncated at D; 0 for disjoint;
+    the per-depth agreement tracks the prefix intersection."""
+    from pythonvectordb_spark.operators.search import rbo_curve
+
+    a = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, s double"
+    )
+    same = rbo_curve(a, a.select("doc_id", F.col("s").alias("s2")),
+                     "doc_id", "s", "s2", depth=3, p=0.9).collect()
+    by_d = {r["d"]: r for r in same}
+    assert all(by_d[d]["agreement"] == 1.0 for d in (1, 2, 3))
+    # truncated RBO of identical lists = sum_{d<=D} (1-p) p^(d-1) = 1 - p^D
+    assert abs(by_d[3]["rbo_cum"] - (1 - 0.9 ** 3)) < 1e-6
+
+    b = spark.createDataFrame(
+        [(10, 3.0), (11, 2.0), (12, 1.0)], "doc_id long, s2 double"
+    )
+    disjoint = rbo_curve(a, b, "doc_id", "s", "s2", depth=3, p=0.9).collect()
+    assert all(r["rbo_cum"] == 0.0 and r["n_overlap"] == 0 for r in disjoint)
+
+
+def test_dedup_threshold_curve_monotone(spark):
+    """Counts must be monotone non-increasing in the threshold and match
+    a hand-computed pair report."""
+    from pythonvectordb_spark.operators.dedup import dedup_threshold_curve
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.75), (4, 5, 0.55), (6, 7, 0.85)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r["threshold"]: r.asDict() for r in dedup_threshold_curve(pairs).collect()}
+    assert out[0.5]["n_pairs"] == 4 and out[0.5]["n_docs_affected"] == 7
+    assert out[0.7]["n_pairs"] == 3 and out[0.7]["n_docs_affected"] == 5
+    assert out[0.8]["n_pairs"] == 2 and out[0.8]["n_docs_affected"] == 4
+    assert out[0.9]["n_pairs"] == 1 and out[0.9]["n_docs_affected"] == 2
+    ths = sorted(out)
+    assert all(
+        out[a]["n_pairs"] >= out[b]["n_pairs"] for a, b in zip(ths, ths[1:])
+    )
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """On the real corpus: E[agreement] = Jaccard, so the mean absolute
+    estimator error at 48 hashes must sit well inside the Hoeffding
+    spread (~1/sqrt(48) ~ 0.14), and identical docs estimate 1.0."""
+    from pythonvectordb_spark.operators.dedup import minhash_estimate_error
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = minhash_estimate_error(docs, num_hashes=48).collect()
+    assert rows, "the sf0.001 corpus has >=0.5-Jaccard pairs by construction"
+    mean_err = sum(r["abs_error"] for r in rows) / len(rows)
+    assert mean_err < 0.10, mean_err
+    for r in rows:
+        if r["exact_jaccard"] == 1.0:
+            assert r["minhash_est"] == 1.0  # identical sets agree everywhere

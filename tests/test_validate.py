@@ -76,3 +76,30 @@ def test_seeded_violations_are_counted(spark):
     got = {k: rep[k]["n_violations"] for k in expected}
     assert got == expected, got
     assert all(rep[k]["ok"] == 0 for k in expected)
+
+
+def test_k_anonymity_report(spark):
+    import datetime
+
+    from pythonvectordb_spark.operators.validate import k_anonymity_report
+
+    t = datetime.datetime(2024, 1, 1, 10, 30)  # hod 10 for all rows
+    rows = []
+    # class A: 5 rows, 3 users -> safe on both axes (k=5, l=3)
+    rows += [(i, t, 100 + (i % 3), "view", 10.0, "{}") for i in range(5)]
+    # class B: 2 rows, 1 user -> k-risky AND low-diversity
+    rows += [(10 + i, t, 200, "click", 150.0, "{}") for i in range(2)]
+    # class C: 6 rows, 2 users -> safe size but low diversity
+    rows += [(20 + i, t, 300 + (i % 2), "view", 250.0, "{}") for i in range(6)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rep = {r["event_type"]: r.asDict() for r in k_anonymity_report(df).collect()}
+    v, c = rep["view"], rep["click"]
+    assert (v["n_classes"], v["n_risky_classes"], v["n_risky_rows"]) == (2, 0, 0)
+    assert v["n_low_diversity"] == 1  # class C: 2 users < 3
+    assert v["risky_row_share"] == 0.0
+    assert (c["n_classes"], c["n_risky_classes"], c["n_risky_rows"]) == (1, 1, 2)
+    assert c["n_low_diversity"] == 1 and c["risky_row_share"] == 1.0
