@@ -102,6 +102,20 @@ def ngram_jaccard_pairs(
     # it, and without this the Arrow shingling UDF re-executes per
     # branch (shuffle reuse only dedups post-Exchange subtrees)
     sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
+    return jaccard_pairs_from_shingles(sh, threshold, id_col, max_df)
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """`ngram_jaccard_pairs` body over a prebuilt (id, sh) shingle frame —
+    exposed so callers that also need the shingles for something else
+    (e.g. `minhash_estimate_error`'s signatures) shingle the corpus
+    ONCE. ``sh`` must already be checkpointed/cached: sizes, the df-cap
+    scan, and both self-join sides all read it."""
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     if max_df is not None:
@@ -188,6 +202,7 @@ def minhash_signatures(
     num_hashes: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(shingle-sets, per-doc MinHash signature) — the signature half of
     `_minhash_banded`, exposed so estimator-calibration queries
@@ -197,8 +212,10 @@ def minhash_signatures(
 
     The shingle frame is lazily checkpointed: it feeds the signature
     pipeline AND any exact-verify join the caller builds on it — one
-    Arrow shingling pass, not one per consumer."""
-    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
+    Arrow shingling pass, not one per consumer. Pass a prebuilt
+    (checkpointed) ``sh`` to share that pass with other consumers."""
+    if sh is None:
+        sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     hashed = inv.select(
         F.col(id_col),
@@ -1108,13 +1125,16 @@ def minhash_estimate_error(
     operators each checkpoint their own shingle pass; sharing it across
     them is possible but the signature agg dominates either way.
     """
-    pairs = ngram_jaccard_pairs(
-        df, threshold=base_threshold, n=n, text_col=text_col,
-        id_col=id_col, max_df=max_df,
+    # ONE shingle pass shared by the exact-pair report and the signature
+    # pipeline (profiled at sf0.1: the Arrow shingling is a top cost and
+    # running two independent operators paid it twice)
+    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
+    pairs = jaccard_pairs_from_shingles(
+        sh, threshold=base_threshold, id_col=id_col, max_df=max_df
     )
-    _, sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    _, sig = minhash_signatures(df, n, num_hashes, text_col, id_col, sh=sh)
     # the signature agg feeds BOTH join sides — checkpoint it or the
-    # whole shingle+hash+min pipeline runs twice (union-recompute class)
+    # whole hash+min pipeline runs twice (union-recompute class)
     sig = sig.localCheckpoint(eager=False)
     siga = sig.select(
         F.col(id_col).alias("id_a"),
