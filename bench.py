@@ -129,6 +129,9 @@ HEADLINE = [
     "ngram_coverage",
     "dedup_threshold_curve",
     "minhash_estimate_error",
+    "neyman_allocation",
+    "source_entropy",
+    "embedding_drift",
 ]
 
 

@@ -76,9 +76,37 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         or 0
     )
 
-    # 3c. token-budget epoch plan over the deduplicated corpus
+    # 3b'. survivorship policy check: keep-best-quality vs keep-smallest-id
+    # (same components; counts how many groups a quality policy re-picks)
+    from pythonvectordb_spark.operators.curation import ngram_coverage
+    from pythonvectordb_spark.operators.dedup import resolve_keep_best
+    from pythonvectordb_spark.operators.textops import text_quality
+
+    quality = text_quality(docs_q).select("doc_id", "quality_score")
+    by_quality = resolve_keep_best(quality, pairs)
+    upgraded = (
+        by_quality.filter(F.col("is_survivor"))
+        .join(
+            resolved.filter(F.col("is_survivor")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        .count()
+    )
+
+    # 3b''. soft-memorization audit: how much of the held-out split's
+    # n-grams the train split already covers (1.0 = fully memorizable)
+    cov = ngram_coverage(docs_q, n=3)
+    mean_cov = cov.agg(F.avg("coverage")).first()[0] or 0.0
+
+    # 3c. token-budget epoch plan over the deduplicated corpus, plus the
+    # UniMax capped-uniform allocation as the alternative policy
+    from pythonvectordb_spark.operators.curation import unimax_epochs
+
     plan = epoch_plan(docs_d, budget_tokens=100_000)
     n_oversampled = plan.filter(F.col("oversampled") == 1).count()
+    unimax = unimax_epochs(docs_d, budget=100_000, max_epochs=4)
+    n_capped = unimax.filter(F.col("capped") == 1).count()
 
     # 4. vocabulary + token-id encoding (single corpus scan encode)
     vocab = pv.build_vocab(docs_d, vocab_size=512)
@@ -97,6 +125,9 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "split_leak_pairs_doc_hash": int(naive_leak),
         "split_leak_pairs_cluster": int(fixed_leak),
         "sources_oversampled": n_oversampled,
+        "sources_unimax_capped": n_capped,
+        "survivors_upgraded_by_quality": int(upgraded),
+        "heldout_ngram_coverage": round(float(mean_cov), 4),
         "vocab_size": vocab.count(),
         "encoded_docs": encoded.count(),
         "n_sequences": int(

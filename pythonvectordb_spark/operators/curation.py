@@ -1038,3 +1038,106 @@ def ngram_coverage(
             6,
         ).alias("coverage"),
     )
+
+
+def neyman_allocation(
+    events: DataFrame,
+    budget: int = 1000,
+    stratum_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Neyman optimal allocation of a sampling budget across strata:
+    n_h = budget * N_h*S_h / sum(N_h*S_h) — the survey-sampling upgrade
+    to `stratified_sample`'s proportional allocation (minimum-variance
+    estimate of the population mean for a fixed budget: high-variance
+    strata earn MORE than their share, uniform strata less).
+
+    One map-side-combined aggregate computes every stratum's count, sum
+    and sum-of-squares over exact integer cents (no second pass for the
+    variance; sumsq stays inside int64 at any realistic scale), the
+    population std is one deterministic sqrt per stratum, and the
+    normalizing total folds LEFT-ASSOCIATIVELY over strata sorted by
+    name (grouped-sum accumulation order is engine-specific in the last
+    ulp — the `epoch_plan` S recipe), then broadcasts back. Output is
+    strata-count-sized.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    g = events.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).cast("long").alias("sum_c"),
+        F.sum(cents * cents).cast("long").alias("sumsq_c"),
+    )
+    n = F.col("n_rows").cast("double")
+    mean = F.col("sum_c").cast("double") / n
+    var = F.greatest(
+        F.col("sumsq_c").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    std = F.sqrt(var) / F.lit(100.0)  # cents -> value units
+    g = g.select(
+        "stratum",
+        "n_rows",
+        (n * std).alias("w"),
+        F.round(std, 6).alias("value_std"),
+    ).localCheckpoint(eager=False)  # feeds the total fold AND the output
+    tot = g.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("stratum", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("T")
+    )
+    alloc = F.lit(float(budget)) * F.col("w") / F.col("T")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "value_std",
+        F.round(alloc, 6).alias("neyman_alloc"),
+        F.floor(alloc).cast("long").alias("alloc_n"),
+    )
+
+
+def source_entropy(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram entropy — the corpus-card diversity number
+    (`zipf_fit` checks the frequency CURVE's shape; this is the scalar
+    summary): low entropy flags template/boilerplate-dominated sources
+    whose raw token counts overstate their diversity, the same failure
+    `dedup_inflation` measures via exact copies. Also emits entropy
+    normalized by ln(vocab) (1.0 = uniform over the source's
+    vocabulary).
+
+    Two map-side-combined aggregations: corpus -> (source, token)
+    counts (the shuffle carries the token key once, identical shape to
+    `build_vocab` per source), then one agg per source using
+    H = ln(n) - (1/n) * sum(c*ln(c)) — every term is an exact-integer
+    count promoted to double (identical IEEE values in any engine),
+    with the grouped sum rounded at 6 (the NB/DSIR float recipe, held
+    at both oracle SFs).
+    """
+    tok = df.select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    term = F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    g = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(term).alias("s_clnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    ent = F.log(n) - F.col("s_clnc") / n
+    norm = F.when(
+        F.col("n_vocab") > 1, ent / F.log(F.col("n_vocab").cast("double"))
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.round(ent, 6).alias("entropy"),
+        F.round(norm, 6).alias("norm_entropy"),
+    )

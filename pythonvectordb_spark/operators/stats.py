@@ -100,3 +100,67 @@ def latency_stats(latency_df: DataFrame, ms_col: str = "ms") -> DataFrame:
         F.round(F.expr(f"percentile_approx({ms_col}, 0.99)"), 3).alias("p99_ms"),
         F.round(F.lit(1000.0) / F.mean(c), 1).alias("qps_est"),
     )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Embedding-space drift audit: per label, the cosine between the
+    int8 CENTROIDS of the even-id and odd-id halves of the table — the
+    embedding-side companion to `curation.distribution_drift` (PSI sees
+    categorical shift; this sees the representation itself moving:
+    re-embedding with a new model version, ingest corruption, or a label
+    whose population changed meaning). Cosine ~1 = the halves agree;
+    a drop localizes WHICH label moved.
+
+    Everything before the final cosine is EXACT integer arithmetic:
+    per-dimension centroid sums are int8-component sums (longs,
+    order-free — no float-fold discipline needed), and the cosine's
+    dot/norms are products of those longs promoted to double only for
+    the final division. One grouped aggregation computes both halves'
+    counts and 2*dim component sums in a single pass (the shuffle
+    carries labels x 2*dim longs); output is label-count-sized.
+
+    At 100 TB, swap the id-parity split for a snapshot-version column —
+    the plan is unchanged. The 2*dim+2 aggregate columns are the same
+    shape the 48-hash MinHash signature agg uses; Catalyst handles
+    hundreds of agg expressions in one pass.
+    """
+    half = (F.col(id_col) % 2 == 0).alias("is_a")
+    g = emb.select(F.col(label_col).alias("label"), half, F.col(qvec_col)).groupBy(
+        "label"
+    ).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        *[
+            F.sum(
+                F.when(F.col("is_a"), F.col(qvec_col)[i].cast("long")).otherwise(0)
+            ).alias(f"a{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.sum(
+                F.when(~F.col("is_a"), F.col(qvec_col)[i].cast("long")).otherwise(0)
+            ).alias(f"b{i}")
+            for i in range(dim)
+        ],
+    )
+    dot = None
+    na = None
+    nb = None
+    for i in range(dim):
+        t = F.col(f"a{i}") * F.col(f"b{i}")
+        dot = t if dot is None else dot + t
+        ta = F.col(f"a{i}") * F.col(f"a{i}")
+        na = ta if na is None else na + ta
+        tb = F.col(f"b{i}") * F.col(f"b{i}")
+        nb = tb if nb is None else nb + tb
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return g.select("label", "n_a", "n_b", F.round(cos, 9).alias("centroid_cosine"))

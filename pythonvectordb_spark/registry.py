@@ -6544,13 +6544,127 @@ FROM pj JOIN sig sa ON pj.id_a = sa.doc_id JOIN sig sb ON pj.id_b = sb.doc_id
 """
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sampling allocation (staged for the
+    round-5 driver rotation — the front-50 is full): a 1000-row budget
+    split across event-type strata by N_h*S_h, the minimum-variance
+    allocation for estimating the population mean
+    (`operators/curation.neyman_allocation`). Exact-integer-cents
+    moments, deterministic sqrt, left-assoc sorted fold for the
+    normalizing total."""
+    return CU.neyman_allocation(load_table(spark, sf_dir, "events"), budget=1000)
+
+
+def o_neyman_allocation(budget: int = 1000) -> str:
+    return f"""
+WITH g AS (
+  SELECT event_type AS stratum,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_c
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT stratum, n_rows,
+         sqrt(greatest(sumsq_c::DOUBLE / n_rows::DOUBLE
+              - (sum_c::DOUBLE / n_rows::DOUBLE)
+                * (sum_c::DOUBLE / n_rows::DOUBLE), 0.0)) / 100.0 AS std,
+         n_rows::DOUBLE
+           * (sqrt(greatest(sumsq_c::DOUBLE / n_rows::DOUBLE
+                  - (sum_c::DOUBLE / n_rows::DOUBLE)
+                    * (sum_c::DOUBLE / n_rows::DOUBLE), 0.0)) / 100.0) AS wt
+  FROM g
+),
+t AS (
+  SELECT list_aggregate(list(wt ORDER BY stratum), 'sum') AS T FROM w
+)
+SELECT stratum, n_rows, round(std, 6) AS value_std,
+       round({float(budget)!r} * wt / T, 6) AS neyman_alloc,
+       CAST(floor({float(budget)!r} * wt / T) AS BIGINT) AS alloc_n
+FROM w CROSS JOIN t
+"""
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy (staged for the round-5 rotation):
+    the corpus-card diversity scalar plus its ln(vocab)-normalized
+    form — low entropy flags template-dominated sources whose token
+    counts overstate their diversity
+    (`operators/curation.source_entropy`)."""
+    return CU.source_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def o_source_entropy() -> str:
+    return f"""
+WITH tok AS (SELECT source, unnest({O.sql_tokens('text')}) AS tok FROM documents),
+counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+g AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab,
+         sum(c::DOUBLE * ln(c::DOUBLE)) AS s_clnc
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, n_vocab,
+       round(ln(n_tokens::DOUBLE) - s_clnc / n_tokens::DOUBLE, 6) AS entropy,
+       round(CASE WHEN n_vocab > 1
+                  THEN (ln(n_tokens::DOUBLE) - s_clnc / n_tokens::DOUBLE)
+                       / ln(n_vocab::DOUBLE)
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM g
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift audit (staged for the round-5 rotation):
+    per label, the cosine between the int8 centroids of the even-id and
+    odd-id halves — the representation-level companion to the PSI
+    monitor; exact-integer component sums make it fold-order-free
+    (`operators/stats.embedding_drift`)."""
+    return ST.embedding_drift(_emb(spark, sf_dir), dim=DIM)
+
+
+def o_embedding_drift(dim: int = DIM) -> str:
+    qv = O.sql_qvec("embedding")
+    a = ", ".join(
+        f"CAST(sum(CASE WHEN vec_id % 2 = 0 THEN qv[{i + 1}] ELSE 0 END) AS BIGINT) AS a{i}"
+        for i in range(dim)
+    )
+    b = ", ".join(
+        f"CAST(sum(CASE WHEN vec_id % 2 != 0 THEN qv[{i + 1}] ELSE 0 END) AS BIGINT) AS b{i}"
+        for i in range(dim)
+    )
+    dot = " + ".join(f"a{i} * b{i}" for i in range(dim))
+    na = " + ".join(f"a{i} * a{i}" for i in range(dim))
+    nb = " + ".join(f"b{i} * b{i}" for i in range(dim))
+    return f"""
+WITH q AS (SELECT vec_id, label, {qv} AS qv FROM embeddings),
+g AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         {a}, {b}
+  FROM q GROUP BY 1
+)
+SELECT label, n_a, n_b,
+       round(CASE WHEN ({na}) > 0 AND ({nb}) > 0
+                  THEN ({dot})::DOUBLE / (sqrt(({na})::DOUBLE) * sqrt(({nb})::DOUBLE))
+                  ELSE 0.0 END, 9) AS centroid_cosine
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
     # round 3 (the staged ROUND-4 ROTATION, executed), the 40 queries new
     # this round, and 1 round-3-green continuity witness. After this
     # round every registered query has had a driver row: coverage
-    # closes at 188/188 witnessed. ------------------------------------
+    # closes at 188/188 witnessed (entries past the
+    # witnesses marked 'staged' arrived after the window filled and
+    # rotate in next round). ------------------------------------
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "training_shard_stats": q_training_shard_stats,
     "source_token_caps": q_source_token_caps,
@@ -6744,6 +6858,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_running": q_customer_order_running,
     "mktsegment_rollup": q_mktsegment_rollup,
     "order_priority_counts": q_order_priority_counts,
+    # --- staged for the ROUND-5 rotation (front-50 is full; locally
+    # oracled at both SFs + pytest, no driver row yet) ----------------
+    "neyman_allocation": q_neyman_allocation,
+    "source_entropy": q_source_entropy,
+    "embedding_drift": q_embedding_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -6883,6 +7002,9 @@ ORACLES: dict[str, str] = {
     "ngram_coverage": o_ngram_coverage(),
     "dedup_threshold_curve": o_dedup_threshold_curve(),
     "minhash_estimate_error": o_minhash_estimate_error(),
+    "neyman_allocation": o_neyman_allocation(),
+    "source_entropy": o_source_entropy(),
+    "embedding_drift": o_embedding_drift(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

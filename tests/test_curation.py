@@ -438,3 +438,55 @@ def test_ngram_coverage_bounds_and_identity(spark):
     assert out[106]["coverage"] == 0.0  # novel vocabulary
     if splits[102] != "train":
         assert out[102]["n_shingles"] == 0 and out[102]["coverage"] == 0.0
+
+
+def test_neyman_allocation_favors_variance(spark):
+    """Equal-size strata: all of the budget flows toward the
+    high-variance stratum; a zero-variance stratum gets nothing; the
+    allocations sum to the budget."""
+    from pythonvectordb_spark.operators.curation import neyman_allocation
+
+    import datetime
+    t = datetime.datetime(2024, 1, 1)
+    rows = []
+    # stratum "flat": constant value -> std 0 -> allocation 0
+    rows += [(i, t, i, "flat", 10.0, "{}") for i in range(10)]
+    # stratum "wild": alternating 0/100 -> std 50
+    rows += [(100 + i, t, i, "wild", float((i % 2) * 100), "{}") for i in range(10)]
+    # stratum "mild": alternating 49/51 -> std 1
+    rows += [(200 + i, t, i, "mild", 50.0 + (i % 2) * 2 - 1, "{}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["stratum"]: r.asDict() for r in neyman_allocation(df, budget=102).collect()}
+    assert out["flat"]["neyman_alloc"] == 0.0
+    assert out["wild"]["value_std"] == 50.0 and out["mild"]["value_std"] == 1.0
+    # w: wild 10*50=500, mild 10*1=10 -> wild gets 102*500/510 = 100
+    assert out["wild"]["neyman_alloc"] == 100.0
+    assert out["mild"]["neyman_alloc"] == 2.0
+    assert sum(v["neyman_alloc"] for v in out.values()) == 102.0
+
+
+def test_source_entropy_extremes(spark):
+    """Uniform vocabulary -> norm_entropy 1.0; single repeated token ->
+    entropy 0; the values are exact at these closed-form points."""
+    import math
+
+    from pythonvectordb_spark.operators.curation import source_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "uniform"),
+            (2, "x x x x x x", "flat"),
+            (3, "p p p q", "skewed"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in source_entropy(df).collect()}
+    assert out["uniform"]["norm_entropy"] == 1.0
+    assert out["uniform"]["entropy"] == round(math.log(4), 6)
+    assert out["flat"]["entropy"] == 0.0 and out["flat"]["norm_entropy"] == 0.0
+    # H = ln(4) - (3 ln 3)/4
+    assert out["skewed"]["entropy"] == round(math.log(4) - 3 * math.log(3) / 4, 6)

@@ -17,6 +17,9 @@ def test_llm_pipeline_example_runs(spark):
     assert 0 < s["vocab_size"] <= 512
     assert s["n_sequences"] > 0
     assert 0.0 <= s["boundary_doc_frac"] <= 1.0
+    assert s["survivors_upgraded_by_quality"] >= 0
+    assert 0.0 <= s["heldout_ngram_coverage"] <= 1.0
+    assert s["sources_unimax_capped"] >= 0
 
 
 def test_serving_knn_example_runs(spark):

@@ -820,3 +820,25 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     for r in rows:
         if r["exact_jaccard"] == 1.0:
             assert r["minhash_est"] == 1.0  # identical sets agree everywhere
+
+
+def test_embedding_drift_identical_halves(spark):
+    """A label whose halves hold the SAME vector drifts 0 (cosine 1);
+    opposite-direction halves give cosine -1."""
+    from pythonvectordb_spark.operators.search import with_qvec
+    from pythonvectordb_spark.operators.stats import embedding_drift
+
+    rows = []
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [-1.0, 0.0, 0.0, 0.0]
+    # label 0: both halves = v -> cosine 1
+    rows += [(0, v, 0), (1, v, 0), (2, v, 0), (3, v, 0)]
+    # label 1: even ids v, odd ids -v -> cosine -1
+    rows += [(10, v, 1), (11, w, 1), (12, v, 1), (13, w, 1)]
+    emb = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    )
+    out = {r["label"]: r.asDict() for r in embedding_drift(emb, dim=4).collect()}
+    assert out[0]["centroid_cosine"] == 1.0
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
+    assert out[1]["centroid_cosine"] == -1.0
