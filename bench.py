@@ -132,6 +132,12 @@ HEADLINE = [
     "neyman_allocation",
     "source_entropy",
     "embedding_drift",
+    "dedup_graph_triangles",
+    "heaps_law",
+    "good_turing",
+    "truncation_stats",
+    "source_kl_matrix",
+    "source_lang_mi",
 ]
 
 

@@ -1141,3 +1141,167 @@ def source_entropy(
         F.round(ent, 6).alias("entropy"),
         F.round(norm, 6).alias("norm_entropy"),
     )
+
+
+def source_kl_matrix(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise KL divergence between per-source unigram distributions
+    (add-one smoothing over the JOINT vocabulary) — the domain-distance
+    matrix behind mixing decisions: which sources are redundant
+    (KL ≈ 0 both ways — `cross_source_dup_matrix` sees the copies, this
+    sees the distributional overlap even without copies) and which are
+    genuine diversity. The same quantity DSIR's importance weights
+    (`importance_weights`) integrate per-document; here it is the
+    source-level summary.
+
+    Factored for float parity: with smoothed P_s(w) = (c_s+1)/(N_s+V),
+    KL(s||t) = [Σ_w (c_s+1)·(ln(c_s+1) − ln(c_t+1))]/(N_s+V)
+               + ln(N_t+V) − ln(N_s+V)
+    — every ln is of an exact integer and the only float fold is the
+    grouped sum, ROUNDED at 6 after the closed-form (the NB/DSIR
+    recipe).
+
+    Scale shape: (source, token) counts once (one token-keyed shuffle),
+    then the |V|×|S| smoothed grid is built by a constant-key broadcast
+    equi-join of the tiny per-source totals onto the vocab frame, and
+    pairs meet through ONE hash equi-join on token — |V|·|S|² rows
+    through the pair join (|S| is the handful of corpus sources; the
+    corpus itself is never joined to itself). The grid feeds both join
+    sides, so it is lazily checkpointed.
+
+    Returns one row per ordered pair (source_a != source_b):
+    (source_a, source_b, n_a, n_b, kl_ab).
+    """
+    counts = (
+        df.select(F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_tok"))
+    vocab = counts.select("tok").distinct().localCheckpoint(eager=False)
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v")).withColumn(
+        "_one", F.lit(1)
+    )
+    grid = (
+        vocab.withColumn("_one", F.lit(1))
+        .join(F.broadcast(totals.withColumn("_one", F.lit(1))), "_one")
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "tok",
+            "source",
+            "n_tok",
+            (F.coalesce("c", F.lit(0)) + F.lit(1)).cast("long").alias("c1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    term = F.col("a.c1").cast("double") * (
+        F.log(F.col("a.c1").cast("double")) - F.log(F.col("b.c1").cast("double"))
+    )
+    pairs = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") != F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n_tok").alias("n_a"),
+            F.col("b.n_tok").alias("n_b"),
+        )
+        .agg(F.sum(term).alias("s_term"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(vsize), "_one")
+    )
+    da = (F.col("n_a") + F.col("v")).cast("double")
+    db = (F.col("n_b") + F.col("v")).cast("double")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("s_term") / da + F.log(db) - F.log(da), 6).alias("kl_ab"),
+    )
+
+
+def source_lang_mi(
+    df: DataFrame, source_col: str = "source", lang_col: str = "lang"
+) -> DataFrame:
+    """Mutual information between the source and language columns (doc
+    grain) — the scalar answer to "is language balance a per-source
+    property?": MI ≈ 0 means every source carries the same language
+    mix (stratifying on either is enough); high normalized MI means
+    language filtering silently reweights sources (and vice versa), so
+    `stratified_sample` needs the joint key. Emits the marginal
+    entropies and MI normalized by sqrt(H_s·H_l).
+
+    One (source, lang) contingency aggregate (tiny), marginals
+    broadcast back onto it; MI = Σ (c_sl/N)·(ln(N·c_sl) − ln(c_s·c_l))
+    — every ln argument is an exact integer product (< 2^53 far beyond
+    this corpus), the grouped sum is ROUNDED at 6, and the normalized
+    form reuses the ROUNDED components so both engines divide identical
+    values.
+
+    Returns one row: (n_docs, n_sources, n_langs, h_source, h_lang,
+    mi, nmi).
+    """
+    cell = (
+        df.groupBy(F.col(source_col).alias("source"), F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cs = (
+        cell.groupBy("source")
+        .agg(F.sum("c").cast("long").alias("c_s"))
+        .localCheckpoint(eager=False)
+    )
+    cl = (
+        cell.groupBy("lang")
+        .agg(F.sum("c").cast("long").alias("c_l"))
+        .localCheckpoint(eager=False)
+    )
+    n = cell.agg(F.sum("c").cast("long").alias("n")).withColumn("_one", F.lit(1))
+    joined = (
+        cell.join(F.broadcast(cs), "source")
+        .join(F.broadcast(cl), "lang")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(n), "_one")
+    )
+    c = F.col("c").cast("double")
+    mi_term = (c / F.col("n").cast("double")) * (
+        F.log(F.col("n").cast("double") * c)
+        - F.log(F.col("c_s").cast("double") * F.col("c_l").cast("double"))
+    )
+    mi = joined.groupBy("n").agg(F.round(F.sum(mi_term), 6).alias("mi"))
+    ent = lambda tot, cnt: F.round(  # noqa: E731 — ln N − Σ c·ln c / N
+        F.log(F.col("n").cast("double")) - F.col(tot) / F.col("n").cast("double"), 6
+    ).alias(cnt)
+    hs = cs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("c_s").cast("double") * F.log(F.col("c_s").cast("double"))).alias(
+            "t_s"
+        ),
+    ).withColumn("_one", F.lit(1))
+    hl = cl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("c_l").cast("double") * F.log(F.col("c_l").cast("double"))).alias(
+            "t_l"
+        ),
+    ).withColumn("_one", F.lit(1))
+    out = (
+        mi.withColumn("_one", F.lit(1))
+        .join(F.broadcast(hs), "_one")
+        .join(F.broadcast(hl), "_one")
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_sources",
+            "n_langs",
+            ent("t_s", "h_source"),
+            ent("t_l", "h_lang"),
+            "mi",
+        )
+    )
+    nmi = F.when(
+        (F.col("h_source") > 0) & (F.col("h_lang") > 0),
+        F.col("mi") / F.sqrt(F.col("h_source") * F.col("h_lang")),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("nmi", F.round(nmi, 6))

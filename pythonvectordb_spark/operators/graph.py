@@ -282,3 +282,66 @@ def mutual_knn_degrees(
             F.coalesce("mutual_degree", F.lit(0).cast("long")).alias("mutual_degree"),
         )
     )
+
+
+def pair_graph_triangles(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over a
+    canonical pair graph (``id_a < id_b``, e.g. any dedup pair report) —
+    the cluster-density diagnostic behind dedup resolution policy:
+    triangle-rich neighborhoods are genuine duplicate GROUPS (safe to
+    collapse), while high-degree/zero-triangle stars and chains are the
+    transitive-merge risk `resolve_duplicates` can over-collapse
+    (A~B~C with A!~C). Returns one row per node appearing in the graph:
+    (node, degree, n_triangles, clustering_coeff = 2T / d(d-1)).
+
+    Distributed shape: triangles enumerate by ordered wedge join —
+    edges(a<b) JOIN edges(b<c) on the shared middle, closed by a third
+    equi-join on (a, c); the canonical orientation counts each triangle
+    exactly ONCE with no permutation blow-up. Cost follows sum of
+    degree^2 over the middle vertices (the standard bound), not V^3;
+    every join is a hash equi-join on node ids. The edge frame is
+    lazily checkpointed — it feeds all three join roles plus the degree
+    count. Coefficients are exact-integer ratios promoted to double.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+            "left_semi",
+        )
+    )
+    tri_nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    d = F.col("degree").cast("double")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * t.cast("double") / (d * (d - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        F.round(coeff, 6).alias("clustering_coeff"),
+    )

@@ -933,3 +933,201 @@ def bpe_merge_pairs(
         "pair",
         "n_occurrences",
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    n_points: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve + fit: the corpus is cut into
+    ``n_points`` equal ``id_col`` ranges (arrival order), and for each
+    prefix the cumulative token count N and cumulative distinct-vocab
+    size V are emitted together with the OLS fit of ln V on ln N
+    (V ≈ K·N^beta; natural text has beta ≈ 0.4–0.6). A flattening curve
+    (beta → 0) is the vocabulary-exhaustion signature of template spam;
+    beta ≈ 1 flags token-soup/UUID contamination — the growth-dynamics
+    companion to the static `zipf_fit` rank curve.
+
+    Determinism: bucket boundaries are pure integer arithmetic
+    ((id−lo)·n_points div span, no float quotient), cumulative counts
+    are exact integers, x/y are ln's of exact integers, and the OLS
+    moments follow the `zipf_fit` discipline — single-group sums
+    ROUNDED at 6 after the closed-form division, intercept from the
+    ROUNDED slope.
+
+    Scale shape: one explode → two map-side-combined aggregations (per
+    bucket token totals; per TOKEN min-bucket, the shuffle carrying the
+    token key once — `build_vocab` shape) → everything after is
+    ``n_points`` rows. First-occurrence attribution via min(bucket) per
+    token means the cumulative vocab needs no per-prefix distinct pass.
+    The tiny curve frame feeds both the output and the fit moments, so
+    it is lazily checkpointed (union-recompute discipline).
+
+    Returns ``n_points`` rows: (bucket, cum_tokens, cum_vocab, beta,
+    ln_k) with the fit columns constant across rows.
+    """
+    from pyspark.sql import Window
+
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).withColumn("_one", F.lit(1))
+    tok = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(bounds), "_one")
+        .select(
+            "token",
+            F.expr(
+                f"least({n_points - 1},"
+                f" ((_id - lo) * {n_points}) div (hi - lo + 1))"
+            ).cast("int").alias("bucket"),
+        )
+    )
+    per_bucket = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("toks")
+    )
+    first_seen = (
+        tok.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("vnew"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce("toks", F.lit(0))).over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("vnew", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    m = curve.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = (
+        m.withColumn("beta", F.round(slope, 6))
+        .select(
+            F.lit(1).alias("_one"),
+            "beta",
+            F.round((F.col("sy") - F.col("beta") * F.col("sx")) / m["n"], 6).alias(
+                "ln_k"
+            ),
+        )
+    )
+    return (
+        curve.withColumn("_one", F.lit(1))
+        .join(F.broadcast(fit), "_one")
+        .select("bucket", "cum_tokens", "cum_vocab", "beta", "ln_k")
+    )
+
+
+def good_turing(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Good–Turing / Chao1 coverage estimate per source: the singleton
+    mass n1/N is the Good–Turing probability that the NEXT sampled
+    token is unseen (low = the crawl has saturated this source's
+    vocabulary; high = keep crawling), and Chao1
+    (V + n1·(n1−1)/(2·(n2+1)), bias-corrected) estimates the TRUE
+    vocabulary size the source would reach — corpus-card numbers that
+    tell a data-mixing policy which sources are exhausted.
+
+    Two map-side-combined aggregations ((source, token) counts → per
+    source); every emitted value is an exact-integer count or an
+    exact-integer ratio promoted to double, so the oracle match needs
+    no float-fold discipline at all.
+
+    Returns one row per source: (source, n_tokens, n_vocab, n1, n2,
+    p_unseen, chao1_vocab).
+    """
+    counts = (
+        df.select(F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    chao1 = F.col("n_vocab").cast("double") + n1 * (n1 - F.lit(1.0)) / (
+        F.lit(2.0) * (F.col("n2").cast("double") + F.lit(1.0))
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        "n1",
+        "n2",
+        F.round(n1 / F.col("n_tokens").cast("double"), 9).alias("p_unseen"),
+        F.round(chao1, 6).alias("chao1_vocab"),
+    )
+
+
+def truncation_stats(
+    df: DataFrame,
+    max_len: int = 32,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length utilization audit: for a fixed training sequence
+    length ``max_len``, how many tokens each source LOSES to truncation
+    and WASTES on padding if every document becomes one fixed-length
+    row — the decision input for choosing max_len and for routing long
+    sources through `chunk_documents` / `pack_sequences` instead of
+    truncate-and-pad.
+
+    Whole-stage-codegen throughout: the per-doc token count is
+    size(split(text)) — a pure column expression, NO explode — then one
+    map-side-combined aggregate per source. Every output is an
+    exact-integer count or exact-integer ratio promoted to double.
+
+    Returns one row per source: (source, n_docs, n_truncated,
+    total_tokens, kept_tokens, lost_tokens, pad_tokens, utilization =
+    kept/(n_docs·max_len), trunc_rate).
+    """
+    n = F.size(tokens(text_col)).cast("long")
+    kept = F.least(n, F.lit(max_len).cast("long"))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        n.alias("n"),
+        kept.alias("kept"),
+        (n - kept).alias("lost"),
+        (F.lit(max_len).cast("long") - kept).alias("pad"),
+    )
+    g = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n") > max_len, 1).otherwise(0)).cast("long").alias("n_truncated"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("kept").cast("long").alias("kept_tokens"),
+        F.sum("lost").cast("long").alias("lost_tokens"),
+        F.sum("pad").cast("long").alias("pad_tokens"),
+    )
+    cap = F.col("n_docs").cast("double") * F.lit(float(max_len))
+    return g.select(
+        "source",
+        "n_docs",
+        "n_truncated",
+        "total_tokens",
+        "kept_tokens",
+        "lost_tokens",
+        "pad_tokens",
+        F.round(F.col("kept_tokens").cast("double") / cap, 9).alias("utilization"),
+        F.round(
+            F.col("n_truncated").cast("double") / F.col("n_docs").cast("double"), 9
+        ).alias("trunc_rate"),
+    )

@@ -6656,6 +6656,235 @@ FROM g
 """
 
 
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-graph density audit (staged for the round-5 rotation): per
+    document in the >=0.8 MinHash pair graph, its degree, triangle
+    count, and local clustering coefficient — triangle-rich = genuine
+    dup group, star/chain = transitive-merge risk
+    (`operators/graph.pair_graph_triangles`)."""
+    from pythonvectordb_spark.operators.graph import pair_graph_triangles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pair_graph_triangles(DD.minhash_lsh_pairs(docs, threshold=0.8))
+
+
+def o_dedup_graph_triangles() -> str:
+    return f"""
+WITH p AS MATERIALIZED (SELECT id_a, id_b FROM ({o_dedup_minhash_lsh()})),
+tri AS (
+  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+  FROM p e1
+  JOIN p e2 ON e1.id_b = e2.id_a
+  WHERE EXISTS (SELECT 1 FROM p e3
+                WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+),
+tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri) u GROUP BY 1
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT unnest([id_a, id_b]) AS node FROM p) u GROUP BY 1
+)
+SELECT deg.node, deg.degree,
+       CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * coalesce(tn.n_triangles, 0)::DOUBLE
+                       / (deg.degree::DOUBLE * (deg.degree::DOUBLE - 1.0))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg LEFT JOIN tn ON deg.node = tn.node
+"""
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (staged for the round-5 rotation):
+    cumulative vocab vs cumulative tokens over ten doc_id-range
+    prefixes plus the OLS fit of ln V on ln N — beta ≈ 0.4–0.6 on
+    natural text; the growth-dynamics companion to `zipf_fit`'s static
+    rank curve (`operators/textops.heaps_law`)."""
+    return TX.heaps_law(load_table(spark, sf_dir, "documents"))
+
+
+def o_heaps_law(n_points: int = 10) -> str:
+    # integer bucket boundaries ((id-lo)*k // span), exact-integer
+    # cumulative counts, ln's of exact integers; OLS moments follow the
+    # zipf_fit discipline (single-group sums, ROUND 6 after the
+    # closed-form, intercept from the ROUNDED slope)
+    return f"""
+WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+tok AS (
+  SELECT least({n_points - 1}, ((d.doc_id - b.lo) * {n_points}) // (b.hi - b.lo + 1)) AS bucket,
+         unnest({O.sql_tokens('text')}) AS token
+  FROM documents d CROSS JOIN b
+),
+pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks FROM tok GROUP BY 1),
+fs AS (SELECT min(bucket) AS bucket FROM tok GROUP BY token),
+vb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS vnew FROM fs GROUP BY 1),
+curve AS (
+  SELECT pb.bucket,
+         CAST(sum(pb.toks) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(vb.vnew, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_vocab
+  FROM pb LEFT JOIN vb ON pb.bucket = vb.bucket
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM (SELECT ln(cum_tokens::DOUBLE) AS x, ln(cum_vocab::DOUBLE) AS y FROM curve)
+),
+s AS (SELECT n, sx, sy,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta
+      FROM m),
+f AS (SELECT beta, round((sy - beta * sx) / n, 6) AS ln_k FROM s)
+SELECT curve.bucket, curve.cum_tokens, curve.cum_vocab, f.beta, f.ln_k
+FROM curve CROSS JOIN f
+"""
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing / Chao1 coverage per source (staged for the round-5
+    rotation): singleton mass n1/N = P(next token unseen) and the
+    bias-corrected Chao1 true-vocabulary estimate — which sources the
+    crawl has saturated (`operators/textops.good_turing`)."""
+    return TX.good_turing(load_table(spark, sf_dir, "documents"))
+
+
+def o_good_turing() -> str:
+    return f"""
+WITH tok AS (SELECT source, unnest({O.sql_tokens('text')}) AS tok FROM documents),
+counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+g AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, n_vocab, n1, n2,
+       round(n1::DOUBLE / n_tokens::DOUBLE, 9) AS p_unseen,
+       round(n_vocab::DOUBLE
+             + n1::DOUBLE * (n1::DOUBLE - 1.0) / (2.0 * (n2::DOUBLE + 1.0)),
+             6) AS chao1_vocab
+FROM g
+"""
+
+
+def q_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length utilization at max_len=32 (staged for the
+    round-5 rotation): per source, tokens lost to truncation and
+    wasted on padding under one-doc-one-row training — the decision
+    input for max_len and for routing long sources through
+    chunk/pack instead (`operators/textops.truncation_stats`)."""
+    return TX.truncation_stats(load_table(spark, sf_dir, "documents"), max_len=32)
+
+
+def o_truncation_stats(max_len: int = 32) -> str:
+    return f"""
+WITH base AS (
+  SELECT source,
+         CAST(len({O.sql_tokens('text')}) AS BIGINT) AS n
+  FROM documents
+),
+b2 AS (SELECT source, n, least(n, {max_len}) AS kept FROM base),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n > {max_len} THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(kept) AS BIGINT) AS kept_tokens,
+         CAST(sum(n - kept) AS BIGINT) AS lost_tokens,
+         CAST(sum({max_len} - kept) AS BIGINT) AS pad_tokens
+  FROM b2 GROUP BY 1
+)
+SELECT source, n_docs, n_truncated, total_tokens, kept_tokens, lost_tokens,
+       pad_tokens,
+       round(kept_tokens::DOUBLE / (n_docs::DOUBLE * {float(max_len)!r}), 9) AS utilization,
+       round(n_truncated::DOUBLE / n_docs::DOUBLE, 9) AS trunc_rate
+FROM g
+"""
+
+
+def q_source_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise smoothed unigram KL between sources (staged for the
+    round-5 rotation): the domain-distance matrix behind mixing
+    decisions — distributional redundancy even without literal copies
+    (`operators/curation.source_kl_matrix`)."""
+    return CU.source_kl_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def o_source_kl_matrix() -> str:
+    # KL factored so every ln is of an exact integer and the only float
+    # fold is the grouped sum (ROUND 6 after the closed-form): with
+    # P_s(w) = (c_s+1)/(N_s+V),
+    # KL(s||t) = sum((c_s+1)(ln(c_s+1)-ln(c_t+1)))/(N_s+V) + ln(N_t+V) - ln(N_s+V)
+    return f"""
+WITH tok AS (SELECT source, unnest({O.sql_tokens('text')}) AS tok FROM documents),
+counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM counts GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM counts),
+vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+grid AS (
+  SELECT v.tok, t.source, t.n_tok,
+         CAST(coalesce(c.c, 0) + 1 AS BIGINT) AS c1
+  FROM vocab v CROSS JOIN totals t
+  LEFT JOIN counts c ON c.source = t.source AND c.tok = v.tok
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n_tok AS n_a, b.n_tok AS n_b,
+         sum(a.c1::DOUBLE * (ln(a.c1::DOUBLE) - ln(b.c1::DOUBLE))) AS s_term
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.source != b.source
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source_a, source_b, n_a, n_b,
+       round(s_term / (n_a + vs.v)::DOUBLE
+             + ln((n_b + vs.v)::DOUBLE) - ln((n_a + vs.v)::DOUBLE), 6) AS kl_ab
+FROM p CROSS JOIN vs
+"""
+
+
+def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×language mutual information (staged for the round-5
+    rotation): is language balance a per-source property? High NMI
+    means language filtering silently reweights sources, so stratified
+    sampling needs the joint key
+    (`operators/curation.source_lang_mi`)."""
+    return CU.source_lang_mi(load_table(spark, sf_dir, "documents"))
+
+
+def o_source_lang_mi() -> str:
+    return """
+WITH cell AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2),
+cs AS (SELECT source, CAST(sum(c) AS BIGINT) AS c_s FROM cell GROUP BY 1),
+cl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS c_l FROM cell GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+mi AS (
+  SELECT round(sum((cell.c::DOUBLE / n.n::DOUBLE)
+               * (ln(n.n::DOUBLE * cell.c::DOUBLE)
+                  - ln(cs.c_s::DOUBLE * cl.c_l::DOUBLE))), 6) AS mi
+  FROM cell JOIN cs USING (source) JOIN cl USING (lang) CROSS JOIN n
+),
+hs AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+              sum(c_s::DOUBLE * ln(c_s::DOUBLE)) AS t_s FROM cs),
+hl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+              sum(c_l::DOUBLE * ln(c_l::DOUBLE)) AS t_l FROM cl),
+o AS (
+  SELECT n.n AS n_docs, hs.n_sources, hl.n_langs,
+         round(ln(n.n::DOUBLE) - hs.t_s / n.n::DOUBLE, 6) AS h_source,
+         round(ln(n.n::DOUBLE) - hl.t_l / n.n::DOUBLE, 6) AS h_lang,
+         mi.mi
+  FROM n CROSS JOIN hs CROSS JOIN hl CROSS JOIN mi
+)
+SELECT n_docs, n_sources, n_langs, h_source, h_lang, mi,
+       round(CASE WHEN h_source > 0 AND h_lang > 0
+                  THEN mi / sqrt(h_source * h_lang) ELSE 0.0 END, 6) AS nmi
+FROM o
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -6863,6 +7092,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neyman_allocation": q_neyman_allocation,
     "source_entropy": q_source_entropy,
     "embedding_drift": q_embedding_drift,
+    "dedup_graph_triangles": q_dedup_graph_triangles,
+    "heaps_law": q_heaps_law,
+    "good_turing": q_good_turing,
+    "truncation_stats": q_truncation_stats,
+    "source_kl_matrix": q_source_kl_matrix,
+    "source_lang_mi": q_source_lang_mi,
 }
 
 ORACLES: dict[str, str] = {
@@ -7005,6 +7240,12 @@ ORACLES: dict[str, str] = {
     "neyman_allocation": o_neyman_allocation(),
     "source_entropy": o_source_entropy(),
     "embedding_drift": o_embedding_drift(),
+    "dedup_graph_triangles": o_dedup_graph_triangles(),
+    "heaps_law": o_heaps_law(),
+    "good_turing": o_good_turing(),
+    "truncation_stats": o_truncation_stats(),
+    "source_kl_matrix": o_source_kl_matrix(),
+    "source_lang_mi": o_source_lang_mi(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

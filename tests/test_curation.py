@@ -490,3 +490,43 @@ def test_source_entropy_extremes(spark):
     assert out["flat"]["entropy"] == 0.0 and out["flat"]["norm_entropy"] == 0.0
     # H = ln(4) - (3 ln 3)/4
     assert out["skewed"]["entropy"] == round(math.log(4) - 3 * math.log(3) / 4, 6)
+
+
+def test_source_kl_matrix_identity_and_direction(spark):
+    """Identical distributions give KL = 0 in both directions; a
+    skewed source diverges from a uniform one in both directions."""
+    from pythonvectordb_spark.operators.curation import source_kl_matrix
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "x"), (1, "a b", "y"), (2, "a a a a", "z")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["kl_ab"]
+        for r in source_kl_matrix(docs).collect()
+    }
+    assert len(got) == 6
+    assert got[("x", "y")] == 0.0 and got[("y", "x")] == 0.0
+    assert got[("x", "z")] > 0.0 and got[("z", "x")] > 0.0
+
+
+def test_source_lang_mi_extremes(spark):
+    """Source determines language exactly -> MI = H = ln(2), NMI = 1;
+    independent layout -> MI = 0."""
+    from pythonvectordb_spark.operators.curation import source_lang_mi
+
+    dep = spark.createDataFrame(
+        [(0, "s1", "en"), (1, "s1", "en"), (2, "s2", "fr"), (3, "s2", "fr")],
+        "doc_id long, source string, lang string",
+    )
+    (r,) = source_lang_mi(dep).collect()
+    assert r["n_docs"] == 4 and r["n_sources"] == 2 and r["n_langs"] == 2
+    assert r["mi"] == r["h_source"] == r["h_lang"] == 0.693147
+    assert r["nmi"] == 1.0
+
+    ind = spark.createDataFrame(
+        [(0, "s1", "en"), (1, "s1", "fr"), (2, "s2", "en"), (3, "s2", "fr")],
+        "doc_id long, source string, lang string",
+    )
+    (r,) = source_lang_mi(ind).collect()
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0

@@ -80,3 +80,24 @@ def test_mutual_knn_degrees_reciprocity(spark):
     assert got[11] == got[12] == got[13] == 2
     assert got[99] == 0
     assert len(got) == 7
+
+
+def test_pair_graph_triangles_shapes(spark):
+    """A 3-clique gives every member one triangle and coefficient 1; a
+    star center has zero triangles and coefficient 0; a 4-clique member
+    sits in C(3,2)=3 triangles with coefficient 1."""
+    from pythonvectordb_spark.operators.graph import pair_graph_triangles
+
+    pairs = spark.createDataFrame(
+        # clique {1,2,3}; star 10-(11,12,13); clique {20,21,22,23}
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (10, 13)]
+        + [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r.asDict() for r in pair_graph_triangles(pairs).collect()}
+    assert out[1]["n_triangles"] == 1 and out[1]["clustering_coeff"] == 1.0
+    assert out[10]["degree"] == 3 and out[10]["n_triangles"] == 0
+    assert out[10]["clustering_coeff"] == 0.0
+    assert out[11]["degree"] == 1 and out[11]["clustering_coeff"] == 0.0
+    assert out[20]["degree"] == 3 and out[20]["n_triangles"] == 3
+    assert out[20]["clustering_coeff"] == 1.0

@@ -367,3 +367,58 @@ def test_bpe_merge_pairs(spark):
     assert got["ab"] == (2, 2)
     # single-char words ("b", "x") contribute no pairs
     assert len(rows) == 2
+
+
+def test_heaps_law_two_point_fit(spark):
+    """Two buckets with known growth: d0='a b', d1='a c' gives curve
+    (2 tokens, 2 vocab) -> (4, 3); the two-point OLS is exact, beta =
+    ln(3/2)/ln(2) and the intercept reuses the ROUNDED slope."""
+    import math
+
+    from pythonvectordb_spark.operators.textops import heaps_law
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], "doc_id long, text string"
+    )
+    rows = {r["bucket"]: r.asDict() for r in heaps_law(docs, n_points=2).collect()}
+    assert rows[0]["cum_tokens"] == 2 and rows[0]["cum_vocab"] == 2
+    assert rows[1]["cum_tokens"] == 4 and rows[1]["cum_vocab"] == 3
+    beta = round(math.log(3 / 2) / math.log(2), 6)
+    assert rows[0]["beta"] == beta
+    sx, sy = math.log(2) + math.log(4), math.log(2) + math.log(3)
+    assert rows[1]["ln_k"] == round((sy - beta * sx) / 2, 6)
+
+
+def test_good_turing_counts(spark):
+    """'a a b' has one singleton and one doubleton: p_unseen = 1/3 and
+    the bias-corrected Chao1 adds nothing (n1*(n1-1) = 0)."""
+    from pythonvectordb_spark.operators.textops import good_turing
+
+    docs = spark.createDataFrame(
+        [(0, "a a b", "s1"), (1, "x x y y z z w", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r.asDict() for r in good_turing(docs).collect()}
+    assert got["s1"]["n_tokens"] == 3 and got["s1"]["n_vocab"] == 2
+    assert got["s1"]["n1"] == 1 and got["s1"]["n2"] == 1
+    assert got["s1"]["p_unseen"] == round(1 / 3, 9)
+    assert got["s1"]["chao1_vocab"] == 2.0
+    # s2: w is the only singleton, three doubletons
+    assert got["s2"]["n1"] == 1 and got["s2"]["n2"] == 3
+    assert got["s2"]["chao1_vocab"] == 4.0
+
+
+def test_truncation_stats_kept_lost_pad(spark):
+    """max_len=4: a 2-token doc pads 2, a 6-token doc loses 2; the
+    per-source utilization is kept/(n_docs*max_len)."""
+    from pythonvectordb_spark.operators.textops import truncation_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "s"), (1, "a b c d e f", "s")],
+        "doc_id long, text string, source string",
+    )
+    (r,) = truncation_stats(docs, max_len=4).collect()
+    assert r["n_docs"] == 2 and r["n_truncated"] == 1
+    assert r["total_tokens"] == 8 and r["kept_tokens"] == 6
+    assert r["lost_tokens"] == 2 and r["pad_tokens"] == 2
+    assert r["utilization"] == 0.75 and r["trunc_rate"] == 0.5
