@@ -138,6 +138,10 @@ HEADLINE = [
     "truncation_stats",
     "source_kl_matrix",
     "source_lang_mi",
+    "pmi_collocations",
+    "bootstrap_order_ci",
+    "ivf_balance",
+    "cusum_shift",
 ]
 
 

@@ -164,3 +164,163 @@ def embedding_drift(
         dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
     ).otherwise(F.lit(0.0))
     return g.select("label", "n_a", "n_b", F.round(cos, 9).alias("centroid_cosine"))
+
+
+# Poisson(1) CDF thresholds scaled to [0, 2^32) — the md5-u32 inverse-CDF
+# table for the deterministic Poisson bootstrap (weights 0..5, capped 6).
+# Integer thresholds make the replicate weights BIT-IDENTICAL in any
+# engine: no float literal ever crosses the oracle boundary.
+import math as _math
+
+_POISSON1_CDF_U32: list[int] = []
+_acc = 0.0
+for _k in range(6):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POISSON1_CDF_U32.append(int(_acc * 2.0**32))
+del _acc, _k
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    cents_col: str,
+    id_col: str,
+    n_boot: int = 40,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for a mean, via the
+    deterministic Poisson bootstrap (Chamandy et al.'s sharded-bootstrap
+    trick): replicate ``b`` weights each row Poisson(1)-distributed by
+    inverting the CDF on an md5-derived uniform of (id, b) — no
+    resampling shuffle, no RNG state, bit-replayable anywhere. The
+    pipeline's answer to "is this week's mean shift real or noise?"
+    without collecting anything.
+
+    Determinism: the uniform is the md5-prefix exact integer in
+    [0, 2^32) compared against PRECOMPUTED INTEGER thresholds
+    (floor(CDF·2^32)) — weights are bit-identical across engines;
+    replicate sums are exact integers (``cents_col`` must be an exact
+    long); the CI bounds are selected by rank over (ROUNDED replicate
+    mean, replicate id) — the portable-boundary discipline.
+
+    Scale shape: ONE pass over the data — explode ``n_boot`` replicate
+    ids per row, map-side combine collapses each partition to
+    ``n_boot`` partial sums, the shuffle carries n_boot×partitions tiny
+    rows, and everything after is ``n_boot`` rows. The base projection
+    is lazily checkpointed (it feeds the replicas and the full-data
+    mean).
+
+    Returns one row: (n_rows, n_boot, mean_cents, ci_lo_cents,
+    ci_hi_cents) — the CI trims floor(0.025·n_boot) replicates per
+    side (1 of 40 = the 2.5% trim).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(cents_col).cast("long").alias("_x"),
+    ).localCheckpoint(eager=False)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_id"), F.lit("_"), F.col("b").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(_POISSON1_CDF_U32) - 1, -1, -1):
+        w = F.when(F.col("_u") < _POISSON1_CDF_U32[k], F.lit(k)).otherwise(w)
+    reps = (
+        base.select("*", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b"))
+        .withColumn("_u", u)
+        .select("b", w.cast("long").alias("w"), "_x")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("_x")).cast("long").alias("swx"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.col("swx").cast("double") / F.col("sw").cast("double"), 6
+            ).alias("mean_b"),
+        )
+    )
+    trim = int(0.025 * n_boot)
+    lo_rank, hi_rank = trim + 1, n_boot - trim
+    rn = F.row_number().over(Window.orderBy(F.asc("mean_b"), F.asc("b")))
+    ci = reps.select(rn.alias("rn"), "mean_b").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("mean_b"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("mean_b"))).alias("ci_hi_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_cents"),
+    ).withColumn("_one", F.lit(1))
+    return (
+        ci.withColumn("_one", F.lit(1))
+        .join(F.broadcast(full), "_one")
+        .select("n_rows", "n_boot", "mean_cents", "ci_lo_cents", "ci_hi_cents")
+    )
+
+
+def ivf_balance(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """IVF index-health audit: assign every vector to its nearest
+    centroid (the same argmax expression the IVF search path uses) and
+    summarize the cluster-size distribution — empty cells, max/mean
+    imbalance, and the coefficient of variation. The number that
+    predicts probe-time tail latency: a skewed codebook makes nprobe
+    recall cheap on small cells and blows the 99th percentile on the
+    hot one, and partition-pruned ANN inherits exactly this skew as
+    task skew at 100 TB (`event_key_skew`'s decide-before-you-shuffle
+    role, applied to the vector index).
+
+    All statistics are exact-integer algebra promoted to double only at
+    the final division: imbalance = max·k/n and cv = sqrt(k·Σc²−n²)/n
+    (population CV; Σc² stays within int64 for per-cell counts up to
+    ~1e9). One narrow aggregation over the assignment expression; the
+    centroid grid joins in as a broadcast k-row frame so empty cells
+    are counted.
+    """
+    from pythonvectordb_spark.operators.search import ivf_cluster_id
+
+    k = len(centroids)
+    spark = df.sparkSession
+    cells = spark.range(k).select(F.col("id").cast("int").alias("cluster"))
+    counts = (
+        df.select(ivf_cluster_id(vec_col, centroids).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    allc = cells.join(counts, "cluster", "left").select(
+        F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    g = allc.agg(
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_centroids"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).cast("long").alias("n_empty"),
+        F.min("c").cast("long").alias("min_count"),
+        F.max("c").cast("long").alias("max_count"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_sc2"),
+    )
+    n = F.col("n_vectors").cast("double")
+    imb = F.col("max_count").cast("double") * F.col("n_centroids").cast("double") / n
+    cv = (
+        F.sqrt(
+            (
+                F.col("n_centroids") * F.col("_sc2")
+                - F.col("n_vectors") * F.col("n_vectors")
+            ).cast("double")
+        )
+        / n
+    )
+    return g.select(
+        "n_vectors",
+        "n_centroids",
+        "n_empty",
+        "min_count",
+        "max_count",
+        F.round(imb, 6).alias("imbalance"),
+        F.round(cv, 6).alias("cv"),
+    )

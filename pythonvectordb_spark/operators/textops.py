@@ -1131,3 +1131,83 @@ def truncation_stats(
             F.col("n_truncated").cast("double") / F.col("n_docs").cast("double"), 9
         ).alias("trunc_rate"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs scored with PMI = ln(C(xy)·N / (C(x)·C(y))) over the corpus
+    token stream, floored at ``min_count`` occurrences — the standard
+    phrase-mining pass (tokenizer vocab candidates, template detection:
+    a corpus whose top PMI pairs are navigation chrome is boilerplate-
+    heavy even when per-doc scores look fine). Complements
+    `bpe_merge_pairs` (raw pair frequency) with an association score
+    that discounts independently-common tokens.
+
+    Determinism: every ln argument is an exact integer product
+    (C·N < 2^53 far past this corpus), and the top-``top_n`` cut and
+    rank both order by (ROUNDED pmi desc, w1, w2) — the engine-portable
+    boundary discipline.
+
+    Scale shape: one explode into the bigram stream, unigram counts
+    from a second explode of the same token arrays; the pair↔unigram
+    joins are shuffle equi-joins on token keys (bigram vocabulary is
+    corpus-sized at 100 TB, AQE broadcasts when small); the final cut
+    is TakeOrderedAndProject over the min_count-filtered pair table —
+    no global sort.
+    """
+    from pyspark.sql import Window
+
+    tk = df.select(tokens(text_col).alias("_tk")).localCheckpoint(eager=False)
+    uni = (
+        tk.select(F.explode("_tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n")).withColumn("_one", F.lit(1))
+    big = (
+        tk.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_tk) >= 2 THEN "
+                    "transform(sequence(1, size(_tk) - 1), "
+                    "i -> struct(element_at(_tk, CAST(i AS INT)) AS w1, "
+                    "element_at(_tk, CAST(i + 1 AS INT)) AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(n_tok), "_one")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(F.col("n_pair").cast("double") * F.col("n").cast("double"))
+                - F.log(F.col("c1").cast("double") * F.col("c2").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(top_n)
+    rank = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.select(
+        F.row_number().over(rank).cast("int").alias("rank"), "w1", "w2", "n_pair", "pmi"
+    )

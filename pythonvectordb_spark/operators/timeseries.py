@@ -246,3 +246,76 @@ def moving_window_stats(
             ),
         )
     )
+
+
+def cusum_shift(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSUM level-shift detector per series: for each event type, the
+    peak of |S_i| where S_i = n·cum_i − i·total is the n-scaled CUSUM
+    deviation of the value stream from its own mean — the classic
+    change-point statistic (Page). A peak near the middle with large
+    magnitude means the series' mean SHIFTED at that point (the batch
+    twin of the streaming PSI drift monitor, localized in time instead
+    of binned). Returns where (peak_k of n_events) and how big
+    (peak_dev, the mean per-event deviation at the peak, currency
+    units).
+
+    Determinism: values go through the cents trick (round(value·100) →
+    long), so cum/total/S_i are EXACT INTEGERS — the argmax peak and
+    its first-occurrence index need no float discipline at all;
+    only the final normalized magnitude divides (rounded 6).
+
+    Scale shape: one shuffle on the series key, one per-partition
+    ordered pass (running sum + row_number share the same window
+    sort), then a grouped argmax via struct max. S_i = n·cum_i −
+    i·total keeps within int64 for n·Σ|cents| < 2^63 (≈9e16 cent-rows
+    per series); beyond that, window the series by day first
+    (`hypertable_rollup`) and CUSUM the daily means.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        cents.alias("cents"),
+    )
+    w_ord = (
+        Window.partitionBy("t")
+        .orderBy(F.asc("_ts"), F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("t")
+    scored = base.select(
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("t").orderBy(F.asc("_ts"), F.asc("_id")))
+        .cast("long")
+        .alias("i"),
+        F.sum("cents").over(w_ord).cast("long").alias("cum"),
+        F.sum("cents").over(w_all).cast("long").alias("total"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    stat = F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
+    peaked = scored.select(
+        "t",
+        "n",
+        F.struct(stat.alias("s"), (-F.col("i")).alias("ni")).alias("p"),
+    )
+    g = peaked.groupBy("t").agg(
+        F.max("n").cast("long").alias("n_events"), F.max("p").alias("peak")
+    )
+    nd = F.col("n_events").cast("double")
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n_events",
+        (-F.col("peak.ni")).cast("long").alias("peak_k"),
+        F.col("peak.s").cast("long").alias("peak_cusum"),
+        F.round(F.col("peak.s").cast("double") / (nd * nd * F.lit(100.0)), 6).alias(
+            "peak_dev"
+        ),
+    )

@@ -6885,6 +6885,169 @@ FROM o
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (staged for the round-5 rotation):
+    adjacent-pair pointwise mutual information with a min-count floor —
+    phrase mining / template detection; the association-score companion
+    to `bpe_merge_pairs`' raw pair frequency
+    (`operators/textops.pmi_collocations`)."""
+    return TX.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+def o_pmi_collocations(min_count: int = 5, top_n: int = 20) -> str:
+    return f"""
+WITH tok AS (SELECT {O.sql_tokens('text')} AS tk FROM documents),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+big AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM tok, unnest(range(1, len(tk))) AS r(i)),
+pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+       FROM big GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+scored AS (
+  SELECT w1, w2, n_pair,
+         round(ln(n_pair::DOUBLE * nt.n::DOUBLE)
+               - ln(u1.c::DOUBLE * u2.c::DOUBLE), 6) AS pmi
+  FROM pc JOIN uni u1 ON pc.w1 = u1.w
+          JOIN uni u2 ON pc.w2 = u2.w
+          CROSS JOIN nt
+),
+top AS (SELECT * FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {top_n})
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank,
+       w1, w2, n_pair, pmi
+FROM top
+"""
+
+
+def q_bootstrap_order_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the mean order value
+    (staged for the round-5 rotation): 40 md5-replayable replicates in
+    ONE pass, CI from the rank-trimmed replicate means — "is the mean
+    shift real?" without collecting anything
+    (`operators/stats.bootstrap_mean_ci`)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return ST.bootstrap_mean_ci(orders, "cents", "o_orderkey", n_boot=40)
+
+
+def o_bootstrap_order_ci(n_boot: int = 40) -> str:
+    from pythonvectordb_spark.operators.stats import _POISSON1_CDF_U32
+
+    case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POISSON1_CDF_U32)
+    ) + " ELSE 6 END"
+    trim = int(0.025 * n_boot)
+    return f"""
+WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS x
+              FROM orders),
+reps AS (
+  SELECT b.b, base.x,
+         ('0x' || substr(md5(base.id || '_' || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM base CROSS JOIN (SELECT unnest(range(0, {n_boot})) AS b) b
+),
+sums AS (
+  SELECT b, CAST(sum({case}) AS BIGINT) AS sw,
+         CAST(sum(({case}) * x) AS BIGINT) AS swx
+  FROM reps GROUP BY 1
+),
+means AS (SELECT b, round(swx::DOUBLE / sw::DOUBLE, 6) AS mean_b FROM sums),
+ranked AS (SELECT mean_b,
+                  row_number() OVER (ORDER BY mean_b ASC, b ASC) AS rn
+           FROM means),
+ci AS (SELECT max(CASE WHEN rn = {trim + 1} THEN mean_b END) AS ci_lo_cents,
+              max(CASE WHEN rn = {n_boot - trim} THEN mean_b END) AS ci_hi_cents,
+              CAST(count(*) AS BIGINT) AS n_boot
+       FROM ranked),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(x)::DOUBLE / count(*)::DOUBLE, 6) AS mean_cents
+      FROM base)
+SELECT f.n_rows, ci.n_boot, f.mean_cents, ci.ci_lo_cents, ci.ci_hi_cents
+FROM ci CROSS JOIN f
+"""
+
+
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF cluster-balance audit (staged for the round-5
+    rotation): per-cell counts under the same nearest-centroid
+    expression the ANN search path uses, summarized as empty cells,
+    max/mean imbalance, and CV — the index-health number behind probe
+    tail latency (`operators/stats.ivf_balance`)."""
+    return ST.ivf_balance(
+        load_table(spark, sf_dir, "embeddings"), FT.CENTROIDS_TRAINED
+    )
+
+
+def o_ivf_balance() -> str:
+    sims = ", ".join(
+        O.sql_cosine_float_lit(c, "embedding") for c in FT.CENTROIDS_TRAINED
+    )
+    k = len(FT.CENTROIDS_TRAINED)
+    return f"""
+WITH s AS (SELECT [{sims}] AS sims FROM embeddings),
+assigned AS (
+  SELECT (list_position(sims, list_aggregate(sims, 'max')) - 1) AS cluster FROM s
+),
+counts AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM assigned GROUP BY 1),
+cells AS (SELECT unnest(range(0, {k})) AS cluster),
+allc AS (SELECT CAST(coalesce(counts.c, 0) AS BIGINT) AS c
+         FROM cells LEFT JOIN counts ON cells.cluster = counts.cluster),
+g AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_vectors,
+         CAST(count(*) AS BIGINT) AS n_centroids,
+         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         CAST(min(c) AS BIGINT) AS min_count,
+         CAST(max(c) AS BIGINT) AS max_count,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM allc
+)
+SELECT n_vectors, n_centroids, n_empty, min_count, max_count,
+       round(max_count::DOUBLE * n_centroids::DOUBLE / n_vectors::DOUBLE, 6) AS imbalance,
+       round(sqrt((n_centroids * sc2 - n_vectors * n_vectors)::DOUBLE)
+             / n_vectors::DOUBLE, 6) AS cv
+FROM g
+"""
+
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event series (staged for the round-5
+    rotation): the peak of the exact-integer n-scaled CUSUM statistic
+    localizes a mean shift in time — the batch twin of the streaming
+    PSI drift monitor (`operators/timeseries.cusum_shift`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.cusum_shift(load_table(spark, sf_dir, "events"))
+
+
+def o_cusum_shift() -> str:
+    return """
+WITH base AS (SELECT event_type AS t, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+scored AS (
+  SELECT t,
+         CAST(row_number() OVER (PARTITION BY t ORDER BY ts, event_id) AS BIGINT) AS i,
+         CAST(sum(cents) OVER (PARTITION BY t ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cents) OVER (PARTITION BY t) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY t) AS BIGINT) AS n
+  FROM base
+),
+st AS (SELECT t, n, i, abs(n * cum - i * total) AS s FROM scored),
+g AS (SELECT t, CAST(max(n) AS BIGINT) AS n_events, max(s) AS peak
+      FROM st GROUP BY 1),
+pk AS (SELECT st.t, g.n_events, CAST(min(st.i) AS BIGINT) AS peak_k, g.peak
+       FROM st JOIN g ON st.t = g.t AND st.s = g.peak
+       GROUP BY 1, 2, 4)
+SELECT t AS event_type, n_events, peak_k,
+       CAST(peak AS BIGINT) AS peak_cusum,
+       round(peak::DOUBLE / (n_events::DOUBLE * n_events::DOUBLE * 100.0), 6) AS peak_dev
+FROM pk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -7098,6 +7261,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "truncation_stats": q_truncation_stats,
     "source_kl_matrix": q_source_kl_matrix,
     "source_lang_mi": q_source_lang_mi,
+    "pmi_collocations": q_pmi_collocations,
+    "bootstrap_order_ci": q_bootstrap_order_ci,
+    "ivf_balance": q_ivf_balance,
+    "cusum_shift": q_cusum_shift,
 }
 
 ORACLES: dict[str, str] = {
@@ -7246,6 +7413,10 @@ ORACLES: dict[str, str] = {
     "truncation_stats": o_truncation_stats(),
     "source_kl_matrix": o_source_kl_matrix(),
     "source_lang_mi": o_source_lang_mi(),
+    "pmi_collocations": o_pmi_collocations(),
+    "bootstrap_order_ci": o_bootstrap_order_ci(),
+    "ivf_balance": o_ivf_balance(),
+    "cusum_shift": o_cusum_shift(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

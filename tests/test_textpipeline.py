@@ -422,3 +422,25 @@ def test_truncation_stats_kept_lost_pad(spark):
     assert r["total_tokens"] == 8 and r["kept_tokens"] == 6
     assert r["lost_tokens"] == 2 and r["pad_tokens"] == 2
     assert r["utilization"] == 0.75 and r["trunc_rate"] == 0.5
+
+
+def test_pmi_collocations_exclusive_pair_wins(spark):
+    """A pair that always co-occurs ('data science' x5) beats the
+    min_count floor and scores ln(c_xy*N/(c_x*c_y)) = ln(4); pairs
+    under the floor are dropped."""
+    import math
+
+    from pythonvectordb_spark.operators.textops import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (0, "data science data science data science data science data science"),
+            (1, "the a the b the c the d the e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, min_count=5, top_n=20).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["rank"], r["w1"], r["w2"], r["n_pair"]) == (1, "data", "science", 5)
+    assert r["pmi"] == round(math.log(4), 6)

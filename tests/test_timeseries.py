@@ -105,3 +105,30 @@ def test_moving_window_range_frame_is_time_based_not_row_based(spark):
         for r in TS.moving_window_stats(ev, window_minutes=60).collect()
     }
     assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_cusum_shift_finds_planted_step(spark):
+    """A 0->10 step at the midpoint peaks the CUSUM statistic exactly
+    there; a constant series peaks at zero."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import cusum_shift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "step", 0.0 if i < 4 else 10.0, "{}")
+        for i in range(8)
+    ] + [
+        (100 + i, t0 + dt.timedelta(minutes=i), 1, "flat", 5.0, "{}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_type"]: r.asDict() for r in cusum_shift(df).collect()}
+    s = got["step"]
+    # n=8, total=4000 cents; peak S = |8*0 - 4*4000| = 16000 at i=4
+    assert s["n_events"] == 8 and s["peak_k"] == 4 and s["peak_cusum"] == 16000
+    assert s["peak_dev"] == round(16000 / (64 * 100.0), 6)
+    f = got["flat"]
+    assert f["peak_cusum"] == 0 and f["peak_k"] == 1 and f["peak_dev"] == 0.0
