@@ -142,6 +142,8 @@ HEADLINE = [
     "bootstrap_order_ci",
     "ivf_balance",
     "cusum_shift",
+    "ks_drift",
+    "dedup_kcore",
 ]
 
 

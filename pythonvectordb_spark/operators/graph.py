@@ -345,3 +345,56 @@ def pair_graph_triangles(
         t.alias("n_triangles"),
         F.round(coeff, 6).alias("clustering_coeff"),
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``rounds`` synchronous rounds of degree-< ``k`` peeling over a
+    canonical pair graph — the k-core is the dedup-policy complement of
+    `pair_graph_triangles`: chains and stars peel away entirely (their
+    leaves never reach degree k), so surviving membership certifies a
+    node sits in a DENSE duplicate region worth collapsing, while the
+    triangle count grades individual neighborhoods. A fixed round
+    budget keeps the result a pure deterministic function of the edge
+    table (the `pagerank` contract — DuckDB replays the same unrolled
+    rounds); peeling converges in a handful of rounds on dup graphs,
+    whose components are near-cliques.
+
+    Scale shape: each round is one explode → degree count (map-side
+    combined) and two hash semi-joins of the edge frame against the
+    surviving-node set — never a node×node product; the edge frame and
+    the keep set are lazily checkpointed per round (each feeds two
+    consumers; the connected_components lineage discipline). Edges
+    shrink monotonically, so later rounds cost less, not more.
+
+    Returns one row per surviving node: (node, core_degree) — its
+    degree inside the peeled subgraph.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=False)
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -319,3 +319,75 @@ def cusum_shift(
             "peak_dev"
         ),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test per series: the value
+    distribution of even-``id_col`` rows against odd ones (an A/A split
+    — the null calibration for the drift stack; swap the side
+    predicate for a real before/after cut). KS = max |F_even − F_odd|
+    over observed values; `cusum_shift` localizes a MEAN shift in time,
+    this detects any DISTRIBUTIONAL difference, mean-shifted or not.
+
+    Exactness: the statistic is maximized in scaled integer form —
+    |n_odd·cum_even − n_even·cum_odd| with cents counts — so the
+    argmax, its location, and the tie-break (smallest value at the
+    peak) need no float discipline; only the final KS value divides
+    (rounded 6).
+
+    Scale shape: one (series, value) aggregation with map-side
+    combine (the shuffle carries distinct values per series, not
+    rows), then one window sort per series over those distinct values
+    and a grouped struct-argmax. Same int64 envelope as `cusum_shift`.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(type_col).alias("t"),
+        cents.alias("cents"),
+        (F.col(id_col) % 2 == 0).alias("even"),
+    )
+    per_val = base.groupBy("t", "cents").agg(
+        F.sum(F.when(F.col("even"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(~F.col("even"), 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w_ord = (
+        Window.partitionBy("t")
+        .orderBy(F.asc("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("t")
+    scored = per_val.select(
+        "t",
+        "cents",
+        F.sum("c1").over(w_ord).cast("long").alias("cum1"),
+        F.sum("c2").over(w_ord).cast("long").alias("cum2"),
+        F.sum("c1").over(w_all).cast("long").alias("n1"),
+        F.sum("c2").over(w_all).cast("long").alias("n2"),
+    )
+    stat = F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+    peaked = scored.select(
+        "t",
+        "n1",
+        "n2",
+        F.struct(stat.alias("s"), (-F.col("cents")).alias("nc")).alias("p"),
+    )
+    g = peaked.groupBy("t").agg(
+        F.max("n1").cast("long").alias("n_even"),
+        F.max("n2").cast("long").alias("n_odd"),
+        F.max("p").alias("peak"),
+    )
+    ks = F.col("peak.s").cast("double") / (
+        F.col("n_even").cast("double") * F.col("n_odd").cast("double")
+    )
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n_even",
+        "n_odd",
+        (-F.col("peak.nc")).cast("long").alias("peak_cents"),
+        F.round(ks, 6).alias("ks"),
+    )

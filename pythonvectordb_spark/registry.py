@@ -7048,6 +7048,88 @@ FROM pk
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS test per event series (staged for the
+    round-5 rotation): even-vs-odd event ids as the A/A null
+    calibration; the statistic is maximized in scaled-integer form so
+    peak and location need no float discipline
+    (`operators/timeseries.ks_drift`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.ks_drift(load_table(spark, sf_dir, "events"))
+
+
+def o_ks_drift() -> str:
+    return """
+WITH base AS (SELECT event_type AS t,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     (event_id % 2 = 0) AS even
+              FROM events),
+pv AS (SELECT t, cents,
+              CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       FROM base GROUP BY 1, 2),
+sc AS (SELECT t, cents,
+              CAST(sum(c1) OVER (PARTITION BY t ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+              CAST(sum(c2) OVER (PARTITION BY t ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+              CAST(sum(c1) OVER (PARTITION BY t) AS BIGINT) AS n1,
+              CAST(sum(c2) OVER (PARTITION BY t) AS BIGINT) AS n2
+       FROM pv),
+st AS (SELECT t, n1, n2, cents, abs(n2 * cum1 - n1 * cum2) AS s FROM sc),
+g AS (SELECT t, CAST(max(n1) AS BIGINT) AS n_even,
+             CAST(max(n2) AS BIGINT) AS n_odd, max(s) AS peak
+      FROM st GROUP BY 1),
+pk AS (SELECT st.t, g.n_even, g.n_odd,
+              CAST(min(st.cents) AS BIGINT) AS peak_cents, g.peak
+       FROM st JOIN g ON st.t = g.t AND st.s = g.peak
+       GROUP BY 1, 2, 3, 5)
+SELECT t AS event_type, n_even, n_odd, peak_cents,
+       round(peak::DOUBLE / (n_even::DOUBLE * n_odd::DOUBLE), 6) AS ks
+FROM pk
+"""
+
+
+def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the >=0.8 MinHash pair graph (staged for the round-5
+    rotation): six rounds of synchronous degree peeling — chains and
+    stars (the transitive-merge risk) peel away, surviving nodes sit in
+    dense duplicate regions; the membership complement of
+    `dedup_graph_triangles`'s per-neighborhood grading
+    (`operators/graph.k_core`)."""
+    from pythonvectordb_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_core(DD.minhash_lsh_pairs(docs, threshold=0.8), k=2, rounds=6)
+
+
+def o_dedup_kcore(k: int = 2, rounds: int = 6) -> str:
+    # the WRAP pattern over the proven minhash-pairs oracle, then the
+    # peeling rounds unrolled (the trade_pagerank replay discipline)
+    parts = [
+        f"WITH p AS MATERIALIZED (SELECT id_a, id_b FROM ({o_dedup_minhash_lsh()})),\n"
+        "e0 AS (SELECT DISTINCT id_a AS a, id_b AS b FROM p WHERE id_a < id_b)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+k{r} AS (SELECT node FROM (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT unnest([a, b]) AS node FROM e{r}) u GROUP BY 1)
+         WHERE deg >= {k}),
+e{r + 1} AS (SELECT e.a, e.b FROM e{r} e
+             WHERE EXISTS (SELECT 1 FROM k{r} WHERE k{r}.node = e.a)
+               AND EXISTS (SELECT 1 FROM k{r} WHERE k{r}.node = e.b))"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT unnest([a, b]) AS node FROM e{rounds}) u GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -7265,6 +7347,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_order_ci": q_bootstrap_order_ci,
     "ivf_balance": q_ivf_balance,
     "cusum_shift": q_cusum_shift,
+    "ks_drift": q_ks_drift,
+    "dedup_kcore": q_dedup_kcore,
 }
 
 ORACLES: dict[str, str] = {
@@ -7417,6 +7501,8 @@ ORACLES: dict[str, str] = {
     "bootstrap_order_ci": o_bootstrap_order_ci(),
     "ivf_balance": o_ivf_balance(),
     "cusum_shift": o_cusum_shift(),
+    "ks_drift": o_ks_drift(),
+    "dedup_kcore": o_dedup_kcore(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -101,3 +101,19 @@ def test_pair_graph_triangles_shapes(spark):
     assert out[11]["degree"] == 1 and out[11]["clustering_coeff"] == 0.0
     assert out[20]["degree"] == 3 and out[20]["n_triangles"] == 3
     assert out[20]["clustering_coeff"] == 1.0
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    """A 4-clique survives 2-core peeling intact (core degree 3); a
+    chain and a star peel away entirely, including the cascade where
+    removing leaves strands the chain's middle."""
+    from pythonvectordb_spark.operators.graph import k_core
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5; star 10-(11,12,13); clique {20,21,22,23}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13)]
+        + [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["core_degree"] for r in k_core(pairs, k=2, rounds=6).collect()}
+    assert got == {20: 3, 21: 3, 22: 3, 23: 3}

@@ -132,3 +132,23 @@ def test_cusum_shift_finds_planted_step(spark):
     assert s["peak_dev"] == round(16000 / (64 * 100.0), 6)
     f = got["flat"]
     assert f["peak_cusum"] == 0 and f["peak_k"] == 1 and f["peak_dev"] == 0.0
+
+
+def test_ks_drift_detects_disjoint_and_identical(spark):
+    """Disjoint even/odd value supports give KS = 1 at the boundary;
+    identical supports give KS = 0."""
+    rows = []
+    # 'shift': evens all 1.00, odds all 9.00 -> KS = 1 at 100 cents
+    for i in range(8):
+        rows.append((i, "shift", 1.0 if i % 2 == 0 else 9.0))
+    # 'same': evens and odds both alternate 2.00/4.00 -> KS = 0
+    for i in range(8):
+        rows.append((100 + i, "same", 2.0 if i % 4 < 2 else 4.0))
+    from pythonvectordb_spark.operators.timeseries import ks_drift
+
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r["event_type"]: r.asDict() for r in ks_drift(df).collect()}
+    s = got["shift"]
+    assert s["n_even"] == 4 and s["n_odd"] == 4
+    assert s["ks"] == 1.0 and s["peak_cents"] == 100
+    assert got["same"]["ks"] == 0.0
