@@ -144,6 +144,9 @@ HEADLINE = [
     "cusum_shift",
     "ks_drift",
     "dedup_kcore",
+    "revenue_gini",
+    "arrival_burstiness",
+    "event_type_affinity",
 ]
 
 

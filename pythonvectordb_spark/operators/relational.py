@@ -340,3 +340,52 @@ def approx_distinct_events(events: DataFrame) -> DataFrame:
         F.approx_count_distinct("event_type").cast("long").alias("approx_types"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def revenue_gini(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation Gini coefficient of customer order spend — the
+    inequality scalar behind per-key skew planning: a nation whose
+    revenue Gini approaches 1 is a few whale accounts (salt THEIR join
+    keys; `event_key_skew` decides the same question for raw key
+    counts, this grades the VALUE concentration), near 0 is uniform
+    spend. Customers with no orders are out of scope (inner join).
+
+    Gini via the rank identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with
+    x sorted ascending and ties broken by customer key — ranks are
+    integers, spend is exact cents, so Σ(i·x_i) and Σx are exact
+    int64 and only the final identity divides (rounded 6).
+
+    Scale shape: spend aggregates per customer (map-side combined),
+    the rank window partitions BY NATION — no global sort, each
+    nation's customers sort within their shuffle partition; the nation
+    dimension broadcasts.
+    """
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "cents")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.asc("cents"), F.asc("c_custkey"))
+    ranked = spend.select(
+        "n_name", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("_six"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_six").cast("double")
+        / (n * F.col("total_cents").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return g.select(
+        "n_name", "n_customers", "total_cents", F.round(gini, 6).alias("gini")
+    )

@@ -391,3 +391,112 @@ def ks_drift(
         (-F.col("peak.nc")).cast("long").alias("peak_cents"),
         F.round(ks, 6).alias("ks"),
     )
+
+
+def arrival_burstiness(
+    df: DataFrame, type_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Fano factor of hourly arrival counts per series (variance/mean
+    over observed hours): ≈1 is Poisson traffic, >1 is bursty (thundering
+    herds — provision the ingest path for peaks, not means), <1 is
+    metronomic (scheduled jobs pretending to be organic traffic — a
+    data-quality smell in behavioral logs). Observed-hour scope: hours
+    with zero events don't enter the window (document the difference
+    from a calendar-span Fano, which would need a generated hour spine).
+
+    Exactness: with H observed hours, S = Σc, Q = Σc², Fano =
+    (H·Q − S²)/(H·S) — all int64 until the single final division
+    (rounded 6).
+
+    Scale shape: two map-side-combined aggregations ((series, hour)
+    counts, then per series); the shuffle carries distinct hours per
+    series, not events.
+    """
+    c = (
+        df.select(
+            F.col(type_col).alias("t"), F.date_trunc("hour", F.col(ts_col)).alias("h")
+        )
+        .groupBy("t", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = c.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_q"),
+    )
+    h = F.col("n_hours").cast("double")
+    s = F.col("n_events").cast("double")
+    fano = (F.col("n_hours") * F.col("_q") - F.col("n_events") * F.col("n_events")).cast(
+        "double"
+    ) / (h * s)
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n_hours",
+        "n_events",
+        F.round(s / h, 6).alias("mean_per_hour"),
+        F.round(fano, 6).alias("fano"),
+    )
+
+
+def event_type_affinity(
+    df: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Event-type co-occurrence lift across users (market-basket over
+    the behavior log): for each unordered type pair, how many users did
+    BOTH, and lift = P(both)/(P(a)·P(b)) — lift >1 means the behaviors
+    travel together (funnel candidates for `event_funnel`), <1 means
+    the segments are disjoint. Support and lift are exact-integer
+    ratios (n_both·N/(n_a·n_b)) promoted once.
+
+    Scale shape: one distinct (user, type) projection (map-side
+    combined — the shuffle carries user×type, bounded by users times
+    the small type vocabulary), checkpointed to feed the per-type
+    counts and both sides of the user-keyed self-join; pair rows are
+    |types|² per user at worst, grouped immediately.
+    """
+    ut = (
+        df.select(F.col(user_col).alias("u"), F.col(type_col).alias("ty"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_type = (
+        ut.groupBy("ty").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    n_users = ut.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nu")
+    ).withColumn("_one", F.lit(1))
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.ty") < F.col("b.ty")))
+        .groupBy(F.col("a.ty").alias("type_a"), F.col("b.ty").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    out = (
+        both.join(
+            F.broadcast(per_type.select(F.col("ty").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("ty").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(n_users), "_one")
+    )
+    nu = F.col("nu").cast("double")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / nu, 9).alias("support"),
+        F.round(
+            F.col("n_both").cast("double") * nu
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )

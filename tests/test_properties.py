@@ -842,3 +842,31 @@ def test_embedding_drift_identical_halves(spark):
     assert out[0]["centroid_cosine"] == 1.0
     assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
     assert out[1]["centroid_cosine"] == -1.0
+
+
+def test_revenue_gini_extremes(spark):
+    """One whale among zero-spend customers drives Gini toward
+    (n-1)/n; equal spend gives exactly 0."""
+    from pythonvectordb_spark.operators.relational import revenue_gini
+
+    nation = spark.createDataFrame(
+        [(0, "EQ", 0, "x"), (1, "WHALE", 0, "x")],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    )
+    customer = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(i, 1) for i in range(10, 14)],
+        "c_custkey long, c_nationkey long",
+    )
+    orders = spark.createDataFrame(
+        # EQ nation: four customers spend 10.00 each
+        [(100 + i, i, 10.0) for i in range(1, 5)]
+        # WHALE nation: three spend 0.01, one spends 100.00
+        + [(200 + i, 10 + i, 0.01) for i in range(3)]
+        + [(299, 13, 100.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    got = {r["n_name"]: r.asDict() for r in revenue_gini(customer, orders, nation).collect()}
+    assert got["EQ"]["gini"] == 0.0
+    # cents sorted [1,1,1,10000]; G = 2*(1+2+3+40000)/(4*10003) - 5/4
+    assert got["WHALE"]["gini"] == round(2 * 40006 / (4 * 10003) - 5 / 4, 6)
+    assert got["WHALE"]["n_customers"] == 4

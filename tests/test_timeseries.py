@@ -152,3 +152,51 @@ def test_ks_drift_detects_disjoint_and_identical(spark):
     assert s["n_even"] == 4 and s["n_odd"] == 4
     assert s["ks"] == 1.0 and s["peak_cents"] == 100
     assert got["same"]["ks"] == 0.0
+
+
+def test_arrival_burstiness_poisson_vs_burst(spark):
+    """All events in one hour maximize the Fano factor; one event per
+    hour gives variance 0."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import arrival_burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "burst", 1.0, "{}") for i in range(6)] + [
+        (100 + i, t0 + dt.timedelta(hours=i), 1, "flat", 1.0, "{}") for i in range(6)
+    ]
+    # give 'burst' a second observed hour so variance is defined
+    rows += [(200, t0 + dt.timedelta(hours=1), 1, "burst", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_type"]: r.asDict() for r in arrival_burstiness(df).collect()}
+    b = got["burst"]  # hours (6,1): H=2, S=7, Q=37 -> fano=(74-49)/14
+    assert b["n_hours"] == 2 and b["n_events"] == 7
+    assert b["fano"] == round(25 / 14, 6)
+    f = got["flat"]  # six hours of exactly one -> fano 0
+    assert f["n_hours"] == 6 and f["fano"] == 0.0
+
+
+def test_event_type_affinity_lift(spark):
+    """Types that always co-occur get lift N/(n_a*n_b)*n_both > 1;
+    disjoint types never pair."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import event_type_affinity
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1,2: click+buy together; users 3,4: only view
+    for u in (1, 2):
+        rows += [(len(rows), t0, u, "click", 1.0, "{}"), (len(rows) + 100, t0, u, "buy", 1.0, "{}")]
+    for u in (3, 4):
+        rows += [(len(rows) + 200, t0, u, "view", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r["type_a"], r["type_b"]): r.asDict() for r in event_type_affinity(df).collect()}
+    assert set(got) == {("buy", "click")}
+    r = got[("buy", "click")]
+    assert r["n_both"] == 2 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["lift"] == 2.0 and r["support"] == 0.5
