@@ -147,6 +147,9 @@ HEADLINE = [
     "revenue_gini",
     "arrival_burstiness",
     "event_type_affinity",
+    "benford_digits",
+    "fk_orphans",
+    "event_debounce",
 ]
 
 

@@ -389,3 +389,107 @@ def revenue_gini(
     return g.select(
         "n_name", "n_customers", "total_cents", F.round(gini, 6).alias("gini")
     )
+
+
+def benford_digits(orders: DataFrame, price_col: str = "o_totalprice") -> DataFrame:
+    """Benford's-law first-digit audit over order values — the classic
+    fabricated-data detector for a warehouse feed: organically-grown
+    amounts follow P(d) = log10(1 + 1/d); uniform or spiky first-digit
+    histograms flag synthetic/backfilled/defaulted records upstream
+    (the value-distribution sibling of `dq_violations`' rule checks).
+    Emits one row per digit with the observed share, the Benford
+    expectation, and their difference.
+
+    Determinism: the digit comes from the leading character of the
+    exact cents integer (prices ≥ 1 keep the leading digit invariant
+    under the ×100 scaling); shares are exact-integer ratios; the
+    Benford expectation is (ln(d+1) − ln(d))/ln(10) — every ln of an
+    exact integer — and the excess subtracts the two ROUNDED values so
+    both engines difference identical doubles.
+
+    One map-side-combined aggregation on a 9-value key; everything
+    after is 9 rows.
+    """
+    cents = F.round(F.col(price_col) * 100).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (
+        orders.select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .localCheckpoint(eager=False)  # feeds the total AND the output join
+    )
+    tot = g.agg(F.sum("n_obs").cast("long").alias("n")).withColumn("_one", F.lit(1))
+    dd = F.col("digit").cast("double")
+    benford = (F.log(dd + F.lit(1.0)) - F.log(dd)) / F.log(F.lit(10.0))
+    out = (
+        g.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n").cast("double"), 9).alias(
+                "obs_share"
+            ),
+            F.round(benford, 9).alias("benford_p"),
+        )
+    )
+    return out.withColumn(
+        "excess", F.round(F.col("obs_share") - F.col("benford_p"), 9)
+    )
+
+
+def fk_orphans(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across the warehouse's seven
+    foreign-key edges: per relationship, the child row count and how
+    many children point at a missing parent — the join-safety
+    precondition every downstream equi-join silently assumes (an
+    orphaned fk drops rows in inner joins and fabricates nulls in
+    outer ones). Complements `dq_violations`' single-table rules with
+    the cross-table contract.
+
+    Each edge is ONE left join + aggregate (n_child = count, orphans =
+    parents-null count) — the parent side reduced to its distinct key
+    column first, so small dimensions broadcast and the fact-fact
+    edges shuffle on the join key only. The seven one-row results
+    union into a 7-row frame; each branch reads different tables, so
+    there is no shared subtree to checkpoint.
+    """
+    def edge(name: str, child: DataFrame, ck: str, pkeys: DataFrame) -> DataFrame:
+        return (
+            child.select(F.col(ck).alias("_ck"))
+            .join(pkeys, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+
+    def keys(parent: DataFrame, pk: str) -> DataFrame:
+        return parent.select(F.col(pk).alias("_pk")).distinct()
+
+    # nation's key set serves TWO edges — build it once (checkpointed)
+    nation_keys = keys(nation, "n_nationkey").localCheckpoint(eager=False)
+    edges = [
+        edge("orders.custkey->customer", orders, "o_custkey", keys(customer, "c_custkey")),
+        edge("lineitem.orderkey->orders", lineitem, "l_orderkey", keys(orders, "o_orderkey")),
+        edge("lineitem.partkey->part", lineitem, "l_partkey", keys(part, "p_partkey")),
+        edge("lineitem.suppkey->supplier", lineitem, "l_suppkey", keys(supplier, "s_suppkey")),
+        edge("customer.nationkey->nation", customer, "c_nationkey", nation_keys),
+        edge("supplier.nationkey->nation", supplier, "s_nationkey", nation_keys),
+        edge("nation.regionkey->region", nation, "n_regionkey", keys(region, "r_regionkey")),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

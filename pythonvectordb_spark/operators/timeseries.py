@@ -500,3 +500,48 @@ def event_type_affinity(
             6,
         ).alias("lift"),
     )
+
+
+def event_debounce(
+    df: DataFrame,
+    gap_us: int = 5_000_000,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Debounce audit: per event type, how many events arrive within
+    ``gap_us`` microseconds of the SAME user's previous event of the
+    same type — double-fires from retries, duplicate webhooks, or
+    UI double-clicks that inflate behavioral counts (the batch
+    diagnostic twin of the streaming dedup gate's time-bounded state).
+    Emits the debounce rate per type; feed the flagged share into the
+    ingest dedup window choice.
+
+    Exactness: timestamps compare as epoch-microsecond integers
+    (unix_micros / epoch_us), so the gap predicate is pure int64 — no
+    timestamp arithmetic semantics cross the oracle boundary.
+
+    One shuffle on (user, type); lag + flag share the window sort;
+    then a map-side-combined per-type aggregate.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    flagged = df.select(
+        F.col(type_col).alias("t"),
+        (us - F.lag(us).over(w) < gap_us).alias("dup"),
+    )
+    g = flagged.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_debounced"),
+    )
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n_events",
+        "n_debounced",
+        F.round(
+            F.col("n_debounced").cast("double") / F.col("n_events").cast("double"), 9
+        ).alias("debounce_rate"),
+    )

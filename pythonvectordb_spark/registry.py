@@ -7234,6 +7234,103 @@ CROSS JOIN nu
 """
 
 
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on order values (staged for the
+    round-5 rotation): observed vs log10(1+1/d) share per digit — the
+    fabricated-feed detector; digit from the exact cents integer,
+    expectation from ln's of exact integers
+    (`operators/relational.benford_digits`)."""
+    return RL.benford_digits(load_table(spark, sf_dir, "orders"))
+
+
+def o_benford_digits() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g),
+o AS (
+  SELECT digit, n_obs,
+         round(n_obs::DOUBLE / t.n::DOUBLE, 9) AS obs_share,
+         round((ln(digit::DOUBLE + 1.0) - ln(digit::DOUBLE)) / ln(10.0), 9) AS benford_p
+  FROM g CROSS JOIN t
+)
+SELECT digit, n_obs, obs_share, benford_p,
+       round(obs_share - benford_p, 9) AS excess
+FROM o
+"""
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the warehouse's seven fk edges
+    (staged for the round-5 rotation): per edge, child rows pointing at
+    a missing parent — the join-safety precondition
+    (`operators/relational.fk_orphans`)."""
+    return RL.fk_orphans(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def o_fk_orphans() -> str:
+    edges = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = [
+        f"""SELECT '{name}' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p ON c.{ck} = p._pk"""
+        for name, child, ck, parent, pk in edges
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce audit per event type (staged for the round-5 rotation):
+    events within 5s of the same user's previous same-type event —
+    double-fire inflation; epoch-microsecond integer comparison, no
+    timestamp arithmetic crosses the oracle boundary
+    (`operators/timeseries.event_debounce`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.event_debounce(load_table(spark, sf_dir, "events"))
+
+
+def o_event_debounce(gap_us: int = 5_000_000) -> str:
+    return f"""
+WITH f AS (
+  SELECT event_type AS t,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id)
+          < {gap_us}) AS dup
+  FROM events
+),
+g AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+  FROM f GROUP BY 1
+)
+SELECT t AS event_type, n_events, n_debounced,
+       round(n_debounced::DOUBLE / n_events::DOUBLE, 9) AS debounce_rate
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -7456,6 +7553,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_gini": q_revenue_gini,
     "arrival_burstiness": q_arrival_burstiness,
     "event_type_affinity": q_event_type_affinity,
+    "benford_digits": q_benford_digits,
+    "fk_orphans": q_fk_orphans,
+    "event_debounce": q_event_debounce,
 }
 
 ORACLES: dict[str, str] = {
@@ -7613,6 +7713,9 @@ ORACLES: dict[str, str] = {
     "revenue_gini": o_revenue_gini(),
     "arrival_burstiness": o_arrival_burstiness(),
     "event_type_affinity": o_event_type_affinity(),
+    "benford_digits": o_benford_digits(),
+    "fk_orphans": o_fk_orphans(),
+    "event_debounce": o_event_debounce(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -870,3 +870,50 @@ def test_revenue_gini_extremes(spark):
     # cents sorted [1,1,1,10000]; G = 2*(1+2+3+40000)/(4*10003) - 5/4
     assert got["WHALE"]["gini"] == round(2 * 40006 / (4 * 10003) - 5 / 4, 6)
     assert got["WHALE"]["n_customers"] == 4
+
+
+def test_benford_digits_shares(spark):
+    """Planted first digits (1,1,2,3): shares are exact quarters, the
+    expectation is log10(1+1/d), and excess differences the ROUNDED
+    values."""
+    import math
+
+    from pythonvectordb_spark.operators.relational import benford_digits
+
+    orders = spark.createDataFrame(
+        [(1, 1.0), (2, 19.99), (3, 2.5), (4, 300.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    got = {r["digit"]: r.asDict() for r in benford_digits(orders).collect()}
+    assert got[1]["n_obs"] == 2 and got[1]["obs_share"] == 0.5
+    p1 = round(math.log10(2), 9)
+    assert got[1]["benford_p"] == p1
+    assert got[1]["excess"] == round(0.5 - p1, 9)
+    assert got[2]["n_obs"] == 1 and got[3]["n_obs"] == 1
+
+
+def test_fk_orphans_planted(spark):
+    """One orphaned orders.custkey and one orphaned lineitem.suppkey
+    are counted on their edges; all other edges report zero."""
+    from pythonvectordb_spark.operators.relational import fk_orphans
+
+    region = spark.createDataFrame([(0, "R")], "r_regionkey long, r_name string")
+    nation = spark.createDataFrame([(0, "N", 0)], "n_nationkey long, n_name string, n_regionkey long")
+    customer = spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long")
+    supplier = spark.createDataFrame([(5, 0)], "s_suppkey long, s_nationkey long")
+    part = spark.createDataFrame([(7,)], "p_partkey long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 999)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 7, 5), (10, 7, 888)], "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    got = {
+        r["relationship"]: (r["n_child"], r["n_orphans"])
+        for r in fk_orphans(orders, customer, lineitem, nation, region, part, supplier).collect()
+    }
+    assert got["orders.custkey->customer"] == (2, 1)
+    assert got["lineitem.suppkey->supplier"] == (2, 1)
+    assert got["lineitem.orderkey->orders"] == (2, 0)
+    assert got["nation.regionkey->region"] == (1, 0)
+    assert len(got) == 7

@@ -200,3 +200,28 @@ def test_event_type_affinity_lift(spark):
     r = got[("buy", "click")]
     assert r["n_both"] == 2 and r["n_a"] == 2 and r["n_b"] == 2
     assert r["lift"] == 2.0 and r["support"] == 0.5
+
+
+def test_event_debounce_flags_rapid_repeats(spark):
+    """Same user+type 1s apart is debounced; 10s apart is not; the
+    first event of a window never is; other users/types don't
+    interact."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import event_debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=1), 1, "click", 1.0, "{}"),   # debounced
+        (2, t0 + dt.timedelta(seconds=11), 1, "click", 1.0, "{}"),  # not
+        (3, t0 + dt.timedelta(seconds=1), 2, "click", 1.0, "{}"),   # other user
+        (4, t0 + dt.timedelta(seconds=2), 1, "view", 1.0, "{}"),    # other type
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_type"]: r.asDict() for r in event_debounce(df).collect()}
+    assert got["click"]["n_events"] == 4 and got["click"]["n_debounced"] == 1
+    assert got["click"]["debounce_rate"] == 0.25
+    assert got["view"]["n_debounced"] == 0
