@@ -150,6 +150,8 @@ HEADLINE = [
     "benford_digits",
     "fk_orphans",
     "event_debounce",
+    "conversion_lag",
+    "user_behavior_entropy",
 ]
 
 

@@ -545,3 +545,282 @@ def event_debounce(
             F.col("n_debounced").cast("double") / F.col("n_events").cast("double"), 9
         ).alias("debounce_rate"),
     )
+
+
+def conversion_lag(
+    df: DataFrame,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion-lag distribution: for each user whose first
+    ``from_type`` event is at t0, the time to their first ``to_type``
+    event at or after t0 — the funnel's missing time axis
+    (`event_funnel` counts who converts, this says how long it takes;
+    the p90 lag is what sets attribution-window and as-of-join
+    tolerance choices). Emits the conversion rate and interpolated
+    lag percentiles in one row.
+
+    Determinism: lags are exact epoch-microsecond int64 differences;
+    percentiles use the exact interpolated `percentile`/`quantile_cont`
+    pair (the `value_percentiles` discipline), divided once to seconds
+    and rounded 6.
+
+    Scale shape: two filtered user-keyed aggregations and one
+    user-keyed equi-join (the candidate frame is lazily checkpointed —
+    it feeds the join and the candidate count); the final summary is
+    one row.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    cand = (
+        df.where(F.col(type_col) == from_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(us).alias("t0"))
+        .localCheckpoint(eager=False)
+    )
+    hits = df.where(F.col(type_col) == to_type).select(
+        F.col(user_col).alias("u"), us.alias("tp")
+    )
+    conv = (
+        cand.join(hits, "u")
+        .where(F.col("tp") >= F.col("t0"))
+        .groupBy("u", "t0")
+        .agg(F.min("tp").alias("tp"))
+        .select((F.col("tp") - F.col("t0")).alias("lag_us"))
+    )
+    n = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")).withColumn(
+        "_one", F.lit(1)
+    )
+    sec = lambda c: F.round(c / F.lit(1000000.0), 6)  # noqa: E731
+    s = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        sec(F.expr("percentile(lag_us, 0.5)")).alias("p50_lag_s"),
+        sec(F.expr("percentile(lag_us, 0.9)")).alias("p90_lag_s"),
+        sec(F.max("lag_us").cast("double")).alias("max_lag_s"),
+    ).withColumn("_one", F.lit(1))
+    return (
+        n.join(F.broadcast(s), "_one")
+        .select(
+            "n_candidates",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_candidates").cast("double"),
+                9,
+            ).alias("conversion_rate"),
+            "p50_lag_s",
+            "p90_lag_s",
+            "max_lag_s",
+        )
+    )
+
+
+def user_behavior_entropy(
+    df: DataFrame, type_col: str = "event_type", user_col: str = "user_id"
+) -> DataFrame:
+    """Behavioral-diversity summary: each user's Shannon entropy over
+    their own event-type distribution, reduced to the corpus card —
+    average entropy and the share of single-behavior users. Bots and
+    scripted accounts sit at H=0 (one behavior) or at ln(k) (uniform
+    cycling); organic users sit between — the behavior-log sibling of
+    `source_entropy`'s token-level diversity.
+
+    Per-user H = ln(n) − Σc·ln(c)/n is exact-integer inputs through
+    ln (identical IEEE terms per user in any engine); the cross-user
+    mean is the single grouped float sum, ROUNDED at 6 (the NB/DSIR
+    recipe).
+
+    Two map-side-combined aggregations ((user, type) counts → per
+    user) and a one-row reduce; the shuffle carries the contingency
+    keys, not events.
+    """
+    cell = df.groupBy(F.col(user_col).alias("u"), F.col(type_col).alias("ty")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_user = cell.groupBy("u").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "s_clnc"
+        ),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("s_clnc") / F.col("n").cast("double")
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("long").alias("n_single_type"),
+        F.round(
+            F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("single_share"),
+        F.round(F.sum(h) / F.count(F.lit(1)).cast("double"), 6).alias("avg_entropy"),
+    )
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 1,
+    probe_days: tuple = (7, 14, 21, 28),
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival of user lifetimes with
+    right-censoring — `retention_cohorts` counts who is still active per
+    calendar week, this estimates the survival FUNCTION itself while
+    correctly crediting users the corpus horizon cut off mid-life
+    (censored users leave the risk set without counting as churn; a
+    naive churn rate over a finite log always overstates death).
+
+    A user "dies" at lifetime t1-t0 if their last event predates the
+    corpus horizon by more than ``censor_days`` (they had room to act
+    and didn't); otherwise they are censored at horizon-t0. S(t) =
+    prod_{t_i<=t} (1 - d_i/n_i) over distinct death times, emitted at
+    ``probe_days`` probes.
+
+    Determinism: lifetimes are exact epoch-microsecond int64; the risk
+    set n_i is an integer running sum over distinct durations; each
+    factor is ln(n_i-d_i)-ln(n_i) with both logs taken of exact
+    integers (identical IEEE terms in any engine), summed per probe and
+    exp'd once, ROUNDED 6 (the KL/Good-Turing discipline). The
+    degenerate n_i=d_i step (risk set dies out) pins S=0 exactly
+    rather than passing 0 into ln.
+
+    Scale shape: one user-keyed aggregation; everything after operates
+    on distinct lifetime durations (rows <= users, typically tiny) —
+    the global DESC running sum and the probe join are summary-side,
+    not data-side. The horizon is a broadcast one-row frame, never a
+    driver collect.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_user = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    horizon = df.agg(F.max(us).alias("tmax")).withColumn("_one", F.lit(1))
+    w_us = censor_days * 86_400_000_000
+    life = (
+        per_user.withColumn("_one", F.lit(1))
+        .join(F.broadcast(horizon), "_one")
+        .select(
+            F.when(F.col("t1") <= F.col("tmax") - F.lit(w_us), F.col("t1") - F.col("t0"))
+            .otherwise(F.col("tmax") - F.col("t0"))
+            .alias("d"),
+            F.when(F.col("t1") <= F.col("tmax") - F.lit(w_us), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("e"),
+        )
+    )
+    # distinct-duration frame feeds both the risk running sum and the
+    # death counts: checkpoint once (union-recompute discipline)
+    durs = (
+        life.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("e").cast("long").alias("dd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # n_at_risk(d) = count of lifetimes >= d: DESC running sum over the
+    # distinct durations (summary-sized single partition by construction)
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    risk = durs.select("d", "dd", F.sum("c").over(w).cast("long").alias("n_risk")).where(
+        F.col("dd") > 0
+    )
+    fac = risk.select(
+        "d",
+        "dd",
+        "n_risk",
+        (
+            F.log((F.col("n_risk") - F.col("dd")).cast("double"))
+            - F.log(F.col("n_risk").cast("double"))
+        ).alias("f"),
+    )
+    probes = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(p)) for p in probe_days])).alias("probe_days"))
+    )
+    agg = (
+        probes.join(
+            F.broadcast(fac),
+            fac["d"] <= probes["probe_days"].cast("long") * F.lit(86_400_000_000),
+            "left",
+        )
+        .groupBy("probe_days")
+        .agg(
+            F.sum("dd").alias("nd"),
+            F.min(F.col("n_risk") - F.col("dd")).alias("mn"),
+            F.sum("f").alias("sf"),
+        )
+    )
+    return agg.select(
+        F.col("probe_days").cast("int").alias("probe_days"),
+        F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_deaths"),
+        F.when(F.col("nd").isNull(), F.lit(1.0))
+        .when(F.col("mn") == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("sf")), 6))
+        .alias("survival"),
+    )
+
+
+def hourly_acf(
+    df: DataFrame, ts_col: str = "ts", lags: tuple = (1, 2, 3, 24)
+) -> DataFrame:
+    """Lag-k autocorrelation of the hourly arrival series — the
+    seasonality detector `arrival_burstiness` can't see: a strong
+    lag-24 peak means daily periodicity (size streaming watermarks and
+    autoscaling to the cycle, not the mean); lag-1..3 measure
+    short-range burst persistence. Pairs are formed only where both
+    hours were observed (no zero-filled spine; document the scope).
+
+    Determinism: hour index = epoch_micros/3.6e9 by exact integer
+    division; per lag the Pearson moments (n, Sx, Sy, Sxy, Sxx, Syy)
+    are all int64, promoted to double for the single final
+    (n*Sxy-Sx*Sy)/(sqrt(..)*sqrt(..)) — IEEE sqrt of exact integers is
+    correctly rounded, so the result is engine-portable, ROUNDED 6.
+
+    Scale shape: one grouped count per hour (map-side combined), then
+    an equi-join of the tiny hour-count frame to itself shifted by the
+    exploded lag — everything past the first aggregate is
+    hours x lags sized. The hour frame is checkpointed once (it feeds
+    both join sides).
+    """
+    hrs = (
+        df.select(
+            (F.unix_micros(F.date_trunc("hour", F.col(ts_col))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hi")
+        )
+        .groupBy("hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lagf = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag_hours"))
+    )
+    a = hrs.select(F.col("hi").alias("hia"), F.col("c").alias("x")).withColumn(
+        "_one", F.lit(1)
+    )
+    b = hrs.select(F.col("hi").alias("hib"), F.col("c").alias("y"))
+    pairs = a.join(F.broadcast(lagf.withColumn("_one", F.lit(1))), "_one").join(
+        F.broadcast(b),
+        F.col("hib") == F.col("hia") + F.col("lag_hours").cast("long"),
+    )
+    g = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return g.select(
+        F.col("lag_hours").cast("int").alias("lag_hours"),
+        "n_pairs",
+        F.round(num / (denx * deny), 6).alias("acf"),
+    )

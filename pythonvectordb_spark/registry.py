@@ -7331,6 +7331,67 @@ FROM g
 """
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-lag distribution (staged for the
+    round-5 rotation): rate plus interpolated lag percentiles from
+    exact epoch-microsecond differences — the funnel's time axis and
+    the attribution-window sizing input
+    (`operators/timeseries.conversion_lag`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.conversion_lag(load_table(spark, sf_dir, "events"))
+
+
+def o_conversion_lag() -> str:
+    return """
+WITH f AS (SELECT user_id AS u, CAST(min(epoch_us(ts)) AS BIGINT) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT f.u, CAST(min(epoch_us(e.ts)) - f.t0 AS BIGINT) AS lag_us
+      FROM f JOIN events e
+        ON e.user_id = f.u AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) >= f.t0
+      GROUP BY f.u, f.t0),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM f),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             round(quantile_cont(lag_us::DOUBLE, 0.5) / 1000000.0, 6) AS p50_lag_s,
+             round(quantile_cont(lag_us::DOUBLE, 0.9) / 1000000.0, 6) AS p90_lag_s,
+             round(max(lag_us)::DOUBLE / 1000000.0, 6) AS max_lag_s
+      FROM c)
+SELECT n.n_candidates, s.n_converted,
+       round(s.n_converted::DOUBLE / n.n_candidates::DOUBLE, 9) AS conversion_rate,
+       s.p50_lag_s, s.p90_lag_s, s.max_lag_s
+FROM n CROSS JOIN s
+"""
+
+
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy, reduced to the corpus card (staged
+    for the round-5 rotation): average Shannon entropy over each user's
+    own event-type mix plus the single-behavior share — the bot/script
+    detector (`operators/timeseries.user_behavior_entropy`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.user_behavior_entropy(load_table(spark, sf_dir, "events"))
+
+
+def o_user_behavior_entropy() -> str:
+    return """
+WITH cell AS (SELECT user_id AS u, event_type AS ty,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+pu AS (
+  SELECT u, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum(c::DOUBLE * ln(c::DOUBLE)) AS s_clnc
+  FROM cell GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_type,
+       round(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 9) AS single_share,
+       round(sum(ln(n::DOUBLE) - s_clnc / n::DOUBLE) / count(*)::DOUBLE, 6) AS avg_entropy
+FROM pu
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -7556,6 +7617,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_digits": q_benford_digits,
     "fk_orphans": q_fk_orphans,
     "event_debounce": q_event_debounce,
+    "conversion_lag": q_conversion_lag,
+    "user_behavior_entropy": q_user_behavior_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -7716,6 +7779,8 @@ ORACLES: dict[str, str] = {
     "benford_digits": o_benford_digits(),
     "fk_orphans": o_fk_orphans(),
     "event_debounce": o_event_debounce(),
+    "conversion_lag": o_conversion_lag(),
+    "user_behavior_entropy": o_user_behavior_entropy(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -225,3 +225,51 @@ def test_event_debounce_flags_rapid_repeats(spark):
     assert got["click"]["n_events"] == 4 and got["click"]["n_debounced"] == 1
     assert got["click"]["debounce_rate"] == 0.25
     assert got["view"]["n_debounced"] == 0
+
+
+def test_conversion_lag_first_purchase_after_signup(spark):
+    """Lag measures first purchase AT OR AFTER the first signup;
+    earlier purchases don't count; never-converting users dilute the
+    rate only."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import conversion_lag
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "signup", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=30), 1, "purchase", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=90), 1, "purchase", 1.0, "{}"),  # not first
+        (3, t0 - dt.timedelta(seconds=5), 2, "purchase", 1.0, "{}"),   # pre-signup
+        (4, t0, 2, "signup", 1.0, "{}"),
+        (5, t0, 3, "signup", 1.0, "{}"),
+        (6, t0 + dt.timedelta(seconds=10), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = conversion_lag(df).collect()
+    assert r["n_candidates"] == 3 and r["n_converted"] == 2
+    assert r["conversion_rate"] == round(2 / 3, 9)
+    # lags: 30s and 10s -> p50 interpolates to 20s, max 30s
+    assert r["p50_lag_s"] == 20.0 and r["max_lag_s"] == 30.0
+
+
+def test_user_behavior_entropy_extremes(spark):
+    """A one-behavior user contributes H=0 and counts as single-type; a
+    50/50 user contributes ln(2)."""
+    import datetime as dt
+    import math
+
+    from pythonvectordb_spark.operators.timeseries import user_behavior_entropy
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "click", 1.0, "{}") for i in range(4)]          # H=0
+    rows += [(10 + i, t0, 2, "click" if i % 2 == 0 else "view", 1.0, "{}") for i in range(4)]  # H=ln2
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = user_behavior_entropy(df).collect()
+    assert r["n_users"] == 2 and r["n_single_type"] == 1
+    assert r["single_share"] == 0.5
+    assert r["avg_entropy"] == round(math.log(2) / 2, 6)
