@@ -152,6 +152,26 @@ HEADLINE = [
     "event_debounce",
     "conversion_lag",
     "user_behavior_entropy",
+    "km_survival",
+    "hourly_acf",
+    "rank_stability",
+    "trimmed_value_stats",
+    "twonn_intrinsic_dim",
+    "hourly_xcorr",
+    "kendall_tau",
+    "hhi_concentration",
+    "mann_whitney",
+    "runs_test",
+    "hill_tail_index",
+    "ivf_silhouette",
+    "embedding_effective_rank",
+    "dedup_assortativity",
+    "copurchase_lift",
+    "markov_entropy_rate",
+    "discount_elasticity",
+    "return_rate_wilson",
+    "priority_segment_chisq",
+    "interpurchase_gap",
 ]
 
 

@@ -398,3 +398,72 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def assortativity(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Newman degree assortativity of an undirected pair graph (the
+    >=threshold duplicate graph, in the registered query): do
+    high-degree nodes attach to other high-degree nodes (r > 0,
+    template farms duplicating each other — resolve entire clusters at
+    once) or to leaves (r < 0, hub-and-spoke boilerplate — the hub is
+    the template, spokes are instances)? The third structural lens on
+    the dup graph after `dedup_graph_triangles` (local density) and
+    `dedup_kcore` (global core).
+
+    Determinism: degrees are exact counts; r is the Pearson correlation
+    over the 2m ordered endpoint pairs, and with both orientations
+    present the moment algebra collapses to r = (M*Sxy - Sx^2) /
+    (M*Sxx - Sx^2) with M = 2m, Sx = sum(da+db), Sxy = sum(2*da*db),
+    Sxx = sum(da^2+db^2) — ALL exact int64, one final double division,
+    ROUNDED 9; NULL for degree-regular graphs (variance 0).
+
+    Scale shape: one explode + grouped count for degrees, two equi-joins
+    edge->degree (degree frame is node-sized, checkpointed once across
+    both hookups), one global aggregate. Never materializes the 2m
+    orientation rows — the doubled moments are algebraic.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    j = (
+        e.join(deg.withColumnsRenamed({"node": "a", "deg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "db"}), "b")
+        .select("da", "db")
+    )
+    g = j.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.sum(F.col("da") + F.col("db")), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(
+            F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")), F.lit(0)
+        )
+        .cast("long")
+        .alias("sxx"),
+        F.coalesce(F.sum(F.lit(2) * F.col("da") * F.col("db")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+    ).withColumn("_one", F.lit(1))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).withColumn(
+        "_one", F.lit(1)
+    )
+    m2 = F.lit(2) * F.col("n_edges")
+    num = (m2 * F.col("sxy") - F.col("sx") * F.col("sx")).cast("long")
+    den = (m2 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    return (
+        g.join(F.broadcast(nn), "_one")
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(
+                den > 0, F.round(num.cast("double") / den.cast("double"), 9)
+            ).alias("assortativity"),
+        )
+    )

@@ -493,3 +493,398 @@ def fk_orphans(
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+def rank_stability(orders: DataFrame, lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Spearman rank stability of brand revenue across time halves — is
+    the popularity ordering a stable property of the catalog or churn?
+    `rbo_overlap` compares two retrieval rankings top-weighted; this is
+    the full-population rank correlation over an exact revenue measure,
+    the drift scalar that decides whether popularity-keyed layouts
+    (Z-order keys, cache tiers, bucketing) survive between refresh
+    windows. rho near 1: yesterday's hot brands are tomorrow's — layout
+    decisions persist. rho near 0: re-cluster every window.
+
+    The order horizon is split at its exact midpoint (epoch-microsecond
+    integer arithmetic on a broadcast one-row frame); revenue per
+    (half, brand) is the e4-unit exact-integer measure
+    (`regional_revenue` discipline); ranks are row_number with brand
+    tie-break, so d^2 and its sum are exact int64 and rho =
+    1 - 6*sum_d2/(n*(n^2-1)) is a single final division, ROUNDED 9.
+
+    Scale shape: the fact table shuffles once on orderkey (part
+    broadcasts); everything after the (half, brand) aggregate is
+    brand-cardinality-sized; the ranked frame feeds both self-join
+    sides and is checkpointed once (union-recompute discipline).
+    """
+    ous = F.unix_micros(F.col("o_orderdate"))
+    piv = (
+        orders.agg(F.min(ous).alias("t0"), F.max(ous).alias("t1"))
+        .select(
+            (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / F.lit(2)).cast("long")).alias("p")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    rev_e4 = e100 * (F.lit(100).cast("long") - d100)
+    half = F.when(ous <= F.col("p"), F.lit(1)).otherwise(F.lit(2)).alias("half")
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(piv), "_one")
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(half, "p_brand", rev_e4.alias("r_e4"))
+        .groupBy("half", "p_brand")
+        .agg(F.sum("r_e4").cast("long").alias("rev_e4"))
+    )
+    w = Window.partitionBy("half").orderBy(F.col("rev_e4").desc(), F.col("p_brand").asc())
+    ranked = rev.select(
+        "half", "p_brand", F.row_number().over(w).cast("long").alias("r")
+    ).localCheckpoint(eager=False)
+    a = ranked.where(F.col("half") == 1).select(F.col("p_brand"), F.col("r").alias("r1"))
+    b = ranked.where(F.col("half") == 2).select(F.col("p_brand"), F.col("r").alias("r2"))
+    j = a.join(b, "p_brand")
+    n = F.count(F.lit(1)).cast("long")
+    d2 = F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).cast("long")
+    return j.agg(n.alias("n_brands"), d2.alias("sum_d2")).select(
+        "n_brands",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2").cast("double")
+            / (
+                F.col("n_brands").cast("double")
+                * (
+                    F.col("n_brands").cast("double") * F.col("n_brands").cast("double")
+                    - F.lit(1.0)
+                )
+            ),
+            9,
+        ).alias("rho"),
+    )
+
+
+def kendall_tau(orders: DataFrame, lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Kendall tau-b between brand revenue across the two exact halves
+    of the order horizon — the concordance companion to
+    `rank_stability`: Spearman squares rank displacement (one brand
+    teleporting hurts quadratically), tau-b counts pairwise order
+    inversions (every swap costs the same), so together they separate
+    "one breakout brand" drift from "whole-catalog reshuffle" drift.
+    Unlike rank_stability's tie-broken row_number ranks, tau-b works on
+    the RAW exact-integer revenue measure and accounts for ties
+    explicitly (tau_b = (C-D)/sqrt((n0-Tx)(n0-Ty))).
+
+    Determinism: revenue per (half, brand) is the e4-unit exact
+    integer (`regional_revenue` discipline); concordant / discordant /
+    tied pair counts are exact int64 over sign comparisons of integer
+    differences; the single final division is double, ROUNDED 9.
+
+    Scale shape: the fact table shuffles once on orderkey (part and the
+    midpoint frame broadcast); the brand-pair self-join runs on the
+    AGGREGATED brand frame — K(K-1)/2 pairs for K brands, never rows² —
+    and that frame is checkpointed once across both sides
+    (union-recompute discipline). At 100 TB K is catalog-sized (10^3-4),
+    so the pair frame stays broadcast-small.
+    """
+    ous = F.unix_micros(F.col("o_orderdate"))
+    piv = (
+        orders.agg(F.min(ous).alias("t0"), F.max(ous).alias("t1"))
+        .select(
+            (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / F.lit(2)).cast("long")).alias("p")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    e100 = _cents("l_extendedprice")
+    d100 = _cents("l_discount")
+    rev_e4 = e100 * (F.lit(100).cast("long") - d100)
+    half = F.when(ous <= F.col("p"), F.lit(1)).otherwise(F.lit(2)).alias("half")
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(piv), "_one")
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(half, "p_brand", rev_e4.alias("r_e4"))
+        .groupBy("half", "p_brand")
+        .agg(F.sum("r_e4").cast("long").alias("rev_e4"))
+    )
+    wide = (
+        rev.groupBy("p_brand")
+        .agg(
+            F.max(F.when(F.col("half") == 1, F.col("rev_e4"))).alias("x"),
+            F.max(F.when(F.col("half") == 2, F.col("rev_e4"))).alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    a = wide.select(
+        F.col("p_brand").alias("ba"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = wide.select(
+        F.col("p_brand").alias("bb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    sx = F.signum((F.col("xa") - F.col("xb")).cast("double")).cast("long")
+    sy = F.signum((F.col("ya") - F.col("yb")).cast("double")).cast("long")
+    pairs = a.join(F.broadcast(b), F.col("ba") < F.col("bb")).select(
+        sx.alias("sx"), sy.alias("sy")
+    )
+    g = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).cast("long").alias("ties_x"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0)).cast("long").alias("ties_y"),
+    )
+    nb = wide.agg(F.count(F.lit(1)).cast("long").alias("n_brands")).withColumn(
+        "_one", F.lit(1)
+    )
+    num = (F.col("concordant") - F.col("discordant")).cast("double")
+    den = F.sqrt(
+        (F.col("n_pairs") - F.col("ties_x")).cast("double")
+        * (F.col("n_pairs") - F.col("ties_y")).cast("double")
+    )
+    return (
+        g.withColumn("_one", F.lit(1))
+        .join(F.broadcast(nb), "_one")
+        .select(
+            "n_brands",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            F.round(num / den, 9).alias("tau_b"),
+        )
+    )
+
+
+def hhi_concentration(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation — the "how many suppliers actually matter" audit that
+    `revenue_gini` (customer spend inequality) doesn't answer: HHI =
+    sum(share_i^2) and its reciprocal 1/HHI is the EFFECTIVE number of
+    suppliers, the number a procurement or shard-balancing decision
+    actually sees. HHI -> 1: a monopoly supplier (that nation's supply
+    chain is one failure domain); HHI -> 1/K: perfectly balanced.
+
+    Determinism: per-supplier revenue is the e4-unit exact integer;
+    the sum of squares is exact DECIMAL(38,0) (e4 values square past
+    int64 — ~1e11 revenue squares to 1e22), mirrored by HUGEINT in the
+    oracle; both engines promote the exact integer to double once for
+    the single final sq_sum/total^2 division, ROUNDED 9.
+
+    Scale shape: one grouped sum per (nation, supplier) with the
+    supplier->nation dim broadcast (map-side combined on l_suppkey);
+    everything after is nation x supplier sized, and the second
+    aggregate to nation level is a K-row shuffle. No window, no join
+    after the dim hookup.
+    """
+    per = (
+        lineitem.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    supplier.s_nationkey == nation.n_nationkey,
+                ).select("s_suppkey", "n_name")
+            ),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "n_name",
+            "s_suppkey",
+            (_cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))).alias(
+                "r_e4"
+            ),
+        )
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum("r_e4").cast("long").alias("rev_e4"))
+    )
+    dec = F.col("rev_e4").cast("decimal(38,0)")
+    g = per.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev_e4").cast("long").alias("total_e4"),
+        F.sum(dec * dec).cast("decimal(38,0)").alias("sq_e8"),
+    )
+    tot2 = F.col("total_e4").cast("double") * F.col("total_e4").cast("double")
+    sq = F.col("sq_e8").cast("double")
+    return g.select(
+        "n_name",
+        "n_suppliers",
+        "total_e4",
+        F.round(sq / tot2, 9).alias("hhi"),
+        F.round(tot2 / sq, 6).alias("eff_suppliers"),
+    )
+
+
+def copurchase_lift(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_brand_orders: int = 20,
+    min_cooc: int = 3,
+) -> DataFrame:
+    """Market-basket association over brands within an order: support,
+    co-occurrence, and lift for every brand pair that clears the
+    a-priori gates — the classic training signal for product
+    recommendation and the warehouse-side analogue of
+    `event_type_affinity` (which lifts event types over USERS; this
+    lifts catalog brands over ORDERS, where the basket is the unit).
+    lift > 1: the pair co-sells beyond chance (bundle/cache them
+    together); lift < 1: substitutes.
+
+    Determinism: all counts are exact distinct-order counts (a brand
+    twice in one order counts once — the DISTINCT basket contract);
+    support and lift are single double divisions of int64 products,
+    ROUNDED 9; pair identity is ordered (brand_a < brand_b).
+
+    Scale shape: the a-priori discipline — frequent brands (>=
+    min_brand_orders baskets) are filtered FIRST and broadcast back, so
+    the per-order pair fan-out only sees surviving brands; the pair
+    self-join is per-orderkey over the deduped (order, brand) frame
+    (fan-out bounded by basket width squared, never catalog squared);
+    the co-occurrence gate cuts the output before the lift join.
+    """
+    ob = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    freq = (
+        ob.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_brand"))
+        .where(F.col("n_brand") >= F.lit(int(min_brand_orders)))
+        .localCheckpoint(eager=False)
+    )
+    obf = ob.join(F.broadcast(freq.select("p_brand")), "p_brand").localCheckpoint(
+        eager=False
+    )
+    a = obf.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = obf.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+        .where(F.col("n_cooc") >= F.lit(int(min_cooc)))
+    )
+    tot = ob.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    ).withColumn("_one", F.lit(1))
+    out = (
+        pairs.join(
+            F.broadcast(freq.withColumnsRenamed({"p_brand": "brand_a", "n_brand": "n_a"})),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(freq.withColumnsRenamed({"p_brand": "brand_b", "n_brand": "n_b"})),
+            "brand_b",
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_cooc",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_cooc").cast("double") / F.col("n_orders").cast("double"), 9).alias(
+            "support"
+        ),
+        F.round(
+            (F.col("n_cooc") * F.col("n_orders")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            9,
+        ).alias("lift"),
+    )
+
+
+def discount_quantity_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount — does discounting
+    move volume for THIS brand? The grouped-regression companion to
+    `event_value_regression` (global moments) with the exact-integer
+    discipline: slope_e2 is reported in units/discount-point so every
+    moment stays int64. Brands where the slope is ~0 are discount-inert
+    (stop funding promotions); steep positive slopes identify elastic
+    lines (where promo budget actually buys volume).
+
+    Determinism: x = discount in exact integer points (0..10), y =
+    quantity in exact integer units; the five moments (n, Sx, Sy, Sxy,
+    Sxx) are int64 and slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx*Sx) is ONE
+    double division, ROUNDED 9; brands with zero discount variance
+    (den = 0) emit NULL rather than a fake slope.
+
+    Scale shape: one grouped aggregate on brand after the broadcast dim
+    hookup (map-side combined); no window, no self-join.
+    """
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    g = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select("p_brand", x.alias("x"), y.alias("y"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    return g.select(
+        "p_brand",
+        "n",
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 9)).alias(
+            "slope_per_point"
+        ),
+    )
+
+
+def return_rate_wilson(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand return rate with a 95% Wilson score interval — the
+    inference-grade version of a naive returns/total ratio: Wilson
+    bounds stay inside [0,1] and stay honest at small n, so a brand
+    with 2 returns of 3 items doesn't outrank one with 200 of 1000 in
+    a "worst returners" triage. The interval IS the decision artifact:
+    flag brands whose LOWER bound clears the fleet rate.
+
+    Determinism: k (returned) and n (total) are exact counts; p, the
+    z=1.96 constant, and every derived term are doubles computed in ONE
+    pinned operation order mirrored token-for-token by the oracle
+    (z^2 appears only as the literal 3.8416 on both sides), ROUNDED 9.
+
+    Scale shape: one grouped count per brand after the broadcast dim
+    hookup (map-side combined). Nothing else.
+    """
+    g = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    denom = F.lit(1.0) + F.lit(3.8416) / nd
+    center = p + F.lit(3.8416) / (F.lit(2.0) * nd)
+    half = F.lit(1.96) * F.sqrt(
+        (p * (F.lit(1.0) - p) + F.lit(3.8416) / (F.lit(4.0) * nd)) / nd
+    )
+    return g.select(
+        "p_brand",
+        "n",
+        "k",
+        F.round(p, 9).alias("return_rate"),
+        F.round((center - half) / denom, 9).alias("wilson_lo"),
+        F.round((center + half) / denom, 9).alias("wilson_hi"),
+    )

@@ -740,6 +740,22 @@ def ivf_cluster_id(vec_col: str | Column, centroids: Sequence[Sequence[float]]) 
         v = vec_col
         sims = F.array(*[cosine_similarity(v, _query_lit(c)) for c in centroids])
         return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    na, sims = _ivf_expr_parts(vec_col, centroids)
+    argmax = (
+        f"element_at(transform(array({sims}),"
+        f" s -> array_position(s, array_max(s))), 1)"
+    )
+    bound = f"element_at(transform(array({na}), na -> {argmax}), 1)"
+    return F.expr(f"CAST({bound} - 1 AS INT)")
+
+
+def _ivf_expr_parts(
+    vec_col: str, centroids: Sequence[Sequence[float]]
+) -> tuple[str, str]:
+    """(na, sims) SQL fragments shared by ``ivf_cluster_id`` and
+    ``ivf_sims_expr`` — ONE builder so the generated text (and therefore
+    the double arithmetic the oracles mirror) cannot drift between the
+    argmax and array consumers."""
     dim = len(centroids[0])
     cents_arr = (
         "array("
@@ -773,12 +789,18 @@ def ivf_cluster_id(vec_col: str | Column, centroids: Sequence[Sequence[float]]) 
         f" THEN CAST(0.0 AS DOUBLE) ELSE t.d / (na * t.nc) END), 1)"
     )
     sims = f"transform({cents_arr}, c -> {sim_c})"
-    argmax = (
-        f"element_at(transform(array({sims}),"
-        f" s -> array_position(s, array_max(s))), 1)"
-    )
-    bound = f"element_at(transform(array({na}), na -> {argmax}), 1)"
-    return F.expr(f"CAST({bound} - 1 AS INT)")
+    return na, sims
+
+
+def ivf_sims_expr(
+    vec_col: str, centroids: Sequence[Sequence[float]]
+) -> Column:
+    """Array of per-centroid cosine similarities as ONE bound HOF — the
+    full sims vector ``ivf_cluster_id`` argmaxes over, for consumers
+    that need more than the assignment (silhouette: the top-2 margin).
+    Same fragments, same binding, bit-identical doubles."""
+    na, sims = _ivf_expr_parts(vec_col, centroids)
+    return F.expr(f"element_at(transform(array({na}), na -> {sims}), 1)")
 
 
 def ann_ivf_search(

@@ -213,3 +213,137 @@ def gk_error_bound(
         "n",
         F.col("r.within_bound").alias("within_bound"),
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Trimmed and winsorized means per group — the robust-location
+    companions to `event_value_mad`'s robust scale: the trimmed mean
+    drops the top/bottom ``trim_pct``% outright (what a revenue metric
+    should report when a few whale rows would otherwise own it), the
+    winsorized mean clamps them to the cut values (keeps mass, caps
+    leverage). The plain mean is emitted beside them; mean >>
+    trimmed_mean IS the outlier alarm.
+
+    Exactness: values become exact integer cents; with per-group n and
+    k = floor(n*pct/100), the row_number cut (value, id tie-break)
+    makes the kept set deterministic; trimmed/winsorized sums are
+    integer algebra (winsorized = trimmed + k*lo + k*hi with lo/hi the
+    exact order statistics at ranks k+1 and n-k), each divided once at
+    the end, ROUNDED 6.
+
+    Scale shape: one window shuffle on the group key (rank and count
+    share the partitioning), one grouped aggregate; nothing global.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    wp = Window.partitionBy(key_col)
+    wr = wp.orderBy(cents.asc(), F.col(id_col).asc())
+    r = df.select(
+        F.col(key_col).alias("k"),
+        cents.alias("c"),
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    ).withColumn("kcut", F.floor((F.col("n") * F.lit(int(trim_pct))) / F.lit(100.0)).cast("long"))
+    keep = (F.col("i") > F.col("kcut")) & (F.col("i") <= F.col("n") - F.col("kcut"))
+    g = r.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.max("kcut").alias("kcut"),
+        F.sum("c").cast("long").alias("s_all"),
+        F.sum(F.when(keep, F.col("c"))).cast("long").alias("s_trim"),
+        F.max(F.when(F.col("i") == F.col("kcut") + 1, F.col("c"))).alias("lo"),
+        F.max(F.when(F.col("i") == F.col("n") - F.col("kcut"), F.col("c"))).alias("hi"),
+    )
+    s_wins = F.col("s_trim") + F.col("kcut") * F.col("lo") + F.col("kcut") * F.col("hi")
+    return g.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n"),
+        F.col("kcut").alias("n_trimmed_each_side"),
+        F.round(F.col("s_all").cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6).alias("mean"),
+        F.round(
+            F.col("s_trim").cast("double")
+            / (F.lit(100.0) * (F.col("n") - F.lit(2) * F.col("kcut")).cast("double")),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(s_wins.cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.col("lo").cast("double") / 100.0, 2).alias("lo_cut"),
+        F.round(F.col("hi").cast("double") / 100.0, 2).alias("hi_cut"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
+    ks: tuple = (50, 100, 200),
+) -> DataFrame:
+    """Hill estimator of the right-tail index of the order-value
+    distribution at several tail depths k — the "how heavy is the
+    tail" scalar that decides skew posture: alpha <= 2 means the
+    biggest keys dominate any sum (salt / isolate heavy hitters;
+    `event_key_skew`'s remedies), alpha large means the tail dies fast
+    and uniform partitioning is safe. Reading alpha across k values is
+    the standard Hill-plot stability check — estimates that agree
+    across k are trustworthy.
+
+    Determinism: values are exact integer cents; the tail is the top
+    max(ks)+1 rows under (cents DESC, key ASC) — a deterministic
+    TakeOrderedAndProject shortlist; alpha_k = k / sum_{i<=k}
+    ln(x_(i)/x_(k+1)) where every ln argument is an exact integer
+    ratio's components (ln(cents_i) - ln(cents_k+1) summed as doubles
+    over k <= 200 terms — the `twonn_intrinsic_dim` discipline),
+    ROUNDED 6.
+
+    Scale shape: ONE top-(kmax+1) selection over the table (partial
+    top-k per partition, no global sort); every window and join after
+    runs on the (kmax+1)-row shortlist crossed with |ks| probe depths.
+    """
+    from pyspark.sql import Window
+
+    kmax = max(int(k) for k in ks)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    top = (
+        df.select(cents.alias("cents"), F.col(key_col).alias("k_"))
+        .orderBy(F.col("cents").desc(), F.col("k_").asc())
+        .limit(kmax + 1)
+        .localCheckpoint(eager=False)
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("cents").desc(), F.col("k_").asc())
+    )
+    ranked = top.select("cents", rn.cast("long").alias("rn"))
+    kf = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"))
+        .withColumn("_one", F.lit(1))
+    )
+    g = (
+        ranked.withColumn("_one", F.lit(1))
+        .join(F.broadcast(kf), "_one")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("k"), F.log(F.col("cents").cast("double")))
+            ).alias("s_log"),
+            F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents")))
+            .cast("long")
+            .alias("xk1_cents"),
+        )
+    )
+    excess = F.col("s_log") - F.col("k").cast("double") * F.log(
+        F.col("xk1_cents").cast("double")
+    )
+    return g.select(
+        F.col("k").cast("int").alias("k"),
+        "xk1_cents",
+        F.round(excess, 6).alias("sum_log_excess"),
+        F.round(F.col("k").cast("double") / excess, 6).alias("alpha_hill"),
+    )

@@ -324,3 +324,343 @@ def ivf_balance(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFra
         F.round(imb, 6).alias("imbalance"),
         F.round(cv, 6).alias("cv"),
     )
+
+
+def twonn_intrinsic_dim(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of an embedding corpus (Facco
+    et al. 2017, public): id = n / sum_i ln(r2_i/r1_i) over each
+    vector's two nearest non-identical neighbors. The ambient dim says
+    how wide the arrays are; THIS says how much of that width the data
+    actually uses — collapsed/anisotropic embeddings (id << ambient)
+    make banded-LSH and IVF over-partition, and a drifting id between
+    snapshots flags an encoder change even when `embedding_drift`'s
+    centroid shift is flat.
+
+    Distances are angular: d = round(1 - cos, 9) on the symmetric int8
+    cosine (exact integer dot/norms, bit-equal between the BLAS scorer
+    and the SQL mirror), so ranks and the rounded r1/r2 are
+    engine-portable; exact-duplicate neighbors (d = 0, where the ratio
+    is undefined) are excluded before ranking, per the paper's
+    discarding rule. Vectors with fewer than two valid neighbors drop
+    out of the sum (n counts participants). ln(r2/r1) terms are summed
+    once, ROUNDED 6, and the estimate divides the rounded sum (mirrored
+    in SQL, so the final value is deterministic).
+
+    Scale shape: neighbor search is the BLAS-batched `knn_join` (one
+    broadcast of the quantized query matrix, per-batch top-k, one
+    window shuffle of n*k rows); everything after is (n x 2) rows. The
+    k=8 shortlist bounds duplicate tolerance: a vector whose top 8
+    neighbors are ALL exact duplicates falls back to dropping out —
+    document, don't chase, that corner (run dedup first). At 100 TB
+    swap the scorer for banded-LSH candidates exactly as
+    `mutual_knn_degrees` documents.
+    """
+    from pyspark.sql import Window
+
+    from pythonvectordb_spark.operators.search import knn_join
+
+    queries = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    topk = knn_join(emb, queries, k=8, data_id=id_col, query_vec=vec_col)
+    d9 = F.round(F.lit(1.0) - F.col("score"), 9)
+    cand = topk.select(
+        "query_id", F.col(id_col).alias("nbr"), d9.alias("d")
+    ).where((F.col("d") > 0) & (F.col("query_id") != F.col("nbr")))
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("nbr").asc())
+    rk = cand.select("query_id", "d", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= 2
+    )
+    per = rk.groupBy("query_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("r1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("r2"),
+    ).where(F.col("r1").isNotNull() & F.col("r2").isNotNull())
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.sum(F.log(F.col("r2") / F.col("r1"))), 6).alias("sum_log_mu"),
+    )
+    return g.select(
+        "n_vectors",
+        "sum_log_mu",
+        F.round(F.col("n_vectors").cast("double") / F.col("sum_log_mu"), 6).alias(
+            "id_twonn"
+        ),
+    )
+
+
+def mann_whitney(
+    df: DataFrame, value_col: str = "n_chars", group_col: str = "source"
+) -> DataFrame:
+    """One-vs-rest Mann-Whitney U for each group's value distribution
+    against the rest of the corpus — the nonparametric "is this source's
+    length profile different" test behind per-source truncation and
+    chunking policy: |z| large means the source needs its OWN packing
+    parameters, not the corpus defaults. Complements `source_kl_matrix`
+    (token mix) with a rank test on a numeric column that is robust to
+    the heavy tails `trimmed_stats` documents.
+
+    Determinism: ranks never materialize per row — per distinct value v
+    the DOUBLED midrank is 2B_v + c_v + 1 (B = count below, c = tie
+    count), an exact int64, so each group's doubled rank sum S2, the
+    doubled U statistic U2 = S2 - n1*(n1+1), and the tie correction
+    sum(c^3 - c) are all exact integers; the z-score's single promotion
+    to double (no continuity correction — documented, both engines
+    identical) is ROUNDED 6, effect size rank-biserial r = ROUNDED 6.
+
+    Scale shape: one grouped count per (group, value) and one per value
+    (map-side combined); the midrank window runs over the DISTINCT
+    value frame (bounded by value cardinality, not rows — n_chars is
+    e3-e4 distinct at any corpus size); everything after is
+    group-cardinality sized. No row-level window, no self-join.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    sv = (
+        df.select(F.col(group_col).alias("g"), v.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    )
+    vc = (
+        df.select(v.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mid = vc.select(
+        "v",
+        "c",
+        (F.lit(2) * (F.sum("c").over(wcum) - F.col("c")) + F.col("c") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    ).localCheckpoint(eager=False)
+    tots = mid.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+    ).withColumn("_one", F.lit(1))
+    per = (
+        sv.join(mid.select("v", "mr2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("n1"),
+            F.sum(F.col("cg") * F.col("mr2")).cast("long").alias("s2"),
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tots), "_one")
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n_total") - F.col("n1")).cast("double")
+    nt = F.col("n_total").cast("double")
+    u2 = (F.col("s2") - F.col("n1") * (F.col("n1") + F.lit(1))).cast("long")
+    # var(U) with tie correction, all factors from exact integers
+    varu = (n1 * n2 / F.lit(12.0)) * (
+        (nt + F.lit(1.0)) - F.col("tie3").cast("double") / (nt * (nt - F.lit(1.0)))
+    )
+    z = (u2.cast("double") / F.lit(2.0) - n1 * n2 / F.lit(2.0)) / F.sqrt(varu)
+    rbc = F.lit(1.0) - u2.cast("double") / (n1 * n2)
+    # a fully-tied column drives the tie-corrected variance to exactly
+    # zero: the test is undefined there — NULL, not a divide-by-zero
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("n1").alias("n_group"),
+        (F.col("n_total") - F.col("n1")).cast("long").alias("n_rest"),
+        u2.alias("u2"),
+        F.when(varu > 0, F.round(z, 6)).alias("z"),
+        F.round(rbc, 6).alias("rank_biserial"),
+    )
+
+
+def ivf_silhouette(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Simplified (centroid-based) silhouette per IVF cell: a = angular
+    distance to the ASSIGNED (nearest) centroid, b = distance to the
+    runner-up, s = (b-a)/max(a,b) in [0,1]. The partition-quality
+    companion to `ivf_balance` (sizes) — mean s near 0 says the cell's
+    vectors sit on the boundary (nprobe must grow to hold recall; see
+    `ann_recall_curve`), s near 1 says one probe suffices. This is the
+    per-vector simplified silhouette (centroid distances, not pairwise)
+    — the only formulation that avoids an n^2 pairwise pass, hence the
+    one that exists at 100 TB.
+
+    Determinism: the sims vector is the SAME bound HOF expression the
+    search path argmaxes over (`search.ivf_sims_expr`); the runner-up
+    is element 2 of the descending sort (both engines sort doubles
+    identically); per-vector s is ROUNDED 9, the per-cell mean ROUNDED
+    6 (sum-order noise ~1e-15 vs the 1e-6 grid).
+
+    Scale shape: one narrow projection (sims array -> cluster, s) and
+    one grouped aggregate on cluster. No join, no window, no shuffle
+    beyond the k-cell aggregate.
+    """
+    from pythonvectordb_spark.operators.search import ivf_sims_expr
+
+    base = df.select(ivf_sims_expr(vec_col, centroids).alias("sims"))
+    mx = F.array_max(F.col("sims"))
+    second = F.element_at(F.sort_array(F.col("sims"), False), 2)
+    a = F.lit(1.0) - mx
+    b = F.lit(1.0) - second
+    s = F.when(
+        F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 9)
+    ).otherwise(F.lit(0.0))
+    cluster = (F.array_position(F.col("sims"), mx) - 1).cast("int")
+    per = base.select(cluster.alias("cluster"), s.alias("sil"))
+    return per.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("sil"), 6).alias("mean_sil"),
+        F.round(F.min("sil"), 9).alias("min_sil"),
+    )
+
+
+def embedding_effective_rank(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Effective (participation-ratio) rank of the quantized embedding
+    Gram matrix: (tr C)^2 / ||C||_F^2 = (sum lambda)^2 / sum lambda^2 —
+    how many directions the corpus actually spans. The spectral
+    companion to `twonn_intrinsic_dim` (manifold dimension) and
+    `embedding_dimension_stats` (per-axis moments): effective rank far
+    below dim means PQ sub-spaces and random-hyperplane LSH planes are
+    mostly hashing noise dimensions.
+
+    Determinism: vectors are the int8 quantization the whole K-family
+    pins (`functions.vector.quantize(l2_normalize(.))`), so C = X^T X
+    is EXACT int64 in any summation order; trace is int64, Frobenius^2
+    is exact DECIMAL(38,0) (diagonal entries square past int64),
+    mirrored by HUGEINT in the oracle; the single final division is
+    double, ROUNDED 6. Zero float discipline anywhere.
+
+    Scale shape: the per-partition BLAS Gram (`knn_join` discipline —
+    Arrow in, one int64 matmul per batch) emits d(d+1)/2 partial rows
+    per BATCH independent of n; the only shuffle is the d^2-sized
+    grouped sum of partials. At 100 TB: map-side d x d accumulators,
+    a 2080-row reduce.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pythonvectordb_spark.functions import vector as VEC
+
+    q = df.select(VEC.quantize(VEC.l2_normalize(vec_col)).alias("qv"))
+    dim = None
+
+    def gram(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            c = m.T @ m
+            iu = np.triu_indices(c.shape[0])
+            # sentinel row (-1, -1, batch_row_count) rides along so the
+            # vector count needs no second pass over the table
+            yield pd.DataFrame(
+                {
+                    "i": np.append(iu[0], -1).astype("int32"),
+                    "j": np.append(iu[1], -1).astype("int32"),
+                    "s": np.append(c[iu], len(pdf)).astype("int64"),
+                }
+            )
+
+    # reduce partials to the TOTAL C_ij before any squaring — squaring
+    # per-batch partials is wrong the moment the table spans >1 Arrow
+    # batch (the d^2-row shuffle this buys is the operator's only one)
+    partials = (
+        q.mapInPandas(gram, schema="i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+    diag = F.col("i") == F.col("j")
+    sdec = F.col("s").cast("decimal(38,0)")
+    g = partials.agg(
+        F.sum(F.when(F.col("i") == -1, F.col("s"))).cast("long").alias("n_vectors"),
+        F.sum(F.when(diag & (F.col("i") >= 0), F.col("s"))).cast("long").alias("trace"),
+        F.sum(
+            F.when(F.col("i") >= 0, F.when(diag, F.lit(1)).otherwise(F.lit(2)).cast("decimal(38,0)") * sdec * sdec)
+        )
+        .cast("decimal(38,0)")
+        .alias("frob2"),
+        F.max(F.when(F.col("i") >= 0, F.col("j"))).cast("int").alias("_jmax"),
+    )
+    tr2 = F.col("trace").cast("decimal(38,0)")
+    return g.select(
+        "n_vectors",
+        (F.col("_jmax") + 1).alias("dim"),
+        "trace",
+        F.round(
+            (tr2 * tr2).cast("double") / F.col("frob2").cast("double"), 6
+        ).alias("eff_rank"),
+    )
+
+
+def contingency_chisq(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramer's V effect size — the generic "are these two
+    keys actually related" audit (registered: order priority x customer
+    market segment; the same operator answers lang x source, type x
+    hour-band, any pair of shuffle-key candidates). V near 0 says the
+    keys are independent — composite partitioning by both buys nothing
+    over either alone.
+
+    Determinism: each cell's term is (N*o - r*c)^2 / (N*r*c) — the
+    numerator square is exact DECIMAL(38,0) (HUGEINT in the oracle;
+    N*o and r*c pass int64 squares at sf>=0.1), the denominator exact
+    int64, ONE double division per cell and a cells-count double sum
+    (bounded by category cardinalities), ROUNDED 6.
+
+    Scale shape: one grouped count on the (row, col) pair (map-side
+    combined); marginals are grouped sums OF THE CELL FRAME (never a
+    second corpus scan) joined back broadcast; the final aggregate runs
+    over r*c cells.
+    """
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rm = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rsum"))
+    cm = cells.groupBy("c").agg(F.sum("o").cast("long").alias("csum"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("nn"),
+        F.countDistinct("r").cast("long").alias("nr"),
+        F.countDistinct("c").cast("long").alias("nc"),
+    ).withColumn("_one", F.lit(1))
+    # complete the r x c grid: UNOBSERVED cells still owe their
+    # (0 - e)^2/e = e term — summing only observed pairs understates
+    # chi-square exactly when the association is strongest
+    grid = rm.withColumn("_one", F.lit(1)).join(
+        F.broadcast(cm.withColumn("_one", F.lit(1))), "_one"
+    ).drop("_one")
+    j = (
+        grid.join(F.broadcast(cells), ["r", "c"], "left")
+        .select("r", "c", "rsum", "csum", F.coalesce("o", F.lit(0)).alias("o"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+    )
+    dev = (F.col("nn") * F.col("o") - F.col("rsum") * F.col("csum")).cast(
+        "decimal(38,0)"
+    )
+    term = (dev * dev).cast("double") / (
+        F.col("nn") * F.col("rsum") * F.col("csum")
+    ).cast("double")
+    g = j.agg(
+        F.max("nn").alias("n_rows"),
+        F.max("nr").alias("n_r"),
+        F.max("nc").alias("n_c"),
+        F.sum(term).alias("_chi"),
+    )
+    dof = ((F.col("n_r") - 1) * (F.col("n_c") - 1)).cast("long")
+    vden = (
+        F.col("n_rows").cast("double")
+        * (F.least(F.col("n_r"), F.col("n_c")) - F.lit(1)).cast("double")
+    )
+    return g.select(
+        "n_rows",
+        dof.alias("dof"),
+        F.round(F.col("_chi"), 6).alias("chisq"),
+        F.round(F.sqrt(F.col("_chi") / vden), 6).alias("cramers_v"),
+    )

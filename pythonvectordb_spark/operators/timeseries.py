@@ -824,3 +824,341 @@ def hourly_acf(
         "n_pairs",
         F.round(num / (denx * deny), 6).alias("acf"),
     )
+
+
+def hourly_xcorr(
+    df: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    lags: tuple = (-3, -2, -1, 0, 1, 2, 3),
+) -> DataFrame:
+    """Signed-lag cross-correlation between the hourly arrival series of
+    two event types — the lead/lag detector `hourly_acf` can't express:
+    a peak at lag +1 means clicks LEAD purchases by an hour (size the
+    attribution join window and the stream-stream join watermark to the
+    peak lag, not to a guess); a flat curve says the funnel has no
+    hourly-scale memory. Pairs are formed only where both series
+    observed the hour (no zero-filled spine; same scope contract as
+    `hourly_acf`).
+
+    Determinism: hour index = epoch_micros/3.6e9 by exact integer
+    division; per lag the Pearson moments (n, Sx, Sy, Sxy, Sxx, Syy)
+    are all int64 over exact counts, promoted to double only for the
+    single final (n*Sxy-Sx*Sy)/(sqrt*sqrt) — engine-portable, ROUNDED 6.
+
+    Scale shape: ONE grouped count per (type, hour) over the filtered
+    pair of types (map-side combined), then an equi-join of the two
+    tiny hour-count frames shifted by the exploded lag — everything
+    past the first aggregate is hours x lags sized. The per-type hour
+    frame is checkpointed once (it feeds both sides of the lag join).
+    """
+    hrs = (
+        df.where(F.col(type_col).isin([type_a, type_b]))
+        .select(
+            F.col(type_col).alias("t"),
+            (F.unix_micros(F.date_trunc("hour", F.col(ts_col))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hi"),
+        )
+        .groupBy("t", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lagf = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag_hours"))
+        .withColumn("_one", F.lit(1))
+    )
+    a = (
+        hrs.where(F.col("t") == type_a)
+        .select(F.col("hi").alias("hia"), F.col("c").alias("x"))
+        .withColumn("_one", F.lit(1))
+    )
+    b = hrs.where(F.col("t") == type_b).select(
+        F.col("hi").alias("hib"), F.col("c").alias("y")
+    )
+    pairs = a.join(F.broadcast(lagf), "_one").join(
+        F.broadcast(b),
+        F.col("hib") == F.col("hia") + F.col("lag_hours").cast("long"),
+    )
+    g = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return g.select(
+        F.col("lag_hours").cast("int").alias("lag_hours"),
+        "n_pairs",
+        F.round(num / (denx * deny), 6).alias("xcorr"),
+    )
+
+
+def runs_test(df: DataFrame, date_col: str = "ts") -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily arrival series: are
+    above-median and below-median days randomly interleaved, or do they
+    clump (momentum / regime switching) or alternate (overcorrection)?
+    The distribution-free randomness check that `cusum_shift` (one level
+    shift) and `hourly_acf` (linear memory) don't cover — too FEW runs
+    means persistent regimes, too MANY means oscillation.
+
+    Determinism: daily counts are exact; the median comparison uses the
+    DOUBLED median m2 = q_lo + q_hi (the two middle order statistics of
+    the count distribution, row_number-ranked with day tie-break), so
+    2c vs m2 is pure int64 and days exactly AT the median are dropped
+    (the standard treatment, documented); the run count and the
+    n_above/n_below totals are exact integers; E[R], Var[R], and z
+    promote once to double, ROUNDED 6.
+
+    Scale shape: one grouped count per day (map-side combined), then
+    every window (median rank, lag for run boundaries) runs over the
+    DAY-cardinality frame — bounded by the calendar, not by rows. The
+    daily frame is checkpointed once (it feeds the median and the sign
+    pass).
+    """
+    daily = (
+        df.select(
+            (F.unix_micros(F.date_trunc("day", F.col(date_col))) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("di")
+        )
+        .groupBy("di")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = daily.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").asc(), F.col("di").asc()))
+        .cast("long")
+        .alias("rn"),
+    )
+    nf = daily.agg(F.count(F.lit(1)).cast("long").alias("nd")).select(
+        "nd",
+        F.floor((F.col("nd") + 1) / 2).cast("long").alias("r1"),
+        F.floor((F.col("nd") + 2) / 2).cast("long").alias("r2"),
+    ).withColumn("_one", F.lit(1))
+    m2f = (
+        ranked.withColumn("_one", F.lit(1))
+        .join(F.broadcast(nf), "_one")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (
+                    F.when(F.col("rn") == F.col("r1"), 1).otherwise(0)
+                    + F.when(F.col("rn") == F.col("r2"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("m2")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    s = (
+        F.when(F.lit(2) * F.col("c") > F.col("m2"), F.lit(1))
+        .when(F.lit(2) * F.col("c") < F.col("m2"), F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    signs = (
+        daily.withColumn("_one", F.lit(1))
+        .join(F.broadcast(m2f), "_one")
+        .select("di", s.alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    lagw = Window.orderBy(F.col("di").asc())
+    flagged = signs.select(
+        "s",
+        F.when(F.lag("s").over(lagw).isNull(), F.lit(1))
+        .when(F.lag("s").over(lagw) != F.col("s"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    g = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("s") == 1, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_above"),
+        F.coalesce(F.sum(F.when(F.col("s") == -1, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_below"),
+        F.coalesce(F.sum("new_run"), F.lit(0)).cast("long").alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    er = F.lit(1.0) + F.lit(2.0) * n1 * n2 / nn
+    vr = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    # one-sided series (n1 or n2 = 0) has Var[R] = 0: the test is
+    # undefined — emit NULL rather than divide by zero (ANSI mode)
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0)
+    return g.select(
+        "n_above",
+        "n_below",
+        "runs",
+        F.when(ok, F.round(er, 6)).alias("expected_runs"),
+        F.when(ok, F.round((F.col("runs").cast("double") - er) / F.sqrt(vr), 6)).alias("z"),
+    )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Entropy rate of the first-order behavioral Markov chain: the
+    conditional entropy H(next | current) over per-user event-type
+    transitions, next to the marginal H(next) and the memory
+    coefficient 1 - H(next|cur)/H(next). The scalar summary of
+    `event_transitions`' count matrix: memory ~0 means the next action
+    is independent of the current one (sessionization and next-event
+    prefetch buy nothing), memory near 1 means the chain is nearly
+    deterministic (prefetch the argmax transition).
+
+    Determinism: transitions order by (ts, event_id) — a total order,
+    unlike a bare timestamp sort under ties; every ln argument is an
+    exact integer count (the `source_kl_matrix` discipline):
+    H(next|cur) = ln T - (1/T) sum t_cn (ln t_cn - ln t_c + ln t_c -
+    ... ) factored as (sum over pairs of t_cn*(ln t_c. - ln t_cn))/T
+    where t_c. is the current-state marginal; H(next) likewise from
+    next-state marginals. Grouped double sums ROUNDED 6.
+
+    Scale shape: one user-partitioned window (the sessionize shuffle),
+    one grouped count on the (cur, next) pair — a |types|^2 frame that
+    every later step runs on; marginals join back broadcast-small.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tr = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("cur"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("nxt", F.lead("cur").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    curm = tr.groupBy("cur").agg(F.sum("t").cast("long").alias("tc"))
+    nxtm = tr.groupBy("nxt").agg(F.sum("t").cast("long").alias("tn"))
+    j = tr.join(F.broadcast(curm), "cur")
+    tot = tr.agg(F.sum("t").cast("long").alias("tt")).withColumn("_one", F.lit(1))
+    cond = j.agg(
+        F.sum(
+            F.col("t").cast("double")
+            * (F.log(F.col("tc").cast("double")) - F.log(F.col("t").cast("double")))
+        ).alias("s_cond")
+    ).withColumn("_one", F.lit(1))
+    marg = nxtm.agg(
+        F.sum(
+            F.col("tn").cast("double") * F.log(F.col("tn").cast("double"))
+        ).alias("s_marg")
+    ).withColumn("_one", F.lit(1))
+    out = cond.join(F.broadcast(marg), "_one").join(F.broadcast(tot), "_one")
+    tt = F.col("tt").cast("double")
+    h_cond = F.col("s_cond") / tt
+    h_next = F.log(tt) - F.col("s_marg") / tt
+    return out.select(
+        F.col("tt").alias("n_transitions"),
+        F.round(h_cond, 6).alias("h_cond"),
+        F.round(h_next, 6).alias("h_next"),
+        # single-type chains have H(next) = 0: memory is undefined, NULL
+        F.when(h_next > 0, F.round(F.lit(1.0) - h_cond / h_next, 6)).alias(
+            "memory_coef"
+        ),
+    )
+
+
+def interpurchase_gap(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-market-segment distribution of customer inter-order gaps
+    (days between consecutive orders): the re-engagement clock that
+    sizes churn windows and reorder-nudge timing per segment — the
+    behavioral complement of `retention_cohorts` (which buckets by
+    calendar cohort; this measures the customer's OWN cadence).
+
+    Determinism: gaps are exact integer day differences from a
+    (customer, epoch-day) lag window ordered by (day, orderkey) — a
+    total order; the median uses the DOUBLED m2 = q_lo + q_hi trick and
+    p90 the nearest-rank ceil(9n/10) = (9n+9)//10, both located on the
+    DISTINCT-gap-value frame by cumulative-count range checks (the
+    `mann_whitney` discipline — ranks never materialize per row), so
+    every output but the final median halving is exact int64.
+
+    Scale shape: one orderkey->custkey window (customer-partitioned —
+    the natural key, no skew), one grouped count per (segment, gap),
+    then every window runs over the segment x distinct-gap frame
+    (calendar-bounded). The value frame is checkpointed once (it feeds
+    the rank location and the totals).
+    """
+    day = (F.unix_micros(F.col("o_orderdate")) / F.lit(86_400_000_000)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("d").asc(), F.col("o_orderkey").asc())
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", day.alias("d"))
+        .withColumn("gap", F.col("d") - F.lag("d").over(w))
+        .where(F.col("gap").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("seg"), "gap")
+    )
+    vc = (
+        gaps.groupBy("seg", "gap")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.partitionBy("seg")
+                .orderBy(F.col("gap").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = vc.groupBy("seg").agg(F.max("cum").cast("long").alias("n")).select(
+        "seg",
+        "n",
+        F.floor((F.col("n") + 1) / 2).cast("long").alias("r1"),
+        F.floor((F.col("n") + 2) / 2).cast("long").alias("r2"),
+        F.floor((F.lit(9) * F.col("n") + 9) / 10).cast("long").alias("r90"),
+    )
+    j = vc.join(F.broadcast(tot), "seg").select(
+        "seg",
+        "n",
+        (F.col("cum") - F.col("c")).alias("b"),
+        "cum",
+        "gap",
+        "r1",
+        "r2",
+        "r90",
+    )
+    hit = lambda r: F.when((F.col("b") < F.col(r)) & (F.col(r) <= F.col("cum")), F.col("gap")).otherwise(F.lit(0))  # noqa: E731
+    g = j.groupBy("seg").agg(
+        F.max("n").alias("n_gaps"),
+        F.sum(hit("r1") + hit("r2")).cast("long").alias("m2"),
+        F.sum(hit("r90")).cast("long").alias("p90_days"),
+    )
+    return g.select(
+        F.col("seg").alias("c_mktsegment"),
+        "n_gaps",
+        F.round(F.col("m2").cast("double") / F.lit(2.0), 1).alias("median_days"),
+        "p90_days",
+    )

@@ -7392,6 +7392,801 @@ FROM pu
 """
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetimes with right-censoring at
+    the corpus horizon (staged for the round-5 rotation): the estimator
+    `retention_cohorts` approximates without censoring — survival at
+    day probes from the product-limit over exact-integer risk sets
+    (`operators/timeseries.km_survival`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.km_survival(load_table(spark, sf_dir, "events"))
+
+
+def o_km_survival() -> str:
+    return """
+WITH b AS (SELECT user_id AS u, CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+                  CAST(max(epoch_us(ts)) AS BIGINT) AS t1
+           FROM events GROUP BY 1),
+h AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS tmax FROM events),
+life AS (
+  SELECT CASE WHEN t1 <= tmax - 86400000000 THEN t1 - t0 ELSE tmax - t0 END AS d,
+         CASE WHEN t1 <= tmax - 86400000000 THEN 1 ELSE 0 END AS e
+  FROM b CROSS JOIN h),
+durs AS (SELECT d, CAST(count(*) AS BIGINT) AS c, CAST(sum(e) AS BIGINT) AS dd
+         FROM life GROUP BY 1),
+risk AS (SELECT d, dd,
+                CAST(sum(c) OVER (ORDER BY d DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_risk
+         FROM durs),
+fac AS (SELECT d, dd, n_risk,
+               ln((n_risk - dd)::DOUBLE) - ln(n_risk::DOUBLE) AS f
+        FROM risk WHERE dd > 0),
+probes AS (SELECT * FROM (VALUES (7), (14), (21), (28)) AS p(probe_days)),
+agg AS (
+  SELECT p.probe_days, sum(fac.dd) AS nd, min(n_risk - dd) AS mn, sum(f) AS sf
+  FROM probes p LEFT JOIN fac ON fac.d <= CAST(p.probe_days AS BIGINT) * 86400000000
+  GROUP BY 1)
+SELECT CAST(probe_days AS INTEGER) AS probe_days,
+       CAST(coalesce(nd, 0) AS BIGINT) AS n_deaths,
+       CASE WHEN nd IS NULL THEN 1.0
+            WHEN mn = 0 THEN 0.0
+            ELSE round(exp(sf), 6) END AS survival
+FROM agg
+"""
+
+
+def q_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of hourly arrivals (staged for the round-5
+    rotation): the daily-seasonality / burst-persistence detector —
+    Pearson over exact int64 moments at lags 1, 2, 3, 24
+    (`operators/timeseries.hourly_acf`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.hourly_acf(load_table(spark, sf_dir, "events"))
+
+
+def o_hourly_acf() -> str:
+    return """
+WITH hrs AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+lags AS (SELECT * FROM (VALUES (1), (2), (3), (24)) AS l(lag_hours)),
+pairs AS (
+  SELECT l.lag_hours, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN hrs a ON true
+  JOIN hrs b ON b.hi = a.hi + CAST(l.lag_hours AS BIGINT)),
+g AS (
+  SELECT lag_hours, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1)
+SELECT CAST(lag_hours AS INTEGER) AS lag_hours, n_pairs,
+       round((n_pairs * sxy - sx * sy)::DOUBLE
+             / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                * sqrt((n_pairs * syy - sy * sy)::DOUBLE)), 6) AS acf
+FROM g
+"""
+
+
+def q_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank stability of brand revenue across the two exact
+    halves of the order horizon (staged for the round-5 rotation): the
+    popularity-drift scalar behind layout refresh cadence — exact
+    integer d^2 from row_number ranks over e4-unit revenue, one final
+    division (`operators/relational.rank_stability`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.rank_stability(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def o_rank_stability() -> str:
+    return """
+WITH piv AS (
+  SELECT CAST(min(epoch_us(o_orderdate)) AS BIGINT)
+         + (CAST(max(epoch_us(o_orderdate)) AS BIGINT)
+            - CAST(min(epoch_us(o_orderdate)) AS BIGINT)) // 2 AS p
+  FROM orders),
+rev AS (
+  SELECT CASE WHEN epoch_us(o.o_orderdate) <= piv.p THEN 1 ELSE 2 END AS half,
+         p.p_brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  CROSS JOIN piv
+  GROUP BY 1, 2),
+rk AS (SELECT half, p_brand,
+              CAST(row_number() OVER (PARTITION BY half
+                    ORDER BY rev_e4 DESC, p_brand ASC) AS BIGINT) AS r
+       FROM rev)
+SELECT CAST(count(*) AS BIGINT) AS n_brands,
+       CAST(sum((a.r - b.r) * (a.r - b.r)) AS BIGINT) AS sum_d2,
+       round(1.0 - 6.0 * sum((a.r - b.r) * (a.r - b.r))::DOUBLE
+             / (count(*)::DOUBLE
+                * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0)), 9) AS rho
+FROM rk a JOIN rk b ON a.p_brand = b.p_brand AND a.half = 1 AND b.half = 2
+"""
+
+
+def q_trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed and winsorized means of event value per type (staged for
+    the round-5 rotation): robust-location companions to
+    `event_value_mad` — exact-integer cut-rank algebra, winsorized =
+    trimmed + k*lo + k*hi (`operators/sketch.trimmed_stats`)."""
+    from pythonvectordb_spark.operators import sketch as SK
+
+    return SK.trimmed_stats(load_table(spark, sf_dir, "events"))
+
+
+def o_trimmed_value_stats() -> str:
+    return """
+WITH r AS (
+  SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT) ASC, event_id ASC)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events),
+r2 AS (SELECT *, CAST(floor((n * 10) / 100.0) AS BIGINT) AS kcut FROM r),
+g AS (
+  SELECT k, max(n) AS n, max(kcut) AS kcut,
+         CAST(sum(c) AS BIGINT) AS s_all,
+         CAST(sum(CASE WHEN i > kcut AND i <= n - kcut THEN c END) AS BIGINT) AS s_trim,
+         max(CASE WHEN i = kcut + 1 THEN c END) AS lo,
+         max(CASE WHEN i = n - kcut THEN c END) AS hi
+  FROM r2 GROUP BY 1)
+SELECT k AS event_type, n, kcut AS n_trimmed_each_side,
+       round(s_all::DOUBLE / (100.0 * n::DOUBLE), 6) AS mean,
+       round(s_trim::DOUBLE / (100.0 * (n - 2 * kcut)::DOUBLE), 6) AS trimmed_mean,
+       round((s_trim + kcut * lo + kcut * hi)::DOUBLE / (100.0 * n::DOUBLE), 6)
+           AS winsorized_mean,
+       round(lo::DOUBLE / 100.0, 2) AS lo_cut,
+       round(hi::DOUBLE / 100.0, 2) AS hi_cut
+FROM g
+"""
+
+
+def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate over the embedding corpus
+    (staged for the round-5 rotation): id = n / sum ln(r2/r1) on
+    angular distances from the exact symmetric int8 cosine — the
+    effective-dimensionality audit behind IVF/LSH parameter choices
+    (`operators/stats.twonn_intrinsic_dim`)."""
+    return ST.twonn_intrinsic_dim(_emb(spark, sf_dir))
+
+
+def o_twonn_intrinsic_dim() -> str:
+    qv = O.sql_qvec("embedding")
+    cos = (
+        "(list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        " / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        " * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS nbr, round(1.0 - {cos}, 9) AS d
+  FROM q a CROSS JOIN q b
+  WHERE a.vec_id != b.vec_id),
+rk AS (
+  SELECT qa, d, row_number() OVER (PARTITION BY qa ORDER BY d ASC, nbr ASC) AS rn
+  FROM p WHERE d > 0),
+per AS (
+  SELECT qa, min(CASE WHEN rn = 1 THEN d END) AS r1,
+         min(CASE WHEN rn = 2 THEN d END) AS r2
+  FROM rk WHERE rn <= 2 GROUP BY qa),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         round(sum(ln(r2 / r1)), 6) AS sum_log_mu
+  FROM per WHERE r1 IS NOT NULL AND r2 IS NOT NULL)
+SELECT n_vectors, sum_log_mu,
+       round(n_vectors::DOUBLE / sum_log_mu, 6) AS id_twonn
+FROM g
+"""
+
+
+def q_hourly_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-lag cross-correlation of hourly click vs purchase arrivals
+    (staged for the round-5 rotation): the funnel lead/lag detector —
+    pure int64 Pearson moments per lag, pairs only where both series
+    observed the hour (`operators/timeseries.hourly_xcorr`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.hourly_xcorr(load_table(spark, sf_dir, "events"))
+
+
+def o_hourly_xcorr() -> str:
+    return """
+WITH hrs AS (
+  SELECT event_type AS t,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+lags AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS l(lag_hours)),
+pairs AS (
+  SELECT l.lag_hours, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN hrs a ON a.t = 'click'
+  JOIN hrs b ON b.t = 'purchase' AND b.hi = a.hi + CAST(l.lag_hours AS BIGINT)),
+g AS (
+  SELECT lag_hours, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1)
+SELECT CAST(lag_hours AS INTEGER) AS lag_hours, n_pairs,
+       round((n_pairs * sxy - sx * sy)::DOUBLE
+             / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                * sqrt((n_pairs * syy - sy * sy)::DOUBLE)), 6) AS xcorr
+FROM g
+"""
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b concordance of brand revenue across the two exact
+    horizon halves (staged for the round-5 rotation): the pairwise
+    inversion companion to `rank_stability` — C/D/tie counts exact over
+    the aggregated brand frame, K(K-1)/2 pairs never rows^2
+    (`operators/relational.kendall_tau`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.kendall_tau(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def o_kendall_tau() -> str:
+    return """
+WITH piv AS (
+  SELECT CAST(min(epoch_us(o_orderdate)) AS BIGINT)
+         + (CAST(max(epoch_us(o_orderdate)) AS BIGINT)
+            - CAST(min(epoch_us(o_orderdate)) AS BIGINT)) // 2 AS p
+  FROM orders),
+rev AS (
+  SELECT CASE WHEN epoch_us(o.o_orderdate) <= piv.p THEN 1 ELSE 2 END AS half,
+         p.p_brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  CROSS JOIN piv
+  GROUP BY 1, 2),
+wide AS (
+  SELECT p_brand,
+         max(CASE WHEN half = 1 THEN rev_e4 END) AS x,
+         max(CASE WHEN half = 2 THEN rev_e4 END) AS y
+  FROM rev GROUP BY 1
+  HAVING max(CASE WHEN half = 1 THEN rev_e4 END) IS NOT NULL
+     AND max(CASE WHEN half = 2 THEN rev_e4 END) IS NOT NULL),
+pr AS (
+  SELECT CAST(sign(a.x - b.x) AS BIGINT) AS sx,
+         CAST(sign(a.y - b.y) AS BIGINT) AS sy
+  FROM wide a JOIN wide b ON a.p_brand < b.p_brand),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM pr),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_brands FROM wide)
+SELECT n_brands, n_pairs, concordant, discordant,
+       round((concordant - discordant)::DOUBLE
+             / sqrt((n_pairs - tx)::DOUBLE * (n_pairs - ty)::DOUBLE), 9) AS tau_b
+FROM g CROSS JOIN nb
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl supplier-revenue concentration per nation (staged for
+    the round-5 rotation): HHI and the effective supplier count 1/HHI —
+    exact e4 revenue, DECIMAL(38)/HUGEINT squares, one final double
+    division (`operators/relational.hhi_concentration`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.hhi_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def o_hhi_concentration() -> str:
+    return """
+WITH per AS (
+  SELECT n.n_name, s.s_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+g AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+         sum(rev_e4::HUGEINT * rev_e4::HUGEINT) AS sq_e8
+  FROM per GROUP BY 1)
+SELECT n_name, n_suppliers, total_e4,
+       round(sq_e8::DOUBLE / (total_e4::DOUBLE * total_e4::DOUBLE), 9) AS hhi,
+       round((total_e4::DOUBLE * total_e4::DOUBLE) / sq_e8::DOUBLE, 6) AS eff_suppliers
+FROM g
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest Mann-Whitney U per source over doc lengths (staged
+    for the round-5 rotation): doubled midranks 2B+c+1 keep rank sums,
+    U2, and the tie correction exact int64; z and rank-biserial r
+    promote once (`operators/stats.mann_whitney`)."""
+    return ST.mann_whitney(load_table(spark, sf_dir, "documents"))
+
+
+def o_mann_whitney() -> str:
+    return """
+WITH sv AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cg
+            FROM documents GROUP BY 1, 2),
+vc AS (SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+       FROM documents GROUP BY 1),
+mid AS (SELECT v, c,
+               CAST(2 * (sum(c) OVER (ORDER BY v ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                    + c + 1 AS BIGINT) AS mr2
+        FROM vc),
+tots AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+         FROM mid),
+per AS (SELECT g, CAST(sum(cg) AS BIGINT) AS n1,
+               CAST(sum(cg * mr2) AS BIGINT) AS s2
+        FROM sv JOIN mid USING (v) GROUP BY 1)
+SELECT g AS source, n1 AS n_group,
+       CAST(n_total - n1 AS BIGINT) AS n_rest,
+       CAST(s2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       round(((s2 - n1 * (n1 + 1))::DOUBLE / 2.0
+              - n1::DOUBLE * (n_total - n1)::DOUBLE / 2.0)
+             / sqrt((n1::DOUBLE * (n_total - n1)::DOUBLE / 12.0)
+                    * ((n_total::DOUBLE + 1.0)
+                       - tie3::DOUBLE
+                         / (n_total::DOUBLE * (n_total::DOUBLE - 1.0)))), 6) AS z,
+       round(1.0 - (s2 - n1 * (n1 + 1))::DOUBLE
+                   / (n1::DOUBLE * (n_total - n1)::DOUBLE), 6) AS rank_biserial
+FROM per CROSS JOIN tots
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily event arrivals (staged for the
+    round-5 rotation): randomness of above/below-median days — doubled
+    median m2 keeps every comparison int64, exact run count, z promotes
+    once; NULL z when one side is empty (the orders table degenerates
+    exactly that way at sf0.001 — every day >= the median of 1)
+    (`operators/timeseries.runs_test`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.runs_test(load_table(spark, sf_dir, "events"))
+
+
+def o_runs_test() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+nf AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+ranked AS (SELECT c, CAST(row_number() OVER (ORDER BY c ASC, di ASC) AS BIGINT) AS rn
+           FROM daily),
+m AS (SELECT CAST(sum(c * ((CASE WHEN rn = (nd + 1) // 2 THEN 1 ELSE 0 END)
+                           + (CASE WHEN rn = (nd + 2) // 2 THEN 1 ELSE 0 END)))
+             AS BIGINT) AS m2
+      FROM ranked CROSS JOIN nf),
+signs AS (SELECT di, CASE WHEN 2 * c > m2 THEN 1 WHEN 2 * c < m2 THEN -1 END AS s
+          FROM daily CROSS JOIN m WHERE 2 * c != m2),
+fl AS (SELECT s,
+              CASE WHEN lag(s) OVER (ORDER BY di ASC) IS NULL THEN 1
+                   WHEN lag(s) OVER (ORDER BY di ASC) != s THEN 1
+                   ELSE 0 END AS new_run
+       FROM signs),
+g AS (SELECT CAST(coalesce(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_above,
+             CAST(coalesce(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below,
+             CAST(coalesce(sum(new_run), 0) AS BIGINT) AS runs
+      FROM fl)
+SELECT n_above, n_below, runs,
+       CASE WHEN n_above > 0 AND n_below > 0 THEN
+         round(1.0 + 2.0 * n_above::DOUBLE * n_below::DOUBLE
+                     / (n_above::DOUBLE + n_below::DOUBLE), 6) END AS expected_runs,
+       CASE WHEN n_above > 0 AND n_below > 0 THEN
+         round((runs::DOUBLE
+                - (1.0 + 2.0 * n_above::DOUBLE * n_below::DOUBLE
+                         / (n_above::DOUBLE + n_below::DOUBLE)))
+               / sqrt(2.0 * n_above::DOUBLE * n_below::DOUBLE
+                      * (2.0 * n_above::DOUBLE * n_below::DOUBLE
+                         - n_above::DOUBLE - n_below::DOUBLE)
+                      / ((n_above::DOUBLE + n_below::DOUBLE)
+                         * (n_above::DOUBLE + n_below::DOUBLE)
+                         * (n_above::DOUBLE + n_below::DOUBLE - 1.0))), 6) END AS z
+FROM g
+"""
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of order values at k = 50/100/200 (staged for
+    the round-5 rotation): the heavy-tail / skew-posture scalar — one
+    deterministic top-(kmax+1) shortlist, ln of exact cents, Hill-plot
+    stability across k (`operators/sketch.hill_tail_index`)."""
+    from pythonvectordb_spark.operators import sketch as SK
+
+    return SK.hill_tail_index(load_table(spark, sf_dir, "orders"))
+
+
+def o_hill_tail_index() -> str:
+    return """
+WITH top AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey AS k_
+  FROM orders ORDER BY cents DESC, k_ ASC LIMIT 201),
+ranked AS (SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents DESC, k_ ASC) AS BIGINT) AS rn
+           FROM top),
+ks AS (SELECT * FROM (VALUES (50), (100), (200)) AS t(k)),
+g AS (SELECT k,
+             sum(CASE WHEN rn <= k THEN ln(cents::DOUBLE) END) AS s_log,
+             max(CASE WHEN rn = k + 1 THEN cents END) AS xk1
+      FROM ranked CROSS JOIN ks GROUP BY 1)
+SELECT CAST(k AS INTEGER) AS k, CAST(xk1 AS BIGINT) AS xk1_cents,
+       round(s_log - k::DOUBLE * ln(xk1::DOUBLE), 6) AS sum_log_excess,
+       round(k::DOUBLE / (s_log - k::DOUBLE * ln(xk1::DOUBLE)), 6) AS alpha_hill
+FROM g
+"""
+
+
+def q_ivf_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the trained IVF codebook
+    (staged for the round-5 rotation): boundary-mass audit from the
+    SAME bound sims HOF the search path argmaxes over — the
+    partition-quality companion to `ivf_balance`
+    (`operators/stats.ivf_silhouette`)."""
+    return ST.ivf_silhouette(
+        load_table(spark, sf_dir, "embeddings"), FT.CENTROIDS_TRAINED
+    )
+
+
+def o_ivf_silhouette() -> str:
+    sims = ", ".join(
+        O.sql_cosine_float_lit(c, "embedding") for c in FT.CENTROIDS_TRAINED
+    )
+    return f"""
+WITH s AS (SELECT [{sims}] AS sims FROM embeddings),
+feat AS (
+  SELECT (list_position(sims, list_aggregate(sims, 'max')) - 1) AS cluster,
+         CASE WHEN greatest(1.0 - list_aggregate(sims, 'max'),
+                            1.0 - list_sort(sims, 'DESC')[2]) > 0
+              THEN round(((1.0 - list_sort(sims, 'DESC')[2])
+                          - (1.0 - list_aggregate(sims, 'max')))
+                         / greatest(1.0 - list_aggregate(sims, 'max'),
+                                    1.0 - list_sort(sims, 'DESC')[2]), 9)
+              ELSE 0.0 END AS sil
+  FROM s)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(sil), 6) AS mean_sil,
+       round(min(sil), 9) AS min_sil
+FROM feat GROUP BY 1
+"""
+
+
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective rank of the int8 Gram matrix
+    (staged for the round-5 rotation): (tr C)^2/||C||_F^2 — exact int64
+    per-partition BLAS Gram partials, DECIMAL(38)/HUGEINT squares, one
+    final double division (`operators/stats.embedding_effective_rank`)."""
+    return ST.embedding_effective_rank(load_table(spark, sf_dir, "embeddings"))
+
+
+def o_embedding_effective_rank() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH q AS (SELECT {qv} AS qv FROM embeddings),
+pairs AS (SELECT t1.i AS i, t2.j AS j
+          FROM generate_series(1, 64) t1(i)
+          CROSS JOIN generate_series(1, 64) t2(j)
+          WHERE t2.j >= t1.i),
+c AS (SELECT i, j, CAST(sum(qv[i]::BIGINT * qv[j]::BIGINT) AS BIGINT) AS s
+      FROM q CROSS JOIN pairs GROUP BY 1, 2),
+g AS (SELECT CAST(max(j) AS INTEGER) AS dim,
+             CAST(sum(CASE WHEN i = j THEN s END) AS BIGINT) AS trace,
+             sum((CASE WHEN i = j THEN 1 ELSE 2 END)::HUGEINT
+                 * s::HUGEINT * s::HUGEINT) AS frob2
+      FROM c),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+SELECT n_vectors, dim, trace,
+       round((trace::HUGEINT * trace::HUGEINT)::DOUBLE / frob2::DOUBLE, 6)
+           AS eff_rank
+FROM g CROSS JOIN n
+"""
+
+
+def q_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the >=0.8 MinHash dup graph
+    (staged for the round-5 rotation): template-farm (r>0) vs
+    hub-and-spoke (r<0) duplication structure — doubled-orientation
+    moment algebra, never materializing the 2m rows
+    (`operators/graph.assortativity`)."""
+    from pythonvectordb_spark.operators.graph import assortativity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assortativity(DD.minhash_lsh_pairs(docs, threshold=0.8))
+
+
+def o_dedup_assortativity() -> str:
+    return f"""
+WITH p AS MATERIALIZED (SELECT id_a, id_b FROM ({o_dedup_minhash_lsh()})),
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM p WHERE id_a < id_b),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT unnest([a, b]) AS node FROM e) u GROUP BY 1),
+j AS (SELECT da.deg AS da, db.deg AS db
+      FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b),
+g AS (SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_edges,
+             CAST(coalesce(sum(da + db), 0) AS BIGINT) AS sx,
+             CAST(coalesce(sum(da * da + db * db), 0) AS BIGINT) AS sxx,
+             CAST(coalesce(sum(2 * da * db), 0) AS BIGINT) AS sxy
+      FROM j),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM d)
+SELECT n_nodes, n_edges,
+       CASE WHEN 2 * n_edges * sxx - sx * sx > 0 THEN
+         round((2 * n_edges * sxy - sx * sx)::DOUBLE
+               / (2 * n_edges * sxx - sx * sx)::DOUBLE, 9) END AS assortativity
+FROM g CROSS JOIN n
+"""
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand association (staged for the round-5
+    rotation): support / co-occurrence / lift with the a-priori gates —
+    frequent brands first, pair fan-out bounded by basket width
+    (`operators/relational.copurchase_lift`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.copurchase_lift(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_copurchase_lift() -> str:
+    return """
+WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+freq AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand
+         FROM ob GROUP BY 1 HAVING count(*) >= 20),
+obf AS (SELECT ob.l_orderkey, ob.p_brand FROM ob JOIN freq USING (p_brand)),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_cooc
+  FROM obf a JOIN obf b ON a.l_orderkey = b.l_orderkey
+                       AND a.p_brand < b.p_brand
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob)
+SELECT p.brand_a, p.brand_b, p.n_cooc, fa.n_brand AS n_a, fb.n_brand AS n_b,
+       round(p.n_cooc::DOUBLE / tot.n_orders::DOUBLE, 9) AS support,
+       round((p.n_cooc * tot.n_orders)::DOUBLE
+             / (fa.n_brand * fb.n_brand)::DOUBLE, 9) AS lift
+FROM pairs p
+JOIN freq fa ON fa.p_brand = p.brand_a
+JOIN freq fb ON fb.p_brand = p.brand_b
+CROSS JOIN tot
+"""
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate + memory coefficient of the behavioral event-type
+    Markov chain (staged for the round-5 rotation): H(next|cur) and
+    H(next) with every ln over an exact integer count — the scalar
+    summary of `event_transitions`
+    (`operators/timeseries.markov_entropy_rate`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.markov_entropy_rate(load_table(spark, sf_dir, "events"))
+
+
+def o_markov_entropy_rate() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events),
+tr AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS t
+       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+curm AS (SELECT cur, CAST(sum(t) AS BIGINT) AS tc FROM tr GROUP BY 1),
+nxtm AS (SELECT nxt, CAST(sum(t) AS BIGINT) AS tn FROM tr GROUP BY 1),
+tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM tr),
+cond AS (SELECT sum(t::DOUBLE * (ln(tc::DOUBLE) - ln(t::DOUBLE))) AS s_cond
+         FROM tr JOIN curm USING (cur)),
+marg AS (SELECT sum(tn::DOUBLE * ln(tn::DOUBLE)) AS s_marg FROM nxtm)
+SELECT tt AS n_transitions,
+       round(s_cond / tt::DOUBLE, 6) AS h_cond,
+       round(ln(tt::DOUBLE) - s_marg / tt::DOUBLE, 6) AS h_next,
+       CASE WHEN ln(tt::DOUBLE) - s_marg / tt::DOUBLE > 0 THEN
+         round(1.0 - (s_cond / tt::DOUBLE)
+                     / (ln(tt::DOUBLE) - s_marg / tt::DOUBLE), 6) END AS memory_coef
+FROM cond CROSS JOIN marg CROSS JOIN tot
+"""
+
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount points (staged for
+    the round-5 rotation): exact int64 moments, one double division,
+    NULL on zero discount variance
+    (`operators/relational.discount_quantity_elasticity`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.discount_quantity_elasticity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_discount_elasticity() -> str:
+    return """
+WITH b AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+g AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM b GROUP BY 1)
+SELECT p_brand, n,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 9)
+       END AS slope_per_point
+FROM g
+"""
+
+
+def q_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rate with a 95% Wilson interval (staged for the
+    round-5 rotation): exact k/n counts, one pinned double-op sequence
+    mirrored token-for-token (z^2 only as the literal 3.8416)
+    (`operators/relational.return_rate_wilson`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.return_rate_wilson(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_return_rate_wilson() -> str:
+    return """
+WITH g AS (
+  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1),
+f AS (SELECT p_brand, n, k, k::DOUBLE / n::DOUBLE AS p FROM g)
+SELECT p_brand, n, k, round(p, 9) AS return_rate,
+       round(((p + 3.8416 / (2.0 * n::DOUBLE))
+              - 1.96 * sqrt((p * (1.0 - p) + 3.8416 / (4.0 * n::DOUBLE))
+                            / n::DOUBLE))
+             / (1.0 + 3.8416 / n::DOUBLE), 9) AS wilson_lo,
+       round(((p + 3.8416 / (2.0 * n::DOUBLE))
+              + 1.96 * sqrt((p * (1.0 - p) + 3.8416 / (4.0 * n::DOUBLE))
+                            / n::DOUBLE))
+             / (1.0 + 3.8416 / n::DOUBLE), 9) AS wilson_hi
+FROM f
+"""
+
+
+def q_priority_segment_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of order priority x customer market
+    segment with Cramer's V (staged for the round-5 rotation):
+    (N*o - r*c)^2/(N*r*c) per cell — HUGEINT/DECIMAL(38) squares, one
+    double division per cell (`operators/stats.contingency_chisq`)."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderpriority", "c_mktsegment")
+    )
+    return ST.contingency_chisq(base, "o_orderpriority", "c_mktsegment")
+
+
+def o_priority_segment_chisq() -> str:
+    return """
+WITH base AS (SELECT o.o_orderpriority AS r, c.c_mktsegment AS c
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rsum FROM cells GROUP BY 1),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS csum FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+               CAST(count(DISTINCT r) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c) AS BIGINT) AS nc
+        FROM cells),
+grid AS (SELECT rm.r, cm.c, rm.rsum, cm.csum,
+                CAST(coalesce(cells.o, 0) AS BIGINT) AS o
+         FROM rm CROSS JOIN cm
+         LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+t AS (SELECT nn, nr, nc,
+             ((nn * o - rsum * csum)::HUGEINT
+              * (nn * o - rsum * csum)::HUGEINT)::DOUBLE
+             / (nn * rsum * csum)::DOUBLE AS term
+      FROM grid CROSS JOIN tot),
+g AS (SELECT max(nn) AS n_rows, max(nr) AS nr, max(nc) AS nc,
+             sum(term) AS chi
+      FROM t)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       round(chi, 6) AS chisq,
+       round(sqrt(chi / (n_rows::DOUBLE * (least(nr, nc) - 1)::DOUBLE)), 6)
+           AS cramers_v
+FROM g
+"""
+
+
+def q_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment inter-order gap distribution (staged for the round-5
+    rotation): exact day gaps from a total-order lag window; doubled
+    median + nearest-rank p90 located on the DISTINCT-gap frame
+    (`operators/timeseries.interpurchase_gap`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.interpurchase_gap(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def o_interpurchase_gap() -> str:
+    return """
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+           FROM orders),
+gp AS (SELECT o_custkey,
+              d - lag(d) OVER (PARTITION BY o_custkey
+                               ORDER BY d ASC, o_orderkey ASC) AS gap
+       FROM o),
+gs AS (SELECT c.c_mktsegment AS seg, gp.gap
+       FROM gp JOIN customer c ON gp.o_custkey = c.c_custkey
+       WHERE gp.gap IS NOT NULL),
+vc AS (SELECT seg, gap, CAST(count(*) AS BIGINT) AS c FROM gs GROUP BY 1, 2),
+cu AS (SELECT seg, gap, c,
+              CAST(sum(c) OVER (PARTITION BY seg ORDER BY gap ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+       FROM vc),
+tot AS (SELECT seg, max(cum) AS n, (max(cum) + 1) // 2 AS r1,
+               (max(cum) + 2) // 2 AS r2, (9 * max(cum) + 9) // 10 AS r90
+        FROM cu GROUP BY 1),
+j AS (SELECT cu.seg, tot.n, cum - c AS b, cum, gap, r1, r2, r90
+      FROM cu JOIN tot USING (seg)),
+g AS (SELECT seg, CAST(max(n) AS BIGINT) AS n_gaps,
+             CAST(sum((CASE WHEN b < r1 AND r1 <= cum THEN gap ELSE 0 END)
+                      + (CASE WHEN b < r2 AND r2 <= cum THEN gap ELSE 0 END))
+                  AS BIGINT) AS m2,
+             CAST(sum(CASE WHEN b < r90 AND r90 <= cum THEN gap ELSE 0 END)
+                  AS BIGINT) AS p90_days
+      FROM j GROUP BY 1)
+SELECT seg AS c_mktsegment, n_gaps,
+       round(m2::DOUBLE / 2.0, 1) AS median_days, p90_days
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -7619,6 +8414,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_debounce": q_event_debounce,
     "conversion_lag": q_conversion_lag,
     "user_behavior_entropy": q_user_behavior_entropy,
+    "km_survival": q_km_survival,
+    "hourly_acf": q_hourly_acf,
+    "rank_stability": q_rank_stability,
+    "trimmed_value_stats": q_trimmed_value_stats,
+    "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
+    "hourly_xcorr": q_hourly_xcorr,
+    "kendall_tau": q_kendall_tau,
+    "hhi_concentration": q_hhi_concentration,
+    "mann_whitney": q_mann_whitney,
+    "runs_test": q_runs_test,
+    "hill_tail_index": q_hill_tail_index,
+    "ivf_silhouette": q_ivf_silhouette,
+    "embedding_effective_rank": q_embedding_effective_rank,
+    "dedup_assortativity": q_dedup_assortativity,
+    "copurchase_lift": q_copurchase_lift,
+    "markov_entropy_rate": q_markov_entropy_rate,
+    "discount_elasticity": q_discount_elasticity,
+    "return_rate_wilson": q_return_rate_wilson,
+    "priority_segment_chisq": q_priority_segment_chisq,
+    "interpurchase_gap": q_interpurchase_gap,
 }
 
 ORACLES: dict[str, str] = {
@@ -7781,6 +8596,26 @@ ORACLES: dict[str, str] = {
     "event_debounce": o_event_debounce(),
     "conversion_lag": o_conversion_lag(),
     "user_behavior_entropy": o_user_behavior_entropy(),
+    "km_survival": o_km_survival(),
+    "hourly_acf": o_hourly_acf(),
+    "rank_stability": o_rank_stability(),
+    "trimmed_value_stats": o_trimmed_value_stats(),
+    "twonn_intrinsic_dim": o_twonn_intrinsic_dim(),
+    "hourly_xcorr": o_hourly_xcorr(),
+    "kendall_tau": o_kendall_tau(),
+    "hhi_concentration": o_hhi_concentration(),
+    "mann_whitney": o_mann_whitney(),
+    "runs_test": o_runs_test(),
+    "hill_tail_index": o_hill_tail_index(),
+    "ivf_silhouette": o_ivf_silhouette(),
+    "embedding_effective_rank": o_embedding_effective_rank(),
+    "dedup_assortativity": o_dedup_assortativity(),
+    "copurchase_lift": o_copurchase_lift(),
+    "markov_entropy_rate": o_markov_entropy_rate(),
+    "discount_elasticity": o_discount_elasticity(),
+    "return_rate_wilson": o_return_rate_wilson(),
+    "priority_segment_chisq": o_priority_segment_chisq(),
+    "interpurchase_gap": o_interpurchase_gap(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

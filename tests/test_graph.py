@@ -117,3 +117,21 @@ def test_k_core_peels_chain_keeps_clique(spark):
     )
     got = {r["node"]: r["core_degree"] for r in k_core(pairs, k=2, rounds=6).collect()}
     assert got == {20: 3, 21: 3, 22: 3, 23: 3}
+
+
+def test_assortativity_star_vs_path(spark):
+    """Every star edge joins the deg-4 hub to a deg-1 leaf, so endpoint
+    degrees are perfectly anticorrelated: r = -1 exactly. A triangle is
+    degree-regular (zero variance), so r is NULL."""
+    from pythonvectordb_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "id_a long, id_b long"
+    )
+    (r,) = assortativity(star).collect()
+    assert r["n_nodes"] == 5 and r["n_edges"] == 4
+    assert r["assortativity"] == -1.0
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    (r,) = assortativity(tri).collect()
+    assert r["n_nodes"] == 3 and r["n_edges"] == 3
+    assert r["assortativity"] is None

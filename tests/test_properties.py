@@ -917,3 +917,197 @@ def test_fk_orphans_planted(spark):
     assert got["lineitem.orderkey->orders"] == (2, 0)
     assert got["nation.regionkey->region"] == (1, 0)
     assert len(got) == 7
+
+
+def test_rank_stability_hand_computed(spark):
+    """Two brands whose revenue ranks swap between halves: n=2,
+    d^2 sums to 2, rho = 1 - 6*2/(2*3) = -1."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.relational import rank_stability
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 12, 31)
+    orders = spark.createDataFrame(
+        [(1, 10, t1, 0.0), (2, 10, t2, 0.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    # half 1: A=20.00, B=10.00 ; half 2: A=10.00, B=30.00 -> ranks swap
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100, 20.00, 0.0),
+            (1, 200, 10.00, 0.0),
+            (2, 100, 10.00, 0.0),
+            (2, 200, 30.00, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(100, "Brand#A"), (200, "Brand#B")], "p_partkey long, p_brand string"
+    )
+    (r,) = rank_stability(orders, lineitem, part).collect()
+    assert r["n_brands"] == 2 and r["sum_d2"] == 2
+    assert r["rho"] == -1.0
+
+
+def test_trimmed_stats_hand_computed(spark):
+    """Ten values with one huge outlier: k=1 trims one from each side;
+    winsorized clamps the outlier to the 9th order statistic."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.sketch import trimmed_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.00, 2.00, 3.00, 4.00, 5.00, 6.00, 7.00, 8.00, 9.00, 1000.00]
+    rows = [(i, t0, 1, "click", v, "{}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = trimmed_stats(df).collect()
+    assert r["n"] == 10 and r["n_trimmed_each_side"] == 1
+    assert r["mean"] == round(sum(vals) / 10, 6)
+    assert r["trimmed_mean"] == round(sum(vals[1:9]) / 8, 6)
+    # winsorized: 1.00 -> 2.00 and 1000.00 -> 9.00
+    assert r["winsorized_mean"] == round((sum(vals[1:9]) + 2.00 + 9.00) / 10, 6)
+    assert r["lo_cut"] == 2.0 and r["hi_cut"] == 9.0
+
+
+def test_kendall_tau_full_reversal(spark):
+    """Three brands whose revenue order fully reverses between halves:
+    every one of the 3 pairs is discordant, tau_b = -1."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.relational import kendall_tau
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 12, 31)
+    orders = spark.createDataFrame(
+        [(1, 10, t1, 0.0), (2, 10, t2, 0.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    # half 1: A=30, B=20, C=10 ; half 2: A=10, B=20, C=30
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100, 30.00, 0.0),
+            (1, 200, 20.00, 0.0),
+            (1, 300, 10.00, 0.0),
+            (2, 100, 10.00, 0.0),
+            (2, 200, 20.00, 0.0),
+            (2, 300, 30.00, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(100, "Brand#A"), (200, "Brand#B"), (300, "Brand#C")],
+        "p_partkey long, p_brand string",
+    )
+    (r,) = kendall_tau(orders, lineitem, part).collect()
+    assert r["n_brands"] == 3 and r["n_pairs"] == 3
+    assert r["concordant"] == 0 and r["discordant"] == 3
+    assert r["tau_b"] == -1.0
+
+
+def test_hhi_concentration_hand_computed(spark):
+    """Two suppliers with revenue 3.00 / 1.00 (shares 0.75 / 0.25):
+    HHI = 0.5625 + 0.0625 = 0.625 and the effective supplier count is
+    1/0.625 = 1.6, both exactly representable."""
+    from pythonvectordb_spark.operators.relational import hhi_concentration
+
+    lineitem = spark.createDataFrame(
+        [(1, 1, 3.00, 0.0), (2, 2, 1.00, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 7), (2, 7)], "s_suppkey long, s_nationkey long"
+    )
+    nation = spark.createDataFrame([(7, "FRANCE")], "n_nationkey long, n_name string")
+    (r,) = hhi_concentration(lineitem, supplier, nation).collect()
+    assert r["n_name"] == "FRANCE" and r["n_suppliers"] == 2
+    assert r["hhi"] == 0.625 and r["eff_suppliers"] == 1.6
+
+
+def test_hill_tail_index_hand_computed(spark):
+    """Top-3 order values 100/50/25 with k=2: excess = ln(4)+ln(2) =
+    3 ln 2 and alpha = 2/(3 ln 2)."""
+    import math
+
+    from pythonvectordb_spark.operators.sketch import hill_tail_index
+
+    orders = spark.createDataFrame(
+        [(1, 100.00), (2, 50.00), (3, 25.00), (4, 10.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    (r,) = hill_tail_index(orders, ks=(2,)).collect()
+    assert r["k"] == 2 and r["xk1_cents"] == 2500
+    assert r["sum_log_excess"] == round(3 * math.log(2), 6)
+    assert r["alpha_hill"] == round(2 / (3 * math.log(2)), 6)
+
+
+def test_copurchase_lift_hand_computed(spark):
+    """Four baskets: A+B together in 2 of 4 orders, each alone once
+    more (n_a = n_b = 3): support = 0.5, lift = 2*4/(3*3) = 8/9."""
+    from pythonvectordb_spark.operators.relational import copurchase_lift
+
+    rows = []
+    # orders 1,2: {A,B}; order 3: {A}; order 4: {B}
+    for ok, pks in [(1, [100, 200]), (2, [100, 200]), (3, [100]), (4, [200])]:
+        for pk in pks:
+            rows.append((ok, pk))
+    lineitem = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(100, "Brand#A"), (200, "Brand#B")], "p_partkey long, p_brand string"
+    )
+    (r,) = copurchase_lift(
+        lineitem, part, min_brand_orders=1, min_cooc=1
+    ).collect()
+    assert (r["brand_a"], r["brand_b"]) == ("Brand#A", "Brand#B")
+    assert r["n_cooc"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["support"] == 0.5
+    assert r["lift"] == round(2 * 4 / 9.0, 9)
+
+
+def test_discount_elasticity_hand_computed(spark):
+    """One brand with (discount, qty) = (0,10), (10, 20): slope = 1
+    unit per discount point; a zero-variance brand gets NULL."""
+    from pythonvectordb_spark.operators.relational import (
+        discount_quantity_elasticity,
+    )
+
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100, 10.0, 0.00),
+            (2, 100, 20.0, 0.10),
+            (3, 200, 7.0, 0.05),
+            (4, 200, 9.0, 0.05),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(100, "Brand#A"), (200, "Brand#B")], "p_partkey long, p_brand string"
+    )
+    got = {r["p_brand"]: r for r in discount_quantity_elasticity(lineitem, part).collect()}
+    assert got["Brand#A"]["slope_per_point"] == 1.0
+    assert got["Brand#B"]["slope_per_point"] is None
+
+
+def test_return_rate_wilson_hand_computed(spark):
+    """k=1 of n=4: p=0.25; the Wilson bounds match the textbook formula
+    evaluated in the same operation order."""
+    import math
+
+    from pythonvectordb_spark.operators.relational import return_rate_wilson
+
+    lineitem = spark.createDataFrame(
+        [(1, 100, "R"), (2, 100, "N"), (3, 100, "N"), (4, 100, "A")],
+        "l_orderkey long, l_partkey long, l_returnflag string",
+    )
+    part = spark.createDataFrame([(100, "Brand#A")], "p_partkey long, p_brand string")
+    (r,) = return_rate_wilson(lineitem, part).collect()
+    assert r["n"] == 4 and r["k"] == 1 and r["return_rate"] == 0.25
+    p, n = 0.25, 4.0
+    denom = 1.0 + 3.8416 / n
+    center = p + 3.8416 / (2.0 * n)
+    half = 1.96 * math.sqrt((p * (1.0 - p) + 3.8416 / (4.0 * n)) / n)
+    assert r["wilson_lo"] == round((center - half) / denom, 9)
+    assert r["wilson_hi"] == round((center + half) / denom, 9)
+    assert 0.0 < r["wilson_lo"] < 0.25 < r["wilson_hi"] < 1.0

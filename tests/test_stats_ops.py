@@ -45,3 +45,142 @@ def test_ivf_balance_counts_and_moments(spark):
     assert r["min_count"] == 0 and r["max_count"] == 4
     assert r["imbalance"] == 2.0
     assert r["cv"] == round(math.sqrt(3 * 20 - 36) / 6, 6)
+
+
+def test_twonn_planted_geometry(spark):
+    """Four unit vectors in the plane at angles 0, 10, 25, 90 degrees
+    (dim-4 padding): every r1/r2 pair is hand-derivable from the
+    quantized int8 cosines; duplicates of the 0-degree vector are
+    excluded by the d=0 rule (vec 99 is an exact copy of vec 0)."""
+    import math
+
+    import numpy as np
+
+    from pythonvectordb_spark.operators.search import with_qvec
+    from pythonvectordb_spark.operators.stats import twonn_intrinsic_dim
+
+    def v(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a), 0.0, 0.0]
+
+    rows = [(0, v(0)), (1, v(10)), (2, v(25)), (3, v(90)), (99, v(0))]
+    df = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    (r,) = twonn_intrinsic_dim(df).collect()
+
+    # replicate: float32 input, normalize, clamp, trunc-toward-zero int8
+    # (the quantize() contract), then exact integer cosine
+    def quant(vec):
+        x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        x = x / math.sqrt(float((x * x).sum()))
+        return np.trunc(np.clip(x * 127.0, -128.0, 127.0)).astype(np.int64)
+
+    q = {i: quant(vec) for i, vec in rows}
+
+    def d(i, j):
+        a, b = q[i].astype(np.int64), q[j].astype(np.int64)
+        cos = float(int(a @ b)) / (math.sqrt(float(int(a @ a))) * math.sqrt(float(int(b @ b))))
+        return round(1.0 - cos, 9)
+
+    ids = [0, 1, 2, 3, 99]
+    import itertools
+    terms = []
+    for i in ids:
+        ds = sorted(d(i, j) for j in ids if j != i and d(i, j) > 0)
+        if len(ds) >= 2:
+            terms.append(math.log(ds[1] / ds[0]))
+    want_sum = round(sum(terms), 6)
+    assert r["n_vectors"] == len(terms) == 5
+    assert r["sum_log_mu"] == want_sum
+    assert r["id_twonn"] == round(len(terms) / want_sum, 6)
+
+
+def test_mann_whitney_separated_groups(spark):
+    """Group A = {1,2,3} vs rest B = {4,5,6}: A's rank sum is minimal,
+    U = 0, rank-biserial = 1, z = -4.5/sqrt(5.25)."""
+    import math
+
+    from pythonvectordb_spark.operators.stats import mann_whitney
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")]
+    df = spark.createDataFrame(rows, "n_chars long, source string")
+    got = {r["source"]: r for r in mann_whitney(df).collect()}
+    a = got["a"]
+    assert a["n_group"] == 3 and a["n_rest"] == 3
+    assert a["u2"] == 0
+    assert a["rank_biserial"] == 1.0
+    assert a["z"] == round(-4.5 / math.sqrt(5.25), 6)
+    b = got["b"]
+    assert b["u2"] == 2 * 9 and b["rank_biserial"] == -1.0
+
+
+def test_mann_whitney_all_ties(spark):
+    """Every value identical: the tie correction drives Var[U] to
+    exactly zero, so z is NULL; the integer parts stay exact
+    (midrank2 = 5, S2 = 10, u2 = 10 - 2*3 = 4, rank-biserial 0)."""
+    from pythonvectordb_spark.operators.stats import mann_whitney
+
+    rows = [(7, "a")] * 2 + [(7, "b")] * 2
+    df = spark.createDataFrame(rows, "n_chars long, source string")
+    got = {r["source"]: r for r in mann_whitney(df).collect()}
+    assert got["a"]["u2"] == 4 and got["a"]["rank_biserial"] == 0.0
+    assert got["a"]["z"] is None
+
+
+def test_ivf_silhouette_planted_geometry(spark):
+    """Two orthogonal unit centroids; a vector ON centroid 0 has a=0,
+    b=1, s=1; a 45-degree vector has a=b and s=0."""
+    import math
+
+    from pythonvectordb_spark.operators.stats import ivf_silhouette
+
+    c0 = [1.0, 0.0]
+    c1 = [0.0, 1.0]
+    h = 1.0 / math.sqrt(2.0)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [h, h])], "vec_id long, embedding array<double>"
+    )
+    got = {r["cluster"]: r for r in ivf_silhouette(df, [c0, c1]).collect()}
+    # both vectors argmax to cluster 0 (first max wins the 45-degree tie)
+    assert got[0]["n_vectors"] == 2
+    assert got[0]["min_sil"] == 0.0
+    assert got[0]["mean_sil"] == 0.5
+
+
+def test_embedding_effective_rank_extremes(spark):
+    """All mass on one axis -> eff_rank 1; two balanced orthogonal axes
+    -> eff_rank 2 (exact integer Gram both ways)."""
+    from pythonvectordb_spark.operators.stats import embedding_effective_rank
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    (r,) = embedding_effective_rank(one).collect()
+    assert r["n_vectors"] == 2 and r["dim"] == 2
+    assert r["eff_rank"] == 1.0
+    two = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    (r,) = embedding_effective_rank(two).collect()
+    # trace = 2*127^2, frob2 = 2*(127^2)^2 -> (tr^2)/frob2 = 2
+    assert r["eff_rank"] == 2.0
+
+
+def test_contingency_chisq_independent_and_perfect(spark):
+    """A perfectly balanced 2x2 table has chisq = 0 and V = 0; a
+    diagonal 2x2 table has chisq = N and V = 1."""
+    from pythonvectordb_spark.operators.stats import contingency_chisq
+
+    flat = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5,
+        "r string, c string",
+    )
+    (r,) = contingency_chisq(flat, "r", "c").collect()
+    assert r["n_rows"] == 20 and r["dof"] == 1
+    assert r["chisq"] == 0.0 and r["cramers_v"] == 0.0
+    diag = spark.createDataFrame(
+        [("a", "x")] * 6 + [("b", "y")] * 6, "r string, c string"
+    )
+    (r,) = contingency_chisq(diag, "r", "c").collect()
+    assert r["chisq"] == 12.0 and r["cramers_v"] == 1.0

@@ -273,3 +273,203 @@ def test_user_behavior_entropy_extremes(spark):
     assert r["n_users"] == 2 and r["n_single_type"] == 1
     assert r["single_share"] == 0.5
     assert r["avg_entropy"] == round(math.log(2) / 2, 6)
+
+
+def test_km_survival_hand_computed(spark):
+    """3 users, horizon at u3's last event, censor 1 day: u1 dies at
+    2d, u2 dies at 5d, u3 censored. S(7d) = (1-1/3)(1-1/2) = 1/3; at
+    the 1-day probe nobody has died yet so S=1."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import km_survival
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = dt.timedelta
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + d(days=2), 1, "click", 1.0, "{}"),      # u1 lifetime 2d, dies
+        (2, t0, 2, "click", 1.0, "{}"),
+        (3, t0 + d(days=5), 2, "click", 1.0, "{}"),      # u2 lifetime 5d, dies
+        (4, t0, 3, "click", 1.0, "{}"),
+        (5, t0 + d(days=10), 3, "click", 1.0, "{}"),     # u3 at horizon: censored
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r["probe_days"]: r
+        for r in km_survival(df, probe_days=(1, 3, 7)).collect()
+    }
+    assert got[1]["n_deaths"] == 0 and got[1]["survival"] == 1.0
+    assert got[3]["n_deaths"] == 1 and got[3]["survival"] == round(2 / 3, 6)
+    assert got[7]["n_deaths"] == 2 and got[7]["survival"] == round(1 / 3, 6)
+
+
+def test_km_survival_risk_set_dies_out(spark):
+    """If every remaining at-risk user dies at the last death time the
+    factor would be ln(0): survival must pin to exactly 0 instead."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import km_survival
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = dt.timedelta
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + d(days=1), 1, "click", 1.0, "{}"),   # dies at 1d
+        (2, t0, 2, "click", 1.0, "{}"),
+        (3, t0 + d(days=1), 2, "click", 1.0, "{}"),   # dies at 1d
+        # horizon event from a user whose whole life IS the horizon tail:
+        (4, t0 + d(days=10) - d(seconds=30), 3, "click", 1.0, "{}"),
+        (5, t0 + d(days=10), 3, "click", 1.0, "{}"),
+    ]
+    # u3 lifetime 30s censored (last event at horizon); u1/u2 die at 1d;
+    # at t=1d the risk set is {u1,u2} (u3's 30s lifetime < 1d leaves the
+    # risk set before the death time), so n=d=2 -> S=0
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = km_survival(df, probe_days=(7,)).collect()
+    assert r["n_deaths"] == 2 and r["survival"] == 0.0
+
+
+def test_hourly_acf_alternating_series(spark):
+    """A strictly alternating 1,3,1,3,... hourly series has acf(1) = -1
+    and acf(2) = +1 exactly."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import hourly_acf
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(8):
+        for _ in range(1 if h % 2 == 0 else 3):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=5), 1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["lag_hours"]: r for r in hourly_acf(df, lags=(1, 2)).collect()}
+    assert got[1]["n_pairs"] == 7 and got[1]["acf"] == -1.0
+    assert got[2]["n_pairs"] == 6 and got[2]["acf"] == 1.0
+
+
+def test_hourly_xcorr_shifted_series(spark):
+    """Purchases replay the click series shifted one hour later: the
+    cross-correlation is exactly +1 at lag +1 and -1 at lag 0 (the
+    alternating pattern anti-aligns unshifted)."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import hourly_xcorr
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(8):
+        c = 1 if h % 2 == 0 else 3
+        for _ in range(c):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=5), 1, "click", 1.0, "{}"))
+            eid += 1
+        for _ in range(c):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h + 1, minutes=10), 1, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["lag_hours"]: r for r in hourly_xcorr(df, lags=(0, 1)).collect()}
+    assert got[1]["n_pairs"] == 8 and got[1]["xcorr"] == 1.0
+    assert got[0]["n_pairs"] == 7 and got[0]["xcorr"] == -1.0
+
+
+def test_runs_test_hand_computed(spark):
+    """Daily counts 5,5,1,1,5,1 (median band 2c vs m2=6): signs
+    + + - - + - give 4 runs, n1=n2=3, E[R]=4, z=0."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import runs_test
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d, c in enumerate([5, 5, 1, 1, 5, 1]):
+        for _ in range(c):
+            rows.append((eid, t0 + dt.timedelta(days=d, hours=3), 1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = runs_test(df).collect()
+    assert r["n_above"] == 3 and r["n_below"] == 3
+    assert r["runs"] == 4
+    assert r["expected_runs"] == 4.0 and r["z"] == 0.0
+
+
+def test_runs_test_one_sided_is_null(spark):
+    """All days share the same count: every day ties the median and is
+    dropped — zero usable days on each side, z and E[R] are NULL."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import runs_test
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (d, t0 + dt.timedelta(days=d, hours=1), 1, "click", 1.0, "{}")
+        for d in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = runs_test(df).collect()
+    assert r["n_above"] == 0 and r["n_below"] == 0 and r["runs"] == 0
+    assert r["expected_runs"] is None and r["z"] is None
+
+
+def test_markov_entropy_rate_extremes(spark):
+    """A deterministic alternating chain (a->b->a->b) has
+    H(next|cur) = 0 and memory_coef = 1; an i.i.d.-looking chain where
+    each state leads to both states equally has H(next|cur) = H(next)
+    and memory_coef = 0."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import markov_entropy_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(seq):
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(minutes=i), 1, s, 1.0, "{}")
+                for i, s in enumerate(seq)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    (r,) = markov_entropy_rate(mk(["a", "b"] * 5)).collect()
+    assert r["n_transitions"] == 9
+    assert r["h_cond"] == 0.0 and r["memory_coef"] == 1.0
+    # a a b b a a b b ... : from 'a' -> {a: half, b: half}, same from 'b'
+    (r,) = markov_entropy_rate(mk(["a", "a", "b", "b"] * 4 + ["a"])).collect()
+    assert r["h_cond"] == r["h_next"] and r["memory_coef"] == 0.0
+
+
+def test_interpurchase_gap_hand_computed(spark):
+    """One customer ordering on days 0, 10, 20, 50: gaps 10, 10, 30 ->
+    median 10.0, p90 = nearest-rank ceil(2.7) = 3rd value = 30."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import interpurchase_gap
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, 1, t0 + dt.timedelta(days=d)) for k, d in [(1, 0), (2, 10), (3, 20), (4, 50)]],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(1, "BUILDING")], "c_custkey long, c_mktsegment string"
+    )
+    (r,) = interpurchase_gap(orders, customer).collect()
+    assert r["c_mktsegment"] == "BUILDING" and r["n_gaps"] == 3
+    assert r["median_days"] == 10.0 and r["p90_days"] == 30
