@@ -172,6 +172,9 @@ HEADLINE = [
     "return_rate_wilson",
     "priority_segment_chisq",
     "interpurchase_gap",
+    "source_ttr",
+    "source_decile_shift",
+    "session_depth_hist",
 ]
 
 

@@ -664,3 +664,82 @@ def contingency_chisq(
         F.round(F.col("_chi"), 6).alias("chisq"),
         F.round(F.sqrt(F.col("_chi") / vden), 6).alias("cramers_v"),
     )
+
+
+def source_decile_shift(
+    df: DataFrame, value_col: str = "n_chars", group_col: str = "source"
+) -> DataFrame:
+    """Per-source decile table of a numeric column against the corpus
+    deciles — the Q-Q shift profile behind `mann_whitney`'s verdict:
+    the U test says WHETHER a source's length distribution differs;
+    this says WHERE (a source long only above d7 needs a truncation
+    cap, one shifted everywhere needs its own chunker). shift > 0 at
+    decile k: this source is longer than the corpus at that quantile.
+
+    Determinism: nearest-rank deciles r_k = ceil(k*n/10) = (k*n+9)//10
+    located on the DISTINCT-value frame by cumulative-count range
+    checks (the `mann_whitney` discipline — no row-grain ranks), so
+    every output column is exact int64.
+
+    Scale shape: two grouped counts (per-group values, corpus values),
+    windows over distinct-value frames only, one broadcast join of the
+    9-row corpus decile table.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+
+    def deciles(vc: DataFrame, keys: list) -> DataFrame:
+        part = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+        wcum = part.orderBy(F.col("v").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cu = vc.select(
+            *keys, "v", "c", F.sum("c").over(wcum).cast("long").alias("cum")
+        ).localCheckpoint(eager=False)
+        tot = cu.groupBy(*keys).agg(F.max("cum").cast("long").alias("n"))
+        ks = (
+            tot.select(
+                *keys,
+                "n",
+                F.explode(F.array(*[F.lit(k) for k in range(1, 10)])).alias("k"),
+            )
+            .select(
+                *keys,
+                "n",
+                "k",
+                F.floor((F.col("k") * F.col("n") + 9) / 10).cast("long").alias("r"),
+            )
+        )
+        joined = (
+            cu.join(F.broadcast(ks), keys) if keys else cu.crossJoin(F.broadcast(ks))
+        )
+        return (
+            joined.where(
+                ((F.col("cum") - F.col("c")) < F.col("r"))
+                & (F.col("r") <= F.col("cum"))
+            )
+            .groupBy(*(keys + ["k"]))
+            .agg(F.max("v").cast("long").alias("dv"))
+        )
+
+    gvc = (
+        df.select(F.col(group_col).alias("g"), v.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cvc = df.select(v.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gd = deciles(gvc, ["g"])
+    cd = deciles(cvc, []).withColumnsRenamed({"dv": "corpus_value"})
+    return (
+        gd.join(F.broadcast(cd), "k")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("k").cast("int").alias("decile"),
+            F.col("dv").alias("source_value"),
+            "corpus_value",
+            (F.col("dv") - F.col("corpus_value")).cast("long").alias("shift"),
+        )
+    )

@@ -1211,3 +1211,44 @@ def pmi_collocations(
     return top.select(
         F.row_number().over(rank).cast("int").alias("rank"), "w1", "w2", "n_pair", "pmi"
     )
+
+
+def source_ttr(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-source lexical diversity: type-token ratio and hapax share —
+    the corpus-card numbers that separate template mills (low TTR, low
+    hapax: the same strings over and over — dedup will collapse them)
+    from organic text (high hapax share: a long vocabulary tail that
+    BPE training actually needs). Complements the corpus-level
+    `good_turing` saturation and `heaps_law` growth with the per-source
+    attribution those can't give.
+
+    Determinism: whitespace tokens via the pinned `functions.text.tokens`
+    expression (`oracle.sql_tokens` mirror); token / type / hapax counts
+    are exact int64; TTR and hapax share are single double divisions,
+    ROUNDED 9.
+
+    Scale shape: one explode -> (source, token) grouped count (map-side
+    combined — the `build_vocab` shuffle), then a per-source aggregate
+    over the type frame. Nothing touches row grain after the first
+    count.
+    """
+    from pythonvectordb_spark.functions.text import tokens
+
+    tt = (
+        df.select(F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = tt.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    return g.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 9).alias("ttr"),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types").cast("double"), 9).alias("hapax_share"),
+    )

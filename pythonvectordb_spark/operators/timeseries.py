@@ -1162,3 +1162,59 @@ def interpurchase_gap(orders: DataFrame, customer: DataFrame) -> DataFrame:
         F.round(F.col("m2").cast("double") / F.lit(2.0), 1).alias("median_days"),
         "p90_days",
     )
+
+
+def session_depth_hist(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session depth histogram + bounce profile over the gap-based
+    sessions `sessionize` produces: how many sessions are single-event
+    bounces, short visits, or long engaged runs, with exact duration
+    mass per bucket — the shape that calibrates session-gap choice
+    (a fat '1' bucket at gap=30min means the gap is too short or the
+    surface genuinely bounces) and sizes stateful-streaming timeout
+    state per depth class.
+
+    Determinism: bucket edges are integer comparisons on exact event
+    counts; session durations are exact microsecond integers; the only
+    doubles are the share and mean-duration divisions, ROUNDED 9 / 6.
+
+    Scale shape: everything downstream of `sessionize`'s one user
+    shuffle is a grouped aggregate on a 4-row bucket key; the totals
+    frame joins back broadcast.
+    """
+    s = sessionize(events, gap_minutes=gap_minutes)
+    bucket = (
+        F.when(F.col("n_events") == 1, F.lit("1"))
+        .when(F.col("n_events") <= 3, F.lit("2-3"))
+        .when(F.col("n_events") <= 7, F.lit("4-7"))
+        .otherwise(F.lit("8+"))
+    )
+    g = s.select(
+        bucket.alias("depth_bucket"),
+        (F.col("end_us") - F.col("start_us")).alias("dur_us"),
+        "n_events",
+    ).groupBy("depth_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("sum_dur_us"),
+    )
+    tot = g.agg(F.sum("n_sessions").cast("long").alias("t")).withColumn(
+        "_one", F.lit(1)
+    )
+    return (
+        g.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "depth_bucket",
+            "n_sessions",
+            "n_events",
+            "sum_dur_us",
+            F.round(F.col("n_sessions").cast("double") / F.col("t").cast("double"), 9).alias(
+                "share"
+            ),
+            F.round(
+                F.col("sum_dur_us").cast("double")
+                / (F.col("n_sessions").cast("double") * F.lit(60000000.0)),
+                6,
+            ).alias("mean_dur_min"),
+        )
+    )

@@ -8187,6 +8187,109 @@ FROM g
 """
 
 
+def q_source_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio and hapax share (staged for the
+    round-5 rotation): the lexical-diversity corpus card — exact
+    token/type/hapax counts from the pinned whitespace tokenizer
+    (`operators/textops.source_ttr`)."""
+    return TX.source_ttr(load_table(spark, sf_dir, "documents"))
+
+
+def o_source_ttr() -> str:
+    return f"""
+WITH toks AS (SELECT source AS g, {O.sql_tokens('text')} AS tk FROM documents),
+tt AS (SELECT g, t.t AS tok, CAST(count(*) AS BIGINT) AS c
+       FROM toks, unnest(tk) AS t(t) GROUP BY 1, 2),
+g AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM tt GROUP BY 1)
+SELECT g AS source, n_tokens, n_types, n_hapax,
+       round(n_types::DOUBLE / n_tokens::DOUBLE, 9) AS ttr,
+       round(n_hapax::DOUBLE / n_types::DOUBLE, 9) AS hapax_share
+FROM g
+"""
+
+
+def q_source_decile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Q-Q decile shift table of doc length vs the corpus
+    (staged for the round-5 rotation): nearest-rank deciles located on
+    DISTINCT-value frames — WHERE a source's length distribution
+    deviates, completing `mann_whitney`'s whether
+    (`operators/stats.source_decile_shift`)."""
+    return ST.source_decile_shift(load_table(spark, sf_dir, "documents"))
+
+
+def o_source_decile_shift() -> str:
+    return """
+WITH gvc AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1, 2),
+gcu AS (SELECT g, v, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM gvc),
+gtot AS (SELECT g, max(cum) AS n FROM gcu GROUP BY 1),
+gks AS (SELECT g, n, k, (k * n + 9) // 10 AS r
+        FROM gtot CROSS JOIN (SELECT unnest(range(1, 10)) AS k)),
+gd AS (SELECT gcu.g, gks.k, CAST(max(v) AS BIGINT) AS source_value
+       FROM gcu JOIN gks ON gcu.g = gks.g
+       WHERE (cum - c) < r AND r <= cum GROUP BY 1, 2),
+cvc AS (SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1),
+ccu AS (SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM cvc),
+ctot AS (SELECT max(cum) AS n FROM ccu),
+cks AS (SELECT n, k, (k * n + 9) // 10 AS r
+        FROM ctot CROSS JOIN (SELECT unnest(range(1, 10)) AS k)),
+cd AS (SELECT cks.k, CAST(max(v) AS BIGINT) AS corpus_value
+       FROM ccu CROSS JOIN cks
+       WHERE (cum - c) < r AND r <= cum GROUP BY 1)
+SELECT gd.g AS source, CAST(gd.k AS INTEGER) AS decile,
+       gd.source_value, cd.corpus_value,
+       CAST(gd.source_value - cd.corpus_value AS BIGINT) AS shift
+FROM gd JOIN cd ON gd.k = cd.k
+"""
+
+
+def q_session_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session depth histogram with bounce share and exact duration
+    mass (staged for the round-5 rotation): the gap-parameter
+    calibration view over `sessionize`'s output
+    (`operators/timeseries.session_depth_hist`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.session_depth_hist(load_table(spark, sf_dir, "events"))
+
+
+def o_session_depth_hist() -> str:
+    # WRAP pattern over the proven sessionize oracle
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT n_events, end_us - start_us AS dur_us
+  FROM ({o_sessionize_events()})),
+g AS (
+  SELECT CASE WHEN n_events = 1 THEN '1'
+              WHEN n_events <= 3 THEN '2-3'
+              WHEN n_events <= 7 THEN '4-7'
+              ELSE '8+' END AS depth_bucket,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(dur_us) AS BIGINT) AS sum_dur_us
+  FROM s GROUP BY 1),
+tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM g)
+SELECT depth_bucket, n_sessions, n_events, sum_dur_us,
+       round(n_sessions::DOUBLE / t::DOUBLE, 9) AS share,
+       round(sum_dur_us::DOUBLE / (n_sessions::DOUBLE * 60000000.0), 6)
+           AS mean_dur_min
+FROM g CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -8434,6 +8537,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "return_rate_wilson": q_return_rate_wilson,
     "priority_segment_chisq": q_priority_segment_chisq,
     "interpurchase_gap": q_interpurchase_gap,
+    "source_ttr": q_source_ttr,
+    "source_decile_shift": q_source_decile_shift,
+    "session_depth_hist": q_session_depth_hist,
 }
 
 ORACLES: dict[str, str] = {
@@ -8616,6 +8722,9 @@ ORACLES: dict[str, str] = {
     "return_rate_wilson": o_return_rate_wilson(),
     "priority_segment_chisq": o_priority_segment_chisq(),
     "interpurchase_gap": o_interpurchase_gap(),
+    "source_ttr": o_source_ttr(),
+    "source_decile_shift": o_source_decile_shift(),
+    "session_depth_hist": o_session_depth_hist(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

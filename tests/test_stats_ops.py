@@ -184,3 +184,22 @@ def test_contingency_chisq_independent_and_perfect(spark):
     )
     (r,) = contingency_chisq(diag, "r", "c").collect()
     assert r["chisq"] == 12.0 and r["cramers_v"] == 1.0
+
+
+def test_source_decile_shift_uniform_vs_shifted(spark):
+    """Source A holds values 1..10, source B holds 11..20; the corpus
+    is 1..20. A's deciles sit below the corpus deciles, B's above, and
+    decile k of each source is exactly k (A) / 10+k (B)."""
+    from pythonvectordb_spark.operators.stats import source_decile_shift
+
+    rows = [(v, "A") for v in range(1, 11)] + [(v, "B") for v in range(11, 21)]
+    df = spark.createDataFrame(rows, "n_chars long, source string")
+    got = {(r["source"], r["decile"]): r for r in source_decile_shift(df).collect()}
+    assert len(got) == 18
+    for k in range(1, 10):
+        corpus_k = 2 * k  # nearest-rank decile of 1..20
+        assert got[("A", k)]["source_value"] == k
+        assert got[("A", k)]["corpus_value"] == corpus_k
+        assert got[("A", k)]["shift"] == k - corpus_k
+        assert got[("B", k)]["source_value"] == 10 + k
+        assert got[("B", k)]["shift"] == 10 + k - corpus_k

@@ -444,3 +444,20 @@ def test_pmi_collocations_exclusive_pair_wins(spark):
     r = rows[0]
     assert (r["rank"], r["w1"], r["w2"], r["n_pair"]) == (1, "data", "science", 5)
     assert r["pmi"] == round(math.log(4), 6)
+
+
+def test_source_ttr_hand_computed(spark):
+    """Source A: 'x x y' -> 3 tokens, 2 types, 1 hapax; source B all
+    distinct -> TTR 1.0, hapax share 1.0."""
+    from pythonvectordb_spark.operators.textops import source_ttr
+
+    df = spark.createDataFrame(
+        [(1, "x x y", "A"), (2, "p q r", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in source_ttr(df).collect()}
+    a = got["A"]
+    assert a["n_tokens"] == 3 and a["n_types"] == 2 and a["n_hapax"] == 1
+    assert a["ttr"] == round(2 / 3, 9) and a["hapax_share"] == 0.5
+    b = got["B"]
+    assert b["ttr"] == 1.0 and b["hapax_share"] == 1.0

@@ -473,3 +473,31 @@ def test_interpurchase_gap_hand_computed(spark):
     (r,) = interpurchase_gap(orders, customer).collect()
     assert r["c_mktsegment"] == "BUILDING" and r["n_gaps"] == 3
     assert r["median_days"] == 10.0 and r["p90_days"] == 30
+
+
+def test_session_depth_hist_buckets(spark):
+    """One 1-event session, one 3-event session, one 8-event session:
+    buckets 1 / 2-3 / 8+ each hold one session; shares sum to 1; the
+    bounce bucket has zero duration."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import session_depth_hist
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "click", 1.0, "{}")]
+    rows += [
+        (10 + i, t0 + dt.timedelta(minutes=i), 2, "click", 1.0, "{}") for i in range(3)
+    ]
+    rows += [
+        (20 + i, t0 + dt.timedelta(minutes=i), 3, "click", 1.0, "{}") for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["depth_bucket"]: r for r in session_depth_hist(df).collect()}
+    assert set(got) == {"1", "2-3", "8+"}
+    assert got["1"]["n_sessions"] == 1 and got["1"]["sum_dur_us"] == 0
+    assert got["2-3"]["n_events"] == 3
+    assert got["8+"]["mean_dur_min"] == 7.0
+    # each share is rounded to 9dp, so the sum is 1 only up to 3 ulps
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-8
