@@ -175,6 +175,9 @@ HEADLINE = [
     "source_ttr",
     "source_decile_shift",
     "session_depth_hist",
+    "brand_pareto",
+    "customer_rfm",
+    "fk_fanout_stats",
 ]
 
 

@@ -888,3 +888,226 @@ def return_rate_wilson(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.round((center - half) / denom, 9).alias("wilson_lo"),
         F.round((center + half) / denom, 9).alias("wilson_hi"),
     )
+
+
+def brand_pareto(
+    lineitem: DataFrame, part: DataFrame, thresholds: tuple = (50, 80, 90)
+) -> DataFrame:
+    """Pareto coverage of revenue by brand: the smallest number of
+    brands whose cumulative revenue reaches 50/80/90% of the total —
+    the catalog-concentration curve that decides hot-tier sizing (cache
+    / premium placement the brands inside the 80% knee; archive the
+    tail). The curve-point complement to `hhi_concentration`'s single
+    scalar.
+
+    Determinism: brand revenue is the e4-unit exact integer; brands
+    rank by (revenue DESC, brand ASC) row_number over the K-brand
+    frame; "reaches t%" compares 100*cum >= t*total in pure int64
+    (no percentage ever floats); the reported share is one final
+    double division, ROUNDED 9.
+
+    Scale shape: the fact table shuffles once for the brand aggregate
+    (part broadcast); the rank window, running sum, and threshold
+    probes all run on the K-row brand frame crossed with |thresholds|.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            (_cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))).alias(
+                "r_e4"
+            ),
+        )
+        .groupBy("p_brand")
+        .agg(F.sum("r_e4").cast("long").alias("rev_e4"))
+    )
+    w = Window.orderBy(F.col("rev_e4").desc(), F.col("p_brand").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("rev_e4").desc(), F.col("p_brand").asc()))
+        .cast("long")
+        .alias("rk"),
+        F.sum("rev_e4").over(w).cast("long").alias("cum"),
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.max("cum").cast("long").alias("total"),
+        F.max("rk").cast("long").alias("n_brands"),
+    ).withColumn("_one", F.lit(1))
+    th = (
+        lineitem.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias("t"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+    )
+    j = cum.withColumn("_one", F.lit(1)).join(F.broadcast(th), "_one")
+    g = (
+        j.where(F.lit(100) * F.col("cum") >= F.col("t") * F.col("total"))
+        .groupBy("t")
+        .agg(
+            F.min("rk").cast("long").alias("brands_needed"),
+            F.max("n_brands").cast("long").alias("n_brands"),
+        )
+    )
+    return g.select(
+        F.col("t").cast("int").alias("threshold_pct"),
+        "brands_needed",
+        "n_brands",
+        F.round(
+            F.col("brands_needed").cast("double") / F.col("n_brands").cast("double"),
+            9,
+        ).alias("brand_fraction"),
+    )
+
+
+def customer_rfm(orders: DataFrame, terciles: int = 3) -> DataFrame:
+    """RFM segmentation census: every customer scored 1-3 on Recency
+    (latest order day), Frequency (order count), and Monetary (total
+    spend), counted per (r,f,m) cell — the marketing-ops workhorse
+    behind win-back and VIP targeting, and at pipeline scale the
+    stratification key for behavior-balanced training samples. Cell
+    (1,3,3) is "lapsed whale" — the list every retention campaign
+    starts from.
+
+    Determinism: all three metrics are exact integers (epoch day,
+    count, cents); tercile cuts are nearest-rank values ceil(k*n/3) =
+    (k*n+2)//3 located on DISTINCT-value frames (`mann_whitney`
+    discipline); bucket assignment compares value <= cut in int64, so
+    ties share a bucket identically in any engine. No floats anywhere.
+
+    Scale shape: ONE orders aggregate to the customer frame
+    (checkpointed — it feeds three cut derivations and the final
+    bucketing), three distinct-value windows (value-cardinality
+    bounded), three one-row cut frames broadcast back, one grouped
+    count on the 27-cell key.
+    """
+    from pyspark.sql import Window
+
+    day = (F.unix_micros(F.col("o_orderdate")) / F.lit(86_400_000_000)).cast("long")
+    cust = (
+        orders.select("o_custkey", day.alias("d"), _cents("o_totalprice").alias("cts"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("d").cast("long").alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cts").cast("long").alias("mon"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def cuts(col: str) -> DataFrame:
+        vc = cust.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        wcum = Window.orderBy(F.col("v").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cu = vc.select("v", "c", F.sum("c").over(wcum).cast("long").alias("cum"))
+        tot = cu.agg(F.max("cum").cast("long").alias("n")).withColumn("_one", F.lit(1))
+        j = cu.withColumn("_one", F.lit(1)).join(F.broadcast(tot), "_one")
+        r1 = F.floor((F.col("n") + 2) / 3).cast("long")
+        r2 = F.floor((F.lit(2) * F.col("n") + 2) / 3).cast("long")
+        b = F.col("cum") - F.col("c")
+        return j.agg(
+            F.max(F.when((b < r1) & (r1 <= F.col("cum")), F.col("v")))
+            .cast("long")
+            .alias(f"{col}_c1"),
+            F.max(F.when((b < r2) & (r2 <= F.col("cum")), F.col("v")))
+            .cast("long")
+            .alias(f"{col}_c2"),
+        ).withColumn("_one", F.lit(1))
+
+    allcuts = cuts("rec").join(cuts("freq"), "_one").join(cuts("mon"), "_one")
+
+    def bucket(col: str) -> F.Column:
+        return (
+            F.when(F.col(col) <= F.col(f"{col}_c1"), F.lit(1))
+            .when(F.col(col) <= F.col(f"{col}_c2"), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("int")
+        )
+
+    return (
+        cust.withColumn("_one", F.lit(1))
+        .join(F.broadcast(allcuts), "_one")
+        .select(
+            bucket("rec").alias("r_bucket"),
+            bucket("freq").alias("f_bucket"),
+            bucket("mon").alias("m_bucket"),
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+def fk_fanout_stats(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-FK-edge fan-out distribution (children per parent) for the
+    two fact edges: orders per customer and lineitems per order — the
+    join-planning numbers that decide shuffle posture BEFORE the job
+    runs: mean drives size estimates, p99/max flag the skewed keys that
+    need salting (`event_key_skew`'s role, measured on the warehouse
+    FKs), and p50 vs mean exposes the long tail.
+
+    Determinism: fan-outs are exact counts; p50 is the DOUBLED median
+    m2 = q_lo + q_hi and p99 the nearest-rank (99n+99)//100, both
+    located on the DISTINCT-fanout frame by cumulative-count range
+    checks. Mean is the one double division, ROUNDED 6.
+
+    Scale shape: per edge, one grouped count on the parent key
+    (map-side combined), one grouped count on the DISTINCT fan-out
+    value, one window over that bounded frame. The two edges union as
+    two-row output.
+    """
+    from pyspark.sql import Window
+
+    def edge(df: DataFrame, key: str, name: str) -> DataFrame:
+        fo = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).cast("long").alias("f"))
+        vc = fo.groupBy(F.col("f").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        wcum = Window.orderBy(F.col("v").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cu = vc.select(
+            "v", "c", F.sum("c").over(wcum).cast("long").alias("cum")
+        ).localCheckpoint(eager=False)
+        tot = cu.agg(
+            F.max("cum").cast("long").alias("n"),
+            F.sum(F.col("v") * F.col("c")).cast("long").alias("children"),
+            F.max("v").cast("long").alias("max_fanout"),
+        ).withColumn("_one", F.lit(1))
+        j = cu.withColumn("_one", F.lit(1)).join(F.broadcast(tot), "_one")
+        b = F.col("cum") - F.col("c")
+        r1 = F.floor((F.col("n") + 1) / 2).cast("long")
+        r2 = F.floor((F.col("n") + 2) / 2).cast("long")
+        r99 = F.floor((F.lit(99) * F.col("n") + 99) / 100).cast("long")
+        hit1 = F.when((b < r1) & (r1 <= F.col("cum")), F.col("v")).otherwise(F.lit(0))
+        hit2 = F.when((b < r2) & (r2 <= F.col("cum")), F.col("v")).otherwise(F.lit(0))
+        hit99 = F.when((b < r99) & (r99 <= F.col("cum")), F.col("v"))
+        return j.agg(
+            F.max("n").alias("n_parents"),
+            F.max("children").alias("n_children"),
+            F.round(
+                F.max("children").cast("double") / F.max("n").cast("double"), 6
+            ).alias("mean_fanout"),
+            F.round(
+                F.sum(hit1 + hit2).cast("double") / F.lit(2.0), 1
+            ).alias("p50_fanout"),
+            F.max(hit99).cast("long").alias("p99_fanout"),
+            F.max("max_fanout").alias("max_fanout"),
+        ).select(
+            F.lit(name).alias("edge"),
+            "n_parents",
+            "n_children",
+            "mean_fanout",
+            "p50_fanout",
+            "p99_fanout",
+            "max_fanout",
+        )
+
+    return edge(orders, "o_custkey", "orders_per_customer").unionByName(
+        edge(lineitem, "l_orderkey", "lineitems_per_order")
+    )

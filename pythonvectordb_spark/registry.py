@@ -8290,6 +8290,121 @@ FROM g CROSS JOIN tot
 """
 
 
+def q_brand_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage of revenue by brand at 50/80/90% thresholds
+    (staged for the round-5 rotation): the hot-tier sizing curve —
+    100*cum >= t*total compared in pure int64
+    (`operators/relational.brand_pareto`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.brand_pareto(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_brand_pareto() -> str:
+    return """
+WITH rev AS (
+  SELECT p.p_brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1),
+cum AS (
+  SELECT CAST(row_number() OVER (ORDER BY rev_e4 DESC, p_brand ASC) AS BIGINT) AS rk,
+         CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, p_brand ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM rev),
+tot AS (SELECT max(cum) AS total, max(rk) AS n_brands FROM cum),
+th AS (SELECT * FROM (VALUES (50), (80), (90)) AS t(t)),
+g AS (SELECT t, CAST(min(rk) AS BIGINT) AS brands_needed,
+             CAST(max(n_brands) AS BIGINT) AS n_brands
+      FROM cum CROSS JOIN tot CROSS JOIN th
+      WHERE 100 * cum >= t * total GROUP BY 1)
+SELECT CAST(t AS INTEGER) AS threshold_pct, brands_needed, n_brands,
+       round(brands_needed::DOUBLE / n_brands::DOUBLE, 9) AS brand_fraction
+FROM g
+"""
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation census over the orders table (staged for the
+    round-5 rotation): tercile cuts located on DISTINCT-value frames,
+    value<=cut bucketing in int64 — no floats anywhere
+    (`operators/relational.customer_rfm`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.customer_rfm(load_table(spark, sf_dir, "orders"))
+
+
+def o_customer_rfm() -> str:
+    cut = """
+  SELECT max(CASE WHEN cum - c < (n + 2) // 3 AND (n + 2) // 3 <= cum THEN v END) AS c1,
+         max(CASE WHEN cum - c < (2 * n + 2) // 3 AND (2 * n + 2) // 3 <= cum THEN v END) AS c2
+  FROM (SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM (SELECT {col} AS v, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1))
+"""
+    return f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS rec,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY 1),
+rc AS ({cut.format(col='rec')}),
+fc AS ({cut.format(col='freq')}),
+mc AS ({cut.format(col='mon')})
+SELECT CAST(CASE WHEN rec <= rc.c1 THEN 1 WHEN rec <= rc.c2 THEN 2 ELSE 3 END AS INTEGER) AS r_bucket,
+       CAST(CASE WHEN freq <= fc.c1 THEN 1 WHEN freq <= fc.c2 THEN 2 ELSE 3 END AS INTEGER) AS f_bucket,
+       CAST(CASE WHEN mon <= mc.c1 THEN 1 WHEN mon <= mc.c2 THEN 2 ELSE 3 END AS INTEGER) AS m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM cust CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc
+GROUP BY 1, 2, 3
+"""
+
+
+def q_fk_fanout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out distribution of the two fact FK edges (staged for the
+    round-5 rotation): mean/p50/p99/max children per parent — the
+    decide-before-you-shuffle join-planning numbers
+    (`operators/relational.fk_fanout_stats`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.fk_fanout_stats(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def o_fk_fanout_stats() -> str:
+    edge = """
+  SELECT '{name}' AS edge, CAST(max(n) AS BIGINT) AS n_parents,
+         CAST(max(children) AS BIGINT) AS n_children,
+         round(max(children)::DOUBLE / max(n)::DOUBLE, 6) AS mean_fanout,
+         round(CAST(sum((CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN v ELSE 0 END)
+                        + (CASE WHEN cum - c < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN v ELSE 0 END))
+               AS BIGINT)::DOUBLE / 2.0, 1) AS p50_fanout,
+         CAST(max(CASE WHEN cum - c < (99 * n + 99) // 100 AND (99 * n + 99) // 100 <= cum THEN v END)
+              AS BIGINT) AS p99_fanout,
+         CAST(max(mx) AS BIGINT) AS max_fanout
+  FROM (SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS n,
+               CAST(sum(v * c) OVER () AS BIGINT) AS children,
+               CAST(max(v) OVER () AS BIGINT) AS mx
+        FROM (SELECT v, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT CAST(count(*) AS BIGINT) AS v FROM {table} GROUP BY {key})
+              GROUP BY 1))
+"""
+    return (
+        edge.format(name="orders_per_customer", table="orders", key="o_custkey")
+        + " UNION ALL "
+        + edge.format(name="lineitems_per_order", table="lineitem", key="l_orderkey")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -8540,6 +8655,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ttr": q_source_ttr,
     "source_decile_shift": q_source_decile_shift,
     "session_depth_hist": q_session_depth_hist,
+    "brand_pareto": q_brand_pareto,
+    "customer_rfm": q_customer_rfm,
+    "fk_fanout_stats": q_fk_fanout_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -8725,6 +8843,9 @@ ORACLES: dict[str, str] = {
     "source_ttr": o_source_ttr(),
     "source_decile_shift": o_source_decile_shift(),
     "session_depth_hist": o_session_depth_hist(),
+    "brand_pareto": o_brand_pareto(),
+    "customer_rfm": o_customer_rfm(),
+    "fk_fanout_stats": o_fk_fanout_stats(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

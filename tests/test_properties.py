@@ -1111,3 +1111,74 @@ def test_return_rate_wilson_hand_computed(spark):
     assert r["wilson_lo"] == round((center - half) / denom, 9)
     assert r["wilson_hi"] == round((center + half) / denom, 9)
     assert 0.0 < r["wilson_lo"] < 0.25 < r["wilson_hi"] < 1.0
+
+
+def test_brand_pareto_hand_computed(spark):
+    """Brands with revenue 70/20/10: 50% needs 1 brand, 80% needs 2,
+    90% needs 2 (70+20=90 >= 90)."""
+    from pythonvectordb_spark.operators.relational import brand_pareto
+
+    lineitem = spark.createDataFrame(
+        [(1, 100, 70.0, 0.0), (2, 200, 20.0, 0.0), (3, 300, 10.0, 0.0)],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(100, "Brand#A"), (200, "Brand#B"), (300, "Brand#C")],
+        "p_partkey long, p_brand string",
+    )
+    got = {r["threshold_pct"]: r for r in brand_pareto(lineitem, part).collect()}
+    assert got[50]["brands_needed"] == 1
+    assert got[80]["brands_needed"] == 2
+    assert got[90]["brands_needed"] == 2
+    assert got[90]["n_brands"] == 3
+
+
+def test_customer_rfm_monotone_buckets(spark):
+    """Nine customers with jointly increasing recency/frequency/spend
+    land in the diagonal cells (1,1,1) x3, (2,2,2) x3, (3,3,3) x3."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.relational import customer_rfm
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    ok = 0
+    for ci in range(9):
+        n_orders = ci + 1  # frequency rises with customer index
+        for j in range(n_orders):
+            ok += 1
+            rows.append((ok, ci, t0 + dt.timedelta(days=10 * ci + j), 100.0 * (ci + 1)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {
+        (r["r_bucket"], r["f_bucket"], r["m_bucket"]): r["n_customers"]
+        for r in customer_rfm(orders).collect()
+    }
+    assert got == {(1, 1, 1): 3, (2, 2, 2): 3, (3, 3, 3): 3}
+
+
+def test_fk_fanout_stats_hand_computed(spark):
+    """Orders per customer 1/1/2: mean 4/3, p50 1.0, max 2; lineitems
+    per order fan-outs from a planted skew check p99 = max."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.relational import fk_fanout_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, t0, 1.0), (2, 20, t0, 1.0), (3, 30, t0, 1.0), (4, 30, t0, 1.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 1), (3, 1), (4, 1)],
+        "l_orderkey long, l_linenumber long",
+    )
+    got = {r["edge"]: r for r in fk_fanout_stats(lineitem, orders).collect()}
+    oc = got["orders_per_customer"]
+    assert oc["n_parents"] == 3 and oc["n_children"] == 4
+    assert oc["mean_fanout"] == round(4 / 3, 6)
+    assert oc["p50_fanout"] == 1.0 and oc["max_fanout"] == 2
+    lo = got["lineitems_per_order"]
+    assert lo["n_parents"] == 4 and lo["n_children"] == 6
+    assert lo["p50_fanout"] == 1.0 and lo["p99_fanout"] == 3 and lo["max_fanout"] == 3
