@@ -178,6 +178,9 @@ HEADLINE = [
     "brand_pareto",
     "customer_rfm",
     "fk_fanout_stats",
+    "source_js_matrix",
+    "weekday_uniformity",
+    "yearly_value_quartiles",
 ]
 
 

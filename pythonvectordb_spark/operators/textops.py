@@ -1252,3 +1252,83 @@ def source_ttr(df: DataFrame, text_col: str = "text", group_col: str = "source")
         F.round(F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 9).alias("ttr"),
         F.round(F.col("n_hapax").cast("double") / F.col("n_types").cast("double"), 9).alias("hapax_share"),
     )
+
+
+def source_js_matrix(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — the SYMMETRIC, bounded ([0, ln 2]) companion to
+    `source_kl_matrix`: KL says how badly q's code models p (and blows
+    up on disjoint support); JS is the metric-like mixture form that
+    clusters sources for mixture design even when vocabularies barely
+    overlap. Same corpus-card family, different failure modes.
+
+    Determinism: with M = (P+Q)/2, each common-token term factors to
+    cp*(ln(2*cp*Nq) - ln(cp*Nq + cq*Np)) — EVERY ln argument an exact
+    int64 product; tokens private to one source contribute exactly
+    cp*ln(2), pulled out analytically as (Np - C_common)*ln(2), so the
+    pair join only ever touches the INNER token overlap. Grouped double
+    sums, final halving, ROUNDED 6.
+
+    Scale shape: one (source, token) grouped count (checkpointed — it
+    feeds both join sides and the totals), an inner equi-join on token
+    for ordered pairs (fan-out = shared-vocab size per pair, never
+    corpus tokens), a pair-keyed aggregate, two broadcast total hookups.
+    """
+    from pythonvectordb_spark.functions.text import tokens
+
+    tt = (
+        df.select(F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = tt.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    a = tt.select(F.col("g").alias("ga"), "tok", F.col("c").alias("cp"))
+    b = tt.select(F.col("g").alias("gb"), "tok", F.col("c").alias("cq"))
+    ln = F.log
+    pairs = a.join(b, "tok").where(F.col("ga") < F.col("gb"))
+    g = (
+        pairs.join(F.broadcast(tot.withColumnsRenamed({"g": "ga", "n": "np_"})), "ga")
+        .join(F.broadcast(tot.withColumnsRenamed({"g": "gb", "n": "nq_"})), "gb")
+        .groupBy("ga", "gb", "np_", "nq_")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("cp").cast("long").alias("cp_common"),
+            F.sum("cq").cast("long").alias("cq_common"),
+            F.sum(
+                F.col("cp").cast("double")
+                * (
+                    ln((F.lit(2) * F.col("cp") * F.col("nq_")).cast("double"))
+                    - ln(
+                        (F.col("cp") * F.col("nq_") + F.col("cq") * F.col("np_")).cast(
+                            "double"
+                        )
+                    )
+                )
+            ).alias("sp"),
+            F.sum(
+                F.col("cq").cast("double")
+                * (
+                    ln((F.lit(2) * F.col("cq") * F.col("np_")).cast("double"))
+                    - ln(
+                        (F.col("cq") * F.col("np_") + F.col("cp") * F.col("nq_")).cast(
+                            "double"
+                        )
+                    )
+                )
+            ).alias("sq"),
+        )
+    )
+    ln2 = ln(F.lit(2.0))
+    klp = (
+        (F.col("np_") - F.col("cp_common")).cast("double") * ln2 + F.col("sp")
+    ) / F.col("np_").cast("double")
+    klq = (
+        (F.col("nq_") - F.col("cq_common")).cast("double") * ln2 + F.col("sq")
+    ) / F.col("nq_").cast("double")
+    return g.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        "n_common",
+        F.round(F.lit(0.5) * (klp + klq), 6).alias("js_divergence"),
+    )

@@ -1218,3 +1218,94 @@ def session_depth_hist(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             ).alias("mean_dur_min"),
         )
     )
+
+
+def weekday_uniformity(df: DataFrame, date_col: str = "o_orderdate") -> DataFrame:
+    """Chi-square uniformity of arrivals across the seven weekdays —
+    the weekly-seasonality scalar that decides whether ingest
+    autoscaling and compaction windows need a day-of-week schedule at
+    all. Weekday is computed as (epoch_day + 4) % 7 (1970-01-01 was a
+    Thursday; 0 = Sunday), a pure integer expression no engine's
+    calendar/locale settings can bend.
+
+    Determinism: with e = N/7, chi^2 = sum (o - e)^2/e collapses to
+    (7*sum(o^2) - N^2)/N — numerator exact int64, ONE double division,
+    ROUNDED 6; the min/max day shares are exact-count ratios ROUNDED 9.
+
+    Scale shape: one grouped count on a 7-value key (map-side
+    combined); everything after is a 7-row aggregate.
+    """
+    day = (F.unix_micros(F.col(date_col)) / F.lit(86_400_000_000)).cast("long")
+    dow = ((day + F.lit(4)) % F.lit(7)).cast("int")
+    g = df.select(dow.alias("dow")).groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    t = g.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+        F.min("o").cast("long").alias("min_day"),
+        F.max("o").cast("long").alias("max_day"),
+    )
+    num = (F.lit(7) * F.col("so2") - F.col("n") * F.col("n")).cast("long")
+    return t.select(
+        F.col("n").alias("n_rows"),
+        F.round(num.cast("double") / F.col("n").cast("double"), 6).alias("chisq"),
+        F.round(F.col("min_day").cast("double") / F.col("n").cast("double"), 9).alias(
+            "min_day_share"
+        ),
+        F.round(F.col("max_day").cast("double") / F.col("n").cast("double"), 9).alias(
+            "max_day_share"
+        ),
+    )
+
+
+def yearly_value_quartiles(df: DataFrame, date_col: str = "o_orderdate") -> DataFrame:
+    """Per-year quartiles of order value — the banded drift view that
+    says whether this year's orders are bigger or just more numerous
+    (revenue trends alone can't tell). The windowed-quantile pattern
+    every freshness-partitioned table needs, with quartile values
+    located on per-year DISTINCT-value frames (nearest-rank ceil(k*n/4)
+    = (k*n+3)//4) so every output is exact integer cents.
+
+    Scale shape: one grouped count per (year, cents) — map-side
+    combined — then windows over the year x distinct-value frame only.
+    """
+    yr = F.year(F.col(date_col)).cast("int")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    vc = (
+        df.select(yr.alias("y"), cents.alias("v"))
+        .groupBy("y", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("y")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = vc.select(
+        "y", "v", "c", F.sum("c").over(wcum).cast("long").alias("cum")
+    ).localCheckpoint(eager=False)
+    tot = cu.groupBy("y").agg(F.max("cum").cast("long").alias("n"))
+    j = cu.join(F.broadcast(tot), "y")
+    b = F.col("cum") - F.col("c")
+
+    def at(k: int):
+        r = F.floor((F.lit(k) * F.col("n") + 3) / 4).cast("long")
+        return F.max(F.when((b < r) & (r <= F.col("cum")), F.col("v"))).cast("long")
+
+    return (
+        j.groupBy("y")
+        .agg(
+            F.max("n").alias("n_orders"),
+            at(1).alias("q1_cents"),
+            at(2).alias("q2_cents"),
+            at(3).alias("q3_cents"),
+        )
+        .select(
+            F.col("y").alias("order_year"),
+            "n_orders",
+            "q1_cents",
+            "q2_cents",
+            "q3_cents",
+        )
+    )

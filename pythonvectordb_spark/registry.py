@@ -8405,6 +8405,108 @@ def o_fk_fanout_stats() -> str:
     )
 
 
+def q_source_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token mixes
+    (staged for the round-5 rotation): the symmetric bounded companion
+    to `source_kl_matrix` — every ln over an exact int64 product,
+    private-token mass pulled out analytically as (Np-C)*ln2
+    (`operators/textops.source_js_matrix`)."""
+    return TX.source_js_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def o_source_js_matrix() -> str:
+    return f"""
+WITH toks AS (SELECT source AS g, {O.sql_tokens('text')} AS tk FROM documents),
+tt AS (SELECT g, t.t AS tok, CAST(count(*) AS BIGINT) AS c
+       FROM toks, unnest(tk) AS t(t) GROUP BY 1, 2),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM tt GROUP BY 1),
+pr AS (
+  SELECT a.g AS ga, b.g AS gb, ta.n AS np_, tb.n AS nq_,
+         a.c AS cp, b.c AS cq
+  FROM tt a
+  JOIN tt b ON a.tok = b.tok AND a.g < b.g
+  JOIN tot ta ON ta.g = a.g
+  JOIN tot tb ON tb.g = b.g),
+g AS (
+  SELECT ga, gb, np_, nq_,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(cp) AS BIGINT) AS cp_common,
+         CAST(sum(cq) AS BIGINT) AS cq_common,
+         sum(cp::DOUBLE * (ln((2 * cp * nq_)::DOUBLE)
+                           - ln((cp * nq_ + cq * np_)::DOUBLE))) AS sp,
+         sum(cq::DOUBLE * (ln((2 * cq * np_)::DOUBLE)
+                           - ln((cq * np_ + cp * nq_)::DOUBLE))) AS sq
+  FROM pr GROUP BY 1, 2, 3, 4)
+SELECT ga AS source_a, gb AS source_b, n_common,
+       round(0.5 * ((((np_ - cp_common)::DOUBLE * ln(2.0) + sp) / np_::DOUBLE)
+                    + (((nq_ - cq_common)::DOUBLE * ln(2.0) + sq) / nq_::DOUBLE)),
+             6) AS js_divergence
+FROM g
+"""
+
+
+def q_weekday_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square weekday uniformity of order arrivals (staged for the
+    round-5 rotation): (7*sum(o^2) - N^2)/N — numerator exact int64,
+    weekday = (epoch_day+4)%7 so no engine calendar is consulted
+    (`operators/timeseries.weekday_uniformity`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.weekday_uniformity(load_table(spark, sf_dir, "orders"))
+
+
+def o_weekday_uniformity() -> str:
+    return """
+WITH g AS (
+  SELECT CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n, CAST(sum(o * o) AS BIGINT) AS so2,
+             CAST(min(o) AS BIGINT) AS min_day, CAST(max(o) AS BIGINT) AS max_day
+      FROM g)
+SELECT n AS n_rows,
+       round((7 * so2 - n * n)::DOUBLE / n::DOUBLE, 6) AS chisq,
+       round(min_day::DOUBLE / n::DOUBLE, 9) AS min_day_share,
+       round(max_day::DOUBLE / n::DOUBLE, 9) AS max_day_share
+FROM t
+"""
+
+
+def q_yearly_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year order-value quartiles (staged for the round-5
+    rotation): nearest-rank quartile cents on per-year DISTINCT-value
+    frames — banded drift the revenue trend can't show
+    (`operators/timeseries.yearly_value_quartiles`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.yearly_value_quartiles(load_table(spark, sf_dir, "orders"))
+
+
+def o_yearly_value_quartiles() -> str:
+    return """
+WITH vc AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+cu AS (SELECT y, v, c,
+              CAST(sum(c) OVER (PARTITION BY y ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+       FROM vc),
+tot AS (SELECT y, max(cum) AS n FROM cu GROUP BY 1),
+j AS (SELECT cu.y, cu.v, cu.c, cu.cum, tot.n FROM cu JOIN tot USING (y))
+SELECT y AS order_year, CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(CASE WHEN cum - c < (1 * n + 3) // 4 AND (1 * n + 3) // 4 <= cum
+                     THEN v END) AS BIGINT) AS q1_cents,
+       CAST(max(CASE WHEN cum - c < (2 * n + 3) // 4 AND (2 * n + 3) // 4 <= cum
+                     THEN v END) AS BIGINT) AS q2_cents,
+       CAST(max(CASE WHEN cum - c < (3 * n + 3) // 4 AND (3 * n + 3) // 4 <= cum
+                     THEN v END) AS BIGINT) AS q3_cents
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -8658,6 +8760,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_pareto": q_brand_pareto,
     "customer_rfm": q_customer_rfm,
     "fk_fanout_stats": q_fk_fanout_stats,
+    "source_js_matrix": q_source_js_matrix,
+    "weekday_uniformity": q_weekday_uniformity,
+    "yearly_value_quartiles": q_yearly_value_quartiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -8846,6 +8951,9 @@ ORACLES: dict[str, str] = {
     "brand_pareto": o_brand_pareto(),
     "customer_rfm": o_customer_rfm(),
     "fk_fanout_stats": o_fk_fanout_stats(),
+    "source_js_matrix": o_source_js_matrix(),
+    "weekday_uniformity": o_weekday_uniformity(),
+    "yearly_value_quartiles": o_yearly_value_quartiles(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -461,3 +461,34 @@ def test_source_ttr_hand_computed(spark):
     assert a["ttr"] == round(2 / 3, 9) and a["hapax_share"] == 0.5
     b = got["B"]
     assert b["ttr"] == 1.0 and b["hapax_share"] == 1.0
+
+
+def test_source_js_matrix_extremes(spark):
+    """Identical token mixes give JS = 0; fully disjoint vocabularies
+    give JS = ln 2 (every token is private mass)."""
+    import math
+
+    from pythonvectordb_spark.operators.textops import source_js_matrix
+
+    same = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "x y", "B")], "doc_id long, text string, source string"
+    )
+    (r,) = source_js_matrix(same).collect()
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["js_divergence"] == 0.0
+    disjoint = spark.createDataFrame(
+        [(1, "x x", "A"), (2, "y z", "B")], "doc_id long, text string, source string"
+    )
+    rows = source_js_matrix(disjoint).collect()
+    # no common tokens -> the pair never materializes from the inner
+    # join; the analytic limit is ln 2, but the operator's contract is
+    # common-support pairs only (documented)
+    assert rows == []
+    mixed = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "x z", "B")], "doc_id long, text string, source string"
+    )
+    (r,) = source_js_matrix(mixed).collect()
+    # cp=cq=1 for 'x', Np=Nq=2; common term cancels; privates: 1*ln2 each
+    # klp = (2-1)*ln2 + 1*(ln(2*1*2)-ln(1*2+1*2)) = ln2 + 0 -> /2 = ln2/2
+    assert r["n_common"] == 1
+    assert r["js_divergence"] == round(0.5 * math.log(2.0), 6)

@@ -501,3 +501,43 @@ def test_session_depth_hist_buckets(spark):
     assert got["8+"]["mean_dur_min"] == 7.0
     # each share is rounded to 9dp, so the sum is 1 only up to 3 ulps
     assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-8
+
+
+def test_weekday_uniformity_extremes(spark):
+    """All orders on one weekday: chi^2 = (7N^2 - N^2)/N = 6N; a
+    perfectly uniform week has chi^2 = 0."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import weekday_uniformity
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    one_day = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(weeks=k)) for k in range(7)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    (r,) = weekday_uniformity(one_day).collect()
+    assert r["n_rows"] == 7 and r["chisq"] == 42.0 and r["max_day_share"] == 1.0
+    uniform = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(days=k)) for k in range(14)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    (r,) = weekday_uniformity(uniform).collect()
+    assert r["chisq"] == 0.0
+    assert r["min_day_share"] == r["max_day_share"]
+
+
+def test_yearly_value_quartiles_hand_computed(spark):
+    """Four orders in one year valued 1/2/3/4: nearest-rank quartiles
+    are the 1st, 2nd, and 3rd order statistics."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import yearly_value_quartiles
+
+    t0 = dt.datetime(2024, 3, 1)
+    orders = spark.createDataFrame(
+        [(k, t0, float(k)) for k in (1, 2, 3, 4)],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    (r,) = yearly_value_quartiles(orders).collect()
+    assert r["order_year"] == 2024 and r["n_orders"] == 4
+    assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (100, 200, 300)
