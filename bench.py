@@ -181,6 +181,9 @@ HEADLINE = [
     "source_js_matrix",
     "weekday_uniformity",
     "yearly_value_quartiles",
+    "value_anova",
+    "lognormal_jb",
+    "hour_profile_fit",
 ]
 
 

@@ -743,3 +743,106 @@ def source_decile_shift(
             (F.col("dv") - F.col("corpus_value")).cast("long").alias("shift"),
         )
     )
+
+
+def value_anova(
+    df: DataFrame, value_col: str = "value", group_col: str = "event_type"
+) -> DataFrame:
+    """One-way ANOVA of a numeric column across groups: F statistic and
+    eta^2 (variance explained by group membership) — the "does this key
+    actually stratify the metric" test that decides whether a per-group
+    model/threshold (`event_type_medians`, per-type gates) is earning
+    its keep. eta^2 near 0: one global threshold suffices; large F with
+    small eta^2: statistically real but practically negligible.
+
+    Determinism: per-group n, S = sum(cents), Q = sum(cents^2) are
+    exact int64; SSB = sum_g S_g^2/n_g - S^2/N and SSW = Q - sum_g
+    S_g^2/n_g are assembled from those integers in ONE pinned double
+    operation order (the per-group S_g^2/n_g division is the only
+    per-group float; k <= group cardinality terms), ROUNDED 6.
+
+    Scale shape: one grouped aggregate (map-side combined) to the
+    k-row moment frame; everything after is k-row algebra.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    g = (
+        df.select(F.col(group_col).alias("g"), cents.alias("c"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").cast("long").alias("qq"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sg2n"),
+    )
+    nn = F.col("nn").cast("double")
+    ssb = F.col("sg2n") - F.col("ss").cast("double") * F.col("ss").cast("double") / nn
+    ssw = F.col("qq").cast("double") - F.col("sg2n")
+    kd = F.col("k").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nn - kd))
+    eta2 = ssb / (ssb + ssw)
+    ok = (F.col("k") > 1) & (F.col("nn") > F.col("k"))
+    # zero within-group variance (ssw = 0) makes F infinite and zero
+    # total variance makes eta^2 0/0 — both are NULL, not errors
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        F.when(ok & (ssw > 0), F.round(fstat, 6)).alias("f_stat"),
+        F.when(ok & ((ssb + ssw) > 0), F.round(eta2, 6)).alias("eta_sq"),
+    )
+
+
+def lognormal_jb(df: DataFrame, value_col: str = "o_totalprice") -> DataFrame:
+    """Jarque-Bera normality test on the LOG of a positive money column
+    — "is this distribution lognormal", the assumption behind using
+    geometric means and log-scale bucketing for order values. JB large:
+    the log values are skewed/heavy-tailed beyond normal, so log-scale
+    equi-width histograms will misbin the tail (`hill_tail_index` then
+    says how badly).
+
+    Determinism: x = ln(exact integer cents) per row; the four moment
+    sums are double sums over rows (the `event_value_regression`
+    single-pass moment discipline — bounded magnitudes keep float noise
+    far below the 1e-6 grain); skewness, excess kurtosis, and JB =
+    n/6*(S^2 + K^2/4) assemble in one pinned operation order,
+    ROUNDED 6.
+
+    Scale shape: one map-side-combined global aggregate. Nothing else.
+    """
+    x = F.log(F.round(F.col(value_col) * 100).cast("long").cast("double"))
+    t = df.select(x.alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    # central moments from raw moments, one pinned order
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - F.lit(3.0) * m * (F.col("s2") / n) + F.lit(2.0) * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * m * (F.col("s3") / n)
+        + F.lit(6.0) * m * m * (F.col("s2") / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return t.select(
+        F.col("n").alias("n_rows"),
+        F.round(skew, 6).alias("log_skewness"),
+        F.round(exk, 6).alias("log_excess_kurtosis"),
+        F.round(jb, 6).alias("jarque_bera"),
+    )

@@ -1309,3 +1309,79 @@ def yearly_value_quartiles(df: DataFrame, date_col: str = "o_orderdate") -> Data
             "q3_cents",
         )
     )
+
+
+def hour_profile_fit(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Variance explained (R^2) by the day x hour-of-day seasonal
+    decomposition of the arrival series: predicted count for cell
+    (day d, hour h) = T_d * H_h / N (day volume times the global
+    hour-of-day profile). The "is traffic just a daily rhythm" scalar
+    that closes the loop `hourly_acf` opens: acf says lag-24 memory
+    exists, this says how much of the cell-level variance the profile
+    model actually removes — R^2 near 1 licenses profile-based
+    autoscaling; low R^2 means bursts dominate (`arrival_burstiness`).
+
+    Determinism: the grid is COMPLETED (observed days x all 24 hours —
+    empty cells are real residuals); with C cells, SSres and SStot
+    scale to Σ(N*o - T_d*H_h)^2 and Σ(C*o - N)^2 — exact DECIMAL(38)
+    (HUGEINT in the oracle; the squares pass int64 once N*o grows),
+    and R^2 = 1 - (C^2 * SSres_sc)/(N^2 * SStot_sc) is ONE double
+    division of exact integers, ROUNDED 6; NULL when SStot is zero.
+    Day and hour indexes are pure epoch integer arithmetic.
+
+    Scale shape: one grouped count per (day, hour) cell (map-side
+    combined); the grid completion is a days x 24 frame (calendar
+    bounded) with the day/hour/total marginals joined back broadcast;
+    one final aggregate over the grid.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    cells = (
+        df.select(
+            (us / F.lit(86_400_000_000)).cast("long").alias("di"),
+            ((us / F.lit(3_600_000_000)).cast("long") % F.lit(24)).alias("hh"),
+        )
+        .groupBy("di", "hh")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    td = cells.groupBy("di").agg(F.sum("o").cast("long").alias("t_d"))
+    hh = cells.groupBy("hh").agg(F.sum("o").cast("long").alias("h_h"))
+    spark = df.sparkSession
+    hours = spark.range(24).select(F.col("id").cast("long").alias("hh"))
+    grid = (
+        td.crossJoin(F.broadcast(hours))
+        .join(cells, ["di", "hh"], "left")
+        .join(F.broadcast(hh), "hh", "left")
+        .select(
+            "di",
+            "hh",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+            "t_d",
+            F.coalesce("h_h", F.lit(0)).cast("long").alias("h_h"),
+        )
+    )
+    tot = grid.agg(
+        F.sum("o").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("cc"),
+        F.countDistinct("di").cast("long").alias("n_days"),
+    ).withColumn("_one", F.lit(1))
+    j = grid.withColumn("_one", F.lit(1)).join(F.broadcast(tot), "_one")
+    dres = (F.col("nn") * F.col("o") - F.col("t_d") * F.col("h_h")).cast(
+        "decimal(38,0)"
+    )
+    dtot = (F.col("cc") * F.col("o") - F.col("nn")).cast("decimal(38,0)")
+    g = j.groupBy("nn", "cc", "n_days").agg(
+        F.sum(dres * dres).cast("decimal(38,0)").alias("ssres_sc"),
+        F.sum(dtot * dtot).cast("decimal(38,0)").alias("sstot_sc"),
+    )
+    c2 = F.col("cc").cast("decimal(38,0)") * F.col("cc").cast("decimal(38,0)")
+    n2 = F.col("nn").cast("decimal(38,0)") * F.col("nn").cast("decimal(38,0)")
+    r2 = F.lit(1.0) - (c2 * F.col("ssres_sc")).cast("double") / (
+        n2 * F.col("sstot_sc")
+    ).cast("double")
+    return g.select(
+        F.col("nn").alias("n_events"),
+        "n_days",
+        F.col("cc").alias("n_cells"),
+        F.when(F.col("sstot_sc") > 0, F.round(r2, 6)).alias("r2_seasonal"),
+    )

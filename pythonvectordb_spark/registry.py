@@ -8507,6 +8507,120 @@ FROM j GROUP BY 1
 """
 
 
+def q_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types (staged for the
+    round-5 rotation): F statistic + eta^2 from exact int64 moments,
+    per-group S^2/n the only per-group float
+    (`operators/stats.value_anova`)."""
+    return ST.value_anova(load_table(spark, sf_dir, "events"))
+
+
+def o_value_anova() -> str:
+    return """
+WITH g AS (
+  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS ss, CAST(sum(q) AS BIGINT) AS qq,
+         sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS sg2n
+  FROM g)
+SELECT k AS n_groups, nn AS n_rows,
+       CASE WHEN k > 1 AND nn > k AND (qq::DOUBLE - sg2n) > 0 THEN
+         round(((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                / (k::DOUBLE - 1.0))
+               / ((qq::DOUBLE - sg2n) / (nn::DOUBLE - k::DOUBLE)), 6) END AS f_stat,
+       CASE WHEN k > 1 AND nn > k
+                 AND ((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                      + (qq::DOUBLE - sg2n)) > 0 THEN
+         round((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+               / ((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                  + (qq::DOUBLE - sg2n)), 6) END AS eta_sq
+FROM t
+"""
+
+
+def q_lognormal_jb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera lognormality test on order values (staged for the
+    round-5 rotation): skewness/kurtosis/JB of ln(exact cents) via
+    single-pass raw moments (`operators/stats.lognormal_jb`)."""
+    return ST.lognormal_jb(load_table(spark, sf_dir, "orders"))
+
+
+def o_lognormal_jb() -> str:
+    return """
+WITH x AS (SELECT ln(CAST(round(o_totalprice * 100) AS BIGINT)::DOUBLE) AS x
+           FROM orders),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s1,
+             sum(x * x) AS s2, sum(x * x * x) AS s3,
+             sum(x * x * x * x) AS s4
+      FROM x),
+c AS (SELECT n,
+             s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE) AS m2,
+             s3 / n::DOUBLE - 3.0 * (s1 / n::DOUBLE) * (s2 / n::DOUBLE)
+               + 2.0 * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) AS m3,
+             s4 / n::DOUBLE - 4.0 * (s1 / n::DOUBLE) * (s3 / n::DOUBLE)
+               + 6.0 * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s2 / n::DOUBLE)
+               - 3.0 * (s1 / n::DOUBLE) * (s1 / n::DOUBLE)
+                     * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) AS m4
+      FROM t)
+SELECT n AS n_rows,
+       round(m3 / (m2 * sqrt(m2)), 6) AS log_skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS log_excess_kurtosis,
+       round(n::DOUBLE / 6.0
+             * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+           AS jarque_bera
+FROM c
+"""
+
+
+def q_hour_profile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R^2 of the day x hour-of-day seasonal decomposition of event
+    arrivals (staged for the round-5 rotation): completed grid,
+    HUGEINT/DECIMAL(38) scaled sums of squares, one double division
+    (`operators/timeseries.hour_profile_fit`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.hour_profile_fit(load_table(spark, sf_dir, "events"))
+
+
+def o_hour_profile_fit() -> str:
+    return """
+WITH cells AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS di,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hh,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+td AS (SELECT di, CAST(sum(o) AS BIGINT) AS t_d FROM cells GROUP BY 1),
+hm AS (SELECT hh, CAST(sum(o) AS BIGINT) AS h_h FROM cells GROUP BY 1),
+grid AS (
+  SELECT td.di, h.hh, CAST(coalesce(cells.o, 0) AS BIGINT) AS o,
+         td.t_d, CAST(coalesce(hm.h_h, 0) AS BIGINT) AS h_h
+  FROM td CROSS JOIN (SELECT unnest(range(0, 24)) AS hh) h
+  LEFT JOIN cells ON cells.di = td.di AND cells.hh = h.hh
+  LEFT JOIN hm ON hm.hh = h.hh),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS cc,
+               CAST(count(DISTINCT di) AS BIGINT) AS n_days
+        FROM grid),
+g AS (
+  SELECT nn, cc, n_days,
+         sum((nn * o - t_d * h_h)::HUGEINT * (nn * o - t_d * h_h)::HUGEINT)
+             AS ssres_sc,
+         sum((cc * o - nn)::HUGEINT * (cc * o - nn)::HUGEINT) AS sstot_sc
+  FROM grid CROSS JOIN tot GROUP BY 1, 2, 3)
+SELECT nn AS n_events, n_days, cc AS n_cells,
+       CASE WHEN sstot_sc > 0 THEN
+         round(1.0 - (cc::HUGEINT * cc::HUGEINT * ssres_sc)::DOUBLE
+                     / (nn::HUGEINT * nn::HUGEINT * sstot_sc)::DOUBLE, 6)
+       END AS r2_seasonal
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -8763,6 +8877,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_js_matrix": q_source_js_matrix,
     "weekday_uniformity": q_weekday_uniformity,
     "yearly_value_quartiles": q_yearly_value_quartiles,
+    "value_anova": q_value_anova,
+    "lognormal_jb": q_lognormal_jb,
+    "hour_profile_fit": q_hour_profile_fit,
 }
 
 ORACLES: dict[str, str] = {
@@ -8954,6 +9071,9 @@ ORACLES: dict[str, str] = {
     "source_js_matrix": o_source_js_matrix(),
     "weekday_uniformity": o_weekday_uniformity(),
     "yearly_value_quartiles": o_yearly_value_quartiles(),
+    "value_anova": o_value_anova(),
+    "lognormal_jb": o_lognormal_jb(),
+    "hour_profile_fit": o_hour_profile_fit(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

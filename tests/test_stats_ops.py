@@ -203,3 +203,46 @@ def test_source_decile_shift_uniform_vs_shifted(spark):
         assert got[("A", k)]["shift"] == k - corpus_k
         assert got[("B", k)]["source_value"] == 10 + k
         assert got[("B", k)]["shift"] == 10 + k - corpus_k
+
+
+def test_value_anova_extremes(spark):
+    """Identical group means give F = 0 and eta^2 = 0; groups with all
+    variance BETWEEN them give eta^2 = 1."""
+    from pythonvectordb_spark.operators.stats import value_anova
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)],
+        "event_type string, value double",
+    )
+    (r,) = value_anova(same).collect()
+    assert r["n_groups"] == 2 and r["n_rows"] == 4
+    assert r["f_stat"] == 0.0 and r["eta_sq"] == 0.0
+    between = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 5.0), ("b", 5.0)],
+        "event_type string, value double",
+    )
+    (r,) = value_anova(between).collect()
+    # all variance between groups: eta^2 = 1, F undefined (ssw = 0)
+    assert r["eta_sq"] == 1.0
+    assert r["f_stat"] is None
+    single = spark.createDataFrame([("a", 1.0)], "event_type string, value double")
+    (r,) = value_anova(single).collect()
+    assert r["f_stat"] is None and r["eta_sq"] is None
+
+
+def test_lognormal_jb_symmetric_sample(spark):
+    """A symmetric two-point sample in log space has zero skewness and
+    kurtosis exactly -2 (two-point distribution), JB = n/6 * 1."""
+    from pythonvectordb_spark.operators.stats import lognormal_jb
+
+    # cents 100 and 10000: ln values ln(100), ln(10000) symmetric around
+    # their midpoint; two-point distribution has excess kurtosis -2
+    orders = spark.createDataFrame(
+        [(1, 1.0), (2, 100.0), (3, 1.0), (4, 100.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    (r,) = lognormal_jb(orders).collect()
+    assert r["n_rows"] == 4
+    assert r["log_skewness"] == 0.0
+    assert r["log_excess_kurtosis"] == -2.0
+    assert r["jarque_bera"] == round(4 / 6.0 * (0.0 + 4.0 / 4.0), 6)

@@ -541,3 +541,36 @@ def test_yearly_value_quartiles_hand_computed(spark):
     (r,) = yearly_value_quartiles(orders).collect()
     assert r["order_year"] == 2024 and r["n_orders"] == 4
     assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (100, 200, 300)
+
+
+def test_hour_profile_fit_extremes(spark):
+    """A series that is EXACTLY day-volume x hour-profile separable has
+    R^2 = 1; a perfectly uniform grid has zero total variance -> NULL."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import hour_profile_fit
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # separable: day factor (1, 2) x hour factor (3 at 00h, 1 at 01h)
+    for d, df_ in enumerate([1, 2]):
+        for h, hf in [(0, 3), (1, 1)]:
+            for _ in range(df_ * hf):
+                rows.append((eid, t0 + dt.timedelta(days=d, hours=h, minutes=5), 1, "x", 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = hour_profile_fit(df).collect()
+    assert r["n_days"] == 2 and r["n_cells"] == 48
+    assert r["r2_seasonal"] == 1.0
+    flat = spark.createDataFrame(
+        [
+            (i, t0 + dt.timedelta(days=i // 24, hours=i % 24), 1, "x", 1.0, "{}")
+            for i in range(48)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    (r,) = hour_profile_fit(flat).collect()
+    assert r["r2_seasonal"] is None
