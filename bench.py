@@ -184,6 +184,9 @@ HEADLINE = [
     "value_anova",
     "lognormal_jb",
     "hour_profile_fit",
+    "return_curve",
+    "user_lifecycle_census",
+    "order_reconciliation",
 ]
 
 

@@ -1111,3 +1111,51 @@ def fk_fanout_stats(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     return edge(orders, "o_custkey", "orders_per_customer").unionByName(
         edge(lineitem, "l_orderkey", "lineitems_per_order")
     )
+
+
+def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Header-vs-detail reconciliation of the orders fact: compare each
+    order's header total against the charge recomputed from its line
+    items (E*(100-D)*(100+T) in exact e6 units) and band the relative
+    error — the classic warehouse closing audit. On THIS synthetic
+    testdata the header is generated independently of the lines, so
+    the report documents that disagreement deterministically (every
+    band count is an exact integer contract); on a real warehouse the
+    same query is the invariant gate.
+
+    Determinism: both sides are exact e6-unit integers; band
+    membership compares 100*|diff| <= k*header_e6 in pure int64;
+    orphan headers (no lines) are counted by the anti-join.
+
+    Scale shape: one orderkey-grouped sum over lineitem, one
+    orderkey-keyed join to headers (the natural co-partitioned key),
+    one global aggregate. No window.
+    """
+    charge_e6 = (
+        _cents("l_extendedprice")
+        * (F.lit(100).cast("long") - _cents("l_discount"))
+        * (F.lit(100).cast("long") + _cents("l_tax"))
+    )
+    lines = lineitem.groupBy("l_orderkey").agg(
+        F.sum(charge_e6).cast("long").alias("line_e6")
+    )
+    hdr = orders.select(
+        "o_orderkey", (_cents("o_totalprice") * F.lit(10_000).cast("long")).alias("hdr_e6")
+    )
+    j = hdr.join(lines, hdr.o_orderkey == lines.l_orderkey, "left")
+    diff = F.abs(F.col("hdr_e6") - F.col("line_e6"))
+    has = F.col("line_e6").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("long").alias("n_orphan_headers"),
+        F.sum(F.when(has & (F.lit(100) * diff <= F.lit(1) * F.col("hdr_e6")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.sum(F.when(has & (F.lit(100) * diff <= F.lit(10) * F.col("hdr_e6")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_10pct"),
+        F.sum(F.when(has & (F.lit(100) * diff <= F.lit(50) * F.col("hdr_e6")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_50pct"),
+        F.max(F.when(has, diff)).cast("long").alias("max_abs_diff_e6"),
+    )

@@ -1385,3 +1385,117 @@ def hour_profile_fit(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.col("cc").alias("n_cells"),
         F.when(F.col("sstot_sc") > 0, F.round(r2, 6)).alias("r2_seasonal"),
     )
+
+
+def return_curve(df: DataFrame, max_lag_days: int = 7, ts_col: str = "ts") -> DataFrame:
+    """Day-lag return probability: for each lag k, the share of active
+    user-days with activity again exactly k days later — the
+    retention curve at day granularity that `retention_cohorts`
+    (calendar cohorts) can't resolve: a lag-1 plateau means a daily
+    habit; a lag-7 bump means weekly cadence (schedule win-back pushes
+    at the natural period, not arbitrarily).
+
+    Determinism: active user-days are exact DISTINCT (user, epoch_day)
+    pairs; the base for lag k is conditioned on d + k <= horizon (days
+    that COULD return); matched and base counts are exact int64, the
+    rate one double division ROUNDED 9.
+
+    Scale shape: one distinct (user, day) projection (checkpointed —
+    both join sides and the horizon derive from it), an equi-join on
+    (user, day+k) per exploded lag (fan-out = per-user activity days x
+    lags, never events x lags), a lag-keyed aggregate.
+    """
+    ud = (
+        df.select(
+            F.col("user_id"),
+            (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("di"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mx = ud.agg(F.max("di").cast("long").alias("dmax")).withColumn("_one", F.lit(1))
+    lags = (
+        df.sparkSession.range(1, max_lag_days + 1)
+        .select(F.col("id").cast("long").alias("k"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(mx), "_one")
+    )
+    a = ud.select("user_id", F.col("di").alias("da")).withColumn("_one", F.lit(1))
+    base = (
+        a.join(F.broadcast(lags), "_one")
+        .where(F.col("da") + F.col("k") <= F.col("dmax"))
+        .localCheckpoint(eager=False)
+    )
+    b = ud.select(F.col("user_id"), F.col("di").alias("db"))
+    matched = base.join(
+        b,
+        (base.user_id == b.user_id) & (F.col("db") == F.col("da") + F.col("k")),
+        "left_semi",
+    )
+    bg = base.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    mg = matched.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_returned"))
+    return (
+        bg.join(mg, "k", "left")
+        .select(
+            F.col("k").cast("int").alias("lag_days"),
+            "n_base",
+            F.coalesce("n_returned", F.lit(0)).cast("long").alias("n_returned"),
+            F.round(
+                F.coalesce("n_returned", F.lit(0)).cast("double")
+                / F.col("n_base").cast("double"),
+                9,
+            ).alias("return_rate"),
+        )
+    )
+
+
+def user_lifecycle_census(df: DataFrame, window_days: int = 7, ts_col: str = "ts") -> DataFrame:
+    """Lifecycle-stage census of the user base at the corpus horizon:
+    single-visit / new / active / dormant counts and shares — the
+    population view that retention campaigns and per-stage sampling
+    quotas start from, classified with pure epoch-microsecond integer
+    comparisons against the horizon (no calendar, no floats until the
+    share division, ROUNDED 9). Stage order is pinned: single-visit
+    wins over new/active (one event says nothing about cadence).
+
+    Scale shape: one grouped aggregate per user (map-side combined),
+    the one-row horizon broadcast back, a 4-row stage count.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per = df.select(F.col("user_id"), us.alias("u")).groupBy("user_id").agg(
+        F.min("u").cast("long").alias("first_u"),
+        F.max("u").cast("long").alias("last_u"),
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+    )
+    mx = df.agg(F.max(us).cast("long").alias("tmax")).withColumn("_one", F.lit(1))
+    w_us = F.lit(int(window_days) * 86_400_000_000).cast("long")
+    stage = (
+        F.when(F.col("n_ev") == 1, F.lit("single_visit"))
+        .when(F.col("first_u") >= F.col("tmax") - w_us, F.lit("new"))
+        .when(F.col("last_u") >= F.col("tmax") - w_us, F.lit("active"))
+        .otherwise(F.lit("dormant"))
+    )
+    g = (
+        per.withColumn("_one", F.lit(1))
+        .join(F.broadcast(mx), "_one")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        # the 4-row stage frame feeds the total AND the share join —
+        # checkpoint once so the per-user aggregate runs once
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(F.sum("n_users").cast("long").alias("t")).withColumn("_one", F.lit(1))
+    return (
+        g.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "stage",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("t").cast("double"), 9).alias(
+                "share"
+            ),
+        )
+    )

@@ -8621,6 +8621,110 @@ FROM g
 """
 
 
+def q_return_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-lag return probability curve over active user-days (staged
+    for the round-5 rotation): lag-k retention with a horizon-
+    conditioned base — the habit-period detector
+    (`operators/timeseries.return_curve`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.return_curve(load_table(spark, sf_dir, "events"))
+
+
+def o_return_curve() -> str:
+    return """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS di
+            FROM events),
+mx AS (SELECT CAST(max(di) AS BIGINT) AS dmax FROM ud),
+lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS k),
+base AS (SELECT a.user_id, a.di AS da, l.k
+         FROM ud a CROSS JOIN lags l CROSS JOIN mx
+         WHERE a.di + l.k <= mx.dmax),
+m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_returned
+      FROM base b
+      WHERE EXISTS (SELECT 1 FROM ud u
+                    WHERE u.user_id = b.user_id AND u.di = b.da + b.k)
+      GROUP BY 1),
+bg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_base FROM base GROUP BY 1)
+SELECT CAST(bg.k AS INTEGER) AS lag_days, bg.n_base,
+       CAST(coalesce(m.n_returned, 0) AS BIGINT) AS n_returned,
+       round(coalesce(m.n_returned, 0)::DOUBLE / bg.n_base::DOUBLE, 9)
+           AS return_rate
+FROM bg LEFT JOIN m ON bg.k = m.k
+"""
+
+
+def q_user_lifecycle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle-stage census (single-visit/new/active/dormant) at the
+    corpus horizon (staged for the round-5 rotation): pinned CASE
+    order, pure epoch-microsecond comparisons
+    (`operators/timeseries.user_lifecycle_census`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.user_lifecycle_census(load_table(spark, sf_dir, "events"))
+
+
+def o_user_lifecycle_census() -> str:
+    return """
+WITH per AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS first_u,
+                    CAST(max(epoch_us(ts)) AS BIGINT) AS last_u,
+                    CAST(count(*) AS BIGINT) AS n_ev
+             FROM events GROUP BY 1),
+mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS tmax FROM events),
+st AS (SELECT CASE WHEN n_ev = 1 THEN 'single_visit'
+                   WHEN first_u >= tmax - 604800000000 THEN 'new'
+                   WHEN last_u >= tmax - 604800000000 THEN 'active'
+                   ELSE 'dormant' END AS stage
+       FROM per CROSS JOIN mx),
+g AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM st GROUP BY 1),
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS t FROM g)
+SELECT stage, n_users, round(n_users::DOUBLE / t::DOUBLE, 9) AS share
+FROM g CROSS JOIN tot
+"""
+
+
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation bands for orders (staged for the
+    round-5 rotation): exact e6 charge recompute, int64 tolerance-band
+    comparisons, orphan-header count
+    (`operators/relational.order_reconciliation`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.order_reconciliation(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def o_order_reconciliation() -> str:
+    return """
+WITH lines AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS line_e6
+  FROM lineitem GROUP BY 1),
+j AS (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS hdr_e6,
+             l.line_e6
+      FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN line_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphan_headers,
+       CAST(sum(CASE WHEN line_e6 IS NOT NULL
+                      AND 100 * abs(hdr_e6 - line_e6) <= 1 * hdr_e6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(sum(CASE WHEN line_e6 IS NOT NULL
+                      AND 100 * abs(hdr_e6 - line_e6) <= 10 * hdr_e6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+       CAST(sum(CASE WHEN line_e6 IS NOT NULL
+                      AND 100 * abs(hdr_e6 - line_e6) <= 50 * hdr_e6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_50pct,
+       CAST(max(CASE WHEN line_e6 IS NOT NULL THEN abs(hdr_e6 - line_e6) END)
+            AS BIGINT) AS max_abs_diff_e6
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -8880,6 +8984,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_anova": q_value_anova,
     "lognormal_jb": q_lognormal_jb,
     "hour_profile_fit": q_hour_profile_fit,
+    "return_curve": q_return_curve,
+    "user_lifecycle_census": q_user_lifecycle_census,
+    "order_reconciliation": q_order_reconciliation,
 }
 
 ORACLES: dict[str, str] = {
@@ -9074,6 +9181,9 @@ ORACLES: dict[str, str] = {
     "value_anova": o_value_anova(),
     "lognormal_jb": o_lognormal_jb(),
     "hour_profile_fit": o_hour_profile_fit(),
+    "return_curve": o_return_curve(),
+    "user_lifecycle_census": o_user_lifecycle_census(),
+    "order_reconciliation": o_order_reconciliation(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -1182,3 +1182,26 @@ def test_fk_fanout_stats_hand_computed(spark):
     lo = got["lineitems_per_order"]
     assert lo["n_parents"] == 4 and lo["n_children"] == 6
     assert lo["p50_fanout"] == 1.0 and lo["p99_fanout"] == 3 and lo["max_fanout"] == 3
+
+
+def test_order_reconciliation_bands(spark):
+    """One order matching its lines exactly, one off by 20%, one header
+    with no lines: bands count 1/1/2 (cumulative) and one orphan."""
+    from pythonvectordb_spark.operators.relational import order_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, 10.00), (2, 10.00), (3, 5.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    # order 1 lines total exactly 10.00 (no disc/tax); order 2 lines 8.00
+    lineitem = spark.createDataFrame(
+        [(1, 10.00, 0.0, 0.0), (2, 8.00, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    (r,) = order_reconciliation(orders, lineitem).collect()
+    assert r["n_orders"] == 3 and r["n_orphan_headers"] == 1
+    assert r["n_within_1pct"] == 1
+    assert r["n_within_10pct"] == 1
+    assert r["n_within_50pct"] == 2
+    # order 2: header 10.00 -> 1e7 e6-units, lines 8.00 -> 8e6; diff 2e6
+    assert r["max_abs_diff_e6"] == 2_000_000

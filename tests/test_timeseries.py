@@ -574,3 +574,51 @@ def test_hour_profile_fit_extremes(spark):
     )
     (r,) = hour_profile_fit(flat).collect()
     assert r["r2_seasonal"] is None
+
+
+def test_return_curve_hand_computed(spark):
+    """One user active on days 0,1,2 (horizon day 2): lag-1 base is
+    days {0,1}, both return (rate 1); lag-2 base is {0}, returns."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import return_curve
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (d, t0 + dt.timedelta(days=d, hours=2), 1, "click", 1.0, "{}")
+        for d in (0, 1, 2)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["lag_days"]: r for r in return_curve(df, max_lag_days=3).collect()}
+    assert got[1]["n_base"] == 2 and got[1]["n_returned"] == 2
+    assert got[1]["return_rate"] == 1.0
+    assert got[2]["n_base"] == 1 and got[2]["n_returned"] == 1
+    assert 3 not in got  # no day can be followed 3 days later
+
+
+def test_user_lifecycle_census_stages(spark):
+    """Four planted users hit each stage exactly once: single-visit,
+    new (first event inside the last week), active (old user, recent
+    event), dormant (all activity old)."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import user_lifecycle_census
+
+    t0 = dt.datetime(2024, 1, 1)
+    horizon = t0 + dt.timedelta(days=30)
+    rows = [
+        (1, horizon, 1, "click", 1.0, "{}"),  # sets tmax; user 1 = single
+        (2, horizon - dt.timedelta(days=2), 2, "click", 1.0, "{}"),  # new
+        (3, horizon - dt.timedelta(days=1), 2, "click", 1.0, "{}"),
+        (4, t0, 3, "click", 1.0, "{}"),  # active: old first, recent last
+        (5, horizon - dt.timedelta(days=3), 3, "click", 1.0, "{}"),
+        (6, t0, 4, "click", 1.0, "{}"),  # dormant
+        (7, t0 + dt.timedelta(days=1), 4, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["stage"]: r["n_users"] for r in user_lifecycle_census(df).collect()}
+    assert got == {"single_visit": 1, "new": 1, "active": 1, "dormant": 1}
