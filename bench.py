@@ -187,6 +187,9 @@ HEADLINE = [
     "return_curve",
     "user_lifecycle_census",
     "order_reconciliation",
+    "user_activity_dispersion",
+    "coldstart_rates",
+    "event_bigram_oov",
 ]
 
 

@@ -1499,3 +1499,179 @@ def user_lifecycle_census(df: DataFrame, window_days: int = 7, ts_col: str = "ts
             ),
         )
     )
+
+
+def user_activity_dispersion(df: DataFrame) -> DataFrame:
+    """Overdispersion of per-user event counts: the variance/mean
+    (index of dispersion) of how many events each user generates, plus
+    the top-1 user's share — the cross-SECTIONAL skew audit that
+    `arrival_burstiness` (temporal) and `event_key_skew` (shuffle keys)
+    bracket: D >> 1 means a power-user tail (per-user state stores and
+    user-keyed shuffles need skew handling), D ~ 1 is Poisson-like.
+
+    Determinism: per-user counts are exact; n, S = sum(c), Q =
+    sum(c^2), and max(c) are int64; mean = S/n and the dispersion
+    index D = var/mean = (n*Q - S^2)/(n*S) (population variance over
+    the mean — the n^2 factors cancel) are each ONE pinned double
+    division, ROUNDED 6; top-1 share ROUNDED 9.
+
+    Scale shape: one grouped count on user_id (map-side combined), one
+    global aggregate over the user frame.
+    """
+    per = df.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    n = F.col("n_users")
+    disp_num = (n * F.col("q") - F.col("s") * F.col("s")).cast("long")
+    return t.select(
+        "n_users",
+        F.col("s").alias("n_events"),
+        F.round(F.col("s").cast("double") / n.cast("double"), 6).alias("mean_events"),
+        F.round(
+            disp_num.cast("double") / (n * F.col("s")).cast("double"), 6
+        ).alias("dispersion_index"),
+        F.round(F.col("max_c").cast("double") / F.col("s").cast("double"), 9).alias(
+            "top1_share"
+        ),
+    )
+
+
+def coldstart_rates(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Cold-start rate at the exact horizon midpoint: the share of
+    users active in the SECOND half of the window with no first-half
+    history — the number that sizes a recommender's fallback path and
+    a per-user state store's churn. Emitted for users and (second
+    half) event types so the same query audits both axes.
+
+    Determinism: the split point is exact integer epoch-microsecond
+    arithmetic (`rank_stability`'s midpoint discipline, <= goes left);
+    cold entities are an exact anti-join count; rates are one double
+    division, ROUNDED 9.
+
+    Scale shape: two DISTINCT key projections per axis (filtered scans
+    of the same table), one left-anti join on the key, a two-row
+    union.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    piv = (
+        df.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+        .select(
+            (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / F.lit(2)).cast("long")).alias("p")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    base = (
+        df.select(F.col("user_id"), F.col("event_type"), us.alias("u"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(piv), "_one")
+        .localCheckpoint(eager=False)
+    )
+
+    def axis(col: str, name: str) -> DataFrame:
+        first = base.where(F.col("u") <= F.col("p")).select(F.col(col).alias("k")).distinct()
+        second = base.where(F.col("u") > F.col("p")).select(F.col(col).alias("k")).distinct()
+        second = second.localCheckpoint(eager=False)
+        n2 = second.agg(F.count(F.lit(1)).cast("long").alias("n_second"))
+        cold = second.join(first, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cold")
+        )
+        return (
+            n2.withColumn("_one", F.lit(1))
+            .join(F.broadcast(cold.withColumn("_one", F.lit(1))), "_one")
+            .select(
+                F.lit(name).alias("entity"),
+                "n_second",
+                "n_cold",
+                F.round(
+                    F.col("n_cold").cast("double") / F.col("n_second").cast("double"),
+                    9,
+                ).alias("cold_rate"),
+            )
+        )
+
+    return axis("user_id", "user").unionByName(axis("event_type", "event_type"))
+
+
+def event_bigram_oov(df: DataFrame, ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Out-of-vocabulary rate of behavioral bigrams across the horizon
+    split: the share of second-half (current, next) event-type
+    transitions whose TYPE PAIR never occurred in the first half —
+    unweighted (pair types) and mass-weighted (transition volume). The
+    language-model-style eval for the behavior chain: high OOV means
+    the first half can't train a usable next-action model
+    (`markov_entropy_rate` then says whether ANY half can).
+
+    Determinism: transitions order by (ts, event_id) per user (total
+    order); a transition belongs to the half of its EARLIER event
+    (<= midpoint goes left, the split discipline everywhere); counts
+    are exact int64, rates one double division, ROUNDED 9.
+
+    Scale shape: one user-window pass tags transitions, one grouped
+    count per (half, pair), a pair-keyed anti-join of two
+    |types|^2-bounded frames.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    us = F.unix_micros(F.col(ts_col))
+    piv = (
+        df.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+        .select(
+            (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / F.lit(2)).cast("long")).alias("p")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    tr = (
+        df.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.col(ts_col),
+            F.col(id_col),
+            us.alias("u"),
+        )
+        .withColumn("nxt", F.lead("cur").over(w))
+        .where(F.col("nxt").isNotNull())
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(piv), "_one")
+        .select(
+            F.when(F.col("u") <= F.col("p"), F.lit(1)).otherwise(F.lit(2)).alias("half"),
+            "cur",
+            "nxt",
+        )
+        .groupBy("half", "cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    first = tr.where(F.col("half") == 1).select("cur", "nxt")
+    second = tr.where(F.col("half") == 2).select("cur", "nxt", "t").localCheckpoint(
+        eager=False
+    )
+    tot2 = second.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_second"),
+        F.sum("t").cast("long").alias("mass_second"),
+    )
+    oov = second.join(first, ["cur", "nxt"], "left_anti").agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n_pairs_oov"),
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("mass_oov"),
+    )
+    return (
+        tot2.withColumn("_one", F.lit(1))
+        .join(F.broadcast(oov.withColumn("_one", F.lit(1))), "_one")
+        .select(
+            "n_pairs_second",
+            "n_pairs_oov",
+            "mass_second",
+            "mass_oov",
+            F.round(
+                F.col("n_pairs_oov").cast("double")
+                / F.col("n_pairs_second").cast("double"),
+                9,
+            ).alias("pair_oov_rate"),
+            F.round(
+                F.col("mass_oov").cast("double") / F.col("mass_second").cast("double"),
+                9,
+            ).alias("mass_oov_rate"),
+        )
+    )

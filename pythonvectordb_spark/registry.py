@@ -8725,6 +8725,109 @@ FROM j
 """
 
 
+def q_user_activity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional overdispersion of per-user event counts (staged
+    for the round-5 rotation): var/mean = (n*Q - S^2)/(n*S) from exact
+    int64 moments plus the top-1 user share
+    (`operators/timeseries.user_activity_dispersion`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.user_activity_dispersion(load_table(spark, sf_dir, "events"))
+
+
+def o_user_activity_dispersion() -> str:
+    return """
+WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS q, CAST(max(c) AS BIGINT) AS mx
+      FROM per)
+SELECT n AS n_users, s AS n_events,
+       round(s::DOUBLE / n::DOUBLE, 6) AS mean_events,
+       round((n * q - s * s)::DOUBLE / (n * s)::DOUBLE, 6) AS dispersion_index,
+       round(mx::DOUBLE / s::DOUBLE, 9) AS top1_share
+FROM t
+"""
+
+
+def q_coldstart_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start rates at the exact horizon midpoint for users and
+    event types (staged for the round-5 rotation): second-half
+    entities with no first-half history by anti-join
+    (`operators/timeseries.coldstart_rates`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.coldstart_rates(load_table(spark, sf_dir, "events"))
+
+
+def o_coldstart_rates() -> str:
+    axis = """
+  SELECT '{name}' AS entity,
+         (SELECT CAST(count(DISTINCT {col}) AS BIGINT)
+          FROM events CROSS JOIN piv WHERE epoch_us(ts) > piv.p) AS n_second,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT DISTINCT {col} AS k FROM events CROSS JOIN piv
+             WHERE epoch_us(ts) > piv.p) s
+          WHERE NOT EXISTS
+            (SELECT 1 FROM events e CROSS JOIN piv
+             WHERE epoch_us(e.ts) <= piv.p AND e.{col} = s.k)) AS n_cold
+"""
+    return f"""
+WITH piv AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT)
+         + (CAST(max(epoch_us(ts)) AS BIGINT)
+            - CAST(min(epoch_us(ts)) AS BIGINT)) // 2 AS p
+  FROM events),
+u AS ({axis.format(name='user', col='user_id')}),
+t AS ({axis.format(name='event_type', col='event_type')}),
+b AS (SELECT * FROM u UNION ALL SELECT * FROM t)
+SELECT entity, n_second, n_cold,
+       round(n_cold::DOUBLE / n_second::DOUBLE, 9) AS cold_rate
+FROM b
+"""
+
+
+def q_event_bigram_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-bigram OOV rate across the horizon split (staged for
+    the round-5 rotation): second-half transition pairs unseen in the
+    first half, unweighted and mass-weighted
+    (`operators/timeseries.event_bigram_oov`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.event_bigram_oov(load_table(spark, sf_dir, "events"))
+
+
+def o_event_bigram_oov() -> str:
+    return """
+WITH piv AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT)
+         + (CAST(max(epoch_us(ts)) AS BIGINT)
+            - CAST(min(epoch_us(ts)) AS BIGINT)) // 2 AS p
+  FROM events),
+seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS nxt,
+         CAST(epoch_us(ts) AS BIGINT) AS u
+  FROM events),
+tr AS (SELECT CASE WHEN u <= piv.p THEN 1 ELSE 2 END AS half, cur, nxt,
+              CAST(count(*) AS BIGINT) AS t
+       FROM seq CROSS JOIN piv WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+second AS (SELECT cur, nxt, t FROM tr WHERE half = 2),
+tot2 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_second,
+                CAST(sum(t) AS BIGINT) AS mass_second
+         FROM second),
+oov AS (SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_pairs_oov,
+               CAST(coalesce(sum(t), 0) AS BIGINT) AS mass_oov
+        FROM second s
+        WHERE NOT EXISTS (SELECT 1 FROM tr f
+                          WHERE f.half = 1 AND f.cur = s.cur AND f.nxt = s.nxt))
+SELECT n_pairs_second, n_pairs_oov, mass_second, mass_oov,
+       round(n_pairs_oov::DOUBLE / n_pairs_second::DOUBLE, 9) AS pair_oov_rate,
+       round(mass_oov::DOUBLE / mass_second::DOUBLE, 9) AS mass_oov_rate
+FROM tot2 CROSS JOIN oov
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -8987,6 +9090,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "return_curve": q_return_curve,
     "user_lifecycle_census": q_user_lifecycle_census,
     "order_reconciliation": q_order_reconciliation,
+    "user_activity_dispersion": q_user_activity_dispersion,
+    "coldstart_rates": q_coldstart_rates,
+    "event_bigram_oov": q_event_bigram_oov,
 }
 
 ORACLES: dict[str, str] = {
@@ -9184,6 +9290,9 @@ ORACLES: dict[str, str] = {
     "return_curve": o_return_curve(),
     "user_lifecycle_census": o_user_lifecycle_census(),
     "order_reconciliation": o_order_reconciliation(),
+    "user_activity_dispersion": o_user_activity_dispersion(),
+    "coldstart_rates": o_coldstart_rates(),
+    "event_bigram_oov": o_event_bigram_oov(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

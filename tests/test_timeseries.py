@@ -622,3 +622,78 @@ def test_user_lifecycle_census_stages(spark):
     )
     got = {r["stage"]: r["n_users"] for r in user_lifecycle_census(df).collect()}
     assert got == {"single_visit": 1, "new": 1, "active": 1, "dormant": 1}
+
+
+def test_user_activity_dispersion_extremes(spark):
+    """Equal per-user counts give dispersion 0; counts (1, 7) give
+    var/mean = (2*50 - 64)/(2*8) = 36/16."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import user_activity_dispersion
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(counts):
+        rows = []
+        for u, c in enumerate(counts):
+            for i in range(c):
+                rows.append((len(rows), t0, u, "x", 1.0, "{}"))
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+
+    (r,) = user_activity_dispersion(mk([3, 3])).collect()
+    assert r["dispersion_index"] == 0.0 and r["mean_events"] == 3.0
+    (r,) = user_activity_dispersion(mk([1, 7])).collect()
+    assert r["n_users"] == 2 and r["n_events"] == 8
+    assert r["dispersion_index"] == round(36 / 16, 6)
+    assert r["top1_share"] == round(7 / 8, 9)
+
+
+def test_coldstart_rates_hand_computed(spark):
+    """User 1 active in both halves, user 2 only in the second: user
+    cold rate 1/2; one brand-new event type in the second half out of
+    two: type cold rate 1/2."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import coldstart_rates
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=10), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=9), 2, "signup", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["entity"]: r for r in coldstart_rates(df).collect()}
+    assert got["user"]["n_second"] == 2 and got["user"]["n_cold"] == 1
+    assert got["user"]["cold_rate"] == 0.5
+    assert got["event_type"]["n_second"] == 2 and got["event_type"]["n_cold"] == 1
+
+
+def test_event_bigram_oov_hand_computed(spark):
+    """First half trains (a->b); second half replays (a->b) and adds a
+    novel (b->a): pair OOV 1/2, both transitions single-count."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import event_bigram_oov
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "b", 1.0, "{}"),
+        # second half (midpoint of [t0, t0+10d] is t0+5d)
+        (3, t0 + dt.timedelta(days=8), 2, "a", 1.0, "{}"),
+        (4, t0 + dt.timedelta(days=8, hours=1), 2, "b", 1.0, "{}"),
+        (5, t0 + dt.timedelta(days=9), 3, "b", 1.0, "{}"),
+        (6, t0 + dt.timedelta(days=10), 3, "a", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = event_bigram_oov(df).collect()
+    assert r["n_pairs_second"] == 2 and r["n_pairs_oov"] == 1
+    assert r["mass_second"] == 2 and r["mass_oov"] == 1
+    assert r["pair_oov_rate"] == 0.5 and r["mass_oov_rate"] == 0.5
