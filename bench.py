@@ -190,6 +190,9 @@ HEADLINE = [
     "user_activity_dispersion",
     "coldstart_rates",
     "event_bigram_oov",
+    "hour_circular_concentration",
+    "conversion_rate_shift",
+    "brand_yoy_growth",
 ]
 
 

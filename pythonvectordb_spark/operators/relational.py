@@ -1159,3 +1159,51 @@ def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .alias("n_within_50pct"),
         F.max(F.when(has, diff)).cast("long").alias("max_abs_diff_e6"),
     )
+
+
+def brand_yoy_growth(lineitem: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
+    """Year-over-year brand revenue growth table: per (brand, year)
+    exact e4 revenue joined to the SAME brand's prior year — the mover
+    report behind `rank_stability`'s single drift scalar (rho says the
+    ordering churned; this names the brands and years that did it).
+    Growth is emitted in basis points of the prior year so the column
+    is an exact-integer-derived ratio, ROUNDED 6.
+
+    Scale shape: the fact table shuffles once on orderkey (part
+    broadcast), one grouped sum on (brand, year), then a self-join of
+    the brand-year frame on (brand, year-1) — K x years rows,
+    checkpointed once across both sides.
+    """
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.year(F.col("o_orderdate")).cast("int").alias("yr"),
+            (_cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))).alias(
+                "r_e4"
+            ),
+        )
+        .groupBy("p_brand", "yr")
+        .agg(F.sum("r_e4").cast("long").alias("rev_e4"))
+        .localCheckpoint(eager=False)
+    )
+    prev = rev.select(
+        F.col("p_brand").alias("pb"),
+        (F.col("yr") + 1).alias("py"),
+        F.col("rev_e4").alias("prev_e4"),
+    )
+    j = rev.join(
+        prev, (rev.p_brand == prev.pb) & (rev.yr == prev.py), "inner"
+    )
+    return j.select(
+        "p_brand",
+        "yr",
+        "rev_e4",
+        "prev_e4",
+        F.round(
+            (F.col("rev_e4") - F.col("prev_e4")).cast("double")
+            / F.col("prev_e4").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )

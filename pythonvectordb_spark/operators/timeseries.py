@@ -1675,3 +1675,125 @@ def event_bigram_oov(df: DataFrame, ts_col: str = "ts", id_col: str = "event_id"
             ).alias("mass_oov_rate"),
         )
     )
+
+
+def hour_circular_concentration(
+    df: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Circular concentration of each event type's hour-of-day profile:
+    the mean resultant length R in [0,1] over hours mapped to the unit
+    circle — the statistic that says "this type happens at A time of
+    day" (R near 1) vs "around the clock" (R near 0) WITHOUT the
+    wrap-around bias a linear mean-hour has (23h and 1h average to
+    midnight, not noon). Plus the modal hour by exact count argmax.
+
+    Determinism: the 24 cos/sin values are DRIVER-COMPUTED double
+    literals injected into BOTH engines (the RBO no-runtime-libm
+    discipline — cos/sin never execute in either engine, so libm
+    differences can't leak in); per-type C = sum(cnt * cos_h) and S
+    likewise are 24-term double sums over exact counts, and R =
+    sqrt(C*C + S*S)/n promotes once, ROUNDED 6. The modal hour is an
+    exact-count argmax with hour tie-break — no floats at all.
+
+    Scale shape: one grouped count per (type, hour) — map-side
+    combined; everything after runs on the types x 24 frame.
+    """
+    import math
+
+    cosl = [float(math.cos(2.0 * math.pi * h / 24.0)) for h in range(24)]
+    sinl = [float(math.sin(2.0 * math.pi * h / 24.0)) for h in range(24)]
+    hh = (
+        (F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)).cast("long") % F.lit(24)
+    ).cast("int")
+    g = (
+        df.select(F.col(type_col).alias("t"), hh.alias("h"))
+        .groupBy("t", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cos_arr = F.array(*[F.lit(v) for v in cosl])
+    sin_arr = F.array(*[F.lit(v) for v in sinl])
+    w = Window.partitionBy("t").orderBy(F.col("c").desc(), F.col("h").asc())
+    ranked = g.select(
+        "t",
+        "h",
+        "c",
+        F.element_at(cos_arr, F.col("h") + 1).alias("ch"),
+        F.element_at(sin_arr, F.col("h") + 1).alias("sh"),
+        F.row_number().over(w).alias("rn"),
+    )
+    out = ranked.groupBy("t").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c").cast("double") * F.col("ch")).alias("cc"),
+        F.sum(F.col("c").cast("double") * F.col("sh")).alias("ss"),
+        F.max(F.when(F.col("rn") == 1, F.col("h"))).cast("int").alias("peak_hour"),
+    )
+    r = (
+        F.sqrt(F.col("cc") * F.col("cc") + F.col("ss") * F.col("ss"))
+        / F.col("n_events").cast("double")
+    )
+    return out.select(
+        F.col("t").alias(type_col),
+        "n_events",
+        "peak_hour",
+        F.round(r, 6).alias("resultant_length"),
+    )
+
+
+def conversion_rate_shift(
+    df: DataFrame,
+    target_type: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion z-test of the target event's share of all events
+    across the exact horizon halves — did the conversion MIX shift, not
+    just the volume? The pooled-proportion z is the standard A/B
+    arithmetic, run as a before/after drift gate: |z| > 3 pages a
+    human, the sign says which way.
+
+    Determinism: all four counts are exact int64 at the epoch-midpoint
+    split (<= goes left, the split discipline everywhere); p1, p2, the
+    pooled p, and z assemble in ONE pinned double operation order,
+    ROUNDED 6; NULL when either half is empty or the pooled variance
+    is zero (target absent or universal).
+
+    Scale shape: one filtered-conditional global aggregate after the
+    broadcast midpoint hookup. Nothing else.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    piv = (
+        df.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+        .select(
+            (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / F.lit(2)).cast("long")).alias("p")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    is1 = F.col("u") <= F.col("p")
+    hit = F.col("t") == F.lit(target_type)
+    g = (
+        df.select(F.col(type_col).alias("t"), us.alias("u"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(piv), "_one")
+        .agg(
+            F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(is1 & hit, 1).otherwise(0)).cast("long").alias("k1"),
+            F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(F.when((~is1) & hit, 1).otherwise(0)).cast("long").alias("k2"),
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    p1 = F.col("k1").cast("double") / n1
+    p2 = F.col("k2").cast("double") / n2
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (n1 + n2)
+    varz = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return g.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.when(ok, F.round(p1, 9)).alias("rate_first"),
+        F.when(ok, F.round(p2, 9)).alias("rate_second"),
+        F.when(ok & (varz > 0), F.round((p2 - p1) / F.sqrt(varz), 6)).alias("z"),
+    )

@@ -8828,6 +8828,115 @@ FROM tot2 CROSS JOIN oov
 """
 
 
+def q_hour_circular_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular concentration R of each event type's hour-of-day
+    profile + modal hour (staged for the round-5 rotation): cos/sin
+    enter BOTH engines as driver-computed double literals — no runtime
+    libm anywhere
+    (`operators/timeseries.hour_circular_concentration`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.hour_circular_concentration(load_table(spark, sf_dir, "events"))
+
+
+def o_hour_circular_concentration() -> str:
+    import math
+
+    cosl = ", ".join(repr(float(math.cos(2.0 * math.pi * h / 24.0))) for h in range(24))
+    sinl = ", ".join(repr(float(math.sin(2.0 * math.pi * h / 24.0))) for h in range(24))
+    return f"""
+WITH g AS (
+  SELECT event_type AS t,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+r AS (SELECT t, h, c,
+             [{cosl}][h + 1] AS ch,
+             [{sinl}][h + 1] AS sh,
+             row_number() OVER (PARTITION BY t ORDER BY c DESC, h ASC) AS rn
+      FROM g),
+o AS (SELECT t, CAST(sum(c) AS BIGINT) AS n_events,
+             sum(c::DOUBLE * ch) AS cc, sum(c::DOUBLE * sh) AS ss,
+             CAST(max(CASE WHEN rn = 1 THEN h END) AS INTEGER) AS peak_hour
+      FROM r GROUP BY 1)
+SELECT t AS event_type, n_events, peak_hour,
+       round(sqrt(cc * cc + ss * ss) / n_events::DOUBLE, 6) AS resultant_length
+FROM o
+"""
+
+
+def q_conversion_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z of the purchase share across horizon halves
+    (staged for the round-5 rotation): pooled-proportion A/B
+    arithmetic on exact counts, pinned float order
+    (`operators/timeseries.conversion_rate_shift`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.conversion_rate_shift(load_table(spark, sf_dir, "events"))
+
+
+def o_conversion_rate_shift() -> str:
+    return """
+WITH piv AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT)
+         + (CAST(max(epoch_us(ts)) AS BIGINT)
+            - CAST(min(epoch_us(ts)) AS BIGINT)) // 2 AS p
+  FROM events),
+g AS (
+  SELECT CAST(sum(CASE WHEN epoch_us(ts) <= p THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN epoch_us(ts) <= p AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN epoch_us(ts) > p THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN epoch_us(ts) > p AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k2
+  FROM events CROSS JOIN piv)
+SELECT n1, k1, n2, k2,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN round(k1::DOUBLE / n1::DOUBLE, 9) END
+           AS rate_first,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN round(k2::DOUBLE / n2::DOUBLE, 9) END
+           AS rate_second,
+       CASE WHEN n1 > 0 AND n2 > 0
+             AND ((k1 + k2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                 * (1.0 - (k1 + k2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                 * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE) > 0 THEN
+         round((k2::DOUBLE / n2::DOUBLE - k1::DOUBLE / n1::DOUBLE)
+               / sqrt(((k1 + k2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                      * (1.0 - (k1 + k2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                      * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6) END AS z
+FROM g
+"""
+
+
+def q_brand_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year brand revenue growth table (staged for the
+    round-5 rotation): exact e4 revenue per (brand, year) self-joined
+    on (brand, year-1) — the mover report behind `rank_stability`
+    (`operators/relational.brand_yoy_growth`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.brand_yoy_growth(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def o_brand_yoy_growth() -> str:
+    return """
+WITH rev AS (
+  SELECT p.p_brand, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2)
+SELECT a.p_brand, a.yr, a.rev_e4, b.rev_e4 AS prev_e4,
+       round((a.rev_e4 - b.rev_e4)::DOUBLE / b.rev_e4::DOUBLE, 6) AS yoy_growth
+FROM rev a JOIN rev b ON a.p_brand = b.p_brand AND a.yr = b.yr + 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9093,6 +9202,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_activity_dispersion": q_user_activity_dispersion,
     "coldstart_rates": q_coldstart_rates,
     "event_bigram_oov": q_event_bigram_oov,
+    "hour_circular_concentration": q_hour_circular_concentration,
+    "conversion_rate_shift": q_conversion_rate_shift,
+    "brand_yoy_growth": q_brand_yoy_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -9293,6 +9405,9 @@ ORACLES: dict[str, str] = {
     "user_activity_dispersion": o_user_activity_dispersion(),
     "coldstart_rates": o_coldstart_rates(),
     "event_bigram_oov": o_event_bigram_oov(),
+    "hour_circular_concentration": o_hour_circular_concentration(),
+    "conversion_rate_shift": o_conversion_rate_shift(),
+    "brand_yoy_growth": o_brand_yoy_growth(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

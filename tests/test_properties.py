@@ -1205,3 +1205,25 @@ def test_order_reconciliation_bands(spark):
     assert r["n_within_50pct"] == 2
     # order 2: header 10.00 -> 1e7 e6-units, lines 8.00 -> 8e6; diff 2e6
     assert r["max_abs_diff_e6"] == 2_000_000
+
+
+def test_brand_yoy_growth_hand_computed(spark):
+    """A brand earning 10.00 in 2023 and 15.00 in 2024 grows 50%; the
+    first year has no prior row and is absent."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.relational import brand_yoy_growth
+
+    orders = spark.createDataFrame(
+        [(1, 1, dt.datetime(2023, 5, 1)), (2, 1, dt.datetime(2024, 5, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 100, 10.00, 0.0), (2, 100, 15.00, 0.0)],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame([(100, "Brand#A")], "p_partkey long, p_brand string")
+    rows = brand_yoy_growth(lineitem, orders, part).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["yr"] == 2024 and r["yoy_growth"] == 0.5

@@ -697,3 +697,60 @@ def test_event_bigram_oov_hand_computed(spark):
     assert r["n_pairs_second"] == 2 and r["n_pairs_oov"] == 1
     assert r["mass_second"] == 2 and r["mass_oov"] == 1
     assert r["pair_oov_rate"] == 0.5 and r["mass_oov_rate"] == 0.5
+
+
+def test_hour_circular_concentration_extremes(spark):
+    """All events at one hour give R = 1; events spread evenly over
+    opposite hours (0 and 12) cancel to R = 0."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import (
+        hour_circular_concentration,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=i, hours=9), 1, "focused", 1.0, "{}") for i in range(5)]
+    rows += [
+        (100 + i, t0 + dt.timedelta(days=i, hours=0), 1, "split", 1.0, "{}")
+        for i in range(3)
+    ]
+    rows += [
+        (200 + i, t0 + dt.timedelta(days=i, hours=12), 1, "split", 1.0, "{}")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_type"]: r for r in hour_circular_concentration(df).collect()}
+    f = got["focused"]
+    assert f["peak_hour"] == 9 and f["resultant_length"] == 1.0
+    s = got["split"]
+    assert s["peak_hour"] == 0 and s["resultant_length"] == 0.0
+
+
+def test_conversion_rate_shift_hand_computed(spark):
+    """First half 1 purchase of 4, second half 3 of 4: rates 0.25 and
+    0.75, z = 0.5/sqrt(0.25*0.5) = sqrt(2)."""
+    import datetime as dt
+    import math
+
+    from pythonvectordb_spark.operators.timeseries import conversion_rate_shift
+
+    t0 = dt.datetime(2024, 1, 1)
+    horizon = dt.timedelta(days=10)
+    first = ["purchase", "click", "click", "click"]
+    second = ["purchase", "purchase", "purchase", "click"]
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, ty, 1.0, "{}") for i, ty in enumerate(first)
+    ]
+    rows += [
+        (100 + i, t0 + horizon - dt.timedelta(hours=i), 1, ty, 1.0, "{}")
+        for i, ty in enumerate(second)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = conversion_rate_shift(df).collect()
+    assert (r["n1"], r["k1"], r["n2"], r["k2"]) == (4, 1, 4, 3)
+    assert r["rate_first"] == 0.25 and r["rate_second"] == 0.75
+    assert r["z"] == round(0.5 / math.sqrt(0.5 * 0.5 * 0.5), 6)
