@@ -193,6 +193,9 @@ HEADLINE = [
     "hour_circular_concentration",
     "conversion_rate_shift",
     "brand_yoy_growth",
+    "dup_cluster_purity",
+    "single_source_parts",
+    "basket_diversity",
 ]
 
 

@@ -1159,3 +1159,55 @@ def minhash_estimate_error(
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_error"),
         )
     )
+
+
+def cluster_source_purity(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Source purity of resolved duplicate clusters: for every
+    multi-member component of the near-dup graph, the Shannon entropy
+    of its member sources — are duplicates INTRA-source (template
+    reuse inside one crawl, H = 0: fix the source's extractor) or
+    CROSS-source (syndication / mirror networks, H > 0: dedup must run
+    globally, per-source dedup would miss them)? The policy bit
+    `dup_source_matrix` (pair-level) can't give at cluster grain.
+
+    Determinism: components come from the same min-label propagation
+    `dedup_resolve` pins; per-cluster entropy H = ln n - (sum c_s ln
+    c_s)/n has every ln over an exact integer count; purity (H = 0) is
+    decided by the INTEGER test max(c_s) = n, never a float compare;
+    the mean entropy is a cluster-count double sum, ROUNDED 6.
+
+    Scale shape: one (component, source) grouped count over the
+    resolved frame, one component-level aggregate, one global
+    aggregate. Cluster count is bounded by the dup-pair volume.
+    """
+    resolved = resolve_duplicates(docs, pairs)
+    cs = (
+        resolved.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("component", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = cs.groupBy("component").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.max("c").cast("long").alias("cmax"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclc"
+        ),
+    ).where(F.col("n") > 1)
+    h = F.log(F.col("n").cast("double")) - F.col("sclc") / F.col("n").cast("double")
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("cmax") == F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pure"),
+        F.sum(h).alias("_hsum"),
+    )
+    return g.select(
+        "n_clusters",
+        "n_pure",
+        F.round(
+            F.col("n_pure").cast("double") / F.col("n_clusters").cast("double"), 9
+        ).alias("pure_share"),
+        F.round(F.col("_hsum") / F.col("n_clusters").cast("double"), 6).alias(
+            "mean_entropy"
+        ),
+    )

@@ -1207,3 +1207,73 @@ def brand_yoy_growth(lineitem: DataFrame, orders: DataFrame, part: DataFrame) ->
             6,
         ).alias("yoy_growth"),
     )
+
+
+def single_source_parts(lineitem: DataFrame) -> DataFrame:
+    """Supply-chain concentration census over OBSERVED part-supplier
+    pairs: how many traded parts have exactly one supplier (a
+    single-point-of-failure), two, or three-plus — the risk roll-up
+    `hhi_concentration` (revenue-weighted, per nation) doesn't answer
+    at the part grain. All counts exact; shares one division each,
+    ROUNDED 9.
+
+    Scale shape: one DISTINCT (part, supplier) projection, one grouped
+    count per part, one 3-bucket aggregate.
+    """
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    per = ps.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("long").alias("n_single"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).cast("long").alias("n_two"),
+        F.sum(F.when(F.col("k") >= 3, 1).otherwise(0)).cast("long").alias("n_three_plus"),
+    )
+    return g.select(
+        "n_parts",
+        "n_single",
+        "n_two",
+        "n_three_plus",
+        F.round(
+            F.col("n_single").cast("double") / F.col("n_parts").cast("double"), 9
+        ).alias("single_share"),
+    )
+
+
+def basket_diversity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Distinct-brand diversity of order baskets: how many distinct
+    brands an order touches (1 / 2 / 3+ histogram and the exact mean)
+    — the basket-width number that bounds `copurchase_lift`'s pair
+    fan-out and tells merchandising whether cross-brand bundles even
+    have raw material. All counts exact; mean and shares one division
+    each, ROUNDED 6/9.
+
+    Scale shape: one DISTINCT (order, brand) projection after the
+    broadcast dim hookup, one grouped count per order, one 3-bucket
+    aggregate.
+    """
+    ob = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    per = ob.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("k").cast("long").alias("n_order_brands"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("long").alias("n_1"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).cast("long").alias("n_2"),
+        F.sum(F.when(F.col("k") >= 3, 1).otherwise(0)).cast("long").alias("n_3plus"),
+    )
+    return g.select(
+        "n_orders",
+        F.round(
+            F.col("n_order_brands").cast("double") / F.col("n_orders").cast("double"),
+            6,
+        ).alias("mean_brands"),
+        "n_1",
+        "n_2",
+        "n_3plus",
+        F.round(F.col("n_1").cast("double") / F.col("n_orders").cast("double"), 9).alias(
+            "single_brand_share"
+        ),
+    )

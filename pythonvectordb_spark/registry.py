@@ -8937,6 +8937,93 @@ FROM rev a JOIN rev b ON a.p_brand = b.p_brand AND a.yr = b.yr + 1
 """
 
 
+def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of resolved dup clusters (staged for the round-5
+    rotation): per-cluster source entropy with every ln over an exact
+    count, purity by the integer test max(c)=n — intra-source template
+    reuse vs cross-source syndication
+    (`operators/dedup.cluster_source_purity`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8, max_df=NGRAM_MAX_DF)
+    return DD.cluster_source_purity(docs, pairs)
+
+
+def o_dup_cluster_purity() -> str:
+    return f"""
+WITH r AS MATERIALIZED (
+  SELECT doc_id, component FROM ({o_dedup_resolve()})),
+cs AS (SELECT r.component, d.source, CAST(count(*) AS BIGINT) AS c
+       FROM r JOIN documents d ON d.doc_id = r.doc_id GROUP BY 1, 2),
+per AS (SELECT component, CAST(sum(c) AS BIGINT) AS n,
+               CAST(max(c) AS BIGINT) AS cmax,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS sclc
+        FROM cs GROUP BY 1 HAVING sum(c) > 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(CASE WHEN cmax = n THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
+             sum(ln(n::DOUBLE) - sclc / n::DOUBLE) AS hsum
+      FROM per)
+SELECT n_clusters, n_pure,
+       round(n_pure::DOUBLE / n_clusters::DOUBLE, 9) AS pure_share,
+       round(hsum / n_clusters::DOUBLE, 6) AS mean_entropy
+FROM g
+"""
+
+
+def q_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-supplier part census over observed trade (staged for the
+    round-5 rotation): exact 1/2/3+ supplier buckets — the
+    part-grain supply-risk roll-up
+    (`operators/relational.single_source_parts`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.single_source_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+def o_single_source_parts() -> str:
+    return """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+per AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS k FROM ps GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+             CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_two,
+             CAST(sum(CASE WHEN k >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_three_plus
+      FROM per)
+SELECT n_parts, n_single, n_two, n_three_plus,
+       round(n_single::DOUBLE / n_parts::DOUBLE, 9) AS single_share
+FROM g
+"""
+
+
+def q_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-brand basket-width histogram (staged for the round-5
+    rotation): the fan-out bound behind `copurchase_lift` — exact 1/2/3+
+    buckets and mean brands per order
+    (`operators/relational.basket_diversity`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.basket_diversity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_basket_diversity() -> str:
+    return """
+WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k FROM ob GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(k) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+             CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+             CAST(sum(CASE WHEN k >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3plus
+      FROM per)
+SELECT n_orders, round(nb::DOUBLE / n_orders::DOUBLE, 6) AS mean_brands,
+       n_1, n_2, n_3plus,
+       round(n_1::DOUBLE / n_orders::DOUBLE, 9) AS single_brand_share
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9205,6 +9292,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hour_circular_concentration": q_hour_circular_concentration,
     "conversion_rate_shift": q_conversion_rate_shift,
     "brand_yoy_growth": q_brand_yoy_growth,
+    "dup_cluster_purity": q_dup_cluster_purity,
+    "single_source_parts": q_single_source_parts,
+    "basket_diversity": q_basket_diversity,
 }
 
 ORACLES: dict[str, str] = {
@@ -9408,6 +9498,9 @@ ORACLES: dict[str, str] = {
     "hour_circular_concentration": o_hour_circular_concentration(),
     "conversion_rate_shift": o_conversion_rate_shift(),
     "brand_yoy_growth": o_brand_yoy_growth(),
+    "dup_cluster_purity": o_dup_cluster_purity(),
+    "single_source_parts": o_single_source_parts(),
+    "basket_diversity": o_basket_diversity(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -1227,3 +1227,61 @@ def test_brand_yoy_growth_hand_computed(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["yr"] == 2024 and r["yoy_growth"] == 0.5
+
+
+def test_cluster_source_purity_hand_computed(spark):
+    """Two planted clusters: one pure (both docs src A), one mixed
+    (A + B): purity 1/2, mean entropy ln(2)/2."""
+    import math
+
+    from pythonvectordb_spark.operators.dedup import cluster_source_purity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "A"),
+            (2, "x", "A"),
+            (3, "y", "A"),
+            (4, "y", "B"),
+            (5, "z", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    (r,) = cluster_source_purity(docs, pairs).collect()
+    assert r["n_clusters"] == 2 and r["n_pure"] == 1
+    assert r["pure_share"] == 0.5
+    assert r["mean_entropy"] == round(math.log(2.0) / 2.0, 6)
+
+
+def test_single_source_parts_buckets(spark):
+    """Parts with 1, 2, and 3 observed suppliers land in their buckets;
+    repeat trades of the same pair count once."""
+    from pythonvectordb_spark.operators.relational import single_source_parts
+
+    lineitem = spark.createDataFrame(
+        [(100, 1), (100, 1), (200, 1), (200, 2), (300, 1), (300, 2), (300, 3)],
+        "l_partkey long, l_suppkey long",
+    )
+    (r,) = single_source_parts(lineitem).collect()
+    assert r["n_parts"] == 3
+    assert (r["n_single"], r["n_two"], r["n_three_plus"]) == (1, 1, 1)
+    assert r["single_share"] == round(1 / 3, 9)
+
+
+def test_basket_diversity_hand_computed(spark):
+    """Orders touching 1, 1, and 3 distinct brands: mean 5/3, single
+    share 2/3."""
+    from pythonvectordb_spark.operators.relational import basket_diversity
+
+    lineitem = spark.createDataFrame(
+        [(1, 100), (1, 100), (2, 200), (3, 100), (3, 200), (3, 300)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(100, "Brand#A"), (200, "Brand#B"), (300, "Brand#C")],
+        "p_partkey long, p_brand string",
+    )
+    (r,) = basket_diversity(lineitem, part).collect()
+    assert r["n_orders"] == 3 and r["mean_brands"] == round(5 / 3, 6)
+    assert (r["n_1"], r["n_2"], r["n_3plus"]) == (2, 0, 1)
+    assert r["single_brand_share"] == round(2 / 3, 9)
