@@ -196,6 +196,9 @@ HEADLINE = [
     "dup_cluster_purity",
     "single_source_parts",
     "basket_diversity",
+    "priority_leadtime",
+    "tax_discount_chisq",
+    "weekend_value_mw",
 ]
 
 

@@ -1277,3 +1277,74 @@ def basket_diversity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             "single_brand_share"
         ),
     )
+
+
+def priority_leadtime(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Ship lead time by order priority: does the priority flag
+    actually move the warehouse? Per priority class, the exact-day
+    distribution of (ship date - order date) as mean, doubled-median,
+    and nearest-rank p95 — the SLA evidence behind promising 1-URGENT
+    customers anything. Equal medians across classes mean the flag is
+    decorative.
+
+    Determinism: lead times are exact integer day differences; median
+    and p95 are located on the per-priority DISTINCT-gap frame by
+    cumulative-count range checks (the `mann_whitney` discipline);
+    mean is the one double division, ROUNDED 6.
+
+    Scale shape: the fact join shuffles once on orderkey; one grouped
+    count per (priority, gap); windows over the priority x distinct-gap
+    frame only.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        (F.unix_micros(F.col("l_shipdate")) / F.lit(86_400_000_000)).cast("long")
+        - (F.unix_micros(F.col("o_orderdate")) / F.lit(86_400_000_000)).cast("long")
+    )
+    vc = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_orderpriority").alias("pr"), d.alias("v"))
+        .groupBy("pr", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("pr")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = vc.select(
+        "pr", "v", "c", F.sum("c").over(wcum).cast("long").alias("cum")
+    ).localCheckpoint(eager=False)
+    tot = cu.groupBy("pr").agg(
+        F.max("cum").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("sv"),
+    )
+    j = cu.join(F.broadcast(tot), "pr")
+    b = F.col("cum") - F.col("c")
+    r1 = F.floor((F.col("n") + 1) / 2).cast("long")
+    r2 = F.floor((F.col("n") + 2) / 2).cast("long")
+    r95 = F.floor((F.lit(19) * F.col("n") + 19) / 20).cast("long")
+    hit1 = F.when((b < r1) & (r1 <= F.col("cum")), F.col("v")).otherwise(F.lit(0))
+    hit2 = F.when((b < r2) & (r2 <= F.col("cum")), F.col("v")).otherwise(F.lit(0))
+    hit95 = F.when((b < r95) & (r95 <= F.col("cum")), F.col("v"))
+    return (
+        j.groupBy("pr")
+        .agg(
+            F.max("n").alias("n_items"),
+            F.round(F.max("sv").cast("double") / F.max("n").cast("double"), 6).alias(
+                "mean_days"
+            ),
+            F.round(F.sum(hit1 + hit2).cast("double") / F.lit(2.0), 1).alias(
+                "median_days"
+            ),
+            F.max(hit95).cast("long").alias("p95_days"),
+        )
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            "n_items",
+            "mean_days",
+            "median_days",
+            "p95_days",
+        )
+    )

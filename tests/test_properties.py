@@ -1285,3 +1285,29 @@ def test_basket_diversity_hand_computed(spark):
     assert r["n_orders"] == 3 and r["mean_brands"] == round(5 / 3, 6)
     assert (r["n_1"], r["n_2"], r["n_3plus"]) == (2, 0, 1)
     assert r["single_brand_share"] == round(2 / 3, 9)
+
+
+def test_priority_leadtime_hand_computed(spark):
+    """One priority with lead times 1, 2, 10 days: mean 13/3, median 2,
+    p95 = nearest-rank ceil(2.85) = 3rd value = 10."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.relational import priority_leadtime
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, "1-URGENT", t0) for k in (1, 2, 3)],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(days=1)),
+            (2, t0 + dt.timedelta(days=2)),
+            (3, t0 + dt.timedelta(days=10)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    (r,) = priority_leadtime(lineitem, orders).collect()
+    assert r["o_orderpriority"] == "1-URGENT" and r["n_items"] == 3
+    assert r["mean_days"] == round(13 / 3, 6)
+    assert r["median_days"] == 2.0 and r["p95_days"] == 10
