@@ -199,6 +199,9 @@ HEADLINE = [
     "priority_leadtime",
     "tax_discount_chisq",
     "weekend_value_mw",
+    "lang_length_anova",
+    "shard_uniformity",
+    "price_ending_profile",
 ]
 
 

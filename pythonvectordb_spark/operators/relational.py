@@ -1348,3 +1348,44 @@ def priority_leadtime(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             "p95_days",
         )
     )
+
+
+def price_ending_profile(orders: DataFrame, top_k: int = 10) -> DataFrame:
+    """Psychological-pricing audit: the cents endings (total mod 100)
+    that dominate order totals, top-k by count — generated/synthetic
+    price books are UNIFORM over endings while human price books pile
+    onto .99/.95/.00, so the profile is both a data-provenance
+    fingerprint and a retail-pricing dashboard staple. All counts
+    exact; share is one division, ROUNDED 9; ranking is
+    (count DESC, ending ASC) — fully tie-broken.
+
+    Scale shape: one grouped count on a <=100-value key (map-side
+    combined), one window over the 100-row frame, one broadcast total.
+    """
+    from pyspark.sql import Window
+
+    e = (_cents("o_totalprice") % F.lit(100)).cast("int")
+    g = (
+        orders.select(e.alias("ending"))
+        .groupBy("ending")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # the <=100-row ending frame feeds the total AND the ranked
+        # output — checkpoint once so the corpus count runs once
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(F.sum("c").cast("long").alias("t")).withColumn("_one", F.lit(1))
+    w = Window.orderBy(F.col("c").desc(), F.col("ending").asc())
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(top_k)))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "rank",
+            "ending",
+            F.col("c").alias("n_orders"),
+            F.round(F.col("c").cast("double") / F.col("t").cast("double"), 9).alias(
+                "share"
+            ),
+        )
+    )

@@ -347,3 +347,47 @@ def hill_tail_index(
         F.round(excess, 6).alias("sum_log_excess"),
         F.round(F.col("k").cast("double") / excess, 6).alias("alpha_hill"),
     )
+
+
+def shard_uniformity(df: DataFrame, id_col: str = "doc_id", n_shards: int = 16) -> DataFrame:
+    """Chi-square uniformity audit of the md5 shard assignment the
+    export/sampling paths rely on (`export._shard_col`'s exact
+    expression): the self-check that the deterministic hash really
+    scatters THIS id population evenly — a skewed id space (all-even
+    ids, range-clustered ids) would silently unbalance training shards
+    and salted joins. chi^2 >> k says re-key.
+
+    Determinism: shard = conv(md5[0:8]) % k mirrored by DuckDB's
+    ('0x'||substr)::BIGINT % k; chi^2 = (k*sum(o^2) - N^2)/N with an
+    exact int64 numerator and ONE double division, ROUNDED 6; min/max
+    shard shares ROUNDED 9.
+
+    Scale shape: one grouped count on a k-value key (map-side
+    combined); a k-row aggregate after.
+    """
+    from pythonvectordb_spark.operators.export import _shard_col
+
+    g = (
+        df.select(_shard_col(id_col, n_shards).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+        F.min("o").cast("long").alias("min_shard"),
+        F.max("o").cast("long").alias("max_shard"),
+    )
+    num = (F.lit(int(n_shards)) * F.col("so2") - F.col("n") * F.col("n")).cast("long")
+    return t.select(
+        F.col("n").alias("n_rows"),
+        F.col("k_used").alias("n_shards_hit"),
+        F.round(num.cast("double") / F.col("n").cast("double"), 6).alias("chisq"),
+        F.round(F.col("min_shard").cast("double") / F.col("n").cast("double"), 9).alias(
+            "min_share"
+        ),
+        F.round(F.col("max_shard").cast("double") / F.col("n").cast("double"), 9).alias(
+            "max_share"
+        ),
+    )

@@ -9166,6 +9166,100 @@ FROM per CROSS JOIN tots
 """
 
 
+def q_lang_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of doc length across languages (staged for the
+    round-5 rotation): OPERATOR REUSE — `stats.value_anova` pointed at
+    n_chars by lang; eta^2 says whether per-language chunking budgets
+    are justified (`operators/stats.value_anova`)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("len_chars"),
+        F.col("lang"),
+    )
+    return ST.value_anova(docs, value_col="len_chars", group_col="lang")
+
+
+def o_lang_length_anova() -> str:
+    return """
+WITH g AS (
+  SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(n_chars * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(n_chars * 100) AS BIGINT)
+                  * CAST(round(n_chars * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM documents GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS ss, CAST(sum(q) AS BIGINT) AS qq,
+         sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS sg2n
+  FROM g)
+SELECT k AS n_groups, nn AS n_rows,
+       CASE WHEN k > 1 AND nn > k AND (qq::DOUBLE - sg2n) > 0 THEN
+         round(((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                / (k::DOUBLE - 1.0))
+               / ((qq::DOUBLE - sg2n) / (nn::DOUBLE - k::DOUBLE)), 6) END AS f_stat,
+       CASE WHEN k > 1 AND nn > k
+                 AND ((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                      + (qq::DOUBLE - sg2n)) > 0 THEN
+         round((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+               / ((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                  + (qq::DOUBLE - sg2n)), 6) END AS eta_sq
+FROM t
+"""
+
+
+def q_shard_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity of the md5 export-shard assignment over
+    doc ids (staged for the round-5 rotation): the self-check that the
+    deterministic hash scatters THIS id population
+    (`operators/sketch.shard_uniformity`)."""
+    from pythonvectordb_spark.operators import sketch as SK
+
+    return SK.shard_uniformity(load_table(spark, sf_dir, "documents"))
+
+
+def o_shard_uniformity() -> str:
+    h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16)"
+    return f"""
+WITH g AS (SELECT CAST({h} AS INTEGER) AS s, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS k_used, CAST(sum(o) AS BIGINT) AS n,
+             CAST(sum(o * o) AS BIGINT) AS so2,
+             CAST(min(o) AS BIGINT) AS mn, CAST(max(o) AS BIGINT) AS mx
+      FROM g)
+SELECT n AS n_rows, k_used AS n_shards_hit,
+       round((16 * so2 - n * n)::DOUBLE / n::DOUBLE, 6) AS chisq,
+       round(mn::DOUBLE / n::DOUBLE, 9) AS min_share,
+       round(mx::DOUBLE / n::DOUBLE, 9) AS max_share
+FROM t
+"""
+
+
+def q_price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cents endings of order totals (staged for the round-5
+    rotation): the psychological-pricing / provenance fingerprint —
+    exact counts, fully tie-broken ranking
+    (`operators/relational.price_ending_profile`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.price_ending_profile(load_table(spark, sf_dir, "orders"))
+
+
+def o_price_ending_profile() -> str:
+    return """
+WITH g AS (SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS INTEGER)
+                      AS ending,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM g),
+r AS (SELECT ending, c,
+             CAST(row_number() OVER (ORDER BY c DESC, ending ASC) AS INTEGER)
+                 AS rank
+      FROM g)
+SELECT rank, ending, c AS n_orders,
+       round(c::DOUBLE / t::DOUBLE, 9) AS share
+FROM r CROSS JOIN tot WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9440,6 +9534,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_leadtime": q_priority_leadtime,
     "tax_discount_chisq": q_tax_discount_chisq,
     "weekend_value_mw": q_weekend_value_mw,
+    "lang_length_anova": q_lang_length_anova,
+    "shard_uniformity": q_shard_uniformity,
+    "price_ending_profile": q_price_ending_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -9649,6 +9746,9 @@ ORACLES: dict[str, str] = {
     "priority_leadtime": o_priority_leadtime(),
     "tax_discount_chisq": o_tax_discount_chisq(),
     "weekend_value_mw": o_weekend_value_mw(),
+    "lang_length_anova": o_lang_length_anova(),
+    "shard_uniformity": o_shard_uniformity(),
+    "price_ending_profile": o_price_ending_profile(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

@@ -1311,3 +1311,19 @@ def test_priority_leadtime_hand_computed(spark):
     assert r["o_orderpriority"] == "1-URGENT" and r["n_items"] == 3
     assert r["mean_days"] == round(13 / 3, 6)
     assert r["median_days"] == 2.0 and r["p95_days"] == 10
+
+
+def test_price_ending_profile_ranks_planted_endings(spark):
+    """Endings 99 (x3), 0 (x2), 50 (x1): ranking is 99, 0, 50 with
+    exact shares."""
+    from pythonvectordb_spark.operators.relational import price_ending_profile
+
+    prices = [1.99, 2.99, 9.99, 5.00, 7.00, 3.50]
+    orders = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prices)], "o_orderkey long, o_totalprice double"
+    )
+    rows = price_ending_profile(orders).collect()
+    got = [(r["rank"], r["ending"], r["n_orders"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(1, 99, 3), (2, 0, 2), (3, 50, 1)]
+    shares = {r["rank"]: r["share"] for r in rows}
+    assert shares[1] == 0.5 and shares[3] == round(1 / 6, 9)

@@ -78,3 +78,25 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(r.text for r in back.collect()) == sorted(
         r.text for r in docs.collect()
     )
+
+
+def test_shard_uniformity_matches_manual_md5(spark):
+    """The audit's shard assignment equals a hand-computed md5 mod 16
+    on a tiny id set, and a uniform assignment gives chisq ~ small."""
+    import hashlib
+
+    from pythonvectordb_spark.operators.sketch import shard_uniformity
+
+    ids = list(range(64))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    (r,) = shard_uniformity(df, n_shards=16).collect()
+    # manual: first 8 hex chars of md5(str(id)) as int, mod 16
+    manual = {}
+    for i in ids:
+        s = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 16
+        manual[s] = manual.get(s, 0) + 1
+    n = len(ids)
+    so2 = sum(c * c for c in manual.values())
+    assert r["n_rows"] == n and r["n_shards_hit"] == len(manual)
+    assert r["chisq"] == round((16 * so2 - n * n) / n, 6)
+    assert r["max_share"] == round(max(manual.values()) / n, 9)
