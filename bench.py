@@ -202,6 +202,9 @@ HEADLINE = [
     "lang_length_anova",
     "shard_uniformity",
     "price_ending_profile",
+    "realized_vs_retail",
+    "segment_acctbal_profile",
+    "supplier_balance_corr",
 ]
 
 

@@ -1389,3 +1389,165 @@ def price_ending_profile(orders: DataFrame, top_k: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+def realized_vs_retail(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Realized-vs-list price ratio per brand: the revenue actually
+    booked against what the catalog's retail price would have billed
+    for the same units — the aggregate markup/markdown depth that
+    `discount_elasticity` (does discounting move volume) presumes but
+    never states. Ratio < 1: the brand sells below list (promo-heavy);
+    ratio > 1: premium realization.
+
+    Determinism: both sides of the ratio are exact integer sums —
+    realized = sum(extendedprice cents), list = sum(qty * retail
+    cents) — so the ratio is ONE double division of int64 totals,
+    ROUNDED 9. No per-row division ever happens.
+
+    Scale shape: one grouped sum per brand after the broadcast dim
+    hookup (map-side combined). Nothing else.
+    """
+    qty = F.round(F.col("l_quantity")).cast("long")
+    g = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            _cents("l_extendedprice").alias("e100"),
+            (qty * _cents("p_retailprice")).alias("list_e2"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("e100").cast("long").alias("realized_cents"),
+            F.sum("list_e2").cast("long").alias("list_cents"),
+        )
+    )
+    return g.select(
+        "p_brand",
+        "n_items",
+        "realized_cents",
+        "list_cents",
+        F.round(
+            F.col("realized_cents").cast("double") / F.col("list_cents").cast("double"),
+            9,
+        ).alias("realization_ratio"),
+    )
+
+
+def segment_acctbal_profile(customer: DataFrame) -> DataFrame:
+    """Account-balance solvency profile per market segment: the share
+    of customers in the red and the exact-cents quartiles — the credit
+    posture behind per-segment payment terms. A segment with a fat
+    negative tail needs prepayment rules its median customer doesn't.
+
+    Determinism: balances are exact (possibly negative) integer cents;
+    quartiles are nearest-rank values located on the per-segment
+    DISTINCT-value frame (`mann_whitney` rank discipline); the
+    negative share is one double division, ROUNDED 9.
+
+    Scale shape: one grouped count per (segment, cents) — map-side
+    combined; windows over the segment x distinct-value frame only.
+    """
+    from pyspark.sql import Window
+
+    vc = (
+        customer.select(
+            F.col("c_mktsegment").alias("seg"), _cents("c_acctbal").alias("v")
+        )
+        .groupBy("seg", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("seg")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = vc.select(
+        "seg", "v", "c", F.sum("c").over(wcum).cast("long").alias("cum")
+    ).localCheckpoint(eager=False)
+    tot = cu.groupBy("seg").agg(
+        F.max("cum").cast("long").alias("n"),
+        F.sum(F.when(F.col("v") < 0, F.col("c")).otherwise(0)).cast("long").alias("n_neg"),
+    )
+    j = cu.join(F.broadcast(tot), "seg")
+    b = F.col("cum") - F.col("c")
+
+    def at(k: int):
+        r = F.floor((F.lit(k) * F.col("n") + 3) / 4).cast("long")
+        return F.max(F.when((b < r) & (r <= F.col("cum")), F.col("v"))).cast("long")
+
+    return (
+        j.groupBy("seg")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.max("n_neg").alias("n_negative"),
+            at(1).alias("q1_cents"),
+            at(2).alias("q2_cents"),
+            at(3).alias("q3_cents"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n_customers",
+            "n_negative",
+            F.round(
+                F.col("n_negative").cast("double") / F.col("n_customers").cast("double"),
+                9,
+            ).alias("negative_share"),
+            "q1_cents",
+            "q2_cents",
+            "q3_cents",
+        )
+    )
+
+
+def supplier_balance_revenue_corr(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Pearson correlation between a supplier's account balance and the
+    revenue it actually books — do healthy balance sheets trade more?
+    A near-zero r says acctbal is stale bookkeeping, not a capacity
+    signal; planners should stop weighting it.
+
+    Determinism: per-supplier revenue is the e4-unit exact integer and
+    balances exact cents; the five Pearson moments are exact —
+    cross-products ride DECIMAL(38,0) (HUGEINT in the oracle; e4
+    revenue x cents products pass int64 at scale) — and r is assembled
+    from those integers in ONE pinned double operation order,
+    ROUNDED 6; NULL on zero variance.
+
+    Scale shape: one grouped sum per supplier (map-side combined on
+    l_suppkey), the supplier dim broadcast in, one global aggregate
+    over the supplier frame.
+    """
+    rev = (
+        lineitem.select(
+            "l_suppkey",
+            (_cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))).alias(
+                "r_e4"
+            ),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("r_e4").cast("long").alias("rev_e4"))
+    )
+    j = rev.join(
+        F.broadcast(supplier.select("s_suppkey", _cents("s_acctbal").alias("bal"))),
+        rev.l_suppkey == F.col("s_suppkey"),
+    ).select(F.col("bal").alias("x"), F.col("rev_e4").alias("y"))
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")).cast("double")
+    return g.select(
+        F.col("n").alias("n_suppliers"),
+        F.when((vx > 0) & (vy > 0), F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)).alias(
+            "balance_revenue_corr"
+        ),
+    )

@@ -9260,6 +9260,113 @@ FROM r CROSS JOIN tot WHERE rank <= 10
 """
 
 
+def q_realized_vs_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-vs-list price ratio per brand (staged for the round-5
+    rotation): ratio of two exact integer sums — markup/markdown depth
+    with no per-row division
+    (`operators/relational.realized_vs_retail`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.realized_vs_retail(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_realized_vs_retail() -> str:
+    return """
+WITH g AS (
+  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS realized_cents,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)
+                  * CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS list_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1)
+SELECT p_brand, n_items, realized_cents, list_cents,
+       round(realized_cents::DOUBLE / list_cents::DOUBLE, 9)
+           AS realization_ratio
+FROM g
+"""
+
+
+def q_segment_acctbal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment account-balance solvency profile (staged for the
+    round-5 rotation): negative share + nearest-rank quartiles on
+    distinct-cents frames
+    (`operators/relational.segment_acctbal_profile`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.segment_acctbal_profile(load_table(spark, sf_dir, "customer"))
+
+
+def o_segment_acctbal_profile() -> str:
+    return """
+WITH vc AS (SELECT c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM customer GROUP BY 1, 2),
+cu AS (SELECT seg, v, c,
+              CAST(sum(c) OVER (PARTITION BY seg ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+       FROM vc),
+tot AS (SELECT seg, max(cum) AS n,
+               CAST(sum(CASE WHEN v < 0 THEN c ELSE 0 END) AS BIGINT) AS n_neg
+        FROM cu GROUP BY 1),
+j AS (SELECT cu.seg, cu.v, cu.c, cu.cum, tot.n, tot.n_neg
+      FROM cu JOIN tot USING (seg))
+SELECT seg AS c_mktsegment, CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(max(n_neg) AS BIGINT) AS n_negative,
+       round(max(n_neg)::DOUBLE / max(n)::DOUBLE, 9) AS negative_share,
+       CAST(max(CASE WHEN cum - c < (1 * n + 3) // 4 AND (1 * n + 3) // 4 <= cum
+                     THEN v END) AS BIGINT) AS q1_cents,
+       CAST(max(CASE WHEN cum - c < (2 * n + 3) // 4 AND (2 * n + 3) // 4 <= cum
+                     THEN v END) AS BIGINT) AS q2_cents,
+       CAST(max(CASE WHEN cum - c < (3 * n + 3) // 4 AND (3 * n + 3) // 4 <= cum
+                     THEN v END) AS BIGINT) AS q3_cents
+FROM j GROUP BY 1
+"""
+
+
+def q_supplier_balance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r between supplier account balance and booked revenue
+    (staged for the round-5 rotation): exact moments with DECIMAL(38)
+    cross-products, one pinned double assembly
+    (`operators/relational.supplier_balance_revenue_corr`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.supplier_balance_revenue_corr(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def o_supplier_balance_corr() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS rev_e4
+  FROM lineitem GROUP BY 1),
+j AS (SELECT CAST(round(s.s_acctbal * 100) AS BIGINT) AS x, rev.rev_e4 AS y
+      FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx,
+             sum(y::HUGEINT * y::HUGEINT) AS syy
+      FROM j)
+SELECT n AS n_suppliers,
+       CASE WHEN (n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE > 0
+             AND (n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT)::DOUBLE > 0 THEN
+         round((n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT)::DOUBLE
+               / (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE)
+                  * sqrt((n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT)::DOUBLE)),
+               6) END AS balance_revenue_corr
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9537,6 +9644,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_length_anova": q_lang_length_anova,
     "shard_uniformity": q_shard_uniformity,
     "price_ending_profile": q_price_ending_profile,
+    "realized_vs_retail": q_realized_vs_retail,
+    "segment_acctbal_profile": q_segment_acctbal_profile,
+    "supplier_balance_corr": q_supplier_balance_corr,
 }
 
 ORACLES: dict[str, str] = {
@@ -9749,6 +9859,9 @@ ORACLES: dict[str, str] = {
     "lang_length_anova": o_lang_length_anova(),
     "shard_uniformity": o_shard_uniformity(),
     "price_ending_profile": o_price_ending_profile(),
+    "realized_vs_retail": o_realized_vs_retail(),
+    "segment_acctbal_profile": o_segment_acctbal_profile(),
+    "supplier_balance_corr": o_supplier_balance_corr(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

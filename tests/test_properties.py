@@ -1327,3 +1327,58 @@ def test_price_ending_profile_ranks_planted_endings(spark):
     assert got == [(1, 99, 3), (2, 0, 2), (3, 50, 1)]
     shares = {r["rank"]: r["share"] for r in rows}
     assert shares[1] == 0.5 and shares[3] == round(1 / 6, 9)
+
+
+def test_realized_vs_retail_hand_computed(spark):
+    """2 units sold at 8.00 total against a 5.00 list price: realized
+    800 vs list 1000 cents, ratio 0.8."""
+    from pythonvectordb_spark.operators.relational import realized_vs_retail
+
+    lineitem = spark.createDataFrame(
+        [(1, 100, 2.0, 8.00)],
+        "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(100, "Brand#A", 5.00)], "p_partkey long, p_brand string, p_retailprice double"
+    )
+    (r,) = realized_vs_retail(lineitem, part).collect()
+    assert r["realized_cents"] == 800 and r["list_cents"] == 1000
+    assert r["realization_ratio"] == 0.8
+
+
+def test_segment_acctbal_profile_negative_share(spark):
+    """Balances -5, 1, 2, 3: one negative of four; quartiles are the
+    1st/2nd/3rd order statistics in cents."""
+    from pythonvectordb_spark.operators.relational import segment_acctbal_profile
+
+    customer = spark.createDataFrame(
+        [(1, "B", -5.0), (2, "B", 1.0), (3, "B", 2.0), (4, "B", 3.0)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    (r,) = segment_acctbal_profile(customer).collect()
+    assert r["n_customers"] == 4 and r["n_negative"] == 1
+    assert r["negative_share"] == 0.25
+    assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (-500, 100, 200)
+
+
+def test_supplier_balance_corr_extremes(spark):
+    """Balance proportional to revenue gives r = 1; constant balance
+    gives NULL (zero variance)."""
+    from pythonvectordb_spark.operators.relational import (
+        supplier_balance_revenue_corr,
+    )
+
+    lineitem = spark.createDataFrame(
+        [(1, 10.00, 0.0), (2, 20.00, 0.0), (3, 30.00, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    prop = spark.createDataFrame(
+        [(1, 1.00), (2, 2.00), (3, 3.00)], "s_suppkey long, s_acctbal double"
+    )
+    (r,) = supplier_balance_revenue_corr(lineitem, prop).collect()
+    assert r["n_suppliers"] == 3 and r["balance_revenue_corr"] == 1.0
+    flat = spark.createDataFrame(
+        [(1, 7.00), (2, 7.00), (3, 7.00)], "s_suppkey long, s_acctbal double"
+    )
+    (r,) = supplier_balance_revenue_corr(lineitem, flat).collect()
+    assert r["balance_revenue_corr"] is None
