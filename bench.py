@@ -205,6 +205,9 @@ HEADLINE = [
     "realized_vs_retail",
     "segment_acctbal_profile",
     "supplier_balance_corr",
+    "dedup_method_agreement",
+    "basket_size_value",
+    "anomalous_days",
 ]
 
 

@@ -1211,3 +1211,43 @@ def cluster_source_purity(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             "mean_entropy"
         ),
     )
+
+
+def pair_method_agreement(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """Agreement audit between two near-dup detectors over the same
+    corpus: pair-set Jaccard of their (id_a, id_b) outputs — the
+    method-risk number behind choosing ONE family for production.
+    High agreement: the cheap method can gate for the expensive one;
+    low agreement: they see different duplicate classes and the
+    pipeline needs both (registered: MinHash >=0.8 vs SimHash <=3).
+
+    Determinism: both inputs already emit ordered (id_a < id_b) pairs;
+    counts are exact after DISTINCT; agreement is one double division,
+    ROUNDED 9, NULL when both sets are empty.
+
+    Scale shape: each detector's own banding/blocking does the heavy
+    lifting; this audit adds one distinct per side, one pair-keyed
+    inner join, and three one-row aggregates (each side checkpointed
+    once).
+    """
+    a = pairs_a.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
+    b = pairs_b.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_a")).withColumn("_one", F.lit(1))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b")).withColumn("_one", F.lit(1))
+    nboth = (
+        a.join(b, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .withColumn("_one", F.lit(1))
+    )
+    j = na.join(F.broadcast(nb), "_one").join(F.broadcast(nboth), "_one")
+    uni = (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("long")
+    return j.select(
+        F.col("n_a").alias("n_minhash"),
+        F.col("n_b").alias("n_simhash"),
+        "n_both",
+        uni.alias("n_union"),
+        F.when(
+            uni > 0,
+            F.round(F.col("n_both").cast("double") / uni.cast("double"), 9),
+        ).alias("agreement"),
+    )

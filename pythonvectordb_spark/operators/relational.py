@@ -1551,3 +1551,41 @@ def supplier_balance_revenue_corr(lineitem: DataFrame, supplier: DataFrame) -> D
             "balance_revenue_corr"
         ),
     )
+
+
+def basket_size_value(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Mean order value by basket size (lines per order, bucketed
+    1/2/3/4+): does a bigger basket mean a bigger ticket, and by how
+    much — the cross-sell payoff curve that decides whether
+    add-to-cart nudges are worth screen space. All sums exact cents;
+    per-bucket mean is one division, ROUNDED 6.
+
+    Scale shape: one orderkey-grouped line count, one orderkey join to
+    headers (the natural co-partitioned key), one 4-bucket aggregate.
+    """
+    lc = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    j = orders.select("o_orderkey", _cents("o_totalprice").alias("cents")).join(
+        lc, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    bucket = (
+        F.when(F.col("k") == 1, F.lit("1"))
+        .when(F.col("k") == 2, F.lit("2"))
+        .when(F.col("k") == 3, F.lit("3"))
+        .otherwise(F.lit("4+"))
+    )
+    g = j.select(bucket.alias("lines_bucket"), "cents").groupBy("lines_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    return g.select(
+        "lines_bucket",
+        "n_orders",
+        "sum_cents",
+        F.round(
+            F.col("sum_cents").cast("double")
+            / (F.col("n_orders").cast("double") * F.lit(100.0)),
+            6,
+        ).alias("mean_value"),
+    )

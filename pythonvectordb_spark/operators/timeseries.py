@@ -1797,3 +1797,54 @@ def conversion_rate_shift(
         F.when(ok, F.round(p2, 9)).alias("rate_second"),
         F.when(ok & (varz > 0), F.round((p2 - p1) / F.sqrt(varz), 6)).alias("z"),
     )
+
+
+def anomalous_days(df: DataFrame, top_k: int = 5, ts_col: str = "ts") -> DataFrame:
+    """The top-k days whose arrival count deviates most from their own
+    WEEKDAY's mean — the incident shortlist a seasonality-aware
+    monitor pages on (a quiet Sunday is normal; a quiet Tuesday is an
+    outage). Complements `cusum_shift` (one sustained level change)
+    with point anomalies under the weekly profile.
+
+    Determinism: daily counts and weekday sums are exact; the weekday
+    mean S_w/k_w and the absolute deviation are doubles both engines
+    assemble identically from those integers, ROUNDED 6; ranking
+    orders by (ROUNDED deviation DESC, day ASC) so the cut is
+    engine-portable (the `hybrid_rrf_search` rounded-boundary rule).
+
+    Scale shape: one grouped count per day, a 7-row weekday aggregate
+    broadcast back, one window over the day-cardinality frame.
+    """
+    from pyspark.sql import Window
+
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        df.select(day.alias("di"))
+        .groupBy("di")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .withColumn("dow", ((F.col("di") + F.lit(4)) % F.lit(7)).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    wk = daily.groupBy("dow").agg(
+        F.sum("o").cast("long").alias("s_w"),
+        F.count(F.lit(1)).cast("long").alias("k_w"),
+    )
+    j = daily.join(F.broadcast(wk), "dow")
+    mean_w = F.col("s_w").cast("double") / F.col("k_w").cast("double")
+    dev = F.round(F.abs(F.col("o").cast("double") - mean_w), 6)
+    ranked = j.select(
+        "di", "dow", "o", F.round(mean_w, 6).alias("weekday_mean"), dev.alias("abs_dev")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("abs_dev").desc(), F.col("di").asc())
+        ),
+    )
+    return ranked.where(F.col("rank") <= F.lit(int(top_k))).select(
+        "rank",
+        F.col("di").alias("epoch_day"),
+        "dow",
+        F.col("o").alias("n_events"),
+        "weekday_mean",
+        "abs_dev",
+    )

@@ -9367,6 +9367,99 @@ FROM g
 """
 
 
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-set Jaccard between the MinHash>=0.8 and SimHash<=3
+    detectors (staged for the round-5 rotation): the method-risk audit
+    behind running one family or both
+    (`operators/dedup.pair_method_agreement`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.pair_method_agreement(
+        DD.minhash_lsh_pairs(docs, threshold=0.8),
+        DD.simhash_pairs(docs, max_hamming=3),
+    )
+
+
+def o_dedup_method_agreement() -> str:
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM ({o_dedup_minhash_lsh()})),
+s AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM ({o_dedup_simhash()})),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_minhash FROM m),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM s),
+nboth AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+          FROM m JOIN s USING (id_a, id_b))
+SELECT n_minhash, n_simhash, n_both,
+       CAST(n_minhash + n_simhash - n_both AS BIGINT) AS n_union,
+       CASE WHEN n_minhash + n_simhash - n_both > 0 THEN
+         round(n_both::DOUBLE
+               / (n_minhash + n_simhash - n_both)::DOUBLE, 9) END AS agreement
+FROM na CROSS JOIN nb CROSS JOIN nboth
+"""
+
+
+def q_basket_size_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean order value by lines-per-order bucket (staged for the
+    round-5 rotation): the cross-sell payoff curve — exact cents sums,
+    one division per bucket
+    (`operators/relational.basket_size_value`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.basket_size_value(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def o_basket_size_value() -> str:
+    return """
+WITH lc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+            FROM lineitem GROUP BY 1),
+j AS (SELECT CASE WHEN k = 1 THEN '1' WHEN k = 2 THEN '2'
+                  WHEN k = 3 THEN '3' ELSE '4+' END AS lines_bucket,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+g AS (SELECT lines_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM j GROUP BY 1)
+SELECT lines_bucket, n_orders, sum_cents,
+       round(sum_cents::DOUBLE / (n_orders::DOUBLE * 100.0), 6) AS mean_value
+FROM g
+"""
+
+
+def q_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 days by absolute deviation from their own weekday's mean
+    arrivals (staged for the round-5 rotation): the seasonality-aware
+    incident shortlist; rank cut on ROUNDED deviations
+    (`operators/timeseries.anomalous_days`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.anomalous_days(load_table(spark, sf_dir, "events"))
+
+
+def o_anomalous_days() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS di,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1),
+d2 AS (SELECT di, o, CAST((di + 4) % 7 AS INTEGER) AS dow FROM daily),
+wk AS (SELECT dow, CAST(sum(o) AS BIGINT) AS s_w,
+              CAST(count(*) AS BIGINT) AS k_w
+       FROM d2 GROUP BY 1),
+j AS (SELECT d2.di, d2.dow, d2.o,
+             round(wk.s_w::DOUBLE / wk.k_w::DOUBLE, 6) AS weekday_mean,
+             round(abs(d2.o::DOUBLE - wk.s_w::DOUBLE / wk.k_w::DOUBLE), 6)
+                 AS abs_dev
+      FROM d2 JOIN wk USING (dow)),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY abs_dev DESC, di ASC)
+                     AS INTEGER) AS rank
+      FROM j)
+SELECT rank, di AS epoch_day, dow, o AS n_events, weekday_mean, abs_dev
+FROM r WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9647,6 +9740,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "realized_vs_retail": q_realized_vs_retail,
     "segment_acctbal_profile": q_segment_acctbal_profile,
     "supplier_balance_corr": q_supplier_balance_corr,
+    "dedup_method_agreement": q_dedup_method_agreement,
+    "basket_size_value": q_basket_size_value,
+    "anomalous_days": q_anomalous_days,
 }
 
 ORACLES: dict[str, str] = {
@@ -9862,6 +9958,9 @@ ORACLES: dict[str, str] = {
     "realized_vs_retail": o_realized_vs_retail(),
     "segment_acctbal_profile": o_segment_acctbal_profile(),
     "supplier_balance_corr": o_supplier_balance_corr(),
+    "dedup_method_agreement": o_dedup_method_agreement(),
+    "basket_size_value": o_basket_size_value(),
+    "anomalous_days": o_anomalous_days(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

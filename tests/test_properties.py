@@ -1382,3 +1382,33 @@ def test_supplier_balance_corr_extremes(spark):
     )
     (r,) = supplier_balance_revenue_corr(lineitem, flat).collect()
     assert r["balance_revenue_corr"] is None
+
+
+def test_pair_method_agreement_hand_computed(spark):
+    """Sets {(1,2),(2,3)} and {(2,3),(4,5)} overlap on one of three
+    union pairs: agreement 1/3."""
+    from pythonvectordb_spark.operators.dedup import pair_method_agreement
+
+    a = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    b = spark.createDataFrame([(2, 3), (4, 5)], "id_a long, id_b long")
+    (r,) = pair_method_agreement(a, b).collect()
+    assert (r["n_minhash"], r["n_simhash"], r["n_both"], r["n_union"]) == (2, 2, 1, 3)
+    assert r["agreement"] == round(1 / 3, 9)
+
+
+def test_basket_size_value_buckets(spark):
+    """Orders with 1, 2, and 5 lines valued 10/20/50: each lands in
+    its bucket with the exact mean."""
+    from pythonvectordb_spark.operators.relational import basket_size_value
+
+    orders = spark.createDataFrame(
+        [(1, 10.00), (2, 20.00), (3, 50.00)], "o_orderkey long, o_totalprice double"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1)] + [(2, i) for i in range(2)] + [(3, i) for i in range(5)],
+        "l_orderkey long, l_linenumber long",
+    )
+    got = {r["lines_bucket"]: r for r in basket_size_value(orders, lineitem).collect()}
+    assert got["1"]["mean_value"] == 10.0
+    assert got["2"]["mean_value"] == 20.0
+    assert got["4+"]["mean_value"] == 50.0

@@ -754,3 +754,26 @@ def test_conversion_rate_shift_hand_computed(spark):
     assert (r["n1"], r["k1"], r["n2"], r["k2"]) == (4, 1, 4, 3)
     assert r["rate_first"] == 0.25 and r["rate_second"] == 0.75
     assert r["z"] == round(0.5 / math.sqrt(0.5 * 0.5 * 0.5), 6)
+
+
+def test_anomalous_days_finds_planted_spike(spark):
+    """Three Mondays with counts 2, 2, 11: the spike day ranks first
+    with deviation |11 - 5| = 6."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import anomalous_days
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    for wk, c in enumerate([2, 2, 11]):
+        for _ in range(c):
+            rows.append((eid, t0 + dt.timedelta(weeks=wk, hours=3), 1, "x", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    top = anomalous_days(df, top_k=1).collect()
+    assert len(top) == 1
+    r = top[0]
+    assert r["n_events"] == 11 and r["weekday_mean"] == 5.0 and r["abs_dev"] == 6.0
