@@ -208,6 +208,9 @@ HEADLINE = [
     "dedup_method_agreement",
     "basket_size_value",
     "anomalous_days",
+    "heldout_cross_entropy",
+    "quality_pass_by_source",
+    "token_rank_drift",
 ]
 
 

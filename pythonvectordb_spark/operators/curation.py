@@ -1305,3 +1305,43 @@ def source_lang_mi(
         F.col("mi") / F.sqrt(F.col("h_source") * F.col("h_lang")),
     ).otherwise(F.lit(0.0))
     return out.withColumn("nmi", F.round(nmi, 6))
+
+
+def quality_pass_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source verdict census over the composite quality gate: how
+    much of each source survives, and WHICH rule rejects the rest —
+    the supplier-quality scorecard that turns `quality_filter`'s
+    per-doc verdicts into a buy/drop decision per crawl source. A
+    source failing mostly on `short` needs a different extractor; one
+    failing on `repetitive` is a template mill (`dup_cluster_purity`'s
+    intra-source case, seen from the gate side).
+
+    Determinism: verdicts come from the oracled `quality_filter`
+    expressions (first-failing-rule order is pinned there); counts are
+    exact and the share one division, ROUNDED 9.
+
+    Scale shape: the gate is single-pass pure expressions; this adds
+    one (source, verdict) grouped count and a broadcast per-source
+    total. No extra corpus scan — source rides the same projection.
+    """
+    v = quality_filter(docs, keep_columns=True).select(
+        "source",
+        F.when(F.col("keep"), F.lit("kept")).otherwise(F.col("reject_reason")).alias(
+            "verdict"
+        ),
+    )
+    g = v.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).localCheckpoint(eager=False)
+    tot = g.groupBy("source").agg(F.sum("n_docs").cast("long").alias("t"))
+    return (
+        g.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "verdict",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("t").cast("double"), 9).alias(
+                "share"
+            ),
+        )
+    )

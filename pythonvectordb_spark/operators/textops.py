@@ -1332,3 +1332,120 @@ def source_js_matrix(df: DataFrame, text_col: str = "text", group_col: str = "so
         "n_common",
         F.round(F.lit(0.5) * (klp + klq), 6).alias("js_divergence"),
     )
+
+
+def heldout_cross_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Held-out unigram cross-entropy: train an add-1 unigram LM on the
+    even-id half of the corpus and evaluate it on the odd-id half —
+    the actual language-model eval loop (train/test split, smoothing,
+    OOV mass) run as one SQL-shaped job. CE near the test half's own
+    entropy: the corpus is self-consistent; CE >> it: the halves speak
+    different vocabularies (`coldstart_rates` for tokens, but
+    mass-weighted and in nats).
+
+    Determinism: with train vocab size V1, add-1 gives p(t) =
+    (c1_t+1)/(N1+V1+1) and OOV p = 1/(N1+V1+1), so CE factors to
+    ln(N1+V1+1) - (sum_common c2_t * ln(c1_t+1))/N2 — EVERY ln over an
+    exact integer (the `source_kl_matrix` factoring); OOV rate is an
+    exact-count ratio. ROUNDED 6 / 9.
+
+    Scale shape: one explode -> (half, token) grouped count; the
+    train/test token frames inner-join on token (shared-vocab sized);
+    totals broadcast back. The parity split is a pure expression — at
+    production scale swap in a snapshot/date column unchanged.
+    """
+    from pythonvectordb_spark.functions.text import tokens
+
+    tt = (
+        df.select(
+            (F.col(id_col) % 2 == 0).alias("is_train"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .groupBy("is_train", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tr = tt.where(F.col("is_train")).select(F.col("tok"), F.col("c").alias("c1"))
+    te = tt.where(~F.col("is_train")).select(F.col("tok"), F.col("c").alias("c2"))
+    tot = (
+        tt.groupBy("is_train")
+        .agg(F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    t1 = tot.where(F.col("is_train")).select(
+        F.col("n").alias("n1"), F.col("v").alias("v1")
+    ).withColumn("_one", F.lit(1))
+    t2 = tot.where(~F.col("is_train")).select(F.col("n").alias("n2")).withColumn(
+        "_one", F.lit(1)
+    )
+    common = te.join(tr, "tok").agg(
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("c2_common"),
+        F.coalesce(
+            F.sum(F.col("c2").cast("double") * F.log((F.col("c1") + 1).cast("double"))),
+            F.lit(0.0),
+        ).alias("s_ln"),
+    ).withColumn("_one", F.lit(1))
+    j = t1.join(F.broadcast(t2), "_one").join(F.broadcast(common), "_one")
+    denom_ln = F.log((F.col("n1") + F.col("v1") + 1).cast("double"))
+    ce = denom_ln - F.col("s_ln") / F.col("n2").cast("double")
+    return j.select(
+        F.col("n1").alias("n_train_tokens"),
+        F.col("v1").alias("v_train"),
+        F.col("n2").alias("n_test_tokens"),
+        F.round(ce, 6).alias("cross_entropy_nats"),
+        F.round(
+            (F.col("n2") - F.col("c2_common")).cast("double")
+            / F.col("n2").cast("double"),
+            9,
+        ).alias("oov_mass"),
+    )
+
+
+def token_rank_drift(
+    df: DataFrame, top_k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rank movement of the top-k tokens between the even-id and odd-id
+    corpus halves: which head tokens rose, fell, entered, or left —
+    the token-level mover report behind `heldout_cross_entropy`'s
+    scalar (CE says the halves diverge; this names the tokens). NULL
+    rank = outside that half's top-k.
+
+    Determinism: ranks are row_number over exact counts with token
+    tie-break; the top-k cut happens on each half's OWN rank before
+    the full-outer join, so membership is engine-portable by integer
+    comparison alone.
+
+    Scale shape: one explode -> (half, token) count, one
+    vocab-cardinality rank window per half, a 2k-row full-outer join.
+    """
+    from pyspark.sql import Window
+
+    from pythonvectordb_spark.functions.text import tokens
+
+    tt = (
+        df.select(
+            (F.col(id_col) % 2 == 0).alias("is_train"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .groupBy("is_train", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("is_train").orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = (
+        tt.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= F.lit(int(top_k)))
+        .localCheckpoint(eager=False)
+    )
+    a = ranked.where(F.col("is_train")).select(
+        "tok", F.col("r").alias("rank_even"), F.col("c").alias("n_even")
+    )
+    b = ranked.where(~F.col("is_train")).select(
+        "tok", F.col("r").alias("rank_odd"), F.col("c").alias("n_odd")
+    )
+    return a.join(b, "tok", "full_outer").select(
+        "tok",
+        "rank_even",
+        "rank_odd",
+        "n_even",
+        "n_odd",
+        (F.col("rank_even") - F.col("rank_odd")).cast("int").alias("rank_delta"),
+    )

@@ -9460,6 +9460,89 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_heldout_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out add-1 unigram cross-entropy, even-id train / odd-id
+    test (staged for the round-5 rotation): the LM eval loop as one
+    job — CE factors so every ln is over an exact integer
+    (`operators/textops.heldout_cross_entropy`)."""
+    return TX.heldout_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def o_heldout_cross_entropy() -> str:
+    return f"""
+WITH toks AS (SELECT (doc_id % 2 = 0) AS is_train, {O.sql_tokens('text')} AS tk
+              FROM documents),
+tt AS (SELECT is_train, t.t AS tok, CAST(count(*) AS BIGINT) AS c
+       FROM toks, unnest(tk) AS t(t) GROUP BY 1, 2),
+t1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS v1
+       FROM tt WHERE is_train),
+t2 AS (SELECT CAST(sum(c) AS BIGINT) AS n2 FROM tt WHERE NOT is_train),
+common AS (SELECT CAST(coalesce(sum(b.c), 0) AS BIGINT) AS c2_common,
+                  coalesce(sum(b.c::DOUBLE * ln((a.c + 1)::DOUBLE)), 0.0) AS s_ln
+           FROM tt a JOIN tt b ON a.tok = b.tok AND a.is_train AND NOT b.is_train)
+SELECT n1 AS n_train_tokens, v1 AS v_train, n2 AS n_test_tokens,
+       round(ln((n1 + v1 + 1)::DOUBLE) - s_ln / n2::DOUBLE, 6)
+           AS cross_entropy_nats,
+       round((n2 - c2_common)::DOUBLE / n2::DOUBLE, 9) AS oov_mass
+FROM t1 CROSS JOIN t2 CROSS JOIN common
+"""
+
+
+def q_quality_pass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate verdict census (staged for the round-5
+    rotation): kept share + first-failing-rule breakdown — the
+    supplier scorecard over the oracled gate
+    (`operators/curation.quality_pass_by_source`)."""
+    return CU.quality_pass_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def o_quality_pass_by_source() -> str:
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT doc_id, keep, reject_reason FROM ({o_quality_filter()})),
+j AS (SELECT d.source,
+             CASE WHEN v.keep THEN 'kept' ELSE v.reject_reason END AS verdict
+      FROM v JOIN documents d ON d.doc_id = v.doc_id),
+g AS (SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS t FROM g GROUP BY 1)
+SELECT g.source, g.verdict, g.n_docs,
+       round(g.n_docs::DOUBLE / tot.t::DOUBLE, 9) AS share
+FROM g JOIN tot USING (source)
+"""
+
+
+def q_token_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token rank movement between the even/odd corpus halves
+    (staged for the round-5 rotation): the token-level mover report
+    behind `heldout_cross_entropy`'s scalar
+    (`operators/textops.token_rank_drift`)."""
+    return TX.token_rank_drift(load_table(spark, sf_dir, "documents"))
+
+
+def o_token_rank_drift() -> str:
+    return f"""
+WITH toks AS (SELECT (doc_id % 2 = 0) AS is_train, {O.sql_tokens('text')} AS tk
+              FROM documents),
+tt AS (SELECT is_train, t.t AS tok, CAST(count(*) AS BIGINT) AS c
+       FROM toks, unnest(tk) AS t(t) GROUP BY 1, 2),
+r AS (SELECT is_train, tok, c,
+             CAST(row_number() OVER (PARTITION BY is_train
+                   ORDER BY c DESC, tok ASC) AS INTEGER) AS rnk
+      FROM tt),
+k AS (SELECT * FROM r WHERE rnk <= 20),
+a AS (SELECT tok, rnk AS rank_even, c AS n_even FROM k WHERE is_train),
+b AS (SELECT tok, rnk AS rank_odd, c AS n_odd FROM k WHERE NOT is_train)
+SELECT coalesce(a.tok, b.tok) AS tok,
+       CAST(a.rank_even AS INTEGER) AS rank_even,
+       CAST(b.rank_odd AS INTEGER) AS rank_odd,
+       CAST(a.n_even AS BIGINT) AS n_even,
+       CAST(b.n_odd AS BIGINT) AS n_odd,
+       CAST(a.rank_even - b.rank_odd AS INTEGER) AS rank_delta
+FROM a FULL OUTER JOIN b ON a.tok = b.tok
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9743,6 +9826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_method_agreement": q_dedup_method_agreement,
     "basket_size_value": q_basket_size_value,
     "anomalous_days": q_anomalous_days,
+    "heldout_cross_entropy": q_heldout_cross_entropy,
+    "quality_pass_by_source": q_quality_pass_by_source,
+    "token_rank_drift": q_token_rank_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -9961,6 +10047,9 @@ ORACLES: dict[str, str] = {
     "dedup_method_agreement": o_dedup_method_agreement(),
     "basket_size_value": o_basket_size_value(),
     "anomalous_days": o_anomalous_days(),
+    "heldout_cross_entropy": o_heldout_cross_entropy(),
+    "quality_pass_by_source": o_quality_pass_by_source(),
+    "token_rank_drift": o_token_rank_drift(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

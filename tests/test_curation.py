@@ -530,3 +530,24 @@ def test_source_lang_mi_extremes(spark):
     )
     (r,) = source_lang_mi(ind).collect()
     assert r["mi"] == 0.0 and r["nmi"] == 0.0
+
+
+def test_quality_pass_by_source_shares(spark):
+    """A source whose docs all pass reports one 'kept' row with share
+    1; a source with one too-short doc splits kept/short."""
+    from pythonvectordb_spark.operators.curation import quality_pass_by_source
+
+    long_text = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, long_text, "clean"),
+            (2, long_text + " extra", "clean"),
+            (3, long_text, "mixed"),
+            (4, "too short", "mixed"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source"], r["verdict"]): r for r in quality_pass_by_source(df).collect()}
+    assert got[("clean", "kept")]["share"] == 1.0
+    assert got[("mixed", "kept")]["n_docs"] == 1
+    assert got[("mixed", "short")]["share"] == 0.5

@@ -492,3 +492,39 @@ def test_source_js_matrix_extremes(spark):
     # klp = (2-1)*ln2 + 1*(ln(2*1*2)-ln(1*2+1*2)) = ln2 + 0 -> /2 = ln2/2
     assert r["n_common"] == 1
     assert r["js_divergence"] == round(0.5 * math.log(2.0), 6)
+
+
+def test_heldout_cross_entropy_hand_computed(spark):
+    """Train (even ids) 'x x y', test (odd ids) 'x z': V1=2, N1=3;
+    p(x)=(2+1)/6, OOV z contributes ln 6 only:
+    CE = ln6 - (1*ln3)/2; OOV mass 1/2."""
+    import math
+
+    from pythonvectordb_spark.operators.textops import heldout_cross_entropy
+
+    df = spark.createDataFrame(
+        [(2, "x x y", "A"), (1, "x z", "A")],
+        "doc_id long, text string, source string",
+    )
+    (r,) = heldout_cross_entropy(df).collect()
+    assert r["n_train_tokens"] == 3 and r["v_train"] == 2
+    assert r["n_test_tokens"] == 2
+    assert r["cross_entropy_nats"] == round(math.log(6.0) - math.log(3.0) / 2.0, 6)
+    assert r["oov_mass"] == 0.5
+
+
+def test_token_rank_drift_planted_swap(spark):
+    """Even half ranks x above y, odd half reverses; z only exists in
+    the odd half (NULL even rank)."""
+    from pythonvectordb_spark.operators.textops import token_rank_drift
+
+    df = spark.createDataFrame(
+        [(2, "x x y", "A"), (4, "x y", "A"), (1, "y y x z", "A")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["tok"]: r for r in token_rank_drift(df, top_k=3).collect()}
+    assert got["x"]["rank_even"] == 1 and got["x"]["rank_odd"] == 2
+    assert got["x"]["rank_delta"] == -1
+    assert got["y"]["rank_even"] == 2 and got["y"]["rank_odd"] == 1
+    assert got["z"]["rank_even"] is None and got["z"]["rank_odd"] == 3
+    assert got["z"]["rank_delta"] is None
