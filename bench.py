@@ -211,6 +211,8 @@ HEADLINE = [
     "heldout_cross_entropy",
     "quality_pass_by_source",
     "token_rank_drift",
+    "priority_mix_drift",
+    "customer_brand_breadth",
 ]
 
 

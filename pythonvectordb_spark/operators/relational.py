@@ -1589,3 +1589,101 @@ def basket_size_value(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             6,
         ).alias("mean_value"),
     )
+
+
+def priority_mix_drift(orders: DataFrame) -> DataFrame:
+    """Per-year chi-square of the order-priority mix against the
+    all-years mix — is the priority distribution stationary, or did
+    some year's customers (or intake form) shift it? The categorical
+    drift gate for any dimension whose mix downstream models assume
+    static; the per-year statistic localizes WHEN it moved, which the
+    global `priority_segment_chisq` association number can't.
+
+    Determinism: with year total N_y, priority total C_p, and grand
+    total N, each cell's term is (N*o - N_y*C_p)^2 / (N*N_y*C_p) —
+    numerator squares ride DECIMAL(38,0)/HUGEINT, denominator exact
+    int64, one double division per cell and a years x priorities
+    double sum, ROUNDED 6. The grid is COMPLETED (missing cells owe
+    their expected mass).
+
+    Scale shape: one grouped count per (year, priority); the grid and
+    all marginals are category-cardinality frames; one year-keyed
+    aggregate.
+    """
+    yr = F.year(F.col("o_orderdate")).cast("int")
+    cells = (
+        orders.select(yr.alias("y"), F.col("o_orderpriority").alias("p"))
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    ym = cells.groupBy("y").agg(F.sum("o").cast("long").alias("n_y"))
+    pm = cells.groupBy("p").agg(F.sum("o").cast("long").alias("c_p"))
+    tot = cells.agg(F.sum("o").cast("long").alias("nn")).withColumn("_one", F.lit(1))
+    grid = (
+        ym.withColumn("_one", F.lit(1))
+        .join(F.broadcast(pm.withColumn("_one", F.lit(1))), "_one")
+        .join(F.broadcast(cells), ["y", "p"], "left")
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "y",
+            "n_y",
+            "c_p",
+            "nn",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    dev = (F.col("nn") * F.col("o") - F.col("n_y") * F.col("c_p")).cast("decimal(38,0)")
+    term = (dev * dev).cast("double") / (
+        F.col("nn") * F.col("n_y") * F.col("c_p")
+    ).cast("double")
+    return (
+        grid.groupBy("y")
+        .agg(
+            F.max("n_y").alias("n_orders"),
+            F.round(F.sum(term), 6).alias("chisq_vs_global"),
+        )
+        .select(F.col("y").alias("order_year"), "n_orders", "chisq_vs_global")
+    )
+
+
+def customer_brand_breadth(lineitem: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
+    """Lifetime brand breadth per customer, bucketed (1-2 / 3-5 / 6+):
+    how many distinct brands a customer ever buys — the loyalty-vs-
+    explorer census that `basket_diversity` measures per ORDER and
+    this measures per RELATIONSHIP; wide-breadth customers are the
+    cross-sell audience, narrow ones the brand-loyalty one. All counts
+    exact; mean and shares one division each, ROUNDED 6/9.
+
+    Scale shape: one DISTINCT (customer, brand) projection (fact join
+    shuffles on orderkey, part broadcast), one grouped count per
+    customer, one 3-bucket aggregate.
+    """
+    cb = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    per = cb.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("k").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("k") <= 2, 1).otherwise(0)).cast("long").alias("n_narrow"),
+        F.sum(F.when((F.col("k") >= 3) & (F.col("k") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mid"),
+        F.sum(F.when(F.col("k") >= 6, 1).otherwise(0)).cast("long").alias("n_wide"),
+    )
+    return g.select(
+        "n_customers",
+        F.round(
+            F.col("n_pairs").cast("double") / F.col("n_customers").cast("double"), 6
+        ).alias("mean_brands"),
+        "n_narrow",
+        "n_mid",
+        "n_wide",
+        F.round(
+            F.col("n_wide").cast("double") / F.col("n_customers").cast("double"), 9
+        ).alias("wide_share"),
+    )

@@ -1412,3 +1412,61 @@ def test_basket_size_value_buckets(spark):
     assert got["1"]["mean_value"] == 10.0
     assert got["2"]["mean_value"] == 20.0
     assert got["4+"]["mean_value"] == 50.0
+
+
+def test_priority_mix_drift_extremes(spark):
+    """Identical yearly mixes give chisq 0 for both years; a year with
+    an inverted mix scores > 0."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.relational import priority_mix_drift
+
+    rows = []
+    ok = 0
+    # 2023 and 2024: both 2xURGENT + 2xLOW -> mixes equal the global mix
+    for y in (2023, 2024):
+        for p in ("1-URGENT", "1-URGENT", "5-LOW", "5-LOW"):
+            ok += 1
+            rows.append((ok, p, dt.datetime(y, 6, 1)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderdate timestamp"
+    )
+    got = {r["order_year"]: r for r in priority_mix_drift(orders).collect()}
+    assert got[2023]["chisq_vs_global"] == 0.0
+    assert got[2024]["chisq_vs_global"] == 0.0
+    # now skew 2024 entirely URGENT
+    rows2 = [r for r in rows if r[2].year == 2023]
+    for p in ("1-URGENT",) * 4:
+        ok += 1
+        rows2.append((ok, p, dt.datetime(2024, 6, 1)))
+    orders2 = spark.createDataFrame(
+        rows2, "o_orderkey long, o_orderpriority string, o_orderdate timestamp"
+    )
+    got = {r["order_year"]: r for r in priority_mix_drift(orders2).collect()}
+    assert got[2024]["chisq_vs_global"] > 0.0 and got[2023]["chisq_vs_global"] > 0.0
+
+
+def test_customer_brand_breadth_buckets(spark):
+    """Customers touching 1, 4, and 7 distinct brands land in
+    narrow/mid/wide; repeat purchases of a brand count once."""
+    from pythonvectordb_spark.operators.relational import customer_brand_breadth
+
+    rows = []
+    li = []
+    ok = 0
+    for cust, nbrands in [(1, 1), (2, 4), (3, 7)]:
+        ok += 1
+        rows.append((ok, cust))
+        for b in range(nbrands):
+            li.append((ok, 100 + b))
+            li.append((ok, 100 + b))  # repeat trade, same brand
+    orders = spark.createDataFrame(rows, "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(li, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(100 + b, f"Brand#{b}") for b in range(7)], "p_partkey long, p_brand string"
+    )
+    (r,) = customer_brand_breadth(lineitem, orders, part).collect()
+    assert r["n_customers"] == 3
+    assert (r["n_narrow"], r["n_mid"], r["n_wide"]) == (1, 1, 1)
+    assert r["mean_brands"] == 4.0
+    assert r["wide_share"] == round(1 / 3, 9)
