@@ -213,6 +213,8 @@ HEADLINE = [
     "token_rank_drift",
     "priority_mix_drift",
     "customer_brand_breadth",
+    "nation_trade_balance",
+    "brand_market_presence",
 ]
 
 

@@ -1687,3 +1687,119 @@ def customer_brand_breadth(lineitem: DataFrame, orders: DataFrame, part: DataFra
             F.col("n_wide").cast("double") / F.col("n_customers").cast("double"), 9
         ).alias("wide_share"),
     )
+
+
+def nation_trade_balance(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Per-nation trade balance: revenue its suppliers EXPORT (book as
+    the selling side) vs what its customers IMPORT (spend as the
+    buying side), and the export/import ratio — the macro roll-up of
+    `bilateral_trade`'s pair matrix. Ratio >> 1: a producer nation;
+    << 1: a consumer nation; the imbalance drives where warehouse
+    co-location actually pays.
+
+    Determinism: both sides are exact e4-unit integer sums computed by
+    two independent aggregations of the same fact join; the full-outer
+    nation join coalesces missing sides to 0; the ratio is one double
+    division, NULL when imports are zero, ROUNDED 6.
+
+    Scale shape: the fact table shuffles once on orderkey; supplier /
+    customer / nation broadcast; each side is one grouped sum at
+    nation grain; the final join is 25x25-bounded.
+    """
+    rev_e4 = (
+        _cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))
+    )
+    base = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", F.col("s_nationkey").alias("snk"))),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", F.col("c_nationkey").alias("cnk"))),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select("snk", "cnk", rev_e4.alias("r_e4"))
+        .localCheckpoint(eager=False)
+    )
+    exp = base.groupBy("snk").agg(F.sum("r_e4").cast("long").alias("export_e4"))
+    imp = base.groupBy("cnk").agg(F.sum("r_e4").cast("long").alias("import_e4"))
+    n = nation.select(F.col("n_nationkey").alias("nk"), "n_name")
+    # broadcast the RIGHT sides: Spark cannot build-left for a
+    # left-outer broadcast join, and the nation-grain sums are tiny
+    j = (
+        n.join(F.broadcast(exp), F.col("nk") == F.col("snk"), "left")
+        .join(F.broadcast(imp), F.col("nk") == F.col("cnk"), "left")
+        .select(
+            "n_name",
+            F.coalesce("export_e4", F.lit(0)).cast("long").alias("export_e4"),
+            F.coalesce("import_e4", F.lit(0)).cast("long").alias("import_e4"),
+        )
+    )
+    return j.select(
+        "n_name",
+        "export_e4",
+        "import_e4",
+        (F.col("export_e4") - F.col("import_e4")).cast("long").alias("balance_e4"),
+        F.when(
+            F.col("import_e4") > 0,
+            F.round(
+                F.col("export_e4").cast("double") / F.col("import_e4").cast("double"), 6
+            ),
+        ).alias("export_import_ratio"),
+    )
+
+
+def brand_market_presence(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Geographic presence per brand: how many distinct supplier
+    nations produce it and how many distinct customer nations buy it —
+    the reach table behind replication policy (a brand bought
+    everywhere but made in one nation is a routing hotspot;
+    `single_source_parts` lifted to nation grain). All values exact
+    distinct counts over the traded fact.
+
+    Scale shape: one fact join (orderkey shuffle, dims broadcast), the
+    (brand, nation) frame checkpointed once, two DISTINCT projections,
+    one brand-grain aggregate.
+    """
+    base = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", F.col("s_nationkey").alias("snk"))),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", F.col("c_nationkey").alias("cnk"))),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select("p_brand", "snk", "cnk")
+        .localCheckpoint(eager=False)
+    )
+    sup = base.select("p_brand", "snk").distinct().groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supplier_nations")
+    )
+    cus = base.select("p_brand", "cnk").distinct().groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customer_nations")
+    )
+    return sup.join(cus, "p_brand", "full_outer").select(
+        "p_brand",
+        F.coalesce("n_supplier_nations", F.lit(0)).cast("long").alias(
+            "n_supplier_nations"
+        ),
+        F.coalesce("n_customer_nations", F.lit(0)).cast("long").alias(
+            "n_customer_nations"
+        ),
+    )

@@ -9609,6 +9609,85 @@ FROM g
 """
 
 
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation export vs import revenue and the balance ratio
+    (staged for the round-5 rotation): the macro roll-up of
+    `bilateral_trade` — two nation-grain exact sums off one
+    checkpointed fact frame
+    (`operators/relational.nation_trade_balance`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.nation_trade_balance(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def o_nation_trade_balance() -> str:
+    return """
+WITH base AS (
+  SELECT s.s_nationkey AS snk, c.c_nationkey AS cnk,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS r_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+exp AS (SELECT snk, CAST(sum(r_e4) AS BIGINT) AS export_e4 FROM base GROUP BY 1),
+imp AS (SELECT cnk, CAST(sum(r_e4) AS BIGINT) AS import_e4 FROM base GROUP BY 1)
+SELECT n.n_name,
+       CAST(coalesce(exp.export_e4, 0) AS BIGINT) AS export_e4,
+       CAST(coalesce(imp.import_e4, 0) AS BIGINT) AS import_e4,
+       CAST(coalesce(exp.export_e4, 0) - coalesce(imp.import_e4, 0) AS BIGINT)
+           AS balance_e4,
+       CASE WHEN coalesce(imp.import_e4, 0) > 0 THEN
+         round(coalesce(exp.export_e4, 0)::DOUBLE
+               / coalesce(imp.import_e4, 0)::DOUBLE, 6) END
+           AS export_import_ratio
+FROM nation n
+LEFT JOIN exp ON n.n_nationkey = exp.snk
+LEFT JOIN imp ON n.n_nationkey = imp.cnk
+"""
+
+
+def q_brand_market_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier vs customer nations per brand (staged for the
+    round-5 rotation): the replication-policy reach table
+    (`operators/relational.brand_market_presence`)."""
+    from pythonvectordb_spark.operators import relational as RL2
+
+    return RL2.brand_market_presence(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def o_brand_market_presence() -> str:
+    return """
+WITH base AS (
+  SELECT p.p_brand, s.s_nationkey AS snk, c.c_nationkey AS cnk
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey),
+sup AS (SELECT p_brand, CAST(count(DISTINCT snk) AS BIGINT) AS n_supplier_nations
+        FROM base GROUP BY 1),
+cus AS (SELECT p_brand, CAST(count(DISTINCT cnk) AS BIGINT) AS n_customer_nations
+        FROM base GROUP BY 1)
+SELECT coalesce(sup.p_brand, cus.p_brand) AS p_brand,
+       CAST(coalesce(sup.n_supplier_nations, 0) AS BIGINT) AS n_supplier_nations,
+       CAST(coalesce(cus.n_customer_nations, 0) AS BIGINT) AS n_customer_nations
+FROM sup FULL OUTER JOIN cus ON sup.p_brand = cus.p_brand
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9897,6 +9976,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_rank_drift": q_token_rank_drift,
     "priority_mix_drift": q_priority_mix_drift,
     "customer_brand_breadth": q_customer_brand_breadth,
+    "nation_trade_balance": q_nation_trade_balance,
+    "brand_market_presence": q_brand_market_presence,
 }
 
 ORACLES: dict[str, str] = {
@@ -10120,6 +10201,8 @@ ORACLES: dict[str, str] = {
     "token_rank_drift": o_token_rank_drift(),
     "priority_mix_drift": o_priority_mix_drift(),
     "customer_brand_breadth": o_customer_brand_breadth(),
+    "nation_trade_balance": o_nation_trade_balance(),
+    "brand_market_presence": o_brand_market_presence(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

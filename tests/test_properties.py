@@ -1470,3 +1470,51 @@ def test_customer_brand_breadth_buckets(spark):
     assert (r["n_narrow"], r["n_mid"], r["n_wide"]) == (1, 1, 1)
     assert r["mean_brands"] == 4.0
     assert r["wide_share"] == round(1 / 3, 9)
+
+
+def test_nation_trade_balance_hand_computed(spark):
+    """One trade: supplier in nation 1, customer in nation 2, revenue
+    10.00 -> nation 1 exports 100000 e4-units, nation 2 imports them;
+    an uninvolved nation reports zeros and a NULL ratio."""
+    from pythonvectordb_spark.operators.relational import nation_trade_balance
+
+    lineitem = spark.createDataFrame(
+        [(1, 5, 10.00, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame([(1, 9)], "o_orderkey long, o_custkey long")
+    customer = spark.createDataFrame([(9, 2)], "c_custkey long, c_nationkey long")
+    supplier = spark.createDataFrame([(5, 1)], "s_suppkey long, s_nationkey long")
+    nation = spark.createDataFrame(
+        [(1, "EXPORTER"), (2, "IMPORTER"), (3, "IDLE")],
+        "n_nationkey long, n_name string",
+    )
+    got = {
+        r["n_name"]: r
+        for r in nation_trade_balance(lineitem, orders, customer, supplier, nation).collect()
+    }
+    assert got["EXPORTER"]["export_e4"] == 100000 and got["EXPORTER"]["import_e4"] == 0
+    assert got["EXPORTER"]["export_import_ratio"] is None
+    assert got["IMPORTER"]["import_e4"] == 100000 and got["IMPORTER"]["balance_e4"] == -100000
+    assert got["IDLE"]["export_e4"] == 0 and got["IDLE"]["import_e4"] == 0
+
+
+def test_brand_market_presence_counts(spark):
+    """A brand made in one nation and bought in two reports (1, 2)."""
+    from pythonvectordb_spark.operators.relational import brand_market_presence
+
+    lineitem = spark.createDataFrame(
+        [(1, 5, 100), (2, 5, 100)],
+        "l_orderkey long, l_suppkey long, l_partkey long",
+    )
+    orders = spark.createDataFrame(
+        [(1, 9), (2, 8)], "o_orderkey long, o_custkey long"
+    )
+    customer = spark.createDataFrame(
+        [(9, 2), (8, 3)], "c_custkey long, c_nationkey long"
+    )
+    supplier = spark.createDataFrame([(5, 1)], "s_suppkey long, s_nationkey long")
+    part = spark.createDataFrame([(100, "Brand#A")], "p_partkey long, p_brand string")
+    (r,) = brand_market_presence(lineitem, orders, customer, supplier, part).collect()
+    assert r["p_brand"] == "Brand#A"
+    assert r["n_supplier_nations"] == 1 and r["n_customer_nations"] == 2
