@@ -215,6 +215,7 @@ HEADLINE = [
     "customer_brand_breadth",
     "nation_trade_balance",
     "brand_market_presence",
+    "returnflag_quantity_mw",
 ]
 
 

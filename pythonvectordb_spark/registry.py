@@ -9688,6 +9688,50 @@ FROM sup FULL OUTER JOIN cus ON sup.p_brand = cus.p_brand
 """
 
 
+def q_returnflag_quantity_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U of line quantity, each return flag vs the rest
+    (staged for the round-5 rotation): OPERATOR REUSE — do returned
+    lines ship systematically bigger quantities? Distribution-free,
+    exact doubled midranks (`operators/stats.mann_whitney`)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("qty_units"),
+        F.col("l_returnflag"),
+    )
+    return ST.mann_whitney(li, value_col="qty_units", group_col="l_returnflag")
+
+
+def o_returnflag_quantity_mw() -> str:
+    return """
+WITH base AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, l_returnflag AS g
+              FROM lineitem),
+sv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cg FROM base GROUP BY 1, 2),
+vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+mid AS (SELECT v, c,
+               CAST(2 * (sum(c) OVER (ORDER BY v ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                    + c + 1 AS BIGINT) AS mr2
+        FROM vc),
+tots AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+         FROM mid),
+per AS (SELECT g, CAST(sum(cg) AS BIGINT) AS n1,
+               CAST(sum(cg * mr2) AS BIGINT) AS s2
+        FROM sv JOIN mid USING (v) GROUP BY 1)
+SELECT g AS l_returnflag, n1 AS n_group,
+       CAST(n_total - n1 AS BIGINT) AS n_rest,
+       CAST(s2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       round(((s2 - n1 * (n1 + 1))::DOUBLE / 2.0
+              - n1::DOUBLE * (n_total - n1)::DOUBLE / 2.0)
+             / sqrt((n1::DOUBLE * (n_total - n1)::DOUBLE / 12.0)
+                    * ((n_total::DOUBLE + 1.0)
+                       - tie3::DOUBLE
+                         / (n_total::DOUBLE * (n_total::DOUBLE - 1.0)))), 6) AS z,
+       round(1.0 - (s2 - n1 * (n1 + 1))::DOUBLE
+                   / (n1::DOUBLE * (n_total - n1)::DOUBLE), 6) AS rank_biserial
+FROM per CROSS JOIN tots
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -9978,6 +10022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_brand_breadth": q_customer_brand_breadth,
     "nation_trade_balance": q_nation_trade_balance,
     "brand_market_presence": q_brand_market_presence,
+    "returnflag_quantity_mw": q_returnflag_quantity_mw,
 }
 
 ORACLES: dict[str, str] = {
@@ -10203,6 +10248,7 @@ ORACLES: dict[str, str] = {
     "customer_brand_breadth": o_customer_brand_breadth(),
     "nation_trade_balance": o_nation_trade_balance(),
     "brand_market_presence": o_brand_market_presence(),
+    "returnflag_quantity_mw": o_returnflag_quantity_mw(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),
