@@ -216,6 +216,7 @@ HEADLINE = [
     "nation_trade_balance",
     "brand_market_presence",
     "returnflag_quantity_mw",
+    "daypart_value_anova",
 ]
 
 

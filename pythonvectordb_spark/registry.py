@@ -9732,6 +9732,57 @@ FROM per CROSS JOIN tots
 """
 
 
+def q_daypart_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across day-parts (staged for the
+    round-5 rotation): OPERATOR REUSE — `stats.value_anova` grouped by
+    an integer-hour CASE band (night/morning/afternoon/evening); eta^2
+    says whether time-of-day pricing is real
+    (`operators/stats.value_anova`)."""
+    hh = (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long") % F.lit(24)
+    band = (
+        F.when(hh < 6, F.lit("night"))
+        .when(hh < 12, F.lit("morning"))
+        .when(hh < 18, F.lit("afternoon"))
+        .otherwise(F.lit("evening"))
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value"), band.alias("daypart")
+    )
+    return ST.value_anova(ev, value_col="value", group_col="daypart")
+
+
+def o_daypart_value_anova() -> str:
+    return """
+WITH g AS (
+  SELECT CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 6 THEN 'night'
+              WHEN (epoch_us(ts) // 3600000000) % 24 < 12 THEN 'morning'
+              WHEN (epoch_us(ts) // 3600000000) % 24 < 18 THEN 'afternoon'
+              ELSE 'evening' END AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS ss, CAST(sum(q) AS BIGINT) AS qq,
+         sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS sg2n
+  FROM g)
+SELECT k AS n_groups, nn AS n_rows,
+       CASE WHEN k > 1 AND nn > k AND (qq::DOUBLE - sg2n) > 0 THEN
+         round(((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                / (k::DOUBLE - 1.0))
+               / ((qq::DOUBLE - sg2n) / (nn::DOUBLE - k::DOUBLE)), 6) END AS f_stat,
+       CASE WHEN k > 1 AND nn > k
+                 AND ((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                      + (qq::DOUBLE - sg2n)) > 0 THEN
+         round((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+               / ((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                  + (qq::DOUBLE - sg2n)), 6) END AS eta_sq
+FROM t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Composition: the 9 entries never driver-checked after
@@ -10023,6 +10074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_balance": q_nation_trade_balance,
     "brand_market_presence": q_brand_market_presence,
     "returnflag_quantity_mw": q_returnflag_quantity_mw,
+    "daypart_value_anova": q_daypart_value_anova,
 }
 
 ORACLES: dict[str, str] = {
@@ -10249,6 +10301,7 @@ ORACLES: dict[str, str] = {
     "nation_trade_balance": o_nation_trade_balance(),
     "brand_market_presence": o_brand_market_presence(),
     "returnflag_quantity_mw": o_returnflag_quantity_mw(),
+    "daypart_value_anova": o_daypart_value_anova(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),
