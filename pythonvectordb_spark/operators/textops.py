@@ -1414,8 +1414,13 @@ def token_rank_drift(
     the full-outer join, so membership is engine-portable by integer
     comparison alone.
 
-    Scale shape: one explode -> (half, token) count, one
-    vocab-cardinality rank window per half, a 2k-row full-outer join.
+    Scale shape: one explode -> (half, token) count (map-side combined,
+    checkpointed — two readers), then each half's top-k cut is
+    TakeOrderedAndProject (the `zipf_fit` pattern): the rank window
+    runs over at most ``top_k`` rows per half, never a half's full
+    vocabulary — a 10^8-token vocab no longer serializes through a
+    single 2-partition window sort task. The final full-outer join is
+    over ≤2k rows.
     """
     from pyspark.sql import Window
 
@@ -1428,19 +1433,25 @@ def token_rank_drift(
         )
         .groupBy("is_train", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    w = Window.partitionBy("is_train").orderBy(F.col("c").desc(), F.col("tok").asc())
-    ranked = (
-        tt.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= F.lit(int(top_k)))
         .localCheckpoint(eager=False)
     )
-    a = ranked.where(F.col("is_train")).select(
-        "tok", F.col("r").alias("rank_even"), F.col("c").alias("n_even")
-    )
-    b = ranked.where(~F.col("is_train")).select(
-        "tok", F.col("r").alias("rank_odd"), F.col("c").alias("n_odd")
-    )
+    order = [F.col("c").desc(), F.col("tok").asc()]
+    w = Window.orderBy(*order)
+
+    def half_top(pred, rank_name, count_name):
+        # exact per-half top-k: the TakeOrdered cut uses the SAME total
+        # order as the rank window, so row_number over the k survivors
+        # equals the rank over the half's full vocabulary
+        return (
+            tt.where(pred)
+            .orderBy(*order)
+            .limit(int(top_k))
+            .withColumn(rank_name, F.row_number().over(w))
+            .select("tok", rank_name, F.col("c").alias(count_name))
+        )
+
+    a = half_top(F.col("is_train"), "rank_even", "n_even")
+    b = half_top(~F.col("is_train"), "rank_odd", "n_odd")
     return a.join(b, "tok", "full_outer").select(
         "tok",
         "rank_even",

@@ -256,3 +256,19 @@ def test_semantic_dedup_arrow_assignment_matches_expr(spark):
         for r in semantic_dedup_pairs(emb, FX.CENTROIDS, 0.4, assign="arrow").collect()
     }
     assert expr_pairs == arrow_pairs and len(expr_pairs) > 0
+
+
+def test_token_rank_drift_rank_window_is_bounded(spark):
+    """The per-half rank must run over a TakeOrdered shortlist of at
+    most top_k rows, never a half's full vocabulary — the old
+    2-partition Window over the whole (half, token) count frame would
+    serialize a 10^8-token vocab sort through one task at 100 TB."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["token_rank_drift"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 2  # one exact cut per half
+    # no windowed rank may consume a hash-partitioned full-vocab exchange:
+    # every Window sits above a limit, so the plan has no
+    # "Window ... partitionBy(is_train)" spec anywhere
+    assert "windowspecdefinition(is_train" not in plan.lower()
