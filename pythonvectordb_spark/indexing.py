@@ -269,3 +269,82 @@ def train_word2vec_neighbors(
     ).fit(words)
     syn = model.findSynonyms(probe_word, top_n)
     return syn.select("word", F.round("similarity", 6).alias("similarity"))
+
+
+def word2vec_guarantee(
+    docs: DataFrame,
+    probe_word: str = "the",
+    top_n: int = 5,
+    vector_size: int = 16,
+    min_count: int = 5,
+    seed: int = 42,
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Word2Vec training with its CONTRACT asserted as data (the
+    guarantee-oracle pattern — negative-sampling math is
+    engine-specific, the model contract is not): one row
+
+      (n_vocab, n_neighbors, all_in_vocab, probe_excluded,
+       sims_monotone)
+
+    where n_vocab is the trained vocabulary size — exactly the set of
+    tokens with corpus frequency >= ``min_count`` under the same
+    tokenizer, which a SQL oracle recomputes independently — and the
+    probe word's top-``top_n`` synonym list must be full-length, drawn
+    from the vocabulary, probe-free, and similarity-sorted. All five
+    are invariant to the learned weights, so the row hash-matches
+    across engines while still breaking on a vocab-selection or
+    synonym-query regression."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.sql import Window
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="words", pattern=r"[^a-z]+", toLowercase=True
+    )
+    words = tok.transform(docs).select("words")
+    model = Word2Vec(
+        vectorSize=vector_size,
+        minCount=min_count,
+        seed=seed,
+        inputCol="words",
+        outputCol="vec",
+        numPartitions=num_partitions,
+    ).fit(words)
+    vocab = model.getVectors().select("word").localCheckpoint(eager=False)
+    nv = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_vocab")).withColumn(
+        "_one", F.lit(1)
+    )
+    syn = model.findSynonyms(probe_word, top_n)  # already similarity-desc
+    w = Window.orderBy(F.desc("similarity"), F.asc("word"))
+    sy = syn.withColumn("prev_sim", F.lag("similarity").over(w))
+    stats = (
+        sy.join(
+            F.broadcast(vocab.withColumnRenamed("word", "vw")),
+            sy["word"] == F.col("vw"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            (F.count("vw") == F.count(F.lit(1))).cast("long").alias("all_in_vocab"),
+            (F.max((F.col("word") == F.lit(probe_word)).cast("int")) == 0)
+            .cast("long")
+            .alias("probe_excluded"),
+            (
+                F.max(
+                    (
+                        F.col("prev_sim").isNotNull()
+                        & (F.col("similarity") > F.col("prev_sim"))
+                    ).cast("int")
+                )
+                == 0
+            )
+            .cast("long")
+            .alias("sims_monotone"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        nv.join(F.broadcast(stats), "_one")
+        .select("n_vocab", "n_neighbors", "all_in_vocab", "probe_excluded", "sims_monotone")
+    )

@@ -4426,41 +4426,207 @@ GROUP BY 1
 
 
 def q_mllib_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib batch embedding training: Word2Vec over the corpus, probe
-    word's top-5 neighbors (seeded, deterministic; rows-only check —
-    negative-sampling math is engine-specific)."""
-    from pythonvectordb_spark.indexing import train_word2vec_neighbors
+    """MLlib Word2Vec batch embedding training, graduated from
+    rows-only to a guarantee oracle (round 5, the
+    `approx_percentile_error` pattern): negative-sampling math stays
+    engine-specific, but the model CONTRACT does not — the trained
+    vocabulary is exactly the token set with corpus frequency >=
+    minCount under the same tokenizer (DuckDB recomputes n_vocab
+    independently; verified equal at both SFs), and the probe word's
+    top-5 synonym list must be full-length, vocabulary-only,
+    probe-free, and similarity-sorted. A vocab-selection or
+    synonym-query regression breaks the value hash."""
+    from pythonvectordb_spark.indexing import word2vec_guarantee
 
-    return train_word2vec_neighbors(load_table(spark, sf_dir, "documents"))
+    return word2vec_guarantee(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_word2vec() -> str:
+    # RegexTokenizer(pattern='[^a-z]+', toLowercase=True) replicated:
+    # lowercase, split on non-letter runs, drop empties; vocab = tokens
+    # with corpus count >= 5 (Word2Vec minCount)
+    return """
+SELECT CAST((SELECT count(*) FROM (
+         SELECT tok FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                     x -> len(x) > 0)) AS tok
+           FROM documents) u
+         GROUP BY tok HAVING count(*) >= 5) v) AS BIGINT) AS n_vocab,
+       CAST(5 AS BIGINT) AS n_neighbors,
+       CAST(1 AS BIGINT) AS all_in_vocab,
+       CAST(1 AS BIGINT) AS probe_excluded,
+       CAST(1 AS BIGINT) AS sims_monotone
+"""
 
 
 def q_mllib_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans-codebook IVF search: MLlib batch indexing feeding the probed
-    ANN operator."""
+    """KMeans-codebook IVF search, graduated from rows-only to a
+    guarantee oracle (round 5): the MLlib-trained index is exercised on
+    two paths — (a) FULL probe (nprobe = n_clusters): every cluster is
+    scanned, so a lossless partition assignment must reproduce the
+    exact float-cosine top-10 bit-for-bit (DuckDB recomputes that
+    top-10 directly — a dropped or double-assigned row breaks the
+    hash); (b) PRUNED probe (nprobe=4 of 8): recall@10 vs the same
+    exact top-10, emitted as within-bound data (>= 0.2; measured
+    0.3/0.5 at sf0.001/sf0.01 — uniform-random embeddings are ANN's
+    worst case, the clustered-corpus curve lives in bench.py). The
+    trained codebook itself stays engine-specific; both guarantees are
+    invariant to it."""
     from pythonvectordb_spark.indexing import train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_clusters=8)
-    out = S.ann_ivf_search(emb, FX.QUERY_VEC, cents, k=10, nprobe=2)
-    return out.select("vec_id", F.round("score", 9).alias("score"))
+    full = (
+        S.ann_ivf_search(emb, FX.QUERY_VEC, cents, k=10, nprobe=8)
+        .select("vec_id", F.round("score", 9).alias("score"))
+        .localCheckpoint(eager=False)  # output AND recall reference
+    )
+    pruned = S.ann_ivf_search(emb, FX.QUERY_VEC, cents, k=10, nprobe=4)
+    hits = (
+        pruned.join(
+            F.broadcast(full.select(F.col("vec_id").alias("eid"))),
+            F.col("vec_id") == F.col("eid"),
+            "left_semi",
+        )
+        .agg((F.count(F.lit(1)) >= F.lit(2)).cast("long").alias("pruned_recall_ok"))
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        full.withColumn("_one", F.lit(1))
+        .join(F.broadcast(hits), "_one")
+        .select("vec_id", "score", "pruned_recall_ok")
+    )
+
+
+def o_mllib_ivf_search() -> str:
+    return f"""
+SELECT vec_id,
+       round({O.sql_cosine_float_lit(FX.QUERY_VEC, 'embedding')}, 9) AS score,
+       CAST(1 AS BIGINT) AS pruned_recall_ok
+FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_mllib_brp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BucketedRandomProjectionLSH approximate near-dup join."""
+    """BucketedRandomProjectionLSH near-dup join, graduated from
+    rows-only to a guarantee oracle (round 5): the candidate
+    generator's pair recall against the EXACT int8-cosine pair set
+    (>= 0.45 on the quantized storage representation both engines
+    share) is asserted as data — (n_exact_pairs, recall_ok) with
+    recall bound 0.66 (measured 0.83 at sf0.001, 1.0 at sf0.01 with 6
+    hash tables; seeds fixed). DuckDB recomputes n_exact_pairs by
+    brute force over the probe table, which is bounded BY CONTRACT —
+    at 100 TB this audit runs on a sample and the production path is
+    the generator alone (the bench's dedup_pair_recall section is the
+    same audit at scale)."""
     from pythonvectordb_spark.indexing import brp_lsh_near_dup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = brp_lsh_near_dup(emb, cosine_threshold=0.45, num_hash_tables=6)
-    return out.select("id_a", "id_b", F.round("cosine_approx", 6).alias("cosine_approx"))
+    exact = (
+        DD.embedding_near_dup(emb, 0.45, method="pandas")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # totals agg AND semi-join probe
+    )
+    brp = brp_lsh_near_dup(emb, cosine_threshold=0.45, num_hash_tables=6).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).withColumn("_one", F.lit(1))
+    n_hit = (
+        exact.join(brp, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        n_exact.join(F.broadcast(n_hit), "_one")
+        .select(
+            "n_exact_pairs",
+            (
+                F.col("n_hit").cast("double")
+                >= F.lit(0.66) * F.col("n_exact_pairs").cast("double")
+            )
+            .cast("long")
+            .alias("recall_ok"),
+        )
+    )
+
+
+def o_mllib_brp_neardup() -> str:
+    # brute-force exact int8-cosine pairs at >= 0.45 (the pandas
+    # verifier's semantics: exact integer dots/norms in float64)
+    qv = O.sql_qvec("embedding")
+    cos = (
+        "CASE WHEN list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum') = 0"
+        "       OR list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum') = 0"
+        "  THEN 0.0"
+        "  ELSE list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        "       / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        "          * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)) END"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.45
+"""
 
 
 def q_mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH text near-dup join."""
+    """MLlib MinHashLSH text near-dup join, graduated from rows-only to
+    a guarantee oracle (round 5): pair recall against the EXACT
+    word-3-gram Jaccard >= 0.7 pair set (the oracled
+    `dedup_ngram_jaccard` semantics, df-capped) asserted as data —
+    (n_exact_pairs, recall_ok) with bound 0.9 (measured 1.0 at both
+    SFs; 8 single-hash OR-tables give collision probability
+    1-(1-j)^8 ≈ 0.99993 at j=0.7, so the bound has enormous margin).
+    DuckDB recomputes n_exact_pairs with the inverted-index pair SQL."""
     from pythonvectordb_spark.indexing import minhash_lsh_text_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    out = minhash_lsh_text_pairs(docs, jaccard_threshold=0.7)
-    return out.select("id_a", "id_b", F.round("jaccard_approx", 6).alias("jaccard_approx"))
+    exact = (
+        DD.ngram_jaccard_pairs(docs, threshold=0.7, max_df=NGRAM_MAX_DF)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # totals agg AND semi-join probe
+    )
+    mh = minhash_lsh_text_pairs(docs, jaccard_threshold=0.7).select("id_a", "id_b")
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).withColumn("_one", F.lit(1))
+    n_hit = (
+        exact.join(mh, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        n_exact.join(F.broadcast(n_hit), "_one")
+        .select(
+            "n_exact_pairs",
+            (
+                F.col("n_hit").cast("double")
+                >= F.lit(0.9) * F.col("n_exact_pairs").cast("double")
+            )
+            .cast("long")
+            .alias("recall_ok"),
+        )
+    )
+
+
+def o_mllib_minhash_dedup() -> str:
+    return f"""
+WITH {_SH_CTE},
+{_SH_KEPT_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shv, b.shv))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM shk a JOIN shk b ON a.doc_id < b.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM pairs WHERE {_JACCARD} >= 0.7
+"""
 
 
 # --------------------------------------------------------------------------
@@ -9881,6 +10047,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_market_presence": q_brand_market_presence,
     "returnflag_quantity_mw": q_returnflag_quantity_mw,
     "daypart_value_anova": q_daypart_value_anova,
+    # the four MLlib entries graduated from rows-only to guarantee
+    # oracles in round 5 (schema change -> they need a fresh driver
+    # witness; staged behind the 38 above)
+    "mllib_word2vec": q_mllib_word2vec,
+    "mllib_ivf_search": q_mllib_ivf_search,
+    "mllib_brp_neardup": q_mllib_brp_neardup,
+    "mllib_minhash_dedup": q_mllib_minhash_dedup,
     # --- previously driver-witnessed block (green rows in
     # CORRECTNESS_r01-r04; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ----------------------
@@ -10066,17 +10239,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_running": q_customer_order_running,
     "mktsegment_rollup": q_mktsegment_rollup,
     "order_priority_counts": q_order_priority_counts,
-    # --- rows-only by design (no value oracle possible: raw sketch /
-    # MLlib-seeded outputs; each has a green driver rows-only row and
-    # a guarantee-style oracled twin or tolerance pytest). Kept at the
-    # very END so they never spend a front-50 driver slot again
-    # (VERDICT r4 task 4). -----------------------------------------
+    # --- rows-only by design (raw sketch outputs whose VALUES are
+    # engine-specific; each has a green driver rows-only row AND a
+    # hash-matched guarantee twin: approx_percentile_error /
+    # approx_distinct_error). Kept at the very END so they never spend
+    # a front-50 driver slot again (VERDICT r4 task 4). -------------
     "approx_value_percentiles": q_approx_value_percentiles,
     "approx_distinct_events": q_approx_distinct_events,
-    "mllib_word2vec": q_mllib_word2vec,
-    "mllib_ivf_search": q_mllib_ivf_search,
-    "mllib_brp_neardup": q_mllib_brp_neardup,
-    "mllib_minhash_dedup": q_mllib_minhash_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -10304,6 +10473,11 @@ ORACLES: dict[str, str] = {
     "brand_market_presence": o_brand_market_presence(),
     "returnflag_quantity_mw": o_returnflag_quantity_mw(),
     "daypart_value_anova": o_daypart_value_anova(),
+    # round-5 guarantee oracles for the graduated MLlib entries
+    "mllib_word2vec": o_mllib_word2vec(),
+    "mllib_ivf_search": o_mllib_ivf_search(),
+    "mllib_brp_neardup": o_mllib_brp_neardup(),
+    "mllib_minhash_dedup": o_mllib_minhash_dedup(),
     "events_cube": o_events_cube(),
     "customer_set_ops": o_customer_set_ops(),
     "large_volume_orders": o_large_volume_orders(),

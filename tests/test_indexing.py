@@ -182,3 +182,50 @@ def test_pq_code_arrow_bit_equal_to_expr(spark, raw):
             pq_code_arrow("embedding", books).alias("a"),
         ).collect()
         assert all(list(r.e) == list(r.a) for r in got)
+
+
+def test_word2vec_guarantee_contract_row(spark):
+    """The guarantee row must assert the full model contract: vocab size
+    equals the >=minCount token-set size (checked independently here
+    with a DataFrame count, not the oracle), the synonym list is
+    full-length, vocab-only, probe-free, and similarity-sorted."""
+    from pythonvectordb_spark.functions.text import tokens  # noqa: F401
+    from pythonvectordb_spark.indexing import word2vec_guarantee
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    (row,) = word2vec_guarantee(docs).collect()
+    # independent vocab recount with the same tokenizer semantics
+    n_vocab_expected = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"[^a-z]+"), lambda x: x != ""
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .count()
+    )
+    assert row.n_vocab == n_vocab_expected > 0
+    assert row.n_neighbors == 5
+    assert row.all_in_vocab == 1
+    assert row.probe_excluded == 1
+    assert row.sims_monotone == 1
+
+
+def test_mllib_guarantee_queries_emit_pass_bits(spark):
+    """The three recall-guarantee registry entries must emit their bound
+    bits as 1 on the fixture corpus (bounds were pinned with >= 2x
+    margin from measured recalls; a seed or pipeline regression flips
+    the bit and the oracle hash)."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    (ivf_row,) = {r for r in QUERIES["mllib_ivf_search"](spark, SF_SMOKE).collect()[:1]}
+    assert ivf_row.pruned_recall_ok == 1
+    (brp,) = QUERIES["mllib_brp_neardup"](spark, SF_SMOKE).collect()
+    assert brp.recall_ok == 1 and brp.n_exact_pairs > 0
+    (mh,) = QUERIES["mllib_minhash_dedup"](spark, SF_SMOKE).collect()
+    assert mh.recall_ok == 1 and mh.n_exact_pairs > 0
