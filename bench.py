@@ -398,20 +398,31 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
         for name, fn in cases.items():
             fn(docs1, emb1, n1).count()  # warm (JIT/codegen on the small SF)
             t0 = time.time()
-            fn(docs1, emb1, n1).count()
+            rows_small = fn(docs1, emb1, n1).count()
             t_small = time.time() - t0
             t0 = time.time()
-            fn(docs10, emb10, n10).count()
+            rows_big = fn(docs10, emb10, n10).count()
             t_big = time.time() - t0
             exp = math.log(max(t_big, 1e-9) / max(t_small, 1e-9)) / math.log(factor)
+            # two-point decomposition t = overhead + unit_cost * scale:
+            # the fixed-overhead share of the SMALL run explains how far
+            # below 1.0 a linear-work family's exponent sits (SCALING.md
+            # "exact families" section) — a super-linear term would show
+            # up as exponent > 1 instead
+            unit = max((t_big - t_small) / (factor - 1), 0.0)
+            overhead = max(t_small - unit, 0.0)
             out["queries"][name] = {
                 "t_sf0_1_s": round(t_small, 2),
                 "t_sf1_s": round(t_big, 2),
                 "exponent": round(exp, 2),
+                "rows_small": int(rows_small),
+                "rows_big": int(rows_big),
+                "fixed_overhead_s": round(overhead, 2),
             }
             log(
                 f"bench sf1 rehearsal {name}: {t_small:.2f}s -> {t_big:.2f}s "
-                f"(exponent {exp:.2f})"
+                f"(exponent {exp:.2f}; rows {rows_small} -> {rows_big}; "
+                f"fixed overhead {overhead:.2f}s)"
             )
 
         # iterative-graph scale point: the 25-node trade graph vs the
@@ -587,14 +598,24 @@ def main() -> None:
 
     # same 8-client shape as the raw number above, then the scaling
     # story: throughput grows with offered concurrency (more queries
-    # coalesce per job) instead of collapsing into the per-job floor
+    # coalesce per job) instead of collapsing into the per-job floor.
+    # The 64/256-client points are best-of-2 (round-5 variance fix: a
+    # single window swung 2.4x across rounds on host scheduling noise;
+    # min-of-N elapsed = max-of-N qps is the same steady-state
+    # estimator every other timed section uses).
     concurrent_qps_coalesced = serve_qps(8, 256)
-    concurrent_qps_coalesced_64 = serve_qps(64, 1024)
-    concurrent_qps_coalesced_256 = serve_qps(256, 4096)
+    concurrent_qps_coalesced_64 = max(serve_qps(64, 1024) for _ in range(2))
+    concurrent_qps_coalesced_256 = max(serve_qps(256, 4096) for _ in range(2))
+    # pinned floor: coalescing must beat the raw per-job path by >= 5x
+    # at 256 clients — if this ever reads False in a round's JSON, the
+    # serving path regressed (not just host variance; the raw number is
+    # measured in the same run under the same host conditions)
+    coalesced_floor_ok = concurrent_qps_coalesced_256 >= 5.0 * concurrent_qps
     log(
         f"bench concurrent coalesced: 8 threads -> {concurrent_qps_coalesced:.0f} qps; "
         f"64 threads -> {concurrent_qps_coalesced_64:.0f} qps; "
-        f"256 threads -> {concurrent_qps_coalesced_256:.0f} qps"
+        f"256 threads -> {concurrent_qps_coalesced_256:.0f} qps; "
+        f"floor(>=5x raw {concurrent_qps:.0f}): {'OK' if coalesced_floor_ok else 'REGRESSED'}"
     )
     serve_table.unpersist()
 
@@ -810,6 +831,7 @@ def main() -> None:
         "concurrent_qps_coalesced": round(concurrent_qps_coalesced, 1),
         "concurrent_qps_coalesced_64clients": round(concurrent_qps_coalesced_64, 1),
         "concurrent_qps_coalesced_256clients": round(concurrent_qps_coalesced_256, 1),
+        "coalesced_floor_ok": bool(coalesced_floor_ok),
         "mem_bytes_per_vector": mem_scaling,
         "ann_recall_at_10": ann_recall,
         "dedup_pair_recall": dedup_pair_recall,
