@@ -103,6 +103,8 @@ HEADLINE = [
     "importance_weights",
     "media_audio_stats",
     "media_audio_resample",
+    # round-5: real baseline-JPEG decode (DCT/Huffman path)
+    "media_jpeg_stats",
     "corpus_drift",
     "hard_negatives",
     "dup_source_matrix",

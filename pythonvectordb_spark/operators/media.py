@@ -6,8 +6,11 @@ stdlib zlib — ``text_as_png`` builds genuine PNG payloads and
 ``media_image_stats`` decompresses + unfilters them, oracle-checked
 end-to-end), and so is PCM WAV audio (``functions/wav.py`` —
 ``value_as_wav`` builds genuine RIFF files, ``media_audio_stats``
-chunk-walks and parses them, oracle-checked). The container has no
-JPEG/video/compressed-audio codecs, so for those
+chunk-walks and parses them, oracle-checked), and baseline JPEG
+(``functions/jpeg.py`` — real DCT/Huffman/zigzag/DPCM marker machinery,
+``text_as_jpeg`` builds genuine JPEGs whose block-constant fixtures make
+the lossy path bit-exactly oracle-checkable). The container has no
+video/compressed-audio codecs, so for those
 formats the *decode* step is a deterministic stand-in (byte length +
 md5) behind the same interface a real decoder would use; the Spark-side
 plumbing — binary column, schema, batch iteration, partition behavior —
@@ -525,13 +528,162 @@ def media_audio_resample(
 
 def decode_media_stub_real() -> None:
     """Marker for the genuinely-unimplementable step in this container:
-    JPEG / video / COMPRESSED-audio decoding requires codec libraries
-    not installed here. PNG images (functions/png.py) and PCM WAV audio
-    (functions/wav.py) are now REALLY decoded, both oracle-checked;
-    this marker covers the remaining formats only."""
+    video / COMPRESSED-audio decoding requires codec libraries not
+    installed here. PNG images (functions/png.py), baseline JPEG
+    (functions/jpeg.py — real DCT/Huffman/marker machinery), and PCM
+    WAV audio (functions/wav.py) are all REALLY decoded and
+    oracle-checked; this marker covers video and compressed audio
+    only (formally de-scoped in SURVEY §2.12 — the container ships no
+    ffmpeg and a from-scratch H.264/MP3 decoder is out of proportion
+    to the surface it would cover)."""
     raise NotImplementedError(
-        "JPEG/video/compressed-audio decoding requires PIL/ffmpeg; PNG "
-        "and PCM WAV decode for real via functions/png.py + wav.py, "
+        "video/compressed-audio decoding requires ffmpeg; PNG, baseline "
+        "JPEG and PCM WAV decode for real via functions/{png,jpeg,wav}.py, "
         "other formats use the deterministic stand-in wired through the "
         "same mapInPandas path"
     )
+
+
+# ---------------------------------------------------------------- JPEG
+
+JPEG_SIDE = 16  # 2x2 grid of 8x8 DCT blocks
+
+
+def text_as_jpeg(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG payloads, deterministically derived from text:
+    the 16x16 greyscale image is a 2x2 grid of 8x8 blocks, block j
+    (row-major) CONSTANT at byte j of md5(text). Constant blocks make
+    the lossy DCT path bit-exactly predictable (functions/jpeg.py
+    module docstring: decoded value = clamp(3*round((v-128)/3)+128)),
+    so the decode below is oracle-checkable in pure integer SQL while
+    the payloads remain genuine JPEGs — real DQT/DHT/SOF/SOS markers,
+    canonical Huffman entropy coding, DPCM, zigzag — that any baseline
+    decoder opens."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_encode
+
+    side = JPEG_SIDE
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                d = hashlib.md5(str(text).encode("utf-8")).digest()
+                arr = np.empty((side, side), dtype=np.uint8)
+                arr[:8, :8] = d[0]
+                arr[:8, 8:] = d[1]
+                arr[8:, :8] = d[2]
+                arr[8:, 8:] = d[3]
+                payloads.append(jpeg_encode(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_build, _PNG_PAYLOAD_SCHEMA)
+
+
+def media_jpeg_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL JPEG decode end-to-end: parse markers, rebuild the Huffman
+    tables FROM the stream's DHT segments, entropy-decode, dequantize,
+    IDCT (functions/jpeg.py) and report (dims, pixel sum, md5 of the
+    pixel bytes' hex rendering — the same engine-portable digest
+    contract as `media_image_stats`). Against `text_as_jpeg` payloads
+    the DuckDB oracle recomputes the decoded pixels straight from the
+    block-constant DEFINITION in integer arithmetic, so a codec bug
+    anywhere in the marker/Huffman/zigzag/DPCM/IDCT pipeline breaks the
+    value hash. This retires the 'JPEG is a stand-in' marker; the
+    remaining `decode_media_stub_real` covers video/compressed audio
+    only."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, np_, sums, md5s = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = jpeg_decode(bytes(payload))
+                h, w = arr.shape
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                np_.append(int(arr.size))
+                sums.append(int(np.asarray(arr, dtype=np.int64).sum()))
+                md5s.append(
+                    hashlib.md5(arr.tobytes().hex().encode("ascii")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(np_, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pixel_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_stats, MEDIA_IMAGE_STATS_SCHEMA)
+
+
+MEDIA_JPEG_ERROR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_sum", LongType()),
+        StructField("within_bound", LongType()),
+    ]
+)
+
+JPEG_ERR_BOUND = 48  # deterministic fixtures measure max 16-20; 48 = safe margin
+
+
+def media_jpeg_roundtrip_error(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lossy-codec quality guarantee (the `approx_percentile_error`
+    pattern): build a full-noise 16x16 image from the md5 chain of the
+    text (every pixel independent — the hardest case for a DCT codec),
+    encode -> decode through the REAL JPEG pipeline, and emit the
+    original pixel sum (recomputable by the oracle straight from the
+    pixel definition) plus a max-absolute-reconstruction-error bound
+    check. The fixture is deterministic, so the error is a fixed number
+    per doc (measured max 16-20 at both SFs; bound 48) — the oracle
+    asserts the bound as constant 1, and the hash-matched `orig_sum`
+    pins that the image the codec was fed is the one the oracle
+    scored."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    side = JPEG_SIDE
+    n_digests = side * side // 16
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums, oks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                arr = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(f"{text}:{i}".encode("utf-8")).digest()
+                        for i in range(n_digests)
+                    ),
+                    dtype=np.uint8,
+                ).reshape(side, side)
+                dec = jpeg_decode(jpeg_encode(arr))
+                err = int(np.abs(dec.astype(np.int64) - arr.astype(np.int64)).max())
+                ids.append(doc_id)
+                sums.append(int(arr.astype(np.int64).sum()))
+                oks.append(1 if err <= JPEG_ERR_BOUND else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_sum": pd.Series(sums, dtype="int64"),
+                    "within_bound": pd.Series(oks, dtype="int64"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_run, MEDIA_JPEG_ERROR_SCHEMA)

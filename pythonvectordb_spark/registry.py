@@ -2233,6 +2233,90 @@ FROM rv GROUP BY doc_id
 """
 
 
+def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end (new round 5): build genuine
+    JPEG payloads — real DQT/DHT/SOF/SOS markers, canonical Huffman
+    entropy coding, zigzag, DPCM — whose 16x16 grey image is a 2x2 grid
+    of CONSTANT 8x8 blocks valued at bytes 0-3 of md5(text)
+    (`media.text_as_jpeg`), then parse + entropy-decode + dequantize +
+    IDCT them with the pure-stdlib codec (`functions/jpeg.py`) and
+    report dims / pixel sum / pixel digest. Constant blocks make the
+    lossy DCT path bit-exact (decoded value = clamp(3*round((v-128)/3)
+    + 128), never a half-integer — jpeg.py module docstring), so the
+    oracle recomputes the decoded pixels straight from that integer
+    definition: a codec bug anywhere in the marker/Huffman/zigzag/DPCM/
+    IDCT pipeline breaks the value hash. Retires the 'JPEG is a
+    stand-in' marker (SURVEY §2.12 multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_jpeg_stats(MM.text_as_jpeg(docs))
+
+
+def o_media_jpeg_stats() -> str:
+    # round(t/3) in pure integers: (|t|+1)//3 with the sign restored
+    # (t = v-128 is never a half-multiple of 3, so no tie-break issue)
+    def dec(v: str) -> str:
+        return (
+            f"GREATEST(0, LEAST(255, 128 + 3 * (CASE WHEN {v} >= 128 "
+            f"THEN ({v} - 127) // 3 ELSE -((129 - {v}) // 3) END)))"
+        )
+
+    def hx(d: str) -> str:
+        return f"lpad(lower(hex({d})), 2, '0')"
+
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 2))::BIGINT AS v0,
+         ('0x' || substr(md5(text), 3, 2))::BIGINT AS v1,
+         ('0x' || substr(md5(text), 5, 2))::BIGINT AS v2,
+         ('0x' || substr(md5(text), 7, 2))::BIGINT AS v3
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, {dec('v0')} AS d0, {dec('v1')} AS d1,
+         {dec('v2')} AS d2, {dec('v3')} AS d3
+  FROM v
+)
+SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(256 AS BIGINT) AS n_pixels,
+       CAST(64 * (d0 + d1 + d2 + d3) AS BIGINT) AS pixel_sum,
+       md5(repeat(repeat({hx('d0')}, 8) || repeat({hx('d1')}, 8), 8)
+           || repeat(repeat({hx('d2')}, 8) || repeat({hx('d3')}, 8), 8)) AS pixel_md5
+FROM dec
+"""
+
+
+def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-codec reconstruction guarantee (the `approx_percentile_error`
+    pattern, new round 5): full-noise 16x16 images from the md5 chain of
+    the text — every pixel independent, the hardest case for a DCT
+    codec — encoded then decoded through the REAL JPEG pipeline. Emits
+    the original pixel sum (hash-matched against the oracle's own
+    computation from the pixel definition, pinning WHAT was encoded)
+    and a max-abs-reconstruction-error bound check (measured 16-20 on
+    the deterministic fixtures; bound 48) that the oracle asserts as
+    constant 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_jpeg_roundtrip_error(docs)
+
+
+def o_media_jpeg_roundtrip() -> str:
+    return """
+WITH px AS (
+  SELECT doc_id,
+         string_agg(md5(text || ':' || CAST(i AS VARCHAR)), '' ORDER BY i) AS hexpix
+  FROM documents CROSS JOIN range(0, 16) r(i)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(sum(('0x' || substr(hexpix, CAST(2 * j + 1 AS INT), 2))::BIGINT)
+            AS BIGINT) AS orig_sum,
+       CAST(1 AS BIGINT) AS within_bound
+FROM px CROSS JOIN range(0, 256) s(j)
+GROUP BY doc_id
+"""
+
+
 def q_media_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow execution shape (raw RecordBatches, no pandas) —
     byte-identical to the mapInPandas path, same oracle."""
@@ -10054,6 +10138,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mllib_ivf_search": q_mllib_ivf_search,
     "mllib_brp_neardup": q_mllib_brp_neardup,
     "mllib_minhash_dedup": q_mllib_minhash_dedup,
+    # --- new round 5 (staged behind the 38 + 4 above; together they
+    # fill the round-6 front-50 exactly) ---------------------------
+    "media_jpeg_stats": q_media_jpeg_stats,
+    "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
     # --- previously driver-witnessed block (green rows in
     # CORRECTNESS_r01-r04; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ----------------------
@@ -10350,6 +10438,8 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_wide": o_dedup_simhash_wide(),
     "duplicate_spans": o_duplicate_spans(),
     "media_image_resize": o_media_image_resize(),
+    "media_jpeg_stats": o_media_jpeg_stats(),
+    "media_jpeg_roundtrip": o_media_jpeg_roundtrip(),
     "approx_distinct_error": o_approx_distinct_error(),
     "contamination_spans": o_contamination_spans(),
     "scrub_spans": o_scrub_spans(),

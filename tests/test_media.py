@@ -340,3 +340,108 @@ def test_media_audio_resample_box_decimate(spark):
         o64 = out.astype(np.int64)
         assert r.sum_sq == int((o64 * o64).sum())
         assert r.pcm_md5 == hl.md5(out.tobytes().hex().encode("ascii")).hexdigest()
+
+
+# pure-stdlib baseline JPEG codec (functions/jpeg.py) — the REAL lossy
+# image decode path (DCT/Huffman/zigzag/DPCM, tables read from the stream)
+
+
+def test_jpeg_constant_block_contract():
+    """The oracle's integer contract: an 8x8 constant block at value v
+    decodes to exactly clamp(3*round((v-128)/3) + 128) — for EVERY v."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    for v in range(256):
+        img = np.full((8, 8), v, dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(img))
+        t = v - 128
+        r = (abs(t) + 1) // 3 * (1 if t >= 0 else -1)
+        expect = min(255, max(0, 128 + 3 * r))
+        assert dec.shape == (8, 8) and (dec == expect).all(), (v, expect, dec[0, 0])
+
+
+def test_jpeg_roundtrip_bounded_error_and_odd_dims():
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 32
+    # smooth content reconstructs nearly exactly
+    grad = np.tile((np.arange(64, dtype=np.uint8) * 4), (32, 1))
+    back = jpeg_decode(jpeg_encode(grad))
+    assert int(np.abs(back.astype(int) - grad.astype(int)).max()) <= 4
+    # non-multiple-of-8 dims pad internally and crop on decode
+    odd = rng.integers(0, 256, size=(13, 19), dtype=np.uint8)
+    assert jpeg_decode(jpeg_encode(odd)).shape == (13, 19)
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder must build Huffman/quant tables FROM the DHT/DQT
+    segments, not assume the encoder's: re-encode with a custom quant
+    table and check the decode honors it."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    q = np.full((8, 8), 1, dtype=np.int32)  # near-lossless table
+    img = np.tile(np.arange(8, dtype=np.uint8) * 30, (8, 1))
+    dec = jpeg_decode(jpeg_encode(img, qtable=q))
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_decode_rejects_garbage():
+    import pytest
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"definitely not a jpeg")
+
+
+def test_media_jpeg_stats_real_decode(spark):
+    """End-to-end: text -> genuine JPEG payload -> full marker/Huffman/
+    IDCT decode -> stats, checked against the block-constant contract
+    computed independently in Python."""
+    import hashlib as hl
+
+    import numpy as np
+
+    from pythonvectordb_spark.operators.media import (
+        JPEG_SIDE,
+        media_jpeg_stats,
+        text_as_jpeg,
+    )
+
+    texts = [(1, "hello world"), (2, ""), (3, "x" * 500)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in media_jpeg_stats(text_as_jpeg(df)).collect()}
+    for doc_id, text in texts:
+        d = hl.md5(text.encode()).digest()[:4]
+        dec_vals = []
+        for v in d:
+            t = v - 128
+            r = (abs(t) + 1) // 3 * (1 if t >= 0 else -1)
+            dec_vals.append(min(255, max(0, 128 + 3 * r)))
+        arr = np.empty((16, 16), dtype=np.uint8)
+        arr[:8, :8], arr[:8, 8:], arr[8:, :8], arr[8:, 8:] = dec_vals
+        row = got[doc_id]
+        assert (row.width, row.height, row.n_pixels) == (JPEG_SIDE, JPEG_SIDE, 256)
+        assert row.pixel_sum == 64 * sum(dec_vals)
+        assert row.pixel_md5 == hl.md5(arr.tobytes().hex().encode()).hexdigest()
+
+
+def test_media_jpeg_roundtrip_bound(spark):
+    from pythonvectordb_spark.operators.media import media_jpeg_roundtrip_error
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta beta beta"), (3, "")], "doc_id long, text string"
+    )
+    rows = media_jpeg_roundtrip_error(df).collect()
+    assert len(rows) == 3
+    assert all(r.within_bound == 1 for r in rows)
