@@ -103,8 +103,12 @@ HEADLINE = [
     "importance_weights",
     "media_audio_stats",
     "media_audio_resample",
-    # round-5: real baseline-JPEG decode (DCT/Huffman path)
+    # round-5: real baseline-JPEG decode (DCT/Huffman path), KN-smoothed
+    # bigram LM, batch novelty gate, char-entropy compressibility
     "media_jpeg_stats",
+    "kneser_ney_bigrams",
+    "ngram_novelty",
+    "source_compressibility",
     "corpus_drift",
     "hard_negatives",
     "dup_source_matrix",

@@ -1345,3 +1345,133 @@ def quality_pass_by_source(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novel-n-gram rate of an incoming batch against the
+    existing corpus: the content-freshness gate that complements the
+    near-duplicate gate (`incremental_minhash_dedup` answers "have we
+    seen THIS document"; this answers "how much of this document's
+    CONTENT is new"). A batch doc whose shingles are 95% already-known
+    adds little to a pretraining mix even when no single corpus doc
+    matches it — the standard acceptance metric for continual-crawl
+    curation.
+
+    Emits per batch doc: distinct-shingle count, how many of those
+    shingles never occur anywhere in the corpus, and the novel
+    fraction (NULL for docs too short to shingle — mirrored in the
+    oracle's CASE guard).
+
+    Scale shape: the corpus side collapses to its DISTINCT shingle set
+    (explode -> groupBy, map-side combine); the batch side explodes
+    only the batch (small by contract); novelty is ONE left-anti
+    equi-join on the shingle key — never a doc x doc comparison. At
+    100 TB the join key would be dictionary-encoded / hashed to 64-bit;
+    the string key keeps the oracle exact here and the shuffle shape is
+    identical.
+    """
+    from pythonvectordb_spark.functions.text import shingles
+
+    corpus_grams = (
+        corpus.select(F.explode(shingles(text_col, n)).alias("g")).groupBy("g").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+    ).select("g")
+    bg = (
+        batch.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("_gs"))
+        .select("doc_id", F.size("_gs").alias("n_shingles"), F.explode_outer("_gs").alias("g"))
+    )
+    novel = (
+        bg.join(corpus_grams, "g", "left_anti")
+        .where(F.col("g").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    base = bg.groupBy("doc_id").agg(
+        F.max("n_shingles").cast("long").alias("n_shingles")
+    )
+    return (
+        base.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).cast("double")
+                    / F.col("n_shingles").cast("double"),
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+LN2_LIT = 0.6931471805599453  # repr(math.log(2)) — literal on both engines
+
+
+def source_compressibility(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source character-level entropy rate in bits per byte — the
+    compression-ratio quality signal (a corpus slice that zstd would
+    crush to 0.5 bits/byte is boilerplate or generated filler; natural
+    prose sits near the top of the range). `source_entropy` measures
+    WORD diversity; this measures the byte stream itself, the proxy
+    for "how much would a compressor remove" without running one.
+
+    H_bits = (N·ln N − Σ_ch c·ln c) / ln 2 over the per-source character
+    counts; bits_per_byte = H_bits / N (ASCII corpus: 1 char = 1 byte,
+    asserted by the byte total emitted alongside). All ln arguments are
+    exact integers (the proven fold recipe); ln 2 is a repr literal on
+    both engines — no runtime libm constant.
+
+    Scale shape: the character explode collapses immediately into a
+    grouped count of at most |alphabet|·|sources| cells (map-side
+    combine does almost all of it pre-shuffle); everything downstream
+    operates on that tiny frame. No sorts, no joins.
+    """
+    chars = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.when(
+                    F.length(text_col) >= 1,
+                    F.expr(
+                        f"transform(sequence(1, length({text_col})), "
+                        f"i -> substring({text_col}, CAST(i AS INT), 1))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("ch"),
+        )
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_src = chars.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_alphabet"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "_s_clnc"
+        ),
+    )
+    n_bytes = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.octet_length(text_col)).cast("long").alias("n_bytes")
+    )
+    h_bits = (
+        F.col("n_chars").cast("double") * F.log(F.col("n_chars").cast("double"))
+        - F.col("_s_clnc")
+    ) / F.lit(LN2_LIT)
+    return per_src.join(n_bytes, "source").select(
+        "source",
+        "n_chars",
+        "n_bytes",
+        "n_alphabet",
+        F.round(h_bits / F.col("n_chars").cast("double"), 6).alias("bits_per_byte"),
+    )

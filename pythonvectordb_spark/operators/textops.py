@@ -1460,3 +1460,96 @@ def token_rank_drift(
         "n_odd",
         (F.col("rank_even") - F.col("rank_odd")).cast("int").alias("rank_delta"),
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    discount: float = 0.75,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities for the
+    corpus' top-``top_n`` bigrams — the classic n-gram LM estimator
+    (Kneser & Ney 1995; Chen & Goodman 1999 empirical study): absolute
+    discount ``d`` on the raw bigram count, with the freed mass backed
+    off to the CONTINUATION unigram P_cont(w2) = |{w1 : c(w1,w2)>0}| /
+    |distinct bigram types| (how many contexts a word completes, not
+    how often it occurs — the fix for "San Francisco"-style words that
+    are frequent but only in one context).
+
+        P_KN(w2|w1) = (c(w1,w2) - d)/c(w1·)
+                      + d · N1+(w1,·)/c(w1·) · P_cont(w2)
+
+    The companion to `unigram_surprisal` (held-out scoring) and
+    `bpe_merge_pairs` (pair frequency): the smoothed conditional an
+    n-gram LM pipeline actually trains. All count inputs are exact
+    integers; the float expression is written with the same literal
+    structure the oracle uses (left-assoc, discount as a repr literal),
+    and the top-N cut orders by (count desc, w1, w2) — integer-exact
+    boundaries, the engine-portable discipline.
+
+    Scale shape: ONE explode into the bigram stream -> grouped count
+    (map-side combine) is the only corpus-sized shuffle; the
+    left-total / distinct-continuation / distinct-context frames are
+    grouped aggregations OF the bigram count table (checkpointed — it
+    feeds four sides); the type-total is a broadcast one-row frame and
+    the final cut is TakeOrderedAndProject. No corpus self-join, no
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    d = float(discount)
+    big = (
+        df.select(tokens(text_col).alias("_tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_tk) >= 2 THEN "
+                    "transform(sequence(1, size(_tk) - 1), "
+                    "i -> struct(element_at(_tk, CAST(i AS INT)) AS w1, "
+                    "element_at(_tk, CAST(i + 1 AS INT)) AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    left = big.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1r"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ncont"))
+    types = big.agg(F.count(F.lit(1)).cast("long").alias("n_types")).withColumn(
+        "_one", F.lit(1)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+    top = (
+        big.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(int(top_n))
+        .join(left, "w1")
+        .join(cont, "w2")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(types), "_one")
+    )
+    p_kn = (
+        (F.col("c").cast("double") - F.lit(d)) / F.col("cw1").cast("double")
+        + F.lit(d)
+        * F.col("n1r").cast("double")
+        / F.col("cw1").cast("double")
+        * F.col("ncont").cast("double")
+        / F.col("n_types").cast("double")
+    )
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "w1",
+        "w2",
+        "c",
+        "cw1",
+        "n1r",
+        "ncont",
+        F.round(p_kn, 6).alias("p_kn"),
+    )

@@ -551,3 +551,40 @@ def test_quality_pass_by_source_shares(spark):
     assert got[("clean", "kept")]["share"] == 1.0
     assert got[("mixed", "kept")]["n_docs"] == 1
     assert got[("mixed", "short")]["share"] == 0.5
+
+
+def test_ngram_novelty_planted_overlap(spark):
+    """Batch doc sharing one of its two 3-shingles with the corpus
+    scores 0.5; an all-new doc scores 1.0; a too-short doc is NULL."""
+    from pythonvectordb_spark.operators.curation import ngram_novelty
+
+    corpus = spark.createDataFrame(
+        [(1, "w x y z")], "doc_id long, text string"  # shingles: {w x y, x y z}
+    )
+    batch = spark.createDataFrame(
+        [(11, "w x y q"), (22, "p q r s"), (33, "t u")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(corpus, batch, n=3).collect()}
+    # batch 11 shingles: {w x y, x y q}; corpus has {w x y, x y z} -> 1 novel
+    assert (got[11].n_shingles, got[11].n_novel) == (2, 1)
+    assert abs(got[11].novelty - 0.5) < 1e-9
+    assert (got[22].n_shingles, got[22].n_novel) == (2, 2)
+    assert abs(got[22].novelty - 1.0) < 1e-9
+    assert got[33].n_shingles == 0 and got[33].n_novel == 0
+    assert got[33].novelty is None
+
+
+def test_source_compressibility_uniform_alphabet(spark):
+    """'abab' per source: 2 symbols, uniform -> exactly 1 bit/byte;
+    a single-symbol source -> 0 bits/byte."""
+    from pythonvectordb_spark.operators.curation import source_compressibility
+
+    df = spark.createDataFrame(
+        [(1, "abab", "S1"), (2, "cccc", "S2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_compressibility(df).collect()}
+    assert (got["S1"].n_chars, got["S1"].n_bytes, got["S1"].n_alphabet) == (4, 4, 2)
+    assert abs(got["S1"].bits_per_byte - 1.0) < 1e-9
+    assert got["S2"].n_alphabet == 1 and abs(got["S2"].bits_per_byte) < 1e-9

@@ -528,3 +528,25 @@ def test_token_rank_drift_planted_swap(spark):
     assert got["y"]["rank_even"] == 2 and got["y"]["rank_odd"] == 1
     assert got["z"]["rank_even"] is None and got["z"]["rank_odd"] == 3
     assert got["z"]["rank_delta"] is None
+
+
+def test_kneser_ney_bigrams_hand_computed(spark):
+    """Corpus 'a b a b' + 'c b': bigrams ab(2) ba(1) cb(1). Left totals:
+    a->3? no: c(a,.)=2 (ab twice), c(b,.)=1 (ba), c(c,.)=1 (cb).
+    N1+(a,.)=1, N1+(b,.)=1, N1+(c,.)=1; continuation counts:
+    N1+(.,b)=2 {a,c}, N1+(.,a)=1 {b}; types T=3."""
+    from pythonvectordb_spark.operators.textops import kneser_ney_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c b")], "doc_id long, text string"
+    )
+    rows = {(r.w1, r.w2): r for r in kneser_ney_bigrams(df, top_n=10).collect()}
+    assert set(rows) == {("a", "b"), ("b", "a"), ("c", "b")}
+    ab = rows[("a", "b")]
+    assert (ab.c, ab.cw1, ab.n1r, ab.ncont) == (2, 2, 1, 2)
+    # P = (2-.75)/2 + .75*1/2*2/3 = 0.625 + 0.25 = 0.875
+    assert abs(ab.p_kn - 0.875) < 1e-9
+    ba = rows[("b", "a")]
+    # P = (1-.75)/1 + .75*1/1*1/3 = 0.25 + 0.25 = 0.5
+    assert abs(ba.p_kn - 0.5) < 1e-9
+    assert ab.rank == 1  # highest count wins rank 1
