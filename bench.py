@@ -109,6 +109,9 @@ HEADLINE = [
     "kneser_ney_bigrams",
     "ngram_novelty",
     "source_compressibility",
+    "ivf_nprobe_curve",
+    "discount_quantity_spearman",
+    "nb_calibration_bins",
     "corpus_drift",
     "hard_negatives",
     "dup_source_matrix",

@@ -841,6 +841,29 @@ def nb_classifier_confusion(
     one per-doc sum and a C-row-per-doc argmax window. No Python, no
     global sort.
     """
+    sc = _nb_doc_scores(df, train_pred, label_col, text_col, id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cls").asc())
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("_lbl").alias(label_col), F.col("cls").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _nb_doc_scores(
+    df: DataFrame,
+    train_pred,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared NB train-and-score pipeline: (id, _lbl, cls, score) with
+    the rounded-score discipline documented on
+    `nb_classifier_confusion` (its original body; also feeds
+    `nb_calibration_bins`)."""
     toks = df.select(
         F.col(id_col),
         F.col(label_col).alias("_lbl"),
@@ -894,14 +917,69 @@ def nb_classifier_confusion(
             F.round(F.col("prior_ln") + F.col("s"), 6).alias("score"),
         )
     )
+    return sc
+
+
+def nb_calibration_bins(
+    df: DataFrame,
+    train_pred,
+    bin_micros: int = 2_500_000,
+    n_bins: int = 10,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability diagram for the NB curation gate: bin scored docs by
+    the MARGIN between the top two per-class log scores and report
+    accuracy per bin — the calibration audit that decides whether the
+    gate's confidence can gate harder (auto-drop high-margin rejects)
+    or needs human review at the low-margin end. A well-calibrated
+    gate shows accuracy rising monotonically with margin; a flat curve
+    means the margin is noise and any threshold is arbitrary.
+
+    Determinism: scores are already ROUNDED 6 (`_nb_doc_scores`), so
+    margin-in-micros = round(score·1e6) top minus second is an exact
+    integer in both engines; bins are pure integer division clamped at
+    ``n_bins``; accuracy is one division ROUNDED 6. Docs need >= 2
+    trained classes to have a margin (always true here — mirrored by
+    the oracle's rank-2 join).
+
+    Scale shape: everything downstream of the shared scoring pipeline
+    operates on C-rows-per-doc frames: one rank window per doc (C
+    rows), one self-equi-join on doc_id between the rank-1 and rank-2
+    frames, one grouped count over ~n_bins cells.
+    """
     from pyspark.sql import Window
 
+    sc = _nb_doc_scores(df, train_pred, label_col, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cls").asc())
-    return (
-        sc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(F.col("_lbl").alias(label_col), F.col("cls").alias("predicted"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    rk = sc.select(
+        id_col,
+        "_lbl",
+        "cls",
+        F.round(F.col("score") * F.lit(1000000.0)).cast("long").alias("micro"),
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint(eager=False)
+    top = rk.filter(F.col("rn") == 1).select(
+        id_col, "_lbl", F.col("cls").alias("pred"), F.col("micro").alias("m1")
+    )
+    snd = rk.filter(F.col("rn") == 2).select(id_col, F.col("micro").alias("m2"))
+    b = top.join(snd, id_col).select(
+        F.least(
+            F.expr(f"(m1 - m2) DIV {int(bin_micros)}"), F.lit(int(n_bins))
+        )
+        .cast("int")
+        .alias("bin"),
+        (F.col("pred") == F.col("_lbl")).alias("ok"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
     )
 
 

@@ -1298,6 +1298,75 @@ def ann_recall_curve(
     )
 
 
+def ann_nprobe_curve(
+    base: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    nprobes: Sequence[int] = (1, 2, 4, 8),
+    k: int = 10,
+    rerank: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k as a function of the IVF probe width — the OTHER axis of
+    the index-tuning surface (`ann_recall_curve` sweeps the cutoff k at
+    a fixed configuration; this sweeps nprobe at a fixed k): the curve
+    that tells an operator how many clusters they must pay to scan for
+    a recall target, i.e. the latency/recall trade-off of the coarse
+    quantizer itself.
+
+    One exact ground-truth top-k (TakeOrderedAndProject over the
+    corpus, checkpointed — it joins every sweep point) and one IVF+PQ
+    run per probe width; each sweep point reduces to a k-row semi-join
+    + count. On an ingest-time-clustered table each ANN run is a
+    partition-pruned scan reading nprobe/nclusters of the data (see
+    `ann_ivf_pq_search`), so the whole curve costs roughly ONE full
+    scan plus the ground truth — at 100 TB the exact side is the
+    dominant term, which is what the audit exists to amortize: measure
+    once, serve at the cheapest nprobe that clears the target.
+    """
+    from pythonvectordb_spark.functions.vector import cosine_similarity
+
+    exact = (
+        base.select(
+            F.col(id_col),
+            F.round(cosine_similarity(_query_lit(query), vec_col), 9).alias("r9"),
+        )
+        .orderBy(F.desc("r9"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for np_ in nprobes:
+        ann = ann_ivf_pq_search(
+            base,
+            query,
+            centroids,
+            codebooks,
+            k=k,
+            nprobe=int(np_),
+            rerank=rerank,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        point = (
+            ann.select(id_col)
+            .join(exact, id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            .select(
+                F.lit(int(np_)).cast("int").alias("nprobe"),
+                "n_overlap",
+                F.round(
+                    F.col("n_overlap").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+        out = point if out is None else out.unionByName(point)
+    return out
+
+
 def rbo_curve(
     list_a: DataFrame,
     list_b: DataFrame,

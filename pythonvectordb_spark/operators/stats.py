@@ -846,3 +846,82 @@ def lognormal_jb(df: DataFrame, value_col: str = "o_totalprice") -> DataFrame:
         F.round(exk, 6).alias("log_excess_kurtosis"),
         F.round(jb, 6).alias("jarque_bera"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_label: str = "n_rows",
+) -> DataFrame:
+    """Spearman rank correlation between two integer-valued columns —
+    the tie-aware monotone-association companion to `kendall_tau`
+    (concordance) and the Pearson moments (`supplier_balance_corr`):
+    rho is Pearson r computed on midranks, robust to the heavy tails
+    and nonlinearity that break raw-value correlation.
+
+    Determinism: ranks never materialize per row (the `mann_whitney`
+    value-frame recipe) — per distinct value the DOUBLED midrank
+    2B + c + 1 is an exact int64, and rho is scale-invariant so the
+    doubling cancels. The five weighted moments are computed over the
+    (x, y) PAIR-count frame with DECIMAL(38,0) cross-products (HUGEINT
+    in the oracle; squared doubled ranks pass int64 at corpus scale),
+    and rho is assembled from exact integers in ONE pinned double
+    operation order, ROUNDED 6; NULL on zero variance.
+
+    Scale shape: one grouped count on (x, y) — map-side combined; the
+    two midrank windows run over DISTINCT-value frames (bounded by
+    value cardinality, not rows); the moment aggregation runs over the
+    |X|·|Y| pair frame. Built for low-cardinality measures (discounts,
+    quantities, bucketed scores); for continuous columns bucket first —
+    the pair frame is the product of the cardinalities.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .localCheckpoint(eager=False)
+    )
+
+    def mid(col: str, out: str) -> DataFrame:
+        wcum = Window.orderBy(F.col(col).asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        vc = pairs.groupBy(col).agg(F.sum("cxy").cast("long").alias("c"))
+        return vc.select(
+            col,
+            (F.lit(2) * (F.sum("c").over(wcum) - F.col("c")) + F.col("c") + F.lit(1))
+            .cast("long")
+            .alias(out),
+        )
+
+    j = pairs.join(F.broadcast(mid("x", "mr2x")), "x").join(
+        F.broadcast(mid("y", "mr2y")), "y"
+    )
+    cd = F.col("cxy").cast("decimal(38,0)")
+    xd = F.col("mr2x").cast("decimal(38,0)")
+    yd = F.col("mr2y").cast("decimal(38,0)")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("cxy").cast("long").alias("n"),
+        F.sum(F.col("cxy") * F.col("mr2x")).cast("long").alias("sx"),
+        F.sum(F.col("cxy") * F.col("mr2y")).cast("long").alias("sy"),
+        F.sum(cd * xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(cd * xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(cd * yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    vx = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    vy = (nd * F.col("syy") - syd * syd).cast("double")
+    return g.select(
+        F.col("n").alias(n_label),
+        "n_cells",
+        F.when((vx > 0) & (vy > 0), F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)).alias(
+            "spearman_rho"
+        ),
+    )

@@ -10033,6 +10033,167 @@ FROM t
 """
 
 
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs IVF probe width (new round 5): the latency/recall
+    trade-off curve of the coarse quantizer — `ann_recall_curve` sweeps
+    the cutoff k at fixed nprobe; this sweeps nprobe ∈ {1,2,4,8} at
+    fixed k on the TRAINED codebooks, telling an operator the cheapest
+    probe width that clears a recall target
+    (`operators/search.ann_nprobe_curve`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_nprobe_curve(
+        emb,
+        FX.QUERY_VEC,
+        FT.CENTROIDS_TRAINED,
+        FT.PQ_CODEBOOKS_TRAINED,
+        nprobes=(1, 2, 4, 8),
+        k=10,
+        rerank=100,
+    )
+
+
+def o_ivf_nprobe_curve(k: int = 10) -> str:
+    cos = O.sql_cosine_float_lit(FX.QUERY_VEC, "embedding")
+    points = []
+    for np_ in (1, 2, 4, 8):
+        ann = _o_ann_ivf_pq(
+            FT.CENTROIDS_TRAINED, FT.PQ_CODEBOOKS_TRAINED, nprobe=np_, k=k
+        ).strip()
+        points.append(
+            f"""
+SELECT CAST({np_} AS INT) AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*)::DOUBLE / {float(k)!r}, 6) AS recall
+FROM ({ann}) a JOIN ex USING (vec_id)"""
+        )
+    body = "\nUNION ALL\n".join(points)
+    return f"""
+WITH ex AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, round({cos}, 9) AS r9 FROM embeddings
+    ORDER BY r9 DESC, vec_id ASC LIMIT {k})
+)
+{body}
+"""
+
+
+def q_nb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the NB curation gate (new round 5):
+    scored docs binned by the margin between the top two per-class log
+    scores, accuracy per bin — the calibration audit behind
+    `nb_lang_confusion`'s aggregate matrix: can the gate's confidence
+    gate harder, or is the margin noise?
+    (`operators/curation.nb_calibration_bins`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.nb_calibration_bins(docs, (F.col("doc_id") % 2) == 0)
+
+
+def o_nb_calibration_bins(bin_micros: int = 2_500_000, n_bins: int = 10) -> str:
+    # same verified NB scoring chain as o_nb_lang_confusion; margins in
+    # exact micros (scores are rounded-6 so round(score*1e6) is the
+    # same integer in both engines), integer-division bins clamped
+    return f"""
+WITH t AS (SELECT doc_id, lang, {O.sql_tokens('text')} AS w,
+                  doc_id % 2 = 0 AS is_tr FROM documents),
+tok AS (SELECT doc_id, lang, is_tr, unnest(w) AS tok FROM t),
+tr AS (SELECT * FROM tok WHERE is_tr),
+te AS (SELECT * FROM tok WHERE NOT is_tr),
+cond AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+         FROM tr GROUP BY 1, 2),
+clstok AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tok_c
+           FROM tr GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM tr),
+ndocs AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM ndocs),
+classes AS (
+  SELECT cls, ln(n_docs::DOUBLE / N::DOUBLE) AS prior_ln, tok_c + V AS denom
+  FROM ndocs JOIN clstok USING (cls) CROSS JOIN vocab CROSS JOIN tot
+),
+sc AS (
+  SELECT te.doc_id, te.lang, c.cls,
+         round(c.prior_ln
+               + sum(ln((coalesce(cond.c_tc, 0) + 1)::DOUBLE
+                        / c.denom::DOUBLE)), 6) AS score
+  FROM te CROSS JOIN classes c
+  LEFT JOIN cond ON cond.cls = c.cls AND cond.tok = te.tok
+  GROUP BY 1, 2, 3, c.prior_ln
+),
+rk AS (
+  SELECT doc_id, lang, cls,
+         CAST(round(score * 1000000.0) AS BIGINT) AS micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM sc
+),
+b AS (
+  SELECT least((top.m1 - snd.m2) // {bin_micros}, {n_bins}) AS bin,
+         (top.pred = top.lang) AS ok
+  FROM (SELECT doc_id, lang, cls AS pred, micro AS m1 FROM rk WHERE rn = 1) top
+  JOIN (SELECT doc_id, micro AS m2 FROM rk WHERE rn = 2) snd USING (doc_id)
+)
+SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS accuracy
+FROM b GROUP BY 1
+"""
+
+
+def q_discount_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line discount and quantity
+    (new round 5): the tie-aware monotone-association test — do bigger
+    lines actually get bigger discounts? Completes the correlation
+    family (Pearson `supplier_balance_corr`, concordance `kendall_tau`)
+    with the midrank estimator; ranks never materialize per row
+    (`operators/stats.spearman_corr`)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    return ST.spearman_corr(li, "disc", "qty", n_label="n_rows")
+
+
+def o_discount_quantity_spearman() -> str:
+    return """
+WITH pairs AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS cxy
+  FROM lineitem GROUP BY 1, 2
+),
+mx AS (
+  SELECT x, CAST(2 * (sum(c) OVER (ORDER BY x ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+               + c + 1 AS BIGINT) AS mr2x
+  FROM (SELECT x, CAST(sum(cxy) AS BIGINT) AS c FROM pairs GROUP BY 1)
+),
+my AS (
+  SELECT y, CAST(2 * (sum(c) OVER (ORDER BY y ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+               + c + 1 AS BIGINT) AS mr2y
+  FROM (SELECT y, CAST(sum(cxy) AS BIGINT) AS c FROM pairs GROUP BY 1)
+),
+j AS (SELECT cxy, mr2x, mr2y FROM pairs JOIN mx USING (x) JOIN my USING (y)),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(cxy) AS BIGINT) AS n,
+             CAST(sum(cxy * mr2x) AS BIGINT) AS sx,
+             CAST(sum(cxy * mr2y) AS BIGINT) AS sy,
+             sum(cxy::HUGEINT * mr2x::HUGEINT * mr2y::HUGEINT) AS sxy,
+             sum(cxy::HUGEINT * mr2x::HUGEINT * mr2x::HUGEINT) AS sxx,
+             sum(cxy::HUGEINT * mr2y::HUGEINT * mr2y::HUGEINT) AS syy
+      FROM j)
+SELECT n AS n_rows, n_cells,
+       CASE WHEN (n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE > 0
+             AND (n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT)::DOUBLE > 0
+       THEN round((n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT)::DOUBLE
+                  / (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE)
+                     * sqrt((n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT)::DOUBLE)),
+                  6)
+       END AS spearman_rho
+FROM g
+"""
+
+
 def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney smoothed bigram LM over the corpus (new
     round 5): absolute discount 0.75 with the freed mass backed off to
@@ -10250,6 +10411,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kneser_ney_bigrams": q_kneser_ney_bigrams,
     "ngram_novelty": q_ngram_novelty,
     "source_compressibility": q_source_compressibility,
+    "ivf_nprobe_curve": q_ivf_nprobe_curve,
+    "discount_quantity_spearman": q_discount_quantity_spearman,
+    "nb_calibration_bins": q_nb_calibration_bins,
     # --- previously driver-witnessed block (green rows in
     # CORRECTNESS_r01-r04; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ----------------------
@@ -10551,6 +10715,9 @@ ORACLES: dict[str, str] = {
     "kneser_ney_bigrams": o_kneser_ney_bigrams(),
     "ngram_novelty": o_ngram_novelty(),
     "source_compressibility": o_source_compressibility(),
+    "ivf_nprobe_curve": o_ivf_nprobe_curve(),
+    "discount_quantity_spearman": o_discount_quantity_spearman(),
+    "nb_calibration_bins": o_nb_calibration_bins(),
     "approx_distinct_error": o_approx_distinct_error(),
     "contamination_spans": o_contamination_spans(),
     "scrub_spans": o_scrub_spans(),

@@ -588,3 +588,20 @@ def test_source_compressibility_uniform_alphabet(spark):
     assert (got["S1"].n_chars, got["S1"].n_bytes, got["S1"].n_alphabet) == (4, 4, 2)
     assert abs(got["S1"].bits_per_byte - 1.0) < 1e-9
     assert got["S2"].n_alphabet == 1 and abs(got["S2"].bits_per_byte) < 1e-9
+
+
+def test_nb_calibration_bins_separable(spark):
+    """Cleanly separable classes: every scored doc lands in some bin
+    with accuracy 1.0, and bins stay within [0, n_bins]."""
+    from pythonvectordb_spark.operators.curation import nb_calibration_bins
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(8):
+        rows.append((2 * i, "en", "the cat sat on the mat the end"))
+        rows.append((2 * i + 1, "de", "der hund lief durch den wald schnell"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = nb_calibration_bins(df, (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 1)).collect()
+    assert sum(r.n_docs for r in out) > 0
+    assert all(0 <= r.bin <= 10 for r in out)
+    assert all(r.n_correct == r.n_docs and abs(r.accuracy - 1.0) < 1e-9 for r in out)

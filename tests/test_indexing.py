@@ -229,3 +229,29 @@ def test_mllib_guarantee_queries_emit_pass_bits(spark):
     assert brp.recall_ok == 1 and brp.n_exact_pairs > 0
     (mh,) = QUERIES["mllib_minhash_dedup"](spark, SF_SMOKE).collect()
     assert mh.recall_ok == 1 and mh.n_exact_pairs > 0
+
+
+def test_ann_nprobe_curve_monotone_to_exact(spark, raw):
+    """Full probe (nprobe = n_centroids) + rerank >= corpus makes the
+    sweep's last point EXACT (recall 1.0); earlier points never exceed
+    a wider probe by construction of the candidate sets."""
+    import pythonvectordb_spark.fixtures as FX
+    import pythonvectordb_spark.fixtures_trained as FT
+    from pythonvectordb_spark.operators.search import ann_nprobe_curve
+
+    n = raw.count()
+    rows = {
+        r.nprobe: r
+        for r in ann_nprobe_curve(
+            raw,
+            FX.QUERY_VEC,
+            FT.CENTROIDS_TRAINED,
+            FT.PQ_CODEBOOKS_TRAINED,
+            nprobes=(1, len(FT.CENTROIDS_TRAINED)),
+            k=10,
+            rerank=int(n),
+        ).collect()
+    }
+    full = rows[len(FT.CENTROIDS_TRAINED)]
+    assert full.n_overlap == 10 and abs(full.recall - 1.0) < 1e-9
+    assert 0 <= rows[1].n_overlap <= 10

@@ -246,3 +246,28 @@ def test_lognormal_jb_symmetric_sample(spark):
     assert r["log_skewness"] == 0.0
     assert r["log_excess_kurtosis"] == -2.0
     assert r["jarque_bera"] == round(4 / 6.0 * (0.0 + 4.0 / 4.0), 6)
+
+
+def test_spearman_corr_hand_computed_ties(spark):
+    """x=[1,1,2,2], y=[1,2,3,3]: midranks x=(1.5,1.5,3.5,3.5),
+    y=(1,2,3.5,3.5) -> rho = 4/sqrt(18); monotone data -> exactly 1;
+    constant column -> NULL (zero variance). Repartitioned input so the
+    value-frame cumulative window sees a real distribution."""
+    import math
+
+    from pythonvectordb_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (2, 3)], "x long, y long"
+    ).repartition(4)
+    row = spearman_corr(df, "x", "y").collect()[0]
+    assert row.n_rows == 4 and row.n_cells == 3
+    assert abs(row.spearman_rho - round(4 / math.sqrt(18), 6)) < 1e-9
+
+    mono = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 8)], "x long, y long"
+    ).repartition(3)
+    assert abs(spearman_corr(mono, "x", "y").collect()[0].spearman_rho - 1.0) < 1e-9
+
+    const = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
+    assert spearman_corr(const, "x", "y").collect()[0].spearman_rho is None
