@@ -272,3 +272,46 @@ def test_token_rank_drift_rank_window_is_bounded(spark):
     # every Window sits above a limit, so the plan has no
     # "Window ... partitionBy(is_train)" spec anywhere
     assert "windowspecdefinition(is_train" not in plan.lower()
+
+
+def test_kneser_ney_topn_is_take_ordered(spark):
+    """The top-N bigram cut must be TakeOrderedAndProject over the
+    count table (per-partition heaps), never a global sort of the
+    corpus-sized bigram vocabulary; the moment joins and rank window
+    run on the 20-row survivor frame only."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["kneser_ney_bigrams"](spark, SF_SMOKE)
+    assert E.has_take_ordered(df)
+    assert E.has_partial_aggregate(df)  # bigram counts map-side combine
+
+
+def test_ngram_novelty_is_anti_join_no_cartesian(spark):
+    """Novelty must be ONE left-anti equi-join on the shingle key —
+    never a doc x doc or gram x gram cartesian."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["ngram_novelty"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_compressibility_partial_aggregates(spark):
+    """The character explode must collapse through a map-side partial
+    aggregate (the alphabet x source cells), not shuffle raw chars."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["source_compressibility"](spark, SF_SMOKE)
+    assert E.has_partial_aggregate(df)
+
+
+def test_spearman_midrank_frames_are_broadcast(spark):
+    """Midranks join back to the pair frame as broadcasts (value
+    cardinality, not row cardinality), and the pair count combines
+    map-side."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["discount_quantity_spearman"](spark, SF_SMOKE)
+    assert E.has_broadcast_join(df)
+    assert E.has_partial_aggregate(df)
