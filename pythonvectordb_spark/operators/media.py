@@ -650,7 +650,7 @@ def media_jpeg_roundtrip_error(
     original pixel sum (recomputable by the oracle straight from the
     pixel definition) plus a max-absolute-reconstruction-error bound
     check. The fixture is deterministic, so the error is a fixed number
-    per doc (measured max 16-20 at both SFs; bound 48) — the oracle
+    per doc (measured max 21 across sf0.001+sf0.01; bound 48) — the oracle
     asserts the bound as constant 1, and the hash-matched `orig_sum`
     pins that the image the codec was fed is the one the oracle
     scored."""

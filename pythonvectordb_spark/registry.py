@@ -2293,8 +2293,8 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec — encoded then decoded through the REAL JPEG pipeline. Emits
     the original pixel sum (hash-matched against the oracle's own
     computation from the pixel definition, pinning WHAT was encoded)
-    and a max-abs-reconstruction-error bound check (measured 16-20 on
-    the deterministic fixtures; bound 48) that the oracle asserts as
+    and a max-abs-reconstruction-error bound check (measured max 21 on
+    the deterministic fixtures at sf0.01; bound 48) that the oracle asserts as
     constant 1."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.media_jpeg_roundtrip_error(docs)
