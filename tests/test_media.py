@@ -445,3 +445,19 @@ def test_media_jpeg_roundtrip_bound(spark):
     rows = media_jpeg_roundtrip_error(df).collect()
     assert len(rows) == 3
     assert all(r.within_bound == 1 for r in rows)
+
+
+def test_jpeg_decoder_skips_app_segments():
+    """Externally-produced baseline JPEGs carry APP0/JFIF and COM
+    segments before SOF — the marker walker must skip any unknown
+    length-prefixed segment, not desync."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    data = jpeg_encode(img)
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    patched = data[:2] + app0 + com + data[2:]
+    assert np.array_equal(jpeg_decode(patched), jpeg_decode(data))
