@@ -226,6 +226,9 @@ HEADLINE = [
     "brand_market_presence",
     "returnflag_quantity_mw",
     "daypart_value_anova",
+    # round-6 additions
+    "bpe_merge_table",
+    "bpe_trained_fertility",
 ]
 
 
@@ -433,6 +436,45 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
                 f"(exponent {exp:.2f}; rows {rows_small} -> {rows_big}; "
                 f"fixed overhead {overhead:.2f}s)"
             )
+
+        # --- work witnesses (round-6 VERDICT ask #3): the ~0.9
+        # exponents of the exact-verify families are LINEAR-WORK claims;
+        # measure the work itself, not just wall time, so exponent
+        # drift between rounds (semantic 0.77 r4 -> 0.94 r5) has a
+        # recorded cause. semantic_dedup's compute is the within-block
+        # candidate-pair count (threshold=-2 keeps every candidate —
+        # output rows are threshold-dependent and the scaled twin's
+        # scrambled cross-replica cosines add chance pairs above 0.4,
+        # so OUTPUT growth is a twin artifact, candidate growth is the
+        # engine's work). duplicate_spans' compute is the window-hash
+        # count == total whitespace tokens.
+        cand_small = DD.semantic_dedup_pairs(
+            emb1, sem_centroids(n1), -2.0, assign="arrow"
+        ).count()
+        cand_big = DD.semantic_dedup_pairs(
+            emb10, sem_centroids(n10), -2.0, assign="arrow"
+        ).count()
+        out["queries"]["semantic_dedup"]["candidates_small"] = int(cand_small)
+        out["queries"]["semantic_dedup"]["candidates_big"] = int(cand_big)
+        out["queries"]["semantic_dedup"]["candidate_growth"] = round(
+            cand_big / max(cand_small, 1), 2
+        )
+        tok_small = docs1.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).first()[0]
+        tok_big = docs10.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).first()[0]
+        out["queries"]["duplicate_spans"]["tokens_small"] = int(tok_small)
+        out["queries"]["duplicate_spans"]["tokens_big"] = int(tok_big)
+        out["queries"]["duplicate_spans"]["token_growth"] = round(
+            tok_big / max(tok_small, 1), 2
+        )
+        log(
+            f"bench sf1 work witness: semantic candidates {cand_small} -> "
+            f"{cand_big} ({cand_big / max(cand_small, 1):.2f}x); spans tokens "
+            f"{tok_small} -> {tok_big} ({tok_big / max(tok_small, 1):.2f}x)"
+        )
 
         # iterative-graph scale point: the 25-node trade graph vs the
         # customer<-supplier purchase graph (~10k customers as nodes) on
@@ -827,36 +869,50 @@ def main() -> None:
         sf1_rehearsal = _scale_rehearsal(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver records only the LAST 2000 chars of
+    # output, so the bulky per-query `queries` dict (170+ entries) and
+    # `sf1_rehearsal` go FIRST and the headline scalars LAST — r5 lost
+    # its knn_qps_50k driver datapoint to the old ordering (VERDICT r5
+    # task 2). json.dumps preserves dict insertion order.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "knn_qps_50k": round(qps, 1),
-        "knn_qps_50k_32k_batch": round(qps_32k, 1),
-        "knn_single_ms": round(single_ms, 1),
-        "concurrent_qps": round(concurrent_qps, 1),
-        "concurrent_qps_coalesced": round(concurrent_qps_coalesced, 1),
-        "concurrent_qps_coalesced_64clients": round(concurrent_qps_coalesced_64, 1),
-        "concurrent_qps_coalesced_256clients": round(concurrent_qps_coalesced_256, 1),
-        "coalesced_floor_ok": bool(coalesced_floor_ok),
-        "mem_bytes_per_vector": mem_scaling,
-        "ann_recall_at_10": ann_recall,
-        "dedup_pair_recall": dedup_pair_recall,
-        "n_vectors_tiled": n_vec,
-        "insert_vecs_per_s": round(insert_vps, 1),
-        "delete_anti_join_ms": round(delete_ms, 1),
-        "snapshot_load_ms": round(load_ms, 1),
-        "int8_bytes_per_vector": 64,  # dim bytes/vector, matches reference stat
-        "control_query_s": {
-            "start": control_start,
-            "end": control_end,
-            "delta_pct": control_delta_pct,
-        },
     }
     if sf1_rehearsal is not None:
         out["sf1_rehearsal"] = sf1_rehearsal
+    # Headline scalars LAST so they land inside the driver's tail window.
+    out.update(
+        {
+            "mem_bytes_per_vector": mem_scaling,
+            "ann_recall_at_10": ann_recall,
+            "dedup_pair_recall": dedup_pair_recall,
+            "n_vectors_tiled": n_vec,
+            "insert_vecs_per_s": round(insert_vps, 1),
+            "delete_anti_join_ms": round(delete_ms, 1),
+            "snapshot_load_ms": round(load_ms, 1),
+            "int8_bytes_per_vector": 64,  # dim bytes/vector, matches reference
+            "control_query_s": {
+                "start": control_start,
+                "end": control_end,
+                "delta_pct": control_delta_pct,
+            },
+            "knn_single_ms": round(single_ms, 1),
+            "concurrent_qps": round(concurrent_qps, 1),
+            "concurrent_qps_coalesced": round(concurrent_qps_coalesced, 1),
+            "concurrent_qps_coalesced_64clients": round(
+                concurrent_qps_coalesced_64, 1
+            ),
+            "concurrent_qps_coalesced_256clients": round(
+                concurrent_qps_coalesced_256, 1
+            ),
+            "coalesced_floor_ok": bool(coalesced_floor_ok),
+            "knn_qps_50k_32k_batch": round(qps_32k, 1),
+            "knn_qps_50k": round(qps, 1),
+        }
+    )
     spark.stop()
     print(json.dumps(out))
 

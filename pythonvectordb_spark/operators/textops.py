@@ -935,6 +935,204 @@ def bpe_merge_pairs(
     )
 
 
+BPE_US = "\x1f"  # unit separator: never occurs in pattern-extracted tokens
+
+
+def _bpe_fold_rewrite(seq_col, pair_col, merged_col):
+    """Expression applying ONE BPE merge (``pair_col`` = "l r" ->
+    ``merged_col`` = "lr") to a space-joined symbol string: greedy
+    left-to-right non-overlapping, the canonical BPE rewrite.
+
+    Implemented as a sequential left-assoc string fold (the repo's
+    oracle-parity discipline — DuckDB's ``list_reduce`` replays it
+    bit-identically, see ``registry._bpe_cte_chain``): the accumulator
+    is ``out || US || pending`` where ``pending`` is the previous
+    symbol awaiting its right neighbor; a pair hit flushes the merged
+    symbol and clears ``pending`` so the next symbol cannot re-merge
+    into it (non-overlap). ``out`` accumulates with a leading space
+    that the finish lambda strips.
+    """
+    syms = F.split(seq_col, " ")
+    us = F.lit(BPE_US)
+
+    def out_of(acc):
+        return F.substring_index(acc, BPE_US, 1)
+
+    def prev_of(acc):
+        return F.substring_index(acc, BPE_US, -1)
+
+    def step(acc, x):
+        return (
+            F.when(prev_of(acc) == "", F.concat(out_of(acc), us, x))
+            .when(
+                F.concat(prev_of(acc), F.lit(" "), x) == pair_col,
+                F.concat(out_of(acc), F.lit(" "), merged_col, us),
+            )
+            .otherwise(
+                F.concat(out_of(acc), F.lit(" "), prev_of(acc), us, x)
+            )
+        )
+
+    def finish(acc):
+        full = F.when(prev_of(acc) == "", out_of(acc)).otherwise(
+            F.concat(out_of(acc), F.lit(" "), prev_of(acc))
+        )
+        return F.substring(full, 2, 2_000_000_000)
+
+    return F.aggregate(syms, us, step, finish)
+
+
+def _bpe_words(df: DataFrame, pattern: str, text_col: str) -> DataFrame:
+    """Distinct-word frequency table with the initial character-level
+    symbol string — the ONLY corpus-sized scan in BPE training; every
+    merge round below runs on this vocabulary-sized frame."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    chars = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        " ",
+    )
+    return words.select("w", "wc", chars.alias("seq"))
+
+
+def _bpe_train(
+    words: DataFrame, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Unrolled BPE merge rounds over the distinct-word frequency table
+    (the PageRank unrolled-rounds pattern, `graph.pagerank`): each round
+    is ONE grouped sum on the adjacent-pair key (map-side combined, the
+    frame is vocabulary-sized), a TakeOrdered(1) best pick with
+    (count DESC, pair ASC) tie-break, and a broadcast one-row cross
+    join feeding the expression fold that rewrites every word. Lazy
+    localCheckpoints cut the 10-round lineage so Catalyst never sees a
+    nested 10-deep plan. Returns (merge table, final rewritten words).
+    """
+    cur = words.localCheckpoint(eager=False)
+    merges = None
+    for r in range(1, n_merges + 1):
+        syms = F.split(F.col("seq"), " ")
+        pairs_arr = F.when(
+            F.size(syms) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            cur.select(F.explode(pairs_arr).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("merge_rank"),
+                "pair",
+                F.translate("pair", " ", "").alias("merged"),
+                "n_occurrences",
+            )
+            .localCheckpoint(eager=False)
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("pair").alias("_p"), F.col("merged").alias("_m")
+                    )
+                )
+            )
+            .select(
+                "w",
+                "wc",
+                _bpe_fold_rewrite(F.col("seq"), F.col("_p"), F.col("_m")).alias(
+                    "seq"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return merges, cur
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    pattern: str,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE trainer (round 6; grows `bpe_merge_pairs`, which
+    computes only the FIRST merge): learn the top-``n_merges`` merges by
+    repeatedly (1) counting adjacent symbol pairs weighted by word
+    frequency, (2) merging the most frequent pair — (count DESC, pair
+    ASC) tie-break, greedy left-to-right non-overlapping rewrite — the
+    Sennrich et al. 2016 trainer loop.
+
+    Scale shape: the corpus is scanned ONCE into the distinct-word
+    frequency table; all ``n_merges`` rounds run on that
+    vocabulary-sized frame (pair counts are word-count weighted, the
+    classic trainer trick). Per round: one map-side-combined grouped
+    sum, one TakeOrdered(1), one broadcast one-row join, one expression
+    fold — no corpus rescans, no driver-side loop over data (the merge
+    choice stays in the plan as a broadcast frame).
+
+    Returns ``n_merges`` rows: (merge_rank, pair, merged,
+    n_occurrences).
+    """
+    merges, _ = _bpe_train(_bpe_words(df, pattern, text_col), n_merges)
+    return merges
+
+
+def bpe_trained_fertility(
+    df: DataFrame,
+    pattern: str,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility under the LEARNED merge table (round 6): run
+    the BPE trainer, encode the corpus with its merges (the final
+    rewritten word table IS the encoding — each distinct word's piece
+    count, weighted by frequency), and report corpus-level fertility
+    before (= chars per word) and after. The compression ratio a real
+    BPE vocabulary would buy at this merge count — the number a
+    training-data pipeline needs to budget tokens.
+
+    One row: (n_merges, n_words, n_chars, n_pieces, fertility_chars,
+    fertility_pieces, compression).
+    """
+    words = _bpe_words(df, pattern, text_col)
+    _, final = _bpe_train(words, n_merges)
+    pieces = F.size(F.split(F.col("seq"), " "))
+    return final.agg(
+        F.lit(n_merges).cast("int").alias("n_merges"),
+        F.sum("wc").cast("long").alias("n_words"),
+        F.sum(F.length("w") * F.col("wc")).cast("long").alias("n_chars"),
+        F.sum(pieces.cast("long") * F.col("wc")).cast("long").alias("n_pieces"),
+        F.round(
+            F.sum(F.length("w") * F.col("wc")).cast("double")
+            / F.sum("wc").cast("double"),
+            6,
+        ).alias("fertility_chars"),
+        F.round(
+            F.sum(pieces.cast("long") * F.col("wc")).cast("double")
+            / F.sum("wc").cast("double"),
+            6,
+        ).alias("fertility_pieces"),
+        F.round(
+            F.sum(pieces.cast("long") * F.col("wc")).cast("double")
+            / F.sum(F.length("w") * F.col("wc")).cast("double"),
+            6,
+        ).alias("compression"),
+    )
+
+
 def heaps_law(
     df: DataFrame,
     n_points: int = 10,

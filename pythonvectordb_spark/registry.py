@@ -6380,6 +6380,122 @@ FROM agg
 """
 
 
+BPE_N_MERGES = 10
+
+
+def _bpe_cte_chain(n_merges: int = BPE_N_MERGES) -> str:
+    """Unrolled BPE trainer rounds as MATERIALIZED CTEs (the
+    `o_trade_pagerank` pattern): w0 is the distinct-word frequency
+    table with character-level symbol strings; each round r adds p{r}
+    (weighted adjacent-pair counts), b{r} (the best pair, count DESC /
+    pair ASC), and w{r} (every word rewritten by the same greedy
+    left-to-right non-overlapping fold Spark runs — `list_reduce`
+    replaying `textops._bpe_fold_rewrite`'s out||US||pending
+    accumulator bit-for-bit)."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                         i -> substr(w, CAST(i AS INT), 1)), ' ') AS seq
+  FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_SPLIT}')) AS w
+        FROM documents)
+  GROUP BY 1
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                  i -> syms[i] || ' ' || syms[i + 1])) AS pair, wc
+    FROM (SELECT string_split(seq, ' ') AS syms, wc FROM w{r - 1})
+  ) GROUP BY 1
+),
+b{r} AS MATERIALIZED (
+  SELECT CAST({r} AS INT) AS merge_rank, pair,
+         replace(pair, ' ', '') AS merged, n_occurrences
+  FROM p{r} ORDER BY n_occurrences DESC, pair ASC LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT w, wc,
+    substr(CASE WHEN split_part(acc, chr(31), 2) = ''
+                THEN split_part(acc, chr(31), 1)
+                ELSE split_part(acc, chr(31), 1) || ' ' ||
+                     split_part(acc, chr(31), 2) END, 2) AS seq
+  FROM (
+    SELECT w, wc,
+      list_reduce(list_prepend(chr(31), string_split(seq, ' ')),
+        (acc, x) -> CASE
+          WHEN split_part(acc, chr(31), 2) = ''
+            THEN split_part(acc, chr(31), 1) || chr(31) || x
+          WHEN split_part(acc, chr(31), 2) || ' ' || x = b.pair
+            THEN split_part(acc, chr(31), 1) || ' ' || b.merged || chr(31)
+          ELSE split_part(acc, chr(31), 1) || ' ' ||
+               split_part(acc, chr(31), 2) || chr(31) || x
+        END) AS acc
+    FROM w{r - 1}, b{r} b
+  )
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE trainer (new round 6; VERDICT r5 task 5): the
+    top-10 learned merges by unrolled merge rounds over the
+    distinct-word frequency table — `bpe_merge_pairs` computes only the
+    FIRST merge; this is the full Sennrich-style trainer loop
+    (`operators/textops.bpe_merge_table`; unit-tested against a
+    pure-Python BPE reference in tests/test_textpipeline.py)."""
+    return TX.bpe_merge_table(
+        load_table(spark, sf_dir, "documents"),
+        pattern=_BPE_SPLIT,
+        n_merges=BPE_N_MERGES,
+    )
+
+
+def o_bpe_merge_table() -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, pair, merged, n_occurrences FROM b{r}"
+        for r in range(1, BPE_N_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_cte_chain()}
+{selects}
+"""
+
+
+def q_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under the LEARNED merge table (new round 6):
+    corpus-level pieces-per-word and compression after the 10 trained
+    merges — the re-run of the fertility diagnostic on the trainer's
+    output the round-5 VERDICT asked for
+    (`operators/textops.bpe_trained_fertility`)."""
+    return TX.bpe_trained_fertility(
+        load_table(spark, sf_dir, "documents"),
+        pattern=_BPE_SPLIT,
+        n_merges=BPE_N_MERGES,
+    )
+
+
+def o_bpe_trained_fertility() -> str:
+    return f"""
+WITH {_bpe_cte_chain()}
+SELECT CAST({BPE_N_MERGES} AS INT) AS n_merges,
+       CAST(sum(wc) AS BIGINT) AS n_words,
+       CAST(sum(length(w) * wc) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(seq, ' ')) * wc) AS BIGINT) AS n_pieces,
+       round(sum(length(w) * wc)::DOUBLE / sum(wc)::DOUBLE, 6)
+         AS fertility_chars,
+       round(sum(len(string_split(seq, ' ')) * wc)::DOUBLE
+             / sum(wc)::DOUBLE, 6) AS fertility_pieces,
+       round(sum(len(string_split(seq, ' ')) * wc)::DOUBLE
+             / sum(length(w) * wc)::DOUBLE, 6) AS compression
+FROM w{BPE_N_MERGES}
+"""
+
+
 UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
 
 
@@ -10300,65 +10416,13 @@ FROM g JOIN b USING (source)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-5 front block (driver CORRECTNESS checks the FIRST 50
-    # entries). Composition: the 49 OLDEST never-driver-witnessed
-    # staged queries (21 round-4-early + 2 + 5 session-4 + 22 session-5,
-    # registry order preserved) plus token_rank_drift, promoted with its
-    # round-5 fix (bounded per-half TakeOrdered rank shortlist) so the
-    # fix lands with a driver row (VERDICT r4 task 3). ------------
-    "neyman_allocation": q_neyman_allocation,
-    "source_entropy": q_source_entropy,
-    "embedding_drift": q_embedding_drift,
-    "dedup_graph_triangles": q_dedup_graph_triangles,
-    "heaps_law": q_heaps_law,
-    "good_turing": q_good_turing,
-    "truncation_stats": q_truncation_stats,
-    "source_kl_matrix": q_source_kl_matrix,
-    "source_lang_mi": q_source_lang_mi,
-    "pmi_collocations": q_pmi_collocations,
-    "bootstrap_order_ci": q_bootstrap_order_ci,
-    "ivf_balance": q_ivf_balance,
-    "cusum_shift": q_cusum_shift,
-    "ks_drift": q_ks_drift,
-    "dedup_kcore": q_dedup_kcore,
-    "revenue_gini": q_revenue_gini,
-    "arrival_burstiness": q_arrival_burstiness,
-    "event_type_affinity": q_event_type_affinity,
-    "benford_digits": q_benford_digits,
-    "fk_orphans": q_fk_orphans,
-    "event_debounce": q_event_debounce,
-    "conversion_lag": q_conversion_lag,
-    "user_behavior_entropy": q_user_behavior_entropy,
-    "km_survival": q_km_survival,
-    "hourly_acf": q_hourly_acf,
-    "rank_stability": q_rank_stability,
-    "trimmed_value_stats": q_trimmed_value_stats,
-    "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
-    "hourly_xcorr": q_hourly_xcorr,
-    "kendall_tau": q_kendall_tau,
-    "hhi_concentration": q_hhi_concentration,
-    "mann_whitney": q_mann_whitney,
-    "runs_test": q_runs_test,
-    "hill_tail_index": q_hill_tail_index,
-    "ivf_silhouette": q_ivf_silhouette,
-    "embedding_effective_rank": q_embedding_effective_rank,
-    "dedup_assortativity": q_dedup_assortativity,
-    "copurchase_lift": q_copurchase_lift,
-    "markov_entropy_rate": q_markov_entropy_rate,
-    "discount_elasticity": q_discount_elasticity,
-    "return_rate_wilson": q_return_rate_wilson,
-    "priority_segment_chisq": q_priority_segment_chisq,
-    "interpurchase_gap": q_interpurchase_gap,
-    "source_ttr": q_source_ttr,
-    "source_decile_shift": q_source_decile_shift,
-    "session_depth_hist": q_session_depth_hist,
-    "brand_pareto": q_brand_pareto,
-    "customer_rfm": q_customer_rfm,
-    "fk_fanout_stats": q_fk_fanout_stats,
-    "token_rank_drift": q_token_rank_drift,
-    # --- staged for the ROUND-6 rotation (locally oracled at both SFs +
-    # pytest, no driver row yet; 38 entries — exactly fills a final
-    # front-50 window together with this round's additions) --------
+    # --- round-6 front block (driver CORRECTNESS checks the FIRST 50
+    # entries). Composition (VERDICT r5 task 1): the 38 queries staged
+    # through rounds 4-5 + the 4 mllib_* entries (guarantee oracles
+    # since commit 2cf1439 — schema changed, fresh witness needed) + the
+    # 8 new-round-5 queries = EXACTLY the 50 never-witnessed (or
+    # stale-witnessed) registry entries. After this window EVERY
+    # registered query has a driver CORRECTNESS row. ----------------
     "source_js_matrix": q_source_js_matrix,
     "weekday_uniformity": q_weekday_uniformity,
     "yearly_value_quartiles": q_yearly_value_quartiles,
@@ -10414,6 +10478,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_nprobe_curve": q_ivf_nprobe_curve,
     "discount_quantity_spearman": q_discount_quantity_spearman,
     "nb_calibration_bins": q_nb_calibration_bins,
+    # --- new round 6 (enter at the BACK of the never-witnessed prefix,
+    # per the witness-ordering contract test; front-50 candidates for
+    # the round-7 window) -------------------------------------------
+    "bpe_merge_table": q_bpe_merge_table,
+    "bpe_trained_fertility": q_bpe_trained_fertility,
+    # --- round-5 front block, rotated out after its 50/50-green window
+    # in CORRECTNESS_r05.json (driver-witnessed; still covered every
+    # round by tests/test_oracle_parity.py at sf0.001) --------------
+    "neyman_allocation": q_neyman_allocation,
+    "source_entropy": q_source_entropy,
+    "embedding_drift": q_embedding_drift,
+    "dedup_graph_triangles": q_dedup_graph_triangles,
+    "heaps_law": q_heaps_law,
+    "good_turing": q_good_turing,
+    "truncation_stats": q_truncation_stats,
+    "source_kl_matrix": q_source_kl_matrix,
+    "source_lang_mi": q_source_lang_mi,
+    "pmi_collocations": q_pmi_collocations,
+    "bootstrap_order_ci": q_bootstrap_order_ci,
+    "ivf_balance": q_ivf_balance,
+    "cusum_shift": q_cusum_shift,
+    "ks_drift": q_ks_drift,
+    "dedup_kcore": q_dedup_kcore,
+    "revenue_gini": q_revenue_gini,
+    "arrival_burstiness": q_arrival_burstiness,
+    "event_type_affinity": q_event_type_affinity,
+    "benford_digits": q_benford_digits,
+    "fk_orphans": q_fk_orphans,
+    "event_debounce": q_event_debounce,
+    "conversion_lag": q_conversion_lag,
+    "user_behavior_entropy": q_user_behavior_entropy,
+    "km_survival": q_km_survival,
+    "hourly_acf": q_hourly_acf,
+    "rank_stability": q_rank_stability,
+    "trimmed_value_stats": q_trimmed_value_stats,
+    "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
+    "hourly_xcorr": q_hourly_xcorr,
+    "kendall_tau": q_kendall_tau,
+    "hhi_concentration": q_hhi_concentration,
+    "mann_whitney": q_mann_whitney,
+    "runs_test": q_runs_test,
+    "hill_tail_index": q_hill_tail_index,
+    "ivf_silhouette": q_ivf_silhouette,
+    "embedding_effective_rank": q_embedding_effective_rank,
+    "dedup_assortativity": q_dedup_assortativity,
+    "copurchase_lift": q_copurchase_lift,
+    "markov_entropy_rate": q_markov_entropy_rate,
+    "discount_elasticity": q_discount_elasticity,
+    "return_rate_wilson": q_return_rate_wilson,
+    "priority_segment_chisq": q_priority_segment_chisq,
+    "interpurchase_gap": q_interpurchase_gap,
+    "source_ttr": q_source_ttr,
+    "source_decile_shift": q_source_decile_shift,
+    "session_depth_hist": q_session_depth_hist,
+    "brand_pareto": q_brand_pareto,
+    "customer_rfm": q_customer_rfm,
+    "fk_fanout_stats": q_fk_fanout_stats,
+    "token_rank_drift": q_token_rank_drift,
     # --- previously driver-witnessed block (green rows in
     # CORRECTNESS_r01-r04; still covered every round by
     # tests/test_oracle_parity.py at sf0.001) ----------------------
@@ -10744,6 +10866,8 @@ ORACLES: dict[str, str] = {
     "dq_violations": o_dq_violations(),
     "tokenizer_fertility": o_tokenizer_fertility(),
     "bpe_merge_pairs": o_bpe_merge_pairs(),
+    "bpe_merge_table": o_bpe_merge_table(),
+    "bpe_trained_fertility": o_bpe_trained_fertility(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

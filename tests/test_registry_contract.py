@@ -26,3 +26,61 @@ def test_oracled_schemas_are_driver_canonicalizable(spark):
             if isinstance(f.dataType, NON_SCALAR):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, f"non-scalar columns in oracled queries: {bad}"
+
+
+def test_never_witnessed_queries_sit_in_front():
+    """Witness-pipeline solvency (round-6 VERDICT ask #7): the driver
+    checks the FIRST 50 registry entries each round, so a query that has
+    never received a driver CORRECTNESS row must never sit BEHIND one
+    that has — otherwise staged queries silently age without a witness
+    (the round-4/5 debt this rule retires). New queries therefore enter
+    at the BACK of the never-witnessed prefix, in front of all
+    previously-witnessed entries.
+
+    STALE_WITNESS names queries whose driver row predates a schema
+    change (they must be re-witnessed, so they count as unwitnessed
+    until a post-change CORRECTNESS row lands). Rows-only-by-design
+    entries are pinned LAST and exempt.
+    """
+    import glob
+    import json
+    import os
+
+    from pythonvectordb_spark.registry import ORACLES, QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    witnessed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            witnessed |= set(json.load(fh))
+    if not witnessed:  # fresh clone without driver artifacts: vacuous
+        return
+    # mllib_* graduated to guarantee oracles in round 5 (commit 2cf1439,
+    # schema change) — their r2/r3 rows are stale until round 6's window
+    stale_witness = {
+        "mllib_word2vec",
+        "mllib_ivf_search",
+        "mllib_brp_neardup",
+        "mllib_minhash_dedup",
+    }
+    rows_only = [n for n in QUERIES if n not in ORACLES]
+    order = list(QUERIES)
+    assert order[-len(rows_only):] == rows_only, (
+        "rows-only entries must stay pinned at the very end: "
+        f"{rows_only} vs tail {order[-len(rows_only):]}"
+    )
+    seen_witnessed_at = None
+    for i, name in enumerate(order):
+        if name in rows_only:
+            continue
+        is_witnessed = name in witnessed and name not in stale_witness
+        if is_witnessed and seen_witnessed_at is None:
+            seen_witnessed_at = (i, name)
+        if not is_witnessed and seen_witnessed_at is not None:
+            first_i, first_name = seen_witnessed_at
+            raise AssertionError(
+                f"never-witnessed query {name!r} (position {i}) sits behind "
+                f"witnessed {first_name!r} (position {first_i}); move it into "
+                "the never-witnessed prefix so the next front-50 window "
+                "reaches it"
+            )
