@@ -7,8 +7,14 @@ dimensions padded to 8x8 blocks internally and cropped on decode.
 Huffman tables are written as real DHT segments and the decoder builds
 its tables FROM the stream (canonical code assignment per the JPEG
 spec's BITS/HUFFVAL algorithm), so any valid baseline greyscale JPEG
-with interleaved non-subsampled data decodes, not just our own output.
-Color (3-component YCbCr) and progressive mode are out of scope — PNG
+with interleaved non-subsampled data decodes, not just our own output:
+the marker walker skips 0xFF fill bytes and zero-payload markers
+(TEM, stray RSTn), and DRI restart intervals are honored — the entropy
+decoder byte-aligns at each interval, checks the RSTn sequence number,
+and resets DPCM state (spec F.2.1.3.1). The encoder can emit them too
+(``restart_interval=``), so the restart path is round-trip tested
+against streams this module did not hand itself. Color (3-component
+YCbCr) and progressive mode are out of scope — PNG
 (`functions/png.py`) already covers the RGB path losslessly, and this
 module's purpose is the lossy DCT/Huffman/marker machinery.
 
@@ -124,10 +130,22 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
 
-    def done(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec F.1.2.3; a padded
+        0xFF still gets byte-stuffed by write(), which decoders must and
+        do accept before a marker)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+            self.write((1 << pad) - 1, pad)
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (raw marker bytes — marker 0xFF is
+        never stuffed)."""
+        self.align()
+        self.buf += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def done(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -156,6 +174,24 @@ class _BitReader:
         self.nbits -= n
         return out
 
+    def sync_restart(self) -> int:
+        """Consume a restart marker: discard partial bits (the encoder
+        byte-aligned before emitting it), skip 0xFF fill bytes, expect
+        0xFFD0-0xFFD7, return its sequence number 0-7."""
+        self.acc = 0
+        self.nbits = 0
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1  # fill bytes before a marker
+        if (
+            p + 1 >= len(self.data)
+            or self.data[p] != 0xFF
+            or not (0xD0 <= self.data[p + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos = p + 2
+        return self.data[p + 1] - 0xD0
+
 
 def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -172,8 +208,18 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
-    """uint8 (H, W) greyscale -> baseline JPEG bytes."""
+def jpeg_encode(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H, W) greyscale -> baseline JPEG bytes.
+
+    ``restart_interval`` > 0 writes a DRI segment and emits RSTn every
+    that many MCUs (byte-aligned, DPCM reset, sequence number cycling
+    0-7 per spec F.1.2.3) — the restart path exists so the decoder's
+    RSTn handling is exercised by round-trip tests, and so encoded
+    output is segment-recoverable the way large-scale JPEGs are."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("expected (H, W) greyscale uint8")
@@ -187,8 +233,13 @@ def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     writer = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart(mcu // restart_interval - 1)
+                prev_dc = 0
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coef = _C @ block @ _C.T
             qz = _round_half_away(coef.reshape(64)[ZIGZAG] / q_zz)
@@ -229,7 +280,10 @@ def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
         0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
     )
     sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + writer.done() + b"\xff\xd9"
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + writer.done() + b"\xff\xd9"
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -244,12 +298,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comp_q = 0
     entropy = b""
     dc_id = ac_id = 0
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # any number of 0xFF fill bytes may pad before a marker (B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = (data[pos] << 8) | data[pos + 1]
         if marker == 0xFFD9:
             break
+        if 0xFFD0 <= marker <= 0xFFD7 or marker == 0xFF01:
+            pos += 2  # RSTn / TEM are length-less (B.1.1.3)
+            continue
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]
         pos += 2 + length
@@ -283,6 +344,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             comp_q = payload[8]
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:
             dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
             # entropy data runs to the next real marker (EOI for us)
@@ -299,8 +362,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     out = np.zeros((ph, pw), dtype=np.uint8)
     reader = _BitReader(entropy)
     prev_dc = 0
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                n = reader.sync_restart()
+                if n != (mcu // restart_interval - 1) % 8:
+                    raise ValueError("restart marker out of sequence")
+                prev_dc = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.float64)
             cat = _huff_decode(reader, dc_tab)
             diff = 0

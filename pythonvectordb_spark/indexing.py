@@ -297,7 +297,6 @@ def word2vec_guarantee(
     across engines while still breaking on a vocab-selection or
     synonym-query regression."""
     from pyspark.ml.feature import Word2Vec
-    from pyspark.sql import Window
 
     tok = RegexTokenizer(
         inputCol=text_col, outputCol="words", pattern=r"[^a-z]+", toLowercase=True
@@ -315,36 +314,56 @@ def word2vec_guarantee(
     nv = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_vocab")).withColumn(
         "_one", F.lit(1)
     )
-    syn = model.findSynonyms(probe_word, top_n)  # already similarity-desc
-    w = Window.orderBy(F.desc("similarity"), F.asc("word"))
-    sy = syn.withColumn("prev_sim", F.lag("similarity").over(w))
-    stats = (
-        sy.join(
-            F.broadcast(vocab.withColumnRenamed("word", "vw")),
-            sy["word"] == F.col("vw"),
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
-            (F.count("vw") == F.count(F.lit(1))).cast("long").alias("all_in_vocab"),
-            (F.max((F.col("word") == F.lit(probe_word)).cast("int")) == 0)
-            .cast("long")
-            .alias("probe_excluded"),
-            (
-                F.max(
-                    (
-                        F.col("prev_sim").isNotNull()
-                        & (F.col("similarity") > F.col("prev_sim"))
-                    ).cast("int")
-                )
-                == 0
-            )
-            .cast("long")
-            .alias("sims_monotone"),
-        )
-        .withColumn("_one", F.lit(1))
-    )
+    syn = model.findSynonyms(probe_word, top_n)
+    stats = synonym_order_stats(syn, vocab, probe_word).withColumn("_one", F.lit(1))
     return (
         nv.join(F.broadcast(stats), "_one")
         .select("n_vocab", "n_neighbors", "all_in_vocab", "probe_excluded", "sims_monotone")
+    )
+
+
+def synonym_order_stats(
+    syn: DataFrame, vocab: DataFrame, probe_word: str
+) -> DataFrame:
+    """One-row contract stats over a synonyms frame (word, similarity):
+    (n_neighbors, all_in_vocab, probe_excluded, sims_monotone).
+
+    sims_monotone is checked against the order the frame ACTUALLY
+    returned its rows in (round-5 advice: lagging over a window
+    re-sorted by similarity is tautological — it can never catch an
+    ordering regression). zipWithIndex attaches the positional index of
+    the emitted rows (partition order, then row order within); the lag
+    runs over THAT index, so a findSynonyms that stopped sorting by
+    similarity flips the flag to 0 and breaks the oracle hash — see
+    tests/test_indexing.py's out-of-order fixture for the proof."""
+    from pyspark.sql import Window
+
+    indexed = (
+        syn.rdd.zipWithIndex()
+        .map(lambda t: (t[0]["word"], float(t[0]["similarity"]), t[1]))
+        .toDF(["word", "similarity", "ret_pos"])
+    )
+    w = Window.orderBy(F.asc("ret_pos"))
+    sy = indexed.withColumn("prev_sim", F.lag("similarity").over(w))
+    return sy.join(
+        F.broadcast(vocab.withColumnRenamed("word", "vw")),
+        sy["word"] == F.col("vw"),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        (F.count("vw") == F.count(F.lit(1))).cast("long").alias("all_in_vocab"),
+        (F.max((F.col("word") == F.lit(probe_word)).cast("int")) == 0)
+        .cast("long")
+        .alias("probe_excluded"),
+        (
+            F.max(
+                (
+                    F.col("prev_sim").isNotNull()
+                    & (F.col("similarity") > F.col("prev_sim"))
+                ).cast("int")
+            )
+            == 0
+        )
+        .cast("long")
+        .alias("sims_monotone"),
     )

@@ -113,6 +113,18 @@ def test_jpeg_roundtrip_properties(h, w, seed):
 
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    # plant a constant aligned 8x8 block whenever one fits, so the
+    # integer contract is exercised on every large-enough random image
+    # (DCT blocks are independent, so the surrounding noise can't leak
+    # into the planted block's coefficients)
+    v = int(rng.integers(0, 256))
+    if h >= 8 and w >= 8:
+        img[:8, :8] = v
     dec = jpeg_decode(jpeg_encode(img))
     assert dec.shape == (h, w)
     assert int(np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()) <= 48
+    if h >= 8 and w >= 8:
+        t = v - 128
+        r = (abs(t) + 1) // 3 * (1 if t >= 0 else -1)  # round half away
+        expect = min(255, max(0, 128 + 3 * r))
+        assert np.array_equal(dec[:8, :8], np.full((8, 8), expect, np.uint8))

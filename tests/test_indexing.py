@@ -255,3 +255,24 @@ def test_ann_nprobe_curve_monotone_to_exact(spark, raw):
     full = rows[len(FT.CENTROIDS_TRAINED)]
     assert full.n_overlap == 10 and abs(full.recall - 1.0) < 1e-9
     assert 0 <= rows[1].n_overlap <= 10
+
+
+def test_synonym_order_monotone_flag_is_not_tautological(spark):
+    """Round-5 advice: the sims_monotone guarantee must check the order
+    the synonyms frame ACTUALLY returned, so an out-of-order list flips
+    the flag to 0 — lagging over a similarity-sorted window could never
+    do that."""
+    from pythonvectordb_spark.indexing import synonym_order_stats
+
+    vocab = spark.createDataFrame([("a",), ("b",), ("c",)], "word string")
+    ordered = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.5), ("c", 0.1)], "word string, similarity double"
+    ).coalesce(1)
+    (ok,) = synonym_order_stats(ordered, vocab, "zzz").collect()
+    assert ok.sims_monotone == 1 and ok.all_in_vocab == 1
+
+    shuffled = spark.createDataFrame(
+        [("b", 0.5), ("a", 0.9), ("c", 0.1)], "word string, similarity double"
+    ).coalesce(1)
+    (bad,) = synonym_order_stats(shuffled, vocab, "zzz").collect()
+    assert bad.sims_monotone == 0  # the regression the flag must catch

@@ -461,3 +461,57 @@ def test_jpeg_decoder_skips_app_segments():
     com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
     patched = data[:2] + app0 + com + data[2:]
     assert np.array_equal(jpeg_decode(patched), jpeg_decode(data))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn support (round-6 VERDICT ask): a stream encoded with any
+    restart interval must decode bit-identically to the plain decode —
+    the decoder byte-aligns at each interval, verifies the RSTn sequence
+    number, and resets DPCM state."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(41, 53), dtype=np.uint8)  # 42 MCUs
+    plain = jpeg_decode(jpeg_encode(img))
+    for ri in (1, 2, 3, 5, 7, 100):
+        enc = jpeg_encode(img, restart_interval=ri)
+        assert (b"\xff\xdd" in enc) and ((b"\xff\xd0" in enc) == (ri <= 42))
+        assert np.array_equal(jpeg_decode(enc), plain), f"ri={ri}"
+    # the DPCM reset is real: constant image stays on the exact contract
+    c = np.full((24, 24), 99, dtype=np.uint8)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(c, restart_interval=2)),
+        jpeg_decode(jpeg_encode(c)),
+    )
+
+
+def test_jpeg_restart_marker_out_of_sequence_rejected():
+    """A corrupted RSTn sequence number must raise, not silently desync
+    (spec E.2.4: the number cycles 0-7 and is the resync anchor)."""
+    import numpy as np
+    import pytest
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)  # 4 MCUs
+    enc = bytearray(jpeg_encode(img, restart_interval=1))
+    i = bytes(enc).index(b"\xff\xd0")
+    enc[i + 1] = 0xD5  # RST0 -> RST5: out of sequence
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(enc))
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """0xFF fill bytes may pad before any marker (spec B.1.1.2) — the
+    walker must skip them instead of desyncing."""
+    import numpy as np
+
+    from pythonvectordb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    data = jpeg_encode(img)
+    assert data[2:4] == b"\xff\xdb"
+    filled = data[:2] + b"\xff\xff" + data[2:]  # fill before DQT
+    assert np.array_equal(jpeg_decode(filled), jpeg_decode(data))
