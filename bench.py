@@ -229,6 +229,11 @@ HEADLINE = [
     # round-6 additions
     "bpe_merge_table",
     "bpe_trained_fertility",
+    "kruskal_wallis",
+    "brown_forsythe",
+    "cohens_kappa",
+    "ewma_daily_value",
+    "revenue_drawdown",
 ]
 
 

@@ -476,6 +476,240 @@ def mann_whitney(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame, value_col: str = "value", group_col: str = "event_type"
+) -> DataFrame:
+    """Kruskal-Wallis H test: the k-group generalization of
+    `mann_whitney` — "does ANY group's value distribution differ",
+    rank-based so the heavy tails that break `value_anova`'s normality
+    assumption don't break this. Run it first; a significant H is the
+    license to spend k one-vs-rest U tests finding WHICH group.
+
+    Determinism: the `mann_whitney` doubled-midrank discipline — per
+    distinct value the doubled midrank 2B+c+1 is exact int64, so each
+    group's doubled rank sum S2 and the tie correction sum(c^3-c) are
+    exact integers; H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) with
+    R_g = S2_g/2 assembles in ONE pinned double order (the per-group
+    S2^2/(4n) division is the only per-group float), tie-corrected
+    H' = H / (1 - tie3/(N^3-N)), both ROUNDED 6.
+
+    Scale shape: one grouped count per (group, value) and one per value
+    (map-side combined); the midrank window runs over the DISTINCT
+    value frame; everything after is group-cardinality sized.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    sv = (
+        df.select(F.col(group_col).alias("g"), cents.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    )
+    vc = (
+        df.select(cents.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mid = vc.select(
+        "v",
+        "c",
+        (F.lit(2) * (F.sum("c").over(wcum) - F.col("c")) + F.col("c") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    ).localCheckpoint(eager=False)
+    tots = mid.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+    ).withColumn("_one", F.lit(1))
+    per = (
+        sv.join(mid.select("v", "mr2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("n1"),
+            F.sum(F.col("cg") * F.col("mr2")).cast("long").alias("s2"),
+        )
+    )
+    g = (
+        per.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                F.col("s2").cast("double")
+                * F.col("s2").cast("double")
+                / (F.lit(4.0) * F.col("n1").cast("double"))
+            ).alias("rsum2n"),
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tots), "_one")
+    )
+    nt = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0) / (nt * (nt + F.lit(1.0))) * F.col("rsum2n")
+        - F.lit(3.0) * (nt + F.lit(1.0))
+    )
+    ct = F.lit(1.0) - F.col("tie3").cast("double") / (nt * nt * nt - nt)
+    ok = (F.col("k") > 1) & (F.col("n_total") > F.col("k"))
+    # every row tied at one value drives the correction to exactly 0:
+    # the test is undefined there — NULL, not a divide-by-zero
+    return g.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_total").alias("n_rows"),
+        F.when(ok, F.round(h, 6)).alias("h_raw"),
+        F.when(ok & (ct > 0), F.round(h / ct, 6)).alias("h_stat"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str = "value", group_col: str = "event_type"
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity: ANOVA on absolute
+    deviations from the GROUP MEDIAN — "do these groups differ in
+    SPREAD", the companion question to `value_anova`'s location test
+    (per-group thresholds need re-centering when location shifts but
+    re-SCALING when this rejects). Median-based, so heavy tails don't
+    masquerade as variance differences (that robustness over Levene's
+    mean-based variant is the point).
+
+    Determinism: group medians ride the doubled-median trick (med2 =
+    the sum of the two middle order statistics, exact int64, located on
+    the distinct-value frame by cumulative count ranges — no row-grain
+    rank window); z = |2*cents - med2| is exact int64 per distinct
+    value, so the per-group (n, sum z, sum z^2) moments are exact
+    integers and the F statistic assembles in `value_anova`'s pinned
+    double order, ROUNDED 6.
+
+    Scale shape: one grouped count per (group, value); the cumulative
+    window and the middle-position lookup run on that distinct-value
+    frame (value-cardinality bounded); the moment aggregate is over the
+    same frame weighted by counts; everything after is k-row algebra.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    gv = (
+        df.select(F.col(group_col).alias("g"), cents.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("g")
+    ranged = gv.select(
+        "g",
+        "v",
+        "cg",
+        F.sum("cg").over(wcum).cast("long").alias("hi"),
+        F.sum("cg").over(wall).cast("long").alias("n"),
+    ).localCheckpoint(eager=False)
+    lo = F.col("hi") - F.col("cg") + F.lit(1)
+    k1 = (F.col("n") + 1) / F.lit(2)
+    k2 = (F.col("n") + 2) / F.lit(2)
+    # med2 = v at position floor((n+1)/2) plus v at floor((n+2)/2)
+    # (both the same position when n is odd -> exactly 2*median)
+    med2 = ranged.groupBy("g").agg(
+        F.sum(
+            F.col("v")
+            * (
+                (F.floor(k1).between(lo, F.col("hi"))).cast("long")
+                + (F.floor(k2).between(lo, F.col("hi"))).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    z = F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    per = (
+        ranged.join(F.broadcast(med2), "g")
+        .groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("ng"),
+            F.sum(F.col("cg") * z).cast("long").alias("s"),
+            F.sum(F.col("cg") * z * z).cast("long").alias("q"),
+        )
+    )
+    t = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").cast("long").alias("qq"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("sg2n"),
+    )
+    nn = F.col("nn").cast("double")
+    ssb = F.col("sg2n") - F.col("ss").cast("double") * F.col("ss").cast("double") / nn
+    ssw = F.col("qq").cast("double") - F.col("sg2n")
+    kd = F.col("k").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nn - kd))
+    ok = (F.col("k") > 1) & (F.col("nn") > F.col("k"))
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        F.when(ok & (ssw > 0), F.round(fstat, 6)).alias("bf_stat"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a,
+    rater_b,
+) -> DataFrame:
+    """Cohen's kappa between two binary judges: chance-corrected
+    agreement — the gate-audit statistic for "is my cheap heuristic
+    filter actually agreeing with the expensive one beyond what the
+    base rates force". kappa near 0 with high raw agreement means the
+    agreement is all prevalence; the cheap gate adds nothing.
+
+    ``rater_a`` / ``rater_b`` are boolean Column expressions over the
+    input frame (deterministic rule gates — the registered call pairs a
+    length gate with a token-count gate on documents).
+
+    Determinism: the 2x2 cell counts are exact int64; p_o and p_e are
+    two double divisions from those integers in one pinned order,
+    kappa = (p_o - p_e)/(1 - p_e), all ROUNDED 6; NULL when p_e = 1
+    (a constant rater makes kappa undefined).
+
+    Scale shape: ONE map-side-combined aggregate over the corpus — the
+    four cells are conditional sums in a single pass; everything after
+    is one-row algebra.
+    """
+    a = rater_a.cast("long")
+    b = rater_b.cast("long")
+    t = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("n11"),
+        F.sum(a * (1 - b)).cast("long").alias("n10"),
+        F.sum((1 - a) * b).cast("long").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    return t.select(
+        F.col("n").alias("n_rows"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"),
+    )
+
+
 def ivf_silhouette(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
     """Simplified (centroid-based) silhouette per IVF cell: a = angular
     distance to the ASSIGNED (nearest) centroid, b = distance to the

@@ -902,6 +902,120 @@ def hourly_xcorr(
     )
 
 
+def ewma_daily_value(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Integer EWMA (alpha = 1/2) of daily revenue: the smoothed
+    baseline a drift monitor compares today against — the sequential
+    recurrence ewma_t = (ewma_{t-1} + x_t) >> 1 that no window
+    expression can unroll (each step depends on the previous OUTPUT,
+    not the previous input).
+
+    Determinism: the recurrence runs on exact integer cents with an
+    arithmetic right shift as the halving (both engines' ``>>`` agrees
+    on nonnegative int64), so every step is exact — no float state
+    drifts across 365 steps. The DuckDB oracle replays the identical
+    recurrence as a recursive CTE over the day index.
+
+    Scale shape: ONE map-side-combined grouped sum to the day-grain
+    frame (calendar-bounded, not row-bounded), then a single
+    expression fold over the collected day series — the fold runs on
+    one executor over at most a few thousand struct elements (the
+    `bpe_merge_table` fold discipline: sequential state stays in the
+    plan, never in a driver loop).
+
+    Returns one row per day: (di, cents, ewma_cents, ewma).
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("di", "cents"))).alias("s")
+    )
+    zero = F.expr(
+        "CAST(array() AS array<struct<di:bigint,cents:bigint,ewma:bigint>>)"
+    )
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)["ewma"]
+        ew = F.when(F.size(acc) == 0, x["cents"]).otherwise(
+            F.shiftright(prev + x["cents"], 1)
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["di"].alias("di"),
+                    x["cents"].alias("cents"),
+                    ew.cast("long").alias("ewma"),
+                )
+            ),
+        )
+
+    folded = series.select(F.explode(F.aggregate("s", zero, step)).alias("r"))
+    return folded.select(
+        F.col("r.di").alias("di"),
+        F.col("r.cents").alias("cents"),
+        F.col("r.ewma").alias("ewma_cents"),
+        F.round(F.col("r.ewma").cast("double") / F.lit(100.0), 6).alias("ewma"),
+    )
+
+
+def revenue_drawdown(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Daily-revenue drawdown series: each day's gap below the running
+    peak, plus the running peak itself — the "how bad is the slump"
+    view a revenue health dashboard reads next to `cusum_shift` (which
+    says WHERE the level moved; this says how deep below the best day
+    the stream currently sits).
+
+    Determinism: all exact integer cents — the running peak is a
+    cumulative max window, the drawdown a subtraction; nothing
+    promotes to float.
+
+    Scale shape: one map-side-combined grouped sum to the day grain;
+    the cumulative-max window runs over the calendar-bounded daily
+    frame. No fold needed — unlike `ewma_daily_value`, the running
+    peak depends only on INPUTS, so a window expression unrolls it.
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    wpk = Window.orderBy(F.col("di").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peaked = daily.select(
+        "di", "cents", F.max("cents").over(wpk).cast("long").alias("peak_cents")
+    )
+    return peaked.select(
+        "di",
+        "cents",
+        "peak_cents",
+        (F.col("peak_cents") - F.col("cents")).cast("long").alias("drawdown_cents"),
+    )
+
+
 def runs_test(df: DataFrame, date_col: str = "ts") -> DataFrame:
     """Wald-Wolfowitz runs test on the daily arrival series: are
     above-median and below-median days randomly interleaved, or do they

@@ -8136,6 +8136,206 @@ FROM per CROSS JOIN tots
 """
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across event types (new round 6): the k-group
+    rank test that precedes the one-vs-rest `mann_whitney` sweep —
+    doubled midranks keep rank sums and the tie correction exact int64;
+    H and tie-corrected H' promote once, ROUNDED 6
+    (`operators/stats.kruskal_wallis`)."""
+    return ST.kruskal_wallis(load_table(spark, sf_dir, "events"))
+
+
+def o_kruskal_wallis() -> str:
+    return """
+WITH sv AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cg
+            FROM events GROUP BY 1, 2),
+vc AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS c
+       FROM events GROUP BY 1),
+mid AS (SELECT v, c,
+               CAST(2 * (sum(c) OVER (ORDER BY v ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                    + c + 1 AS BIGINT) AS mr2
+        FROM vc),
+tots AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+         FROM mid),
+per AS (SELECT g, CAST(sum(cg) AS BIGINT) AS n1,
+               CAST(sum(cg * mr2) AS BIGINT) AS s2
+        FROM sv JOIN mid USING (v) GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               sum(s2::DOUBLE * s2::DOUBLE / (4.0 * n1::DOUBLE)) AS rsum2n
+        FROM per)
+SELECT k AS n_groups, n_total AS n_rows,
+       CASE WHEN k > 1 AND n_total > k THEN
+         round(12.0 / (n_total::DOUBLE * (n_total::DOUBLE + 1.0)) * rsum2n
+               - 3.0 * (n_total::DOUBLE + 1.0), 6) END AS h_raw,
+       CASE WHEN k > 1 AND n_total > k
+                 AND (1.0 - tie3::DOUBLE
+                      / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+                         - n_total::DOUBLE)) > 0 THEN
+         round((12.0 / (n_total::DOUBLE * (n_total::DOUBLE + 1.0)) * rsum2n
+                - 3.0 * (n_total::DOUBLE + 1.0))
+               / (1.0 - tie3::DOUBLE
+                  / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+                     - n_total::DOUBLE)), 6) END AS h_stat
+FROM agg CROSS JOIN tots
+"""
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types (new
+    round 6): ANOVA on |value - group median| with the doubled-median
+    trick keeping every deviation exact int64 on the distinct-value
+    frame; the F statistic assembles in `value_anova`'s pinned double
+    order (`operators/stats.brown_forsythe`)."""
+    return ST.brown_forsythe(load_table(spark, sf_dir, "events"))
+
+
+def o_brown_forsythe() -> str:
+    return """
+WITH gv AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cg
+            FROM events GROUP BY 1, 2),
+r AS (SELECT g, v, cg,
+             CAST(sum(cg) OVER (PARTITION BY g ORDER BY v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS hi,
+             CAST(sum(cg) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM gv),
+m AS (SELECT g,
+             CAST(sum(v * ((CASE WHEN (n + 1) // 2
+                                      BETWEEN hi - cg + 1 AND hi
+                                 THEN 1 ELSE 0 END)
+                           + (CASE WHEN (n + 2) // 2
+                                        BETWEEN hi - cg + 1 AND hi
+                                   THEN 1 ELSE 0 END))) AS BIGINT) AS med2
+      FROM r GROUP BY 1),
+per AS (SELECT r.g, CAST(max(n) AS BIGINT) AS ng,
+               CAST(sum(cg * abs(2 * v - med2)) AS BIGINT) AS s,
+               CAST(sum(cg * abs(2 * v - med2) * abs(2 * v - med2))
+                    AS BIGINT) AS q
+        FROM r JOIN m ON r.g = m.g GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss, CAST(sum(q) AS BIGINT) AS qq,
+             sum(s::DOUBLE * s::DOUBLE / ng::DOUBLE) AS sg2n
+      FROM per)
+SELECT k AS n_groups, nn AS n_rows,
+       CASE WHEN k > 1 AND nn > k AND (qq::DOUBLE - sg2n) > 0 THEN
+         round(((sg2n - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE)
+                / (k::DOUBLE - 1.0))
+               / ((qq::DOUBLE - sg2n) / (nn::DOUBLE - k::DOUBLE)), 6)
+       END AS bf_stat
+FROM t
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document gates (new
+    round 6): chance-corrected agreement of the char-length gate
+    (n_chars >= 200) with the token-count gate (>= 40 tokens) — exact
+    2x2 cells in one corpus pass, kappa promotes once
+    (`operators/stats.cohens_kappa`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ST.cohens_kappa(
+        docs,
+        F.col("n_chars") >= 200,
+        F.size(_tokens("text")) >= 40,
+    )
+
+
+def o_cohens_kappa() -> str:
+    return f"""
+WITH f AS (SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+                  CASE WHEN len({O.sql_tokens('text')}) >= 40
+                       THEN 1 ELSE 0 END AS b
+           FROM documents),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM f)
+SELECT n AS n_rows, n11, n10, n01, n00,
+       round((n11 + n00)::DOUBLE / n::DOUBLE, 6) AS p_observed,
+       round(((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+              + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+             / (n::DOUBLE * n::DOUBLE), 6) AS p_expected,
+       CASE WHEN ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                  + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+                 / (n::DOUBLE * n::DOUBLE) < 1.0 THEN
+         round(((n11 + n00)::DOUBLE / n::DOUBLE
+                - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                   + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+                  / (n::DOUBLE * n::DOUBLE))
+               / (1.0 - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                         + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+                        / (n::DOUBLE * n::DOUBLE)), 6) END AS kappa
+FROM t
+"""
+
+
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (alpha=1/2) over daily revenue (new round 6): the
+    sequential recurrence ewma_t = (ewma_{t-1} + x_t) >> 1 on exact
+    cents, run as an expression fold over the calendar-bounded day
+    series — the state depends on previous OUTPUT, so no window can
+    unroll it; the oracle replays the identical recurrence as a
+    recursive CTE (`operators/timeseries.ewma_daily_value`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.ewma_daily_value(load_table(spark, sf_dir, "events"))
+
+
+def o_ewma_daily_value() -> str:
+    return """
+WITH RECURSIVE daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+idx AS (SELECT di, cents,
+               CAST(row_number() OVER (ORDER BY di ASC) AS BIGINT) AS i
+        FROM daily),
+r AS (
+  SELECT i, di, cents, cents AS ewma FROM idx WHERE i = 1
+  UNION ALL
+  SELECT d.i, d.di, d.cents, CAST((r.ewma + d.cents) >> 1 AS BIGINT)
+  FROM r JOIN idx d ON d.i = r.i + 1
+)
+SELECT di, cents, CAST(ewma AS BIGINT) AS ewma_cents,
+       round(ewma::DOUBLE / 100.0, 6) AS ewma
+FROM r
+"""
+
+
+def q_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue drawdown below the running peak (new round 6):
+    exact integer cents end to end — cumulative max window over the
+    calendar-bounded daily frame
+    (`operators/timeseries.revenue_drawdown`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.revenue_drawdown(load_table(spark, sf_dir, "events"))
+
+
+def o_revenue_drawdown() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+p AS (SELECT di, cents,
+             CAST(max(cents) OVER (ORDER BY di ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS peak_cents
+      FROM daily)
+SELECT di, cents, peak_cents,
+       CAST(peak_cents - cents AS BIGINT) AS drawdown_cents
+FROM p
+"""
+
+
 def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald-Wolfowitz runs test on daily event arrivals (staged for the
     round-5 rotation): randomness of above/below-median days — doubled
@@ -10483,6 +10683,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the round-7 window) -------------------------------------------
     "bpe_merge_table": q_bpe_merge_table,
     "bpe_trained_fertility": q_bpe_trained_fertility,
+    "kruskal_wallis": q_kruskal_wallis,
+    "brown_forsythe": q_brown_forsythe,
+    "cohens_kappa": q_cohens_kappa,
+    "ewma_daily_value": q_ewma_daily_value,
+    "revenue_drawdown": q_revenue_drawdown,
     # --- round-5 front block, rotated out after its 50/50-green window
     # in CORRECTNESS_r05.json (driver-witnessed; still covered every
     # round by tests/test_oracle_parity.py at sf0.001) --------------
@@ -10868,6 +11073,11 @@ ORACLES: dict[str, str] = {
     "bpe_merge_pairs": o_bpe_merge_pairs(),
     "bpe_merge_table": o_bpe_merge_table(),
     "bpe_trained_fertility": o_bpe_trained_fertility(),
+    "kruskal_wallis": o_kruskal_wallis(),
+    "brown_forsythe": o_brown_forsythe(),
+    "cohens_kappa": o_cohens_kappa(),
+    "ewma_daily_value": o_ewma_daily_value(),
+    "revenue_drawdown": o_revenue_drawdown(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

@@ -271,3 +271,90 @@ def test_spearman_corr_hand_computed_ties(spark):
 
     const = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
     assert spearman_corr(const, "x", "y").collect()[0].spearman_rho is None
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    """Three groups with ties; H checked against the textbook formula
+    computed directly in Python (midranks, tie correction)."""
+    from pythonvectordb_spark.operators.stats import kruskal_wallis
+
+    data = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+            ("c", 3.0), ("c", 4.0), ("c", 4.0)]
+    df = spark.createDataFrame(data, "event_type string, value double")
+    (row,) = kruskal_wallis(df).collect()
+
+    # python reference with average ranks
+    vals = sorted(v for _, v in data)
+    rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    groups = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(rank[v])
+    n = len(data)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(r) ** 2 / len(r) for r in groups.values()
+    ) - 3 * (n + 1)
+    from collections import Counter
+
+    ties = Counter(vals)
+    ct = 1 - sum(c**3 - c for c in ties.values()) / (n**3 - n)
+    assert row.n_groups == 3 and row.n_rows == 8
+    assert abs(row.h_raw - round(h, 6)) < 1e-9
+    assert abs(row.h_stat - round(h / ct, 6)) < 1e-9
+
+
+def test_brown_forsythe_hand_computed(spark):
+    """Two groups with clearly different spreads; W checked against the
+    ANOVA-on-|x - median| formula computed directly."""
+    from pythonvectordb_spark.operators.stats import brown_forsythe
+
+    ga = [1.0, 2.0, 3.0, 4.0, 5.0]        # median 3, |dev| 2,1,0,1,2
+    gb = [10.0, 10.1, 9.9, 10.05, 9.95]   # tight spread
+    data = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(data, "event_type string, value double")
+    (row,) = brown_forsythe(df).collect()
+
+    import statistics
+
+    def devs(xs):
+        med = statistics.median(xs)
+        return [abs(x - med) for x in xs]
+
+    za, zb = devs([v * 100 for v in ga]), devs([v * 100 for v in gb])
+    allz = za + zb
+    k, n = 2, len(allz)
+    gm = sum(allz) / n
+    ssb = len(za) * (sum(za) / len(za) - gm) ** 2 + len(zb) * (
+        sum(zb) / len(zb) - gm
+    ) ** 2
+    ssw = sum((z - sum(za) / len(za)) ** 2 for z in za) + sum(
+        (z - sum(zb) / len(zb)) ** 2 for z in zb
+    )
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    # operator works on DOUBLED deviations |2v - med2| = 2|v - med|:
+    # the factor 2 cancels inside the F ratio
+    assert row.n_groups == 2 and row.n_rows == 10
+    assert abs(row.bf_stat - round(w, 6)) < 1e-5
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.stats import cohens_kappa
+
+    # 2x2: n11=4 n10=1 n01=2 n00=3 -> po=0.7, pe=(5*6+5*4)/100=0.5, k=0.4
+    rows = [(1, 1)] * 4 + [(1, 0)] * 1 + [(0, 1)] * 2 + [(0, 0)] * 3
+    df = spark.createDataFrame(rows, "a int, b int")
+    (r,) = cohens_kappa(df, F.col("a") == 1, F.col("b") == 1).collect()
+    assert (r.n11, r.n10, r.n01, r.n00) == (4, 1, 2, 3)
+    assert r.p_observed == 0.7 and r.p_expected == 0.5 and r.kappa == 0.4
+    # constant rater -> pe = 1 -> kappa NULL
+    const = spark.createDataFrame([(1, 1), (1, 1)], "a int, b int")
+    (c,) = cohens_kappa(const, F.col("a") == 1, F.col("b") == 1).collect()
+    assert c.kappa is None

@@ -777,3 +777,51 @@ def test_anomalous_days_finds_planted_spike(spark):
     assert len(top) == 1
     r = top[0]
     assert r["n_events"] == 11 and r["weekday_mean"] == 5.0 and r["abs_dev"] == 6.0
+
+
+def test_ewma_daily_value_recurrence(spark):
+    """The integer recurrence ewma_t = (ewma_{t-1} + x_t) >> 1, seeded
+    with the first day, replayed by hand."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import ewma_daily_value
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 5), 1.0),
+        (dt.datetime(2024, 1, 1, 9), 1.5),   # day1 cents 250
+        (dt.datetime(2024, 1, 2, 1), 0.37),  # day2 cents 37
+        (dt.datetime(2024, 1, 3, 1), 9.0),   # day3 cents 900
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r.di: (r.cents, r.ewma_cents, r.ewma) for r in ewma_daily_value(df).collect()}
+    days = sorted(got)
+    assert [got[d][0] for d in days] == [250, 37, 900]
+    e1 = 250
+    e2 = (e1 + 37) >> 1   # 143
+    e3 = (e2 + 900) >> 1  # 521
+    assert [got[d][1] for d in days] == [e1, e2, e3]
+    assert got[days[2]][2] == 5.21
+
+
+def test_revenue_drawdown_hand_computed(spark):
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import revenue_drawdown
+
+    rows = [
+        (dt.datetime(2024, 1, 1), 5.0),
+        (dt.datetime(2024, 1, 2), 2.0),
+        (dt.datetime(2024, 1, 3), 7.0),
+        (dt.datetime(2024, 1, 4), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = sorted(
+        (r.di, r.cents, r.peak_cents, r.drawdown_cents)
+        for r in revenue_drawdown(df).collect()
+    )
+    assert [g[1:] for g in got] == [
+        (500, 500, 0),
+        (200, 500, 300),
+        (700, 700, 0),
+        (300, 700, 400),
+    ]
