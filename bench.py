@@ -234,6 +234,11 @@ HEADLINE = [
     "cohens_kappa",
     "ewma_daily_value",
     "revenue_drawdown",
+    "sign_bit_recall",
+    "matryoshka_recall",
+    "embedding_anisotropy",
+    "ndcg_ivf",
+    "mrr_lsh",
 ]
 
 

@@ -1367,6 +1367,364 @@ def ann_nprobe_curve(
     return out
 
 
+def sign_bit_codes(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """1-bit quantization: pack each embedding's sign pattern into two
+    int64 words (dims 0-31 -> lo, 32-63 -> hi; bit set iff the
+    coordinate is strictly positive) — 8 bytes/vector vs 64 for int8,
+    the cheapest index tier. Exact integer expression, so the codes are
+    engine-portable by construction."""
+    parts = []
+    for name, base in (("sig_lo", 0), ("sig_hi", 32)):
+        parts.append(
+            F.expr(
+                f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+                f"IF(element_at({vec_col}, CAST(i + {base} + 1 AS INT)) > 0, "
+                f"shiftleft(1L, CAST(i AS INT)), 0L))"
+            ).alias(name)
+        )
+    return df.select(F.col(id_col), *parts)
+
+
+def sign_bit_recall(
+    emb: DataFrame,
+    k: int = 10,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of 1-bit (sign) quantization against the exact int8
+    store: per query, overlap between the hamming-distance top-k over
+    the packed sign codes and the symmetric-int8-cosine exact top-k —
+    the measured answer to "how much recall does 64x compression cost",
+    the audit that prices the binary pre-filter tier of a two-stage
+    (hamming shortlist -> int8 rerank) pipeline.
+
+    Determinism: sign codes, xor, and popcount are exact integers; the
+    hamming ranking breaks ties on id; the int8 side is the exact
+    symmetric cosine (integer dot/norms — order-free), ROUND-9 ranked
+    with id tie-break.
+
+    Scale shape: the query set is bounded by contract (an audit);
+    corpus-side work is |queries| x n hamming popcounts on 16 bytes per
+    pair — the cheapest possible exact sweep — plus the same int8
+    ground-truth scan every recall audit pays. Both top-k edge lists
+    reduce to one equi-join.
+    """
+    from pythonvectordb_spark.functions.vector import (
+        cosine_similarity_int8_sym,
+        l2_normalize,
+        quantize,
+    )
+
+    if query_pred is None:
+        query_pred = F.col(id_col) < 8
+    codes = sign_bit_codes(emb, id_col=id_col, vec_col=vec_col)
+    base = emb.select(
+        F.col(id_col), quantize(l2_normalize(vec_col)).alias("_qv")
+    ).join(codes, id_col).localCheckpoint(eager=False)
+    queries = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("sig_lo").alias("_qlo"),
+        F.col("sig_hi").alias("_qhi"),
+    )
+    pairs = (
+        base.withColumn("_one", F.lit(1))
+        .join(F.broadcast(queries.withColumn("_one", F.lit(1))), "_one")
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("_qlo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("_qhi")))
+    ).cast("long")
+    wh = Window.partitionBy("query_id").orderBy(F.asc("_h"), F.asc(id_col))
+    hamm_k = (
+        pairs.select("query_id", F.col(id_col), ham.alias("_h"))
+        .withColumn("rank", F.row_number().over(wh))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col)
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc(id_col))
+    exact_k = (
+        pairs.select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine_similarity_int8_sym("_qq", "_qv"), 9).alias("_s"),
+        )
+        .withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col)
+    )
+    overlap = (
+        hamm_k.join(exact_k, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        queries.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0).cast("long")).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query: Sequence[float],
+    prefixes: Sequence[int] = (8, 16, 32),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PREFIX-dimension cosine against the full-dim exact
+    top-k — the Matryoshka-embedding audit: if the model packs coarse
+    semantics into the leading dims, a truncated index (8 of 64 dims =
+    8x cheaper scans) keeps most of the recall, and this curve measures
+    exactly how much. The third axis of the index-tuning surface
+    (`ann_recall_curve` sweeps k, `ann_nprobe_curve` sweeps probes,
+    this sweeps DIMENSIONS).
+
+    Determinism: every score is the sequential double-fold cosine
+    ROUNDED 9 with id tie-break; prefix norms fold over the sliced
+    list, identically on both engines.
+
+    Scale shape: one exact full-dim ground truth (TakeOrderedAndProject,
+    checkpointed — it joins every sweep point) + one TakeOrdered over
+    the corpus per prefix; every join after the limits is k-row.
+    """
+    from pythonvectordb_spark.functions.vector import cosine_similarity
+
+    exact = (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine_similarity(_query_lit(query), vec_col), 9).alias("r9"),
+        )
+        .orderBy(F.desc("r9"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for p in prefixes:
+        p = int(p)
+        qp = [float(x) for x in query[:p]]
+        pre = (
+            emb.select(
+                F.col(id_col),
+                F.round(
+                    cosine_similarity(_query_lit(qp), F.slice(vec_col, 1, p)), 9
+                ).alias("r9"),
+            )
+            .orderBy(F.desc("r9"), F.asc(id_col))
+            .limit(int(k))
+            .select(id_col)
+        )
+        point = (
+            pre.join(exact, id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            .select(
+                F.lit(p).cast("int").alias("prefix_dim"),
+                "n_overlap",
+                F.round(
+                    F.col("n_overlap").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+        out = point if out is None else out.unionByName(point)
+    return out
+
+
+def embedding_anisotropy(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Anisotropy of the quantized embedding store: the mean pairwise
+    int8 dot product over ALL n(n-1) ordered pairs, relative to the
+    mean self dot — the closed-form "how far from isotropic is this
+    space" statistic (Ethayarajh 2019 measures it by sampling; the
+    identity sum_{i!=j} q_i.q_j = ||sum_i q_i||^2 - sum_i ||q_i||^2
+    makes it EXACT in one pass). High anisotropy means cosine scores
+    crowd into a narrow band and similarity thresholds stop separating
+    — re-centering is indicated before LSH/IVF banding.
+
+    Determinism: dimension sums S_d, ||S||^2, and the self-dot total
+    are exact int64 (int8 coords, n < 2^31); the two mean divisions
+    and their ratio promote once, ROUNDED 6.
+
+    Scale shape: one posexplode -> map-side-combined per-dimension sum
+    (64 x n rows collapsing to 64), one per-row fold for self dots in
+    the same scan; everything after is 64-row/one-row algebra. No pair
+    ever materializes.
+    """
+    from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+
+    q = emb.select(
+        F.col(id_col), quantize(l2_normalize(vec_col)).alias("qv")
+    ).localCheckpoint(eager=False)
+    dims = (
+        q.select(F.posexplode("qv").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum(F.col("x").cast("long")).cast("long").alias("sd"))
+    )
+    s2 = dims.agg(
+        F.sum(F.col("sd") * F.col("sd")).cast("long").alias("s2")
+    ).withColumn("_one", F.lit(1))
+    self_dot = F.aggregate(
+        "qv",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x.cast("long"),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(self_dot).cast("long").alias("sum_self"),
+    ).withColumn("_one", F.lit(1))
+    j = tot.join(F.broadcast(s2), "_one")
+    nd = F.col("n").cast("double")
+    mean_pair = (F.col("s2") - F.col("sum_self")).cast("double") / (
+        nd * (nd - F.lit(1.0))
+    )
+    mean_self = F.col("sum_self").cast("double") / nd
+    return j.select(
+        F.col("n").alias("n_vectors"),
+        "sum_self",
+        F.col("s2").alias("sum_vector_sq"),
+        F.round(mean_pair, 6).alias("mean_pair_dot"),
+        F.round(mean_self, 6).alias("mean_self_dot"),
+        F.round(mean_pair / mean_self, 6).alias("anisotropy"),
+    )
+
+
+# DCG rank weights 1/log2(rank+1) for ranks 1..10, as repr literals so
+# both engines decode the identical doubles (no engine log2 involved)
+import math as _math
+
+DCG_WEIGHTS_10 = [1.0 / _math.log2(r + 1) for r in range(1, 11)]
+IDCG_10 = sum((10 - i) * DCG_WEIGHTS_10[i] for i in range(10))
+
+
+def ndcg_ivf(
+    emb: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """nDCG@k of the IVF index against graded exact relevance — recall
+    treats every hit equally; nDCG charges the index for returning the
+    right items in the WRONG ORDER (rel = k - exact_rank + 1, DCG
+    weights 1/log2(rank+1) as shared literals). The ranking-quality
+    companion to `ann_recall_curve`'s set-quality number.
+
+    Scale shape: one exact ground-truth TakeOrdered (checkpointed) and
+    one partition-pruned IVF probe; the DCG assembles on the k-row
+    joined frame. Weights and the ideal DCG are repr literals on both
+    engines — no engine log2 in the plan.
+    """
+    from pythonvectordb_spark.functions.vector import cosine_similarity
+
+    kk = int(k)
+    exact = (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine_similarity(_query_lit(query), vec_col), 9).alias("r9"),
+        )
+        .orderBy(F.desc("r9"), F.asc(id_col))
+        .limit(kk)
+        .select(
+            id_col,
+            F.row_number()
+            .over(Window.orderBy(F.desc("r9"), F.asc(id_col)))
+            .alias("exact_rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ann = ann_ivf_search(
+        emb, query, centroids, k=kk, nprobe=int(nprobe), id_col=id_col, vec_col=vec_col
+    )
+    wr = Window.orderBy(F.desc("r9"), F.asc(id_col))
+    ranked = ann.select(
+        F.col(id_col), F.round("score", 9).alias("r9")
+    ).select(id_col, F.row_number().over(wr).alias("rank"))
+    weights = F.array(*[F.lit(float(w)) for w in DCG_WEIGHTS_10[:kk]])
+    rel = F.coalesce(
+        (F.lit(kk + 1) - F.col("exact_rank")).cast("long"), F.lit(0).cast("long")
+    )
+    dcg = (
+        ranked.join(exact, id_col, "left")
+        .select((rel.cast("double") * F.element_at(weights, F.col("rank"))).alias("t"))
+        .agg(F.sum("t").alias("dcg"))
+    )
+    return dcg.select(
+        F.lit(kk).cast("int").alias("k"),
+        F.lit(int(nprobe)).cast("int").alias("nprobe"),
+        F.round(F.col("dcg"), 6).alias("dcg"),
+        F.round(F.lit(float(IDCG_10)), 6).alias("idcg"),
+        F.round(F.col("dcg") / F.lit(float(IDCG_10)), 6).alias("ndcg"),
+    )
+
+
+def mrr_at_k(
+    emb: DataFrame,
+    ann: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal rank of the TRUE nearest neighbor inside an ANN
+    shortlist — the "does the index even contain the answer, and how
+    deep" probe behind first-result UX metrics. ``ann`` is any
+    (id, score) frame (the `ann_recall_curve` convention — LSH bands,
+    IVF, PQ all plug in); rr = 1/rank when the exact top-1 appears at
+    that rank in the ANN top-k, 0 when the index missed it entirely.
+
+    Scale shape: exact top-1 is one TakeOrdered; the ANN side is
+    whatever pruned scan produced it; the rank lookup is a 1 x k join.
+    """
+    from pythonvectordb_spark.functions.vector import cosine_similarity
+
+    gold = (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine_similarity(_query_lit(query), vec_col), 9).alias("r9"),
+        )
+        .orderBy(F.desc("r9"), F.asc(id_col))
+        .limit(1)
+        .select(F.col(id_col).alias("gold_id"))
+    )
+    wr = Window.orderBy(F.desc("r9"), F.asc(id_col))
+    ranked = (
+        ann.select(F.col(id_col), F.round("score", 9).alias("r9"))
+        .orderBy(F.desc("r9"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, F.row_number().over(wr).alias("rank"))
+    )
+    j = gold.join(ranked, gold["gold_id"] == ranked[id_col], "left")
+    return j.select(
+        F.lit(int(k)).cast("int").alias("k"),
+        "gold_id",
+        F.coalesce(F.col("rank").cast("long"), F.lit(0).cast("long")).alias(
+            "found_rank"
+        ),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("rank").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("rr"),
+    )
+
+
 def rbo_curve(
     list_a: DataFrame,
     list_b: DataFrame,

@@ -6496,6 +6496,244 @@ FROM w{BPE_N_MERGES}
 """
 
 
+def _sql_sign_bits(col: str, base: int) -> str:
+    """Mirror of `search.sign_bit_codes`' 32-bit word: sum of distinct
+    powers of two over strictly-positive coordinates (exact int64)."""
+    return (
+        f"list_aggregate(list_transform(range(0, 32), i -> "
+        f"CASE WHEN {col}[CAST(i + {base} + 1 AS INT)] > 0 "
+        f"THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END), 'sum')"
+    )
+
+
+def _sql_int8_sym_cos(a: str, b: str) -> str:
+    """Mirror of functions.vector.cosine_similarity_int8_sym for two
+    int8 list columns (exact integer dot/norms, one double division)."""
+    dot = (
+        f"list_aggregate(list_transform(range(1, {FX.DIM} + 1), i -> "
+        f"{a}[CAST(i AS INT)]::BIGINT * {b}[CAST(i AS INT)]::BIGINT), 'sum')"
+    )
+    return (
+        f"({dot}::DOUBLE / ({O.sql_int8_norm(a)} * {O.sql_int8_norm(b)}))"
+    )
+
+
+def q_sign_bit_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit quantization recall audit (new round 6): hamming top-10
+    over packed sign codes vs the exact symmetric-int8 top-10, per
+    query — prices the binary pre-filter tier (8 bytes/vector, 64x
+    compression) of a hamming-shortlist -> int8-rerank pipeline
+    (`operators/search.sign_bit_recall`)."""
+    return S.sign_bit_recall(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+def o_sign_bit_recall() -> str:
+    return f"""
+WITH q AS (SELECT vec_id, {O.sql_qvec()} AS qv,
+                  {_sql_sign_bits('embedding', 0)} AS sig_lo,
+                  {_sql_sign_bits('embedding', 32)} AS sig_hi
+           FROM embeddings),
+qs AS (SELECT vec_id AS query_id, qv AS qq, sig_lo AS qlo, sig_hi AS qhi
+       FROM q WHERE vec_id < 8),
+pairs AS (SELECT qs.query_id, q.vec_id, q.qv, q.sig_lo, q.sig_hi,
+                 qs.qq, qs.qlo, qs.qhi
+          FROM q, qs WHERE q.vec_id != qs.query_id),
+hk AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY bit_count(xor(sig_lo, qlo))
+                           + bit_count(xor(sig_hi, qhi)) ASC,
+                           vec_id ASC) AS rn
+         FROM pairs) WHERE rn <= 10),
+ck AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY round({_sql_int8_sym_cos('qq', 'qv')}, 9) DESC,
+                           vec_id ASC) AS rn
+         FROM pairs) WHERE rn <= 10),
+ov AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM hk JOIN ck USING (query_id, vec_id) GROUP BY 1)
+SELECT query_id, coalesce(n_overlap, 0) AS n_overlap,
+       round(coalesce(n_overlap, 0)::DOUBLE / 10.0, 6) AS recall
+FROM qs LEFT JOIN ov USING (query_id)
+"""
+
+
+MATRYOSHKA_PREFIXES = (8, 16, 32)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall (new round 6): prefix-dimension
+    cosine top-10 vs the full-dim exact top-10 for prefixes 8/16/32 of
+    64 — the dimensions axis of the index-tuning surface
+    (`operators/search.matryoshka_recall`)."""
+    return S.matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        FX.QUERY_VEC,
+        prefixes=MATRYOSHKA_PREFIXES,
+        k=10,
+    )
+
+
+def o_matryoshka_recall() -> str:
+    def prefix_cos(p: int) -> str:
+        qp = [float(x) for x in FX.QUERY_VEC[:p]]
+        cn = (
+            f"sqrt(list_aggregate(list_transform(embedding[1:{p}], "
+            f"y -> y::DOUBLE * y::DOUBLE), 'sum'))"
+        )
+        return (
+            f"(({O.sql_dot_lit(qp, 'embedding', p)}) / "
+            f"({O.sql_query_norm(qp)} * {cn}))"
+        )
+
+    points = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS INT) AS prefix_dim,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*)::DOUBLE / 10.0, 6) AS recall
+FROM (SELECT vec_id FROM embeddings
+      ORDER BY round({prefix_cos(p)}, 9) DESC, vec_id ASC LIMIT 10)
+JOIN ex USING (vec_id)"""
+        for p in MATRYOSHKA_PREFIXES
+    )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({O.sql_cosine_float_lit(FX.QUERY_VEC, 'embedding')}, 9) DESC,
+           vec_id ASC LIMIT 10
+)
+{points}
+"""
+
+
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the quantized store (new round 6): the EXACT mean
+    pairwise int8 dot over all ordered pairs via the sum-vector
+    identity ||sum q||^2 - sum ||q||^2 — no pair materializes, no
+    sampling (`operators/search.embedding_anisotropy`)."""
+    return S.embedding_anisotropy(load_table(spark, sf_dir, "embeddings"))
+
+
+def o_embedding_anisotropy() -> str:
+    return f"""
+WITH q AS (SELECT vec_id, {O.sql_qvec()} AS qv FROM embeddings),
+d AS (SELECT CAST(i AS INT) AS d, qv[CAST(i AS INT)]::BIGINT AS x
+      FROM q, unnest(range(1, {FX.DIM} + 1)) r(i)),
+s AS (SELECT d, CAST(sum(x) AS BIGINT) AS sd FROM d GROUP BY 1),
+s2 AS (SELECT CAST(sum(sd * sd) AS BIGINT) AS s2 FROM s),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(list_aggregate(list_transform(qv,
+                  x -> x::BIGINT * x::BIGINT), 'sum')) AS BIGINT) AS sum_self
+      FROM q)
+SELECT n AS n_vectors, sum_self, s2 AS sum_vector_sq,
+       round((s2 - sum_self)::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)), 6)
+         AS mean_pair_dot,
+       round(sum_self::DOUBLE / n::DOUBLE, 6) AS mean_self_dot,
+       round(((s2 - sum_self)::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
+             / (sum_self::DOUBLE / n::DOUBLE), 6) AS anisotropy
+FROM t CROSS JOIN s2
+"""
+
+
+def q_ndcg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the IVF index against graded exact relevance (new
+    round 6): recall counts hits, nDCG charges for order — rel = 11 -
+    exact_rank, DCG weights 1/log2(rank+1) as repr literals shared by
+    both engines (`operators/search.ndcg_ivf`)."""
+    return S.ndcg_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        FX.QUERY_VEC,
+        FX.CENTROIDS,
+        k=10,
+        nprobe=2,
+    )
+
+
+def o_ndcg_ivf() -> str:
+    probe = S.ivf_probe(FX.QUERY_VEC, FX.CENTROIDS, nprobe=2)
+    sims = ", ".join(O.sql_cosine_float_lit(c, "embedding") for c in FX.CENTROIDS)
+    probe_list = ", ".join(str(p) for p in probe)
+    weights = ", ".join(repr(float(w)) for w in S.DCG_WEIGHTS_10)
+    cos = O.sql_cosine_float_lit(FX.QUERY_VEC, "embedding")
+    return f"""
+WITH assigned AS (
+  SELECT *, [{sims}] AS sims FROM embeddings
+),
+cand AS (
+  SELECT * FROM assigned
+  WHERE (list_position(sims, list_aggregate(sims, 'max')) - 1) IN ({probe_list})
+),
+ivf AS (SELECT vec_id, round({cos}, 9) AS r9
+        FROM cand ORDER BY r9 DESC, vec_id ASC LIMIT 10),
+ranked AS (SELECT vec_id,
+                  CAST(row_number() OVER (ORDER BY r9 DESC, vec_id ASC)
+                       AS BIGINT) AS rank
+           FROM ivf),
+ex AS (SELECT vec_id,
+              CAST(row_number() OVER (ORDER BY r9 DESC, vec_id ASC)
+                   AS BIGINT) AS exact_rank
+       FROM (SELECT vec_id, round({cos}, 9) AS r9
+             FROM embeddings ORDER BY r9 DESC, vec_id ASC LIMIT 10)),
+d AS (SELECT sum((CASE WHEN exact_rank IS NULL THEN 0
+                       ELSE 11 - exact_rank END)::DOUBLE
+                 * ([{weights}])[CAST(rank AS INT)]) AS dcg
+      FROM ranked LEFT JOIN ex USING (vec_id))
+SELECT CAST(10 AS INT) AS k, CAST(2 AS INT) AS nprobe,
+       round(dcg, 6) AS dcg,
+       round({float(S.IDCG_10)!r}::DOUBLE, 6) AS idcg,
+       round(dcg / {float(S.IDCG_10)!r}, 6) AS ndcg
+FROM d
+"""
+
+
+def q_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the true nearest neighbor in the registered
+    LSH shortlist (new round 6, 20x5 band default): 1/rank when the
+    exact top-1 surfaces, 0 on a bucket miss
+    (`operators/search.mrr_at_k`)."""
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.ann_lsh_multiprobe_search(emb, FX.QUERY_VEC, lsh_band_planes(20, 5), k=10)
+    return S.mrr_at_k(emb, ann, FX.QUERY_VEC, k=10)
+
+
+def o_mrr_lsh() -> str:
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes
+
+    planes = lsh_band_planes(20, 5)
+    or_terms = []
+    for bp in planes:
+        qsig = 0
+        terms = []
+        for i, h in enumerate(bp):
+            dd = sum(float(a) * float(b) for a, b in zip(FX.QUERY_VEC, h))
+            if dd >= 0:
+                qsig |= 1 << i
+            terms.append(
+                f"(CASE WHEN ({O.sql_dot_lit(h, 'embedding')}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        or_terms.append(f"(({' + '.join(terms)}) = {qsig})")
+    cond = "\n   OR ".join(or_terms)
+    cos = O.sql_cosine_float_lit(FX.QUERY_VEC, "embedding")
+    return f"""
+WITH gold AS (SELECT vec_id AS gold_id FROM embeddings
+              ORDER BY round({cos}, 9) DESC, vec_id ASC LIMIT 1),
+cand AS (SELECT * FROM embeddings WHERE {cond}),
+lshk AS (SELECT vec_id, round({cos}, 9) AS r9
+         FROM cand ORDER BY r9 DESC, vec_id ASC LIMIT 10),
+ranked AS (SELECT vec_id,
+                  CAST(row_number() OVER (ORDER BY r9 DESC, vec_id ASC)
+                       AS BIGINT) AS rank
+           FROM lshk)
+SELECT CAST(10 AS INT) AS k, gold_id,
+       coalesce(rank, 0) AS found_rank,
+       round(coalesce(1.0 / rank::DOUBLE, 0.0), 6) AS rr
+FROM gold LEFT JOIN ranked ON gold_id = vec_id
+"""
+
+
 UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
 
 
@@ -10688,6 +10926,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohens_kappa": q_cohens_kappa,
     "ewma_daily_value": q_ewma_daily_value,
     "revenue_drawdown": q_revenue_drawdown,
+    "sign_bit_recall": q_sign_bit_recall,
+    "matryoshka_recall": q_matryoshka_recall,
+    "embedding_anisotropy": q_embedding_anisotropy,
+    "ndcg_ivf": q_ndcg_ivf,
+    "mrr_lsh": q_mrr_lsh,
     # --- round-5 front block, rotated out after its 50/50-green window
     # in CORRECTNESS_r05.json (driver-witnessed; still covered every
     # round by tests/test_oracle_parity.py at sf0.001) --------------
@@ -11078,6 +11321,11 @@ ORACLES: dict[str, str] = {
     "cohens_kappa": o_cohens_kappa(),
     "ewma_daily_value": o_ewma_daily_value(),
     "revenue_drawdown": o_revenue_drawdown(),
+    "sign_bit_recall": o_sign_bit_recall(),
+    "matryoshka_recall": o_matryoshka_recall(),
+    "embedding_anisotropy": o_embedding_anisotropy(),
+    "ndcg_ivf": o_ndcg_ivf(),
+    "mrr_lsh": o_mrr_lsh(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

@@ -1518,3 +1518,92 @@ def test_brand_market_presence_counts(spark):
     (r,) = brand_market_presence(lineitem, orders, customer, supplier, part).collect()
     assert r["p_brand"] == "Brand#A"
     assert r["n_supplier_nations"] == 1 and r["n_customer_nations"] == 2
+
+
+def test_sign_bit_codes_pack_exactly(spark):
+    """Bit i of the lo/hi words is set iff coordinate i (i+32) is
+    strictly positive — checked on hand vectors incl. zeros."""
+    from pythonvectordb_spark.operators.search import sign_bit_codes
+
+    v = [0.0] * 64
+    v[0] = 1.0   # lo bit 0
+    v[5] = -2.0  # negative -> unset
+    v[31] = 0.5  # lo bit 31
+    v[32] = 3.0  # hi bit 0
+    v[63] = 0.1  # hi bit 31
+    df = spark.createDataFrame([(1, [float(x) for x in v])],
+                               "vec_id long, embedding array<float>")
+    (r,) = sign_bit_codes(df).collect()
+    assert r.sig_lo == (1 << 0) + (1 << 31)
+    assert r.sig_hi == (1 << 0) + (1 << 31)
+
+
+def test_sign_bit_recall_perfect_on_orthant_separated(spark):
+    """Vectors in distinct orthants: hamming ranking equals cosine
+    ranking, so recall is 1 for every query."""
+    import numpy as np
+
+    from pythonvectordb_spark.operators.search import sign_bit_recall
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(24):
+        signs = np.where(rng.integers(0, 2, 64) == 1, 1.0, -1.0)
+        rows.append((i, [float(s) for s in signs]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sign_bit_recall(df, k=3, query_pred=F.col("vec_id") < 4).collect()
+    assert len(got) == 4
+    # sign patterns ARE the geometry here: hamming(a,b)/32 determines
+    # cosine exactly (cos = 1 - 2h/64), so the two rankings agree
+    assert all(r.recall == 1.0 for r in got)
+
+
+def test_matryoshka_recall_full_prefix_is_exact(spark):
+    """prefix_dim == DIM must reproduce the exact top-k: recall 1."""
+    from pythonvectordb_spark.fixtures import QUERY_VEC
+    from pythonvectordb_spark.operators.search import matryoshka_recall
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {r.prefix_dim: r.recall
+           for r in matryoshka_recall(emb, QUERY_VEC, prefixes=(8, 64), k=5).collect()}
+    assert got[64] == 1.0
+    assert 0.0 <= got[8] <= 1.0
+
+
+def test_embedding_anisotropy_identical_vectors(spark):
+    """All-identical vectors: every pair dot equals the self dot, so
+    anisotropy is exactly 1."""
+    from pythonvectordb_spark.operators.search import embedding_anisotropy
+
+    v = [1.0] + [0.0] * 63
+    df = spark.createDataFrame([(i, v) for i in range(5)],
+                               "vec_id long, embedding array<float>")
+    (r,) = embedding_anisotropy(df).collect()
+    assert r.n_vectors == 5 and r.anisotropy == 1.0
+    assert r.mean_pair_dot == r.mean_self_dot
+
+
+def test_ndcg_and_mrr_on_testdata(spark):
+    """ndcg in [0,1] with idcg matching the closed form; mrr found_rank
+    consistent with rr."""
+    from pythonvectordb_spark.fixtures import CENTROIDS, QUERY_VEC
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes
+    from pythonvectordb_spark.operators.search import (
+        IDCG_10,
+        ann_lsh_multiprobe_search,
+        mrr_at_k,
+        ndcg_ivf,
+    )
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    (nd,) = ndcg_ivf(emb, QUERY_VEC, CENTROIDS, k=10, nprobe=2).collect()
+    assert abs(nd.idcg - round(IDCG_10, 6)) < 1e-9
+    assert 0.0 <= nd.ndcg <= 1.0 and abs(nd.dcg / nd.idcg - nd.ndcg) < 1e-5
+    ann = ann_lsh_multiprobe_search(emb, QUERY_VEC, lsh_band_planes(20, 5), k=10)
+    (mr,) = mrr_at_k(emb, ann, QUERY_VEC, k=10).collect()
+    if mr.found_rank == 0:
+        assert mr.rr == 0.0
+    else:
+        assert abs(mr.rr - round(1.0 / mr.found_rank, 6)) < 1e-9
