@@ -239,6 +239,10 @@ HEADLINE = [
     "embedding_anisotropy",
     "ndcg_ivf",
     "mrr_lsh",
+    "kmv_distinct_users",
+    "bloom_fpr_purchases",
+    "trade_hits",
+    "burrows_delta",
 ]
 
 

@@ -467,3 +467,82 @@ def assortativity(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") ->
             ).alias("assortativity"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """HITS hub/authority scores by fixed-count power iteration
+    (Kleinberg 1999), weighted: auth <- sum of in-edge w*hub, hub <-
+    sum of out-edge w*auth, each L1-normalized per round. PageRank
+    ranks nodes by one global importance; HITS separates "points at
+    good things" (hub) from "is pointed at by good pointers" (auth) —
+    on a trade graph, exporters vs importers of influence.
+
+    Deterministic for the same reason `pagerank` is: the iteration
+    count is FIXED, so DuckDB replays the identical rounds as unrolled
+    MATERIALIZED CTEs; scores round to 6 (both engines sum the same
+    <=|nodes| doubles per group — the `trade_pagerank` precedent).
+
+    Scale shape (size-gated like `pagerank._iterate_small` — the
+    registered input is the nation-grain graph): per round two
+    broadcast joins + two grouped sums over the edge list; the
+    normalization constant is a one-row broadcast. Each round's frames
+    are lazily checkpointed so the unrolled lineage stays linear.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    hub = nodes.select("node", F.lit(1.0 / float(n_nodes)).alias("hub"))
+    auth = None
+    for _ in range(int(iterations)):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "_sn"), e.src == F.col("_sn"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("raw"))
+        )
+        asum = araw.agg(F.sum("raw").alias("s")).withColumn("_one", F.lit(1))
+        auth = (
+            nodes.withColumn("_one", F.lit(1))
+            .join(F.broadcast(asum), "_one")
+            .join(araw, nodes.node == araw.dst, "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("s")).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "_dn"), e.dst == F.col("_dn"))
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("raw"))
+        )
+        hsum = hraw.agg(F.sum("raw").alias("s")).withColumn("_one", F.lit(1))
+        hub = (
+            nodes.withColumn("_one", F.lit(1))
+            .join(F.broadcast(hsum), "_one")
+            .join(hraw, nodes.node == hraw.src, "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("s")).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(hub, "node")
+        .join(auth, "node")
+        .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+    )

@@ -391,3 +391,163 @@ def shard_uniformity(df: DataFrame, id_col: str = "doc_id", n_shards: int = 16) 
             "max_share"
         ),
     )
+
+
+KMV_K = 64
+KMV_SPACE = float(2**32)  # md5 8-hex-digit prefix hash space
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch, estimate AND exact side
+    in one query: hash every key to a 32-bit md5 prefix, keep the k
+    smallest DISTINCT hash values, estimate D = (k-1) * 2^32 / h_(k)
+    (Bar-Yossef et al. 2002). Constant state (k hashes) for unbounded
+    keys — the mergeable cardinality sketch whose per-shard top-k
+    min-heaps union by keeping the k smallest of the union, exactly a
+    TakeOrdered at 100 TB.
+
+    Unlike HLL (engine-private binary, rows-only checkable), every
+    number here is md5-derived and expression-reproducible, so the
+    sketch itself is oracle-hashable. Fewer than k distinct hashes
+    means the sketch IS the exact set: estimate = that count.
+
+    Determinism: hashes are exact int64; the k-th order statistic is a
+    TakeOrdered boundary on distinct integers; the estimate is one
+    double division, ROUNDED 6.
+
+    Scale shape: one distinct-key aggregation (map-side combined) to
+    the hash directory, one TakeOrdered(k); everything after is
+    one-row algebra.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashes = df.select(h.alias("h")).distinct().localCheckpoint(eager=False)
+    kth = (
+        hashes.orderBy(F.asc("h"))
+        .limit(int(k))
+        .agg(
+            F.max("h").cast("long").alias("kth_hash"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    exact = df.agg(
+        F.countDistinct(key_col).cast("long").alias("n_distinct_exact")
+    ).withColumn("_one", F.lit(1))
+    j = exact.join(F.broadcast(kth), "_one")
+    est = F.when(
+        F.col("n_kept") < F.lit(int(k)), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return j.select(
+        F.lit(int(k)).cast("int").alias("k"),
+        "n_distinct_exact",
+        "kth_hash",
+        F.round(est, 6).alias("estimate"),
+        F.round(
+            F.abs(est - F.col("n_distinct_exact").cast("double"))
+            / F.col("n_distinct_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def bloom_fpr(
+    members: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m: int = BLOOM_M,
+    n_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom filter with MEASURED false-positive rate: build the bit
+    set from ``members``' keys (md5-derived positions, so the filter is
+    engine-reproducible, unlike the engine-private built-in), probe it
+    with keys known absent, and report measured vs expected FPR
+    (1 - e^{-kn/m})^k ~ (bits_set/m)^k — the calibration that tells a
+    Bloom-pruned semi-join (`bloom_prune_join`) what fraction of
+    pruned-side IO the filter actually saves.
+
+    Determinism: bit positions are exact md5 arithmetic; a probe is a
+    false positive iff ALL its k positions are set — an integer count
+    over an equi-join; expected FPR is one pinned double expression,
+    ROUNDED 6.
+
+    Scale shape: the bit set is at most m rows (distinct positions —
+    map-side combined); probes explode to k positions and semi-join the
+    broadcast bit set; one grouped count per probe then one global
+    aggregate. The filter state is m bits regardless of member count.
+    """
+
+    def positions(col):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(int(m))
+                )
+                for j in range(int(n_hashes))
+            ]
+        )
+
+    bits = (
+        members.select(F.explode(positions(F.col(key_col))).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set")).withColumn(
+        "_one", F.lit(1)
+    )
+    n_mem = members.agg(
+        F.countDistinct(key_col).cast("long").alias("n_members")
+    ).withColumn("_one", F.lit(1))
+    probe_pos = probes.select(
+        F.col(key_col).alias("pk"), F.explode(positions(F.col(key_col))).alias("pos")
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+        .filter(F.col("n_set") == int(n_hashes))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_false_positives"))
+        .withColumn("_one", F.lit(1))
+    )
+    n_probe = probes.agg(
+        F.countDistinct(key_col).cast("long").alias("n_probes")
+    ).withColumn("_one", F.lit(1))
+    j = (
+        n_mem.join(F.broadcast(n_bits), "_one")
+        .join(F.broadcast(n_probe), "_one")
+        .join(F.broadcast(hits), "_one")
+    )
+    load = F.col("n_bits_set").cast("double") / F.lit(float(m))
+    # an exhaustive member set leaves nothing to probe (sf0.001's
+    # every-user-purchased degenerate): measured FPR is undefined, NULL
+    fpr_m = F.when(
+        F.col("n_probes") > 0,
+        F.col("n_false_positives").cast("double") / F.col("n_probes").cast("double"),
+    )
+    expected = load * load * load if n_hashes == 3 else F.pow(load, float(n_hashes))
+    return j.select(
+        F.lit(int(m)).cast("int").alias("m"),
+        F.lit(int(n_hashes)).cast("int").alias("k_hashes"),
+        "n_members",
+        "n_bits_set",
+        "n_probes",
+        "n_false_positives",
+        F.round(fpr_m, 6).alias("fpr_measured"),
+        F.round(expected, 6).alias("fpr_expected"),
+    )

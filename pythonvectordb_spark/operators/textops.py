@@ -1751,3 +1751,94 @@ def kneser_ney_bigrams(
         "ncont",
         F.round(p_kn, 6).alias("p_kn"),
     )
+
+
+def burrows_delta(
+    df: DataFrame,
+    n_words: int = 20,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Burrows' Delta between sources: the classic stylometric distance
+    — z-score each source's relative frequency of the corpus' top-N
+    function words, then Delta(a,b) = mean |z_a - z_b| (Burrows 2002).
+    Near-zero Delta between two "different" feeds is the
+    same-upstream-crawl signature `fuzzy_source_pairs` catches by name
+    and this catches by STYLE; a source far from all others is a
+    register outlier worth its own quality gate.
+
+    Determinism: word counts and per-source token totals are exact
+    int64; relative frequencies are one division each; mu/sigma are
+    explicit sum/count moments over the source-cardinality frame
+    (population sigma, sqrt of a clamped variance); Delta averages
+    <= n_words |z| gaps, ROUNDED 6. Words with sigma = 0 (identical
+    frequency everywhere) carry no signal and are excluded; n_words_used
+    records how many contributed.
+
+    Scale shape: one explode -> two map-side-combined grouped counts
+    (corpus top-N via TakeOrdered; per-source totals); the cell frame
+    joins the broadcast top-N word list, is COMPLETED on the
+    (source x word) grid (absent cells owe f = 0), and everything after
+    runs on that k x N frame.
+    """
+    from pythonvectordb_spark.functions.text import tokens as _tok
+
+    tok = df.select(
+        F.col(group_col).alias("g"), F.explode(_tok(text_col)).alias("w")
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(int(n_words))
+        .select("w")
+        .localCheckpoint(eager=False)
+    )
+    totals = tok.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    cells = (
+        tok.join(F.broadcast(top), "w")
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(cells, ["g", "w"], "left")
+        .select(
+            "g",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0).cast("long")).cast("double")
+                / F.col("nt").cast("double")
+            ).alias("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = grid.groupBy("w").agg(
+        (F.sum("f") / F.count(F.lit(1)).cast("double")).alias("mu"),
+        (
+            F.sum(F.col("f") * F.col("f")) / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+    )
+    sigma = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    z = (
+        grid.join(F.broadcast(stats), "w")
+        .withColumn("sigma", sigma)
+        .filter(F.col("sigma") > 0)
+        .select("g", "w", ((F.col("f") - F.col("mu")) / F.col("sigma")).alias("z"))
+        .localCheckpoint(eager=False)
+    )
+    a = z.select(F.col("g").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("g").alias("source_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words_used"),
+            F.round(
+                F.sum(F.abs(F.col("za") - F.col("zb")))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("delta"),
+        )
+    )

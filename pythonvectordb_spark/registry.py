@@ -6734,6 +6734,215 @@ FROM gold LEFT JOIN ranked ON gold_id = vec_id
 """
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over event users (new round 6): k=64
+    minimum md5-prefix hashes, estimate (k-1)*2^32/h_(k) next to the
+    exact count and its relative error — the HLL-class cardinality
+    sketch whose every number is expression-reproducible, so the
+    SKETCH itself hash-matches the oracle (the two HLL entries are
+    rows-only by design; this one is not)
+    (`operators/sketch.kmv_distinct`)."""
+    from pythonvectordb_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "events"), "user_id", k=64)
+
+
+def o_kmv_distinct_users() -> str:
+    from pythonvectordb_spark.operators.sketch import KMV_SPACE
+
+    return f"""
+WITH h AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+           FROM events),
+kth AS (SELECT CAST(max(h) AS BIGINT) AS kth_hash,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM (SELECT h FROM h ORDER BY h ASC LIMIT 64)),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+       FROM events)
+SELECT CAST(64 AS INT) AS k, n_distinct_exact, kth_hash,
+       round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                  ELSE 63.0 * {KMV_SPACE!r} / kth_hash::DOUBLE END, 6)
+         AS estimate,
+       round(abs((CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                       ELSE 63.0 * {KMV_SPACE!r} / kth_hash::DOUBLE END)
+                 - n_distinct_exact::DOUBLE)
+             / n_distinct_exact::DOUBLE, 6) AS rel_error
+FROM ex CROSS JOIN kth
+"""
+
+
+def q_bloom_fpr_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter measured FPR (new round 6): build the bit set from
+    purchasing users, probe with never-purchased users (known absent),
+    report measured vs load-expected FPR — the calibration behind
+    `bloom_prune_join`'s IO-savings claim; md5 positions make the
+    filter engine-reproducible (`operators/sketch.bloom_fpr`)."""
+    from pythonvectordb_spark.operators.sketch import bloom_fpr
+
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .join(members.distinct(), "user_id", "left_anti")
+    )
+    return bloom_fpr(members, probes, "user_id", m=4096, n_hashes=3)
+
+
+def o_bloom_fpr_purchases() -> str:
+    def pos(j: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{j}:' || CAST(user_id AS VARCHAR)), 1, 8))"
+            f"::BIGINT % 4096)"
+        )
+
+    return f"""
+WITH members AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+probes AS (SELECT DISTINCT user_id FROM events
+           WHERE user_id NOT IN (SELECT user_id FROM members)),
+bits AS (SELECT DISTINCT pos FROM (
+           SELECT unnest([{pos(0)}, {pos(1)}, {pos(2)}]) AS pos FROM members)),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+nm AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_members FROM members),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+pp AS (SELECT user_id AS pk, unnest([{pos(0)}, {pos(1)}, {pos(2)}]) AS pos
+       FROM probes),
+fp AS (SELECT CAST(count(*) AS BIGINT) AS n_false_positives FROM (
+         SELECT pk FROM pp JOIN bits USING (pos)
+         GROUP BY pk HAVING count(*) = 3))
+SELECT CAST(4096 AS INT) AS m, CAST(3 AS INT) AS k_hashes,
+       n_members, n_bits_set, n_probes, n_false_positives,
+       CASE WHEN n_probes > 0 THEN
+         round(n_false_positives::DOUBLE / n_probes::DOUBLE, 6)
+       END AS fpr_measured,
+       round((n_bits_set::DOUBLE / 4096.0) * (n_bits_set::DOUBLE / 4096.0)
+             * (n_bits_set::DOUBLE / 4096.0), 6) AS fpr_expected
+FROM nm CROSS JOIN nb CROSS JOIN np CROSS JOIN fp
+"""
+
+
+def q_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority over the nation trade graph (new round 6):
+    5 fixed L1-normalized power iterations on the same exact-cents
+    edges as `trade_pagerank` — hubs = influence exporters, authorities
+    = importers; the DuckDB oracle replays the identical unrolled
+    rounds (`operators/graph.hits`)."""
+    from pythonvectordb_spark.operators.graph import hits
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("long")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).cast("long").alias("w"))
+    )
+    out = hits(edges, iterations=5, src_col="supp_nation", dst_col="cust_nation")
+    return out.select(F.col("node").alias("nation"), "hub", "auth")
+
+
+def o_trade_hits(iterations: int = 5) -> str:
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(e.w * h.hub) AS raw
+  FROM agg e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1
+),
+asum{i} AS MATERIALIZED (SELECT sum(raw) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT nd.node, coalesce(r.raw, 0.0) / s.s AS auth
+  FROM nodes nd CROSS JOIN asum{i} s LEFT JOIN ar{i} r ON r.node = nd.node
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(e.w * a.auth) AS raw
+  FROM agg e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+),
+hsum{i} AS MATERIALIZED (SELECT sum(raw) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT nd.node, coalesce(r.raw, 0.0) / s.s AS hub
+  FROM nodes nd CROSS JOIN hsum{i} s LEFT JOIN hr{i} r ON r.node = nd.node
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH agg AS MATERIALIZED (
+  SELECT n1.n_name AS src, n2.n_name AS dst,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM agg
+                             UNION ALL SELECT dst FROM agg)),
+n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+h0 AS MATERIALIZED (SELECT node, 1.0 / n.nn AS hub FROM nodes CROSS JOIN n),
+{chain}
+SELECT nd.node AS nation, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM nodes nd JOIN h{iterations} h ON h.node = nd.node
+JOIN a{iterations} a ON a.node = nd.node
+"""
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources (new round
+    6): z-scored top-20 function-word frequencies, Delta = mean |z gap|
+    per source pair — near-zero Delta is the same-upstream-crawl
+    signature (`operators/textops.burrows_delta`)."""
+    return TX.burrows_delta(load_table(spark, sf_dir, "documents"), n_words=20)
+
+
+def o_burrows_delta() -> str:
+    return f"""
+WITH tok AS (SELECT source AS g, unnest({O.sql_tokens('text')}) AS w
+             FROM documents),
+top AS MATERIALIZED (
+  SELECT w FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+  ORDER BY cnt DESC, w ASC LIMIT 20),
+totals AS (SELECT g, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1),
+cells AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+          FROM tok JOIN top USING (w) GROUP BY 1, 2),
+grid AS MATERIALIZED (
+  SELECT t.g, tp.w, coalesce(c.c, 0)::DOUBLE / t.nt::DOUBLE AS f
+  FROM totals t CROSS JOIN top tp
+  LEFT JOIN cells c ON c.g = t.g AND c.w = tp.w),
+stats AS (SELECT w, sum(f) / count(*)::DOUBLE AS mu,
+                 sum(f * f) / count(*)::DOUBLE AS m2
+          FROM grid GROUP BY 1),
+z AS MATERIALIZED (
+  SELECT g, grid.w, (f - mu) / sqrt(greatest(m2 - mu * mu, 0.0)) AS z
+  FROM grid JOIN stats ON grid.w = stats.w
+  WHERE sqrt(greatest(m2 - mu * mu, 0.0)) > 0)
+SELECT a.g AS source_a, b.g AS source_b,
+       CAST(count(*) AS BIGINT) AS n_words_used,
+       round(sum(abs(a.z - b.z)) / count(*)::DOUBLE, 6) AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+GROUP BY 1, 2
+"""
+
+
 UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
 
 
@@ -10931,6 +11140,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_anisotropy": q_embedding_anisotropy,
     "ndcg_ivf": q_ndcg_ivf,
     "mrr_lsh": q_mrr_lsh,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "bloom_fpr_purchases": q_bloom_fpr_purchases,
+    "trade_hits": q_trade_hits,
+    "burrows_delta": q_burrows_delta,
     # --- round-5 front block, rotated out after its 50/50-green window
     # in CORRECTNESS_r05.json (driver-witnessed; still covered every
     # round by tests/test_oracle_parity.py at sf0.001) --------------
@@ -11326,6 +11539,10 @@ ORACLES: dict[str, str] = {
     "embedding_anisotropy": o_embedding_anisotropy(),
     "ndcg_ivf": o_ndcg_ivf(),
     "mrr_lsh": o_mrr_lsh(),
+    "kmv_distinct_users": o_kmv_distinct_users(),
+    "bloom_fpr_purchases": o_bloom_fpr_purchases(),
+    "trade_hits": o_trade_hits(),
+    "burrows_delta": o_burrows_delta(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

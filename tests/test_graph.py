@@ -135,3 +135,29 @@ def test_assortativity_star_vs_path(spark):
     (r,) = assortativity(tri).collect()
     assert r["n_nodes"] == 3 and r["n_edges"] == 3
     assert r["assortativity"] is None
+
+
+def test_hits_two_node_chain(spark):
+    """a->b: a is the only hub, b the only authority; scores stay 1
+    after L1 normalization every round."""
+    from pythonvectordb_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([("a", "b", 5.0)], "src string, dst string, w double")
+    got = {r.node: (r.hub, r.auth) for r in hits(edges, iterations=3).collect()}
+    assert got["a"] == (1.0, 0.0)
+    assert got["b"] == (0.0, 1.0)
+
+
+def test_hits_star_graph(spark):
+    """Three hubs pointing at one center: the center takes all the
+    authority; equal-weight hubs split hub mass evenly."""
+    from pythonvectordb_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("h1", "c", 1.0), ("h2", "c", 1.0), ("h3", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: (r.hub, r.auth) for r in hits(edges, iterations=4).collect()}
+    assert got["c"] == (0.0, 1.0)
+    for h in ("h1", "h2", "h3"):
+        assert abs(got[h][0] - round(1 / 3, 6)) < 1e-6 and got[h][1] == 0.0

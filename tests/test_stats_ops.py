@@ -358,3 +358,47 @@ def test_cohens_kappa_hand_computed(spark):
     const = spark.createDataFrame([(1, 1), (1, 1)], "a int, b int")
     (c,) = cohens_kappa(const, F.col("a") == 1, F.col("b") == 1).collect()
     assert c.kappa is None
+
+
+def test_kmv_distinct_small_set_is_exact(spark):
+    """Fewer distinct keys than k: the sketch IS the set, estimate
+    equals the exact count, rel_error 0."""
+    from pythonvectordb_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "user_id long")
+    (r,) = kmv_distinct(df, "user_id", k=64).collect()
+    assert r.n_distinct_exact == 7 and r.estimate == 7.0 and r.rel_error == 0.0
+
+
+def test_kmv_estimate_formula(spark):
+    """More keys than k: estimate = (k-1)*2^32/h_(k) with h_(k) the
+    k-th smallest distinct hash — replayed with hashlib."""
+    import hashlib
+
+    from pythonvectordb_spark.operators.sketch import KMV_SPACE, kmv_distinct
+
+    n, k = 500, 16
+    df = spark.createDataFrame([(i,) for i in range(n)], "user_id long")
+    (r,) = kmv_distinct(df, "user_id", k=k).collect()
+    hs = sorted({int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in range(n)})
+    kth = hs[k - 1]
+    assert r.kth_hash == kth
+    assert abs(r.estimate - round((k - 1) * KMV_SPACE / kth, 6)) < 1e-6
+    assert r.n_distinct_exact == n
+
+
+def test_bloom_fpr_members_never_false(spark):
+    """Probing with keys disjoint from members: measured FPR is between
+    0 and 1 and the cell counts reconcile; probing an empty probe set
+    yields NULL measured FPR."""
+    from pythonvectordb_spark.operators.sketch import bloom_fpr
+
+    members = spark.createDataFrame([(i,) for i in range(200)], "user_id long")
+    probes = spark.createDataFrame([(i,) for i in range(10_000, 10_400)], "user_id long")
+    (r,) = bloom_fpr(members, probes, "user_id", m=1024, n_hashes=3).collect()
+    assert r.n_members == 200 and r.n_probes == 400
+    assert 0 < r.n_bits_set <= 600
+    assert 0.0 <= r.fpr_measured <= 1.0 and 0.0 < r.fpr_expected < 1.0
+    empty = spark.createDataFrame([], "user_id long")
+    (e,) = bloom_fpr(members, empty, "user_id", m=1024, n_hashes=3).collect()
+    assert e.fpr_measured is None and e.n_probes == 0

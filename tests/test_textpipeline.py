@@ -656,3 +656,21 @@ def test_bpe_fold_rewrite_overlap_semantics(spark):
         ).collect()
     ]
     assert got == ["aa aa a", "a", "b aa c"]
+
+
+def test_burrows_delta_identical_sources_zero(spark):
+    """Two sources with identical token distributions: every z gap is
+    0, so Delta(a,b) = 0; a third divergent source sits strictly
+    farther from both."""
+    from pythonvectordb_spark.operators.textops import burrows_delta
+
+    base = "the cat sat on the mat and the dog ran"
+    other = "zebra quark flux " * 5
+    df = spark.createDataFrame(
+        [(1, base, "a"), (2, base, "b"), (3, other, "c")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.source_a, r.source_b): r.delta for r in burrows_delta(df, n_words=8).collect()}
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "c")] > 0.0 and got[("b", "c")] > 0.0
+    assert got[("a", "c")] == got[("b", "c")]
