@@ -482,7 +482,21 @@ def bloom_fpr(
     map-side combined); probes explode to k positions and semi-join the
     broadcast bit set; one grouped count per probe then one global
     aggregate. The filter state is m bits regardless of member count.
+    Both key directories are deduped ONCE and lazily checkpointed —
+    each feeds two consumers (positions + count), and recomputing the
+    upstream scan per consumer is the union-recompute anti-pattern the
+    advisor rejects.
     """
+    members = (
+        members.select(F.col(key_col).alias("mk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    probes = (
+        probes.select(F.col(key_col).alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     def positions(col):
         return F.array(
@@ -504,7 +518,7 @@ def bloom_fpr(
         )
 
     bits = (
-        members.select(F.explode(positions(F.col(key_col))).alias("pos"))
+        members.select(F.explode(positions(F.col("mk"))).alias("pos"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -512,10 +526,10 @@ def bloom_fpr(
         "_one", F.lit(1)
     )
     n_mem = members.agg(
-        F.countDistinct(key_col).cast("long").alias("n_members")
+        F.count(F.lit(1)).cast("long").alias("n_members")
     ).withColumn("_one", F.lit(1))
     probe_pos = probes.select(
-        F.col(key_col).alias("pk"), F.explode(positions(F.col(key_col))).alias("pos")
+        "pk", F.explode(positions(F.col("pk"))).alias("pos")
     )
     hits = (
         probe_pos.join(F.broadcast(bits), "pos")
@@ -526,7 +540,7 @@ def bloom_fpr(
         .withColumn("_one", F.lit(1))
     )
     n_probe = probes.agg(
-        F.countDistinct(key_col).cast("long").alias("n_probes")
+        F.count(F.lit(1)).cast("long").alias("n_probes")
     ).withColumn("_one", F.lit(1))
     j = (
         n_mem.join(F.broadcast(n_bits), "_one")
