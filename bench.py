@@ -243,6 +243,10 @@ HEADLINE = [
     "bloom_fpr_purchases",
     "trade_hits",
     "burrows_delta",
+    "nb_auc",
+    "holt_linear_forecast",
+    "theil_sen_trend",
+    "label_centroid_affinity",
 ]
 
 

@@ -1553,3 +1553,75 @@ def source_compressibility(
         "n_alphabet",
         F.round(h_bits / F.col("n_chars").cast("double"), 6).alias("bits_per_byte"),
     )
+
+
+def nb_auc(
+    df: DataFrame,
+    train_pred,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-vs-rest ROC AUC per class for the NB curation gate — the
+    threshold-free companion to `nb_classifier_confusion` (which fixes
+    the argmax decision) and `nb_calibration_bins` (which audits the
+    margins): AUC says whether the class-c SCORE even ranks class-c
+    documents above the rest, before any threshold is chosen. AUC near
+    0.5 for a class means its gate is noise at every threshold.
+
+    Determinism: scores come ROUNDED 6 from the shared `_nb_doc_scores`
+    (its float-sum noise argument), so score-in-micros = round(s*1e6)
+    is an exact int64 in both engines; the rest is the `mann_whitney`
+    doubled-midrank machinery per class — rank sums exact int64, the
+    tie-aware AUC = (S2_pos/2 - n_pos(n_pos+1)/2) / (n_pos*n_neg)
+    promotes once, ROUNDED 6. NULL when a class has no positives or no
+    negatives in the test split.
+
+    Scale shape: one shared train+score pipeline, then per (class,
+    score) grouped counts; the midrank window runs over the distinct
+    (class, score) frame — bounded by score cardinality, not test
+    rows; everything after is class-cardinality sized.
+    """
+    from pyspark.sql import Window
+
+    sc = _nb_doc_scores(df, train_pred, label_col, text_col, id_col)
+    v = F.round(F.col("score") * 1_000_000).cast("long")
+    base = sc.select(
+        "cls", v.alias("v"), (F.col("_lbl") == F.col("cls")).cast("long").alias("pos")
+    )
+    gv = base.groupBy("cls", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("cp"),
+    )
+    wcum = (
+        Window.partitionBy("cls")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mid = gv.select(
+        "cls",
+        "cp",
+        "c",
+        (F.lit(2) * (F.sum("c").over(wcum) - F.col("c")) + F.col("c") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+    per = mid.groupBy("cls").agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("cp")).cast("long").alias("n_neg"),
+        F.sum(F.col("cp") * F.col("mr2")).cast("long").alias("s2p"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = (
+        F.col("s2p").cast("double") / F.lit(2.0)
+        - npos * (npos + F.lit(1.0)) / F.lit(2.0)
+    ) / (npos * nneg)
+    return per.select(
+        "cls",
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)).alias(
+            "auc"
+        ),
+    )

@@ -1796,3 +1796,74 @@ def rbo_curve(
         ).alias("agreement"),
         F.round(F.sum(contrib).over(wcum), 6).alias("rbo_cum"),
     )
+
+
+def label_centroid_affinity(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise cosine between per-label centroids of the quantized
+    store — the class-confusability map in embedding space: labels
+    whose centroids sit near cosine 1 will bleed into each other in
+    every knn-classify call (`knn_classify`) and every IVF cell, so
+    they are the candidates for merging or for a dedicated contrastive
+    pass (`contrastive_triplets` mines exactly these boundaries).
+
+    Determinism: cosine between centroids is scale-invariant, so the
+    per-count division never happens — per-label per-dimension int8
+    sums are exact int64, pair dots and norms assemble from those
+    integers exactly, and ONE double division per pair (the
+    `embedding_anisotropy` discipline), ROUNDED 6.
+
+    Scale shape: one posexplode -> map-side-combined (label, dim)
+    grouped sum (the shuffle carries labels x 64 rows); the pair frame
+    is label-cardinality squared — bounded by the label vocabulary,
+    never by rows.
+    """
+    from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+
+    dims = (
+        emb.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(quantize(l2_normalize(vec_col))).alias("d", "x"),
+        )
+        .groupBy("lbl", "d")
+        .agg(F.sum(F.col("x").cast("long")).cast("long").alias("sd"))
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        emb.groupBy(F.col(label_col).alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = dims.select(F.col("lbl").alias("label_a"), "d", F.col("sd").alias("sa"))
+    b = dims.select(F.col("lbl").alias("label_b"), "d", F.col("sd").alias("sb"))
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).cast("long").alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).cast("long").alias("nb2"),
+        )
+    )
+    ca = counts.select(F.col("lbl").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("lbl").alias("label_b"), F.col("n").alias("n_b"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.when((F.col("na2") > 0) & (F.col("nb2") > 0), F.round(cos, 6)).alias(
+                "cosine"
+            ),
+        )
+    )

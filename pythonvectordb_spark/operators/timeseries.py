@@ -1962,3 +1962,156 @@ def anomalous_days(df: DataFrame, top_k: int = 5, ts_col: str = "ts") -> DataFra
         "weekday_mean",
         "abs_dev",
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Integer Holt double exponential smoothing (alpha = beta = 1/2)
+    over daily revenue: level l_t = (x_t + l_{t-1} + b_{t-1}) >> 1,
+    trend b_t = (b_{t-1} + l_t - l_{t-1}) >> 1, one-step forecast
+    l_t + b_t — the trend-aware upgrade of `ewma_daily_value` (EWMA
+    lags a trending series by design; Holt tracks the slope). Same
+    sequential-fold shape: state depends on previous OUTPUTS.
+
+    Determinism: exact integer cents with arithmetic right shifts —
+    measured on BOTH engines that ``>>`` floors negatives identically
+    (-7 >> 1 = -4 in Spark shiftright and DuckDB), so negative trends
+    replay bit-for-bit; the DuckDB oracle is the same recurrence as a
+    recursive CTE.
+
+    Scale shape: one map-side-combined grouped sum to the
+    calendar-bounded day grain, then one expression fold.
+
+    Returns per day: (di, cents, level_cents, trend_cents,
+    forecast_next_cents).
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("di", "cents"))).alias("s")
+    )
+    zero = F.expr(
+        "CAST(array() AS array<struct<di:bigint,cents:bigint,l:bigint,b:bigint>>)"
+    )
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        first = F.size(acc) == 0
+        l_new = F.when(first, x["cents"]).otherwise(
+            F.shiftright(x["cents"] + prev["l"] + prev["b"], 1)
+        )
+        b_new = F.when(first, F.lit(0).cast("long")).otherwise(
+            F.shiftright(prev["b"] + l_new - prev["l"], 1)
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["di"].alias("di"),
+                    x["cents"].alias("cents"),
+                    l_new.cast("long").alias("l"),
+                    b_new.cast("long").alias("b"),
+                )
+            ),
+        )
+
+    folded = series.select(F.explode(F.aggregate("s", zero, step)).alias("r"))
+    return folded.select(
+        F.col("r.di").alias("di"),
+        F.col("r.cents").alias("cents"),
+        F.col("r.l").alias("level_cents"),
+        F.col("r.b").alias("trend_cents"),
+        (F.col("r.l") + F.col("r.b")).cast("long").alias("forecast_next_cents"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise day-to-day slopes — up to ~29% of days can be corrupted
+    (outages, backfills, promo spikes) without moving the estimate,
+    where the OLS slope (`event_value_regression` shape) chases every
+    outlier. The robust companion to `cusum_shift` (is there a shift?)
+    and `ewma_daily_value` (what's the level?): what's the TREND,
+    ignoring the junk days.
+
+    Determinism: slopes are exact-integer cent differences over exact
+    day gaps, one double division each; the median picks positions
+    (n+1)//2 and (n+2)//2 of the slope multiset by row_number with a
+    full (slope, di, dj) tie-break — positional selection over
+    identical double multisets is engine-portable; the midpoint
+    averages two doubles, ROUNDED 6.
+
+    Scale shape: the pair frame is day-grain squared (calendar-bounded:
+    365 days -> 66k pairs, NOT corpus-sized); one window rank over that
+    bounded frame. At multi-year grain, switch the input to the weekly
+    rollup — the operator is grain-agnostic.
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("di").alias("di_a"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("di").alias("di_b"), F.col("cents").alias("cb"))
+    pairs = a.join(b, F.col("di_a") < F.col("di_b")).select(
+        "di_a",
+        "di_b",
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("di_b") - F.col("di_a")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy(F.asc("slope"), F.asc("di_a"), F.asc("di_b"))
+    ranked = pairs.select(
+        "slope", F.row_number().over(w).cast("long").alias("rn")
+    ).localCheckpoint(eager=False)
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("np")).withColumn(
+        "_one", F.lit(1)
+    )
+    med = (
+        ranked.withColumn("_one", F.lit(1))
+        .join(F.broadcast(n), "_one")
+        .filter(
+            (F.col("rn") == F.floor((F.col("np") + 1) / F.lit(2.0)))
+            | (F.col("rn") == F.floor((F.col("np") + 2) / F.lit(2.0)))
+        )
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias("med"),
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days")).withColumn(
+        "_one", F.lit(1)
+    )
+    return (
+        nd.join(F.broadcast(med.withColumn("_one", F.lit(1))), "_one")
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("med"), 6).alias("slope_cents_per_day"),
+            F.round(F.col("med") / F.lit(100.0), 6).alias("slope_per_day"),
+        )
+    )

@@ -6943,6 +6943,171 @@ GROUP BY 1, 2
 """
 
 
+def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC per class for the NB gate (new round 6):
+    threshold-free ranking quality from the shared `_nb_doc_scores`
+    pipeline — rounded-6 scores become exact micros, then the
+    `mann_whitney` doubled-midrank machinery gives a tie-aware AUC
+    with one promotion (`operators/curation.nb_auc`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.nb_auc(docs, (F.col("doc_id") % 2) == 0)
+
+
+def o_nb_auc() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, lang, {O.sql_tokens('text')} AS w,
+                  doc_id % 2 = 0 AS is_tr FROM documents),
+tok AS (SELECT doc_id, lang, is_tr, unnest(w) AS tok FROM t),
+tr AS (SELECT * FROM tok WHERE is_tr),
+te AS (SELECT * FROM tok WHERE NOT is_tr),
+cond AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+         FROM tr GROUP BY 1, 2),
+clstok AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tok_c
+           FROM tr GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM tr),
+ndocs AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM ndocs),
+classes AS (
+  SELECT cls, ln(n_docs::DOUBLE / N::DOUBLE) AS prior_ln, tok_c + V AS denom
+  FROM ndocs JOIN clstok USING (cls) CROSS JOIN vocab CROSS JOIN tot
+),
+sc AS (
+  SELECT te.doc_id, te.lang, c.cls,
+         round(c.prior_ln
+               + sum(ln((coalesce(cond.c_tc, 0) + 1)::DOUBLE
+                        / c.denom::DOUBLE)), 6) AS score
+  FROM te CROSS JOIN classes c
+  LEFT JOIN cond ON cond.cls = c.cls AND cond.tok = te.tok
+  GROUP BY 1, 2, 3, c.prior_ln
+),
+base AS (SELECT cls, CAST(round(score * 1000000.0) AS BIGINT) AS v,
+                CASE WHEN lang = cls THEN 1 ELSE 0 END AS pos
+         FROM sc),
+gv AS (SELECT cls, v, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(pos) AS BIGINT) AS cp
+       FROM base GROUP BY 1, 2),
+mid AS (SELECT cls, cp, c,
+               CAST(2 * (sum(c) OVER (PARTITION BY cls ORDER BY v ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                    + c + 1 AS BIGINT) AS mr2
+        FROM gv),
+per AS (SELECT cls, CAST(sum(cp) AS BIGINT) AS n_pos,
+               CAST(sum(c) - sum(cp) AS BIGINT) AS n_neg,
+               CAST(sum(cp * mr2) AS BIGINT) AS s2p
+        FROM mid GROUP BY 1)
+SELECT cls, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((s2p::DOUBLE / 2.0
+                - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0)
+               / (n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
+FROM per
+"""
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Holt double exponential smoothing over daily revenue
+    (new round 6): level/trend recurrences on exact cents with
+    arithmetic shifts (floor semantics measured identical on both
+    engines, including negative trends); one-step forecast per day
+    (`operators/timeseries.holt_linear_forecast`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.holt_linear_forecast(load_table(spark, sf_dir, "events"))
+
+
+def o_holt_linear_forecast() -> str:
+    return """
+WITH RECURSIVE daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+idx AS (SELECT di, cents,
+               CAST(row_number() OVER (ORDER BY di ASC) AS BIGINT) AS i
+        FROM daily),
+r AS (
+  SELECT i, di, cents, cents AS l, CAST(0 AS BIGINT) AS b FROM idx WHERE i = 1
+  UNION ALL
+  SELECT d.i, d.di, d.cents,
+         CAST((d.cents + r.l + r.b) >> 1 AS BIGINT),
+         CAST((r.b + ((d.cents + r.l + r.b) >> 1) - r.l) >> 1 AS BIGINT)
+  FROM r JOIN idx d ON d.i = r.i + 1
+)
+SELECT di, cents, CAST(l AS BIGINT) AS level_cents,
+       CAST(b AS BIGINT) AS trend_cents,
+       CAST(l + b AS BIGINT) AS forecast_next_cents
+FROM r
+"""
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend (new round 6): median of
+    all pairwise slopes over the calendar-bounded day frame — immune
+    to ~29% corrupted days where OLS chases every outlier
+    (`operators/timeseries.theil_sen_trend`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
+def o_theil_sen_trend() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+pairs AS (SELECT a.di AS di_a, b.di AS di_b,
+                 (b.cents - a.cents)::DOUBLE / (b.di - a.di)::DOUBLE AS slope
+          FROM daily a JOIN daily b ON a.di < b.di),
+ranked AS (SELECT slope,
+                  CAST(row_number() OVER (ORDER BY slope ASC, di_a ASC,
+                                          di_b ASC) AS BIGINT) AS rn
+           FROM pairs),
+n AS (SELECT CAST(count(*) AS BIGINT) AS np FROM ranked),
+med AS (SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+               sum(slope) / count(*)::DOUBLE AS med
+        FROM ranked CROSS JOIN n
+        WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_pairs,
+       round(med, 6) AS slope_cents_per_day,
+       round(med / 100.0, 6) AS slope_per_day
+FROM nd CROSS JOIN med
+"""
+
+
+def q_label_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroids of the quantized
+    store (new round 6): the class-confusability map — exact int8
+    dimension sums, pair dots/norms exact integers, one double
+    division per pair (`operators/search.label_centroid_affinity`)."""
+    return S.label_centroid_affinity(load_table(spark, sf_dir, "embeddings"))
+
+
+def o_label_centroid_affinity() -> str:
+    return f"""
+WITH q AS (SELECT label, {O.sql_qvec()} AS qv FROM embeddings),
+d AS (SELECT label AS lbl, CAST(i AS INT) AS d, qv[CAST(i AS INT)]::BIGINT AS x
+      FROM q, unnest(range(1, {FX.DIM} + 1)) r(i)),
+s AS (SELECT lbl, d, CAST(sum(x) AS BIGINT) AS sd FROM d GROUP BY 1, 2),
+counts AS (SELECT label AS lbl, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+pairs AS (SELECT a.lbl AS label_a, b.lbl AS label_b,
+                 CAST(sum(a.sd * b.sd) AS BIGINT) AS dot,
+                 CAST(sum(a.sd * a.sd) AS BIGINT) AS na2,
+                 CAST(sum(b.sd * b.sd) AS BIGINT) AS nb2
+          FROM s a JOIN s b ON a.d = b.d AND a.lbl < b.lbl
+          GROUP BY 1, 2)
+SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+       CASE WHEN na2 > 0 AND nb2 > 0 THEN
+         round(dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
+       END AS cosine
+FROM pairs
+JOIN counts ca ON ca.lbl = label_a
+JOIN counts cb ON cb.lbl = label_b
+"""
+
+
 UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
 
 
@@ -11144,6 +11309,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_fpr_purchases": q_bloom_fpr_purchases,
     "trade_hits": q_trade_hits,
     "burrows_delta": q_burrows_delta,
+    "nb_auc": q_nb_auc,
+    "holt_linear_forecast": q_holt_linear_forecast,
+    "theil_sen_trend": q_theil_sen_trend,
+    "label_centroid_affinity": q_label_centroid_affinity,
     # --- round-5 front block, rotated out after its 50/50-green window
     # in CORRECTNESS_r05.json (driver-witnessed; still covered every
     # round by tests/test_oracle_parity.py at sf0.001) --------------
@@ -11543,6 +11712,10 @@ ORACLES: dict[str, str] = {
     "bloom_fpr_purchases": o_bloom_fpr_purchases(),
     "trade_hits": o_trade_hits(),
     "burrows_delta": o_burrows_delta(),
+    "nb_auc": o_nb_auc(),
+    "holt_linear_forecast": o_holt_linear_forecast(),
+    "theil_sen_trend": o_theil_sen_trend(),
+    "label_centroid_affinity": o_label_centroid_affinity(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

@@ -605,3 +605,27 @@ def test_nb_calibration_bins_separable(spark):
     assert sum(r.n_docs for r in out) > 0
     assert all(0 <= r.bin <= 10 for r in out)
     assert all(r.n_correct == r.n_docs and abs(r.accuracy - 1.0) < 1e-9 for r in out)
+
+
+def test_nb_auc_separable_fixture(spark):
+    """Perfectly separable two-language corpus: every class's score
+    ranks its own docs above the rest -> AUC 1.0 for both."""
+    from pythonvectordb_spark.operators.curation import nb_auc
+
+    rows = []
+    for i in range(8):
+        rows.append((2 * i, "aqua blau cyan azure", "en"))
+        rows.append((2 * i + 1, "rojo verde gelb braun", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.cls: r for r in nb_auc(df, (F.col("doc_id") % 2 >= -1) & (F.col("doc_id") < 8)).collect()}
+    assert got["en"].auc == 1.0 and got["de"].auc == 1.0
+    assert got["en"].n_pos == 4 and got["en"].n_neg == 4
+
+
+def test_nb_auc_degenerate_single_class_is_null(spark):
+    from pythonvectordb_spark.operators.curation import nb_auc
+
+    rows = [(i, "uno dos tres", "es") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    (r,) = nb_auc(df, F.col("doc_id") % 2 == 0).collect()
+    assert r.auc is None  # no negatives in the test split

@@ -1607,3 +1607,22 @@ def test_ndcg_and_mrr_on_testdata(spark):
         assert mr.rr == 0.0
     else:
         assert abs(mr.rr - round(1.0 / mr.found_rank, 6)) < 1e-9
+
+
+def test_label_centroid_affinity_orthogonal_and_identical(spark):
+    """Labels with identical member vectors have cosine 1 between their
+    centroids; orthogonal-axis labels have cosine 0."""
+    from pythonvectordb_spark.operators.search import label_centroid_affinity
+
+    ex = [1.0] + [0.0] * 63
+    ey = [0.0, 1.0] + [0.0] * 62
+    rows = (
+        [(i, ex, 0) for i in range(3)]
+        + [(10 + i, ex, 1) for i in range(2)]
+        + [(20 + i, ey, 2) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label_a, r.label_b): r for r in label_centroid_affinity(df).collect()}
+    assert got[(0, 1)].cosine == 1.0
+    assert got[(0, 2)].cosine == 0.0 and got[(1, 2)].cosine == 0.0
+    assert got[(0, 2)].n_a == 3 and got[(0, 2)].n_b == 4

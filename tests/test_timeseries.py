@@ -825,3 +825,46 @@ def test_revenue_drawdown_hand_computed(spark):
         (700, 700, 0),
         (300, 700, 400),
     ]
+
+
+def test_holt_linear_recurrence_hand_computed(spark):
+    """Replay the integer Holt recurrence including a negative trend
+    (arithmetic shift floors negatives identically on both engines)."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import holt_linear_forecast
+
+    vals = [10.0, 8.0, 4.0, 2.0]  # falling series -> negative trend
+    rows = [(dt.datetime(2024, 1, 1 + i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = sorted(
+        (r.di, r.cents, r.level_cents, r.trend_cents, r.forecast_next_cents)
+        for r in holt_linear_forecast(df).collect()
+    )
+    l, b = 1000, 0
+    expect = [(1000, 1000, 0)]
+    for c in (800, 400, 200):
+        l_new = (c + l + b) >> 1
+        b = (b + l_new - l) >> 1
+        l = l_new
+        expect.append((c, l, b))
+    assert [(g[1], g[2], g[3]) for g in got] == expect
+    assert all(g[4] == g[2] + g[3] for g in got)
+    assert expect[-1][2] < 0  # the fixture really exercises negatives
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    """A clean slope of +100 cents/day with one corrupted day: the
+    median slope stays 100 where OLS would move."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import theil_sen_trend
+
+    rows = []
+    for i in range(9):
+        v = 10.0 + i * 1.0 if i != 4 else 500.0  # day 4 corrupted
+        rows.append((dt.datetime(2024, 2, 1 + i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    (r,) = theil_sen_trend(df).collect()
+    assert r.n_days == 9 and r.n_pairs == 36
+    assert r.slope_cents_per_day == 100.0 and r.slope_per_day == 1.0
