@@ -247,6 +247,8 @@ HEADLINE = [
     "holt_linear_forecast",
     "theil_sen_trend",
     "label_centroid_affinity",
+    "value_wasserstein_drift",
+    "daily_max_gumbel",
 ]
 
 

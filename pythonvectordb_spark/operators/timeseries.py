@@ -2115,3 +2115,139 @@ def theil_sen_trend(
             F.round(F.col("med") / F.lit(100.0), 6).alias("slope_per_day"),
         )
     )
+
+
+def value_wasserstein_drift(
+    df: DataFrame,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance per series between
+    the even-``id_col`` and odd-``id_col`` value distributions — the
+    magnitude companion to `ks_drift`: KS reports the LARGEST CDF gap
+    (sensitive to one sharp difference), W1 integrates ALL of it in
+    currency units ("how many cents would it cost to morph one
+    distribution into the other"). The same A/A null-calibration split;
+    swap the side predicate for a real before/after cut.
+
+    Exactness: W1 = sum over consecutive distinct values of
+    gap * |F_even - F_odd| is computed with the common-denominator
+    trick — gap * |n_odd*cum_even - n_even*cum_odd| summed as exact
+    DECIMAL(38,0) (HUGEINT in the oracle; the per-term product can
+    pass int64 at corpus scale), ONE double division by n_even*n_odd
+    at the end, ROUNDED 6.
+
+    Scale shape: one (series, value) grouped count (map-side combined
+    — the shuffle carries distinct values per series, not rows); the
+    cumulative window and the lead() gap run over that distinct-value
+    frame; one grouped decimal sum per series.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(type_col).alias("t"),
+        cents.alias("v"),
+        (F.col(id_col) % 2 == 0).alias("even"),
+    )
+    per_val = base.groupBy("t", "v").agg(
+        F.sum(F.col("even").cast("long")).cast("long").alias("ce"),
+        F.sum((~F.col("even")).cast("long")).cast("long").alias("co"),
+    )
+    wv = Window.partitionBy("t").orderBy(F.asc("v"))
+    wcum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("t")
+    cur = per_val.select(
+        "t",
+        "v",
+        F.sum("ce").over(wcum).cast("long").alias("cume"),
+        F.sum("co").over(wcum).cast("long").alias("cumo"),
+        F.sum("ce").over(wall).cast("long").alias("ne"),
+        F.sum("co").over(wall).cast("long").alias("no"),
+        F.lead("v").over(wv).alias("vnext"),
+    )
+    term = (
+        (F.col("vnext") - F.col("v")).cast("decimal(38,0)")
+        * F.abs(
+            F.col("no") * F.col("cume") - F.col("ne") * F.col("cumo")
+        ).cast("decimal(38,0)")
+    )
+    g = cur.groupBy("t").agg(
+        F.max("ne").cast("long").alias("n_even"),
+        F.max("no").cast("long").alias("n_odd"),
+        F.sum(F.when(F.col("vnext").isNotNull(), term)).alias("num"),
+    )
+    w1 = F.col("num").cast("double") / (
+        F.col("n_even").cast("double") * F.col("n_odd").cast("double")
+    )
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n_even",
+        "n_odd",
+        F.when(
+            (F.col("n_even") > 0) & (F.col("n_odd") > 0),
+            F.round(F.coalesce(w1, F.lit(0.0)), 6),
+        ).alias("w1_cents"),
+    )
+
+
+# Gumbel fit constants as repr literals (no engine transcendentals
+# beyond sqrt/ln of data values enter the plan)
+GUMBEL_GAMMA = 0.5772156649015329  # Euler-Mascheroni
+GUMBEL_PI = 3.141592653589793
+
+
+def daily_max_gumbel(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value", ret_days: int = 100
+) -> DataFrame:
+    """Gumbel (EV-I) fit of the DAILY MAXIMUM event value by method of
+    moments, with the ``ret_days``-day return level — "how big an event
+    should capacity planning expect once per N days", the
+    extreme-value counterpart of the mean-field stats (`cusum_shift`
+    tracks the level; this prices the tail): beta = sqrt(6*var)/pi,
+    mu = mean - gamma*beta, level_N = mu - beta*ln(-ln(1 - 1/N)).
+
+    Determinism: daily maxima are exact integer cents; mean and
+    population variance assemble from the exact (n, sum, sum-of-
+    squares) integers in one pinned double order; gamma, pi, and the
+    return-level ln factor are repr literals on both engines,
+    ROUNDED 6.
+
+    Scale shape: one map-side-combined grouped max to the
+    calendar-bounded day frame, one global moment aggregate, one-row
+    algebra after.
+    """
+    import math
+
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.max("c").cast("long").alias("mx"))
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("q"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("q").cast("double") / n - mean * mean
+    beta = F.sqrt(F.lit(6.0) * var) / F.lit(GUMBEL_PI)
+    mu = mean - F.lit(GUMBEL_GAMMA) * beta
+    gfac = -math.log(-math.log(1.0 - 1.0 / float(ret_days)))
+    level = mu + beta * F.lit(float(gfac))
+    ok = (F.col("n_days") > 1) & (var > 0)
+    return t.select(
+        "n_days",
+        F.round(mean, 6).alias("mean_daily_max_cents"),
+        F.when(ok, F.round(beta, 6)).alias("beta_cents"),
+        F.when(ok, F.round(mu, 6)).alias("mu_cents"),
+        F.when(ok, F.round(level, 6)).alias(f"level_{int(ret_days)}d_cents"),
+    )

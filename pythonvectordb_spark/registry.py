@@ -7108,6 +7108,113 @@ JOIN counts cb ON cb.lbl = label_b
 """
 
 
+def q_value_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein value drift per event type (new round 6):
+    the earth-mover magnitude companion to `ks_drift`'s sup-norm —
+    common-denominator DECIMAL(38,0) sum over the distinct-value
+    frame, one division
+    (`operators/timeseries.value_wasserstein_drift`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.value_wasserstein_drift(load_table(spark, sf_dir, "events"))
+
+
+def o_value_wasserstein_drift() -> str:
+    return """
+WITH base AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v,
+                     event_id % 2 = 0 AS even
+              FROM events),
+pv AS (SELECT t, v,
+              CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+              CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS co
+       FROM base GROUP BY 1, 2),
+cur AS (SELECT t, v,
+               CAST(sum(ce) OVER w AS BIGINT) AS cume,
+               CAST(sum(co) OVER w AS BIGINT) AS cumo,
+               CAST(sum(ce) OVER (PARTITION BY t) AS BIGINT) AS ne,
+               CAST(sum(co) OVER (PARTITION BY t) AS BIGINT) AS no,
+               lead(v) OVER (PARTITION BY t ORDER BY v ASC) AS vnext
+        FROM pv
+        WINDOW w AS (PARTITION BY t ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+g AS (SELECT t, CAST(max(ne) AS BIGINT) AS n_even,
+             CAST(max(no) AS BIGINT) AS n_odd,
+             sum(CASE WHEN vnext IS NOT NULL THEN
+                   CAST(vnext - v AS HUGEINT)
+                   * CAST(abs(no * cume - ne * cumo) AS HUGEINT)
+                 END) AS num
+      FROM cur GROUP BY 1)
+SELECT t AS event_type, n_even, n_odd,
+       CASE WHEN n_even > 0 AND n_odd > 0 THEN
+         round(coalesce(num::DOUBLE / (n_even::DOUBLE * n_odd::DOUBLE), 0.0), 6)
+       END AS w1_cents
+FROM g
+"""
+
+
+def q_daily_max_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel EV-I fit of the daily maximum event value (new round 6):
+    method-of-moments beta/mu from exact integer moments, 100-day
+    return level with gamma/pi/ln-factor as repr literals
+    (`operators/timeseries.daily_max_gumbel`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.daily_max_gumbel(load_table(spark, sf_dir, "events"), ret_days=100)
+
+
+def o_daily_max_gumbel() -> str:
+    import math
+
+    from pythonvectordb_spark.operators.timeseries import GUMBEL_GAMMA, GUMBEL_PI
+
+    gfac = -math.log(-math.log(1.0 - 1.0 / 100.0))
+    return f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(mx) AS BIGINT) AS s,
+             CAST(sum(mx * mx) AS BIGINT) AS q
+      FROM daily)
+SELECT n_days,
+       round(s::DOUBLE / n_days::DOUBLE, 6) AS mean_daily_max_cents,
+       CASE WHEN n_days > 1
+                 AND (q::DOUBLE / n_days::DOUBLE
+                      - (s::DOUBLE / n_days::DOUBLE)
+                        * (s::DOUBLE / n_days::DOUBLE)) > 0 THEN
+         round(sqrt(6.0 * (q::DOUBLE / n_days::DOUBLE
+                           - (s::DOUBLE / n_days::DOUBLE)
+                             * (s::DOUBLE / n_days::DOUBLE)))
+               / {GUMBEL_PI!r}, 6) END AS beta_cents,
+       CASE WHEN n_days > 1
+                 AND (q::DOUBLE / n_days::DOUBLE
+                      - (s::DOUBLE / n_days::DOUBLE)
+                        * (s::DOUBLE / n_days::DOUBLE)) > 0 THEN
+         round(s::DOUBLE / n_days::DOUBLE
+               - {GUMBEL_GAMMA!r}
+                 * (sqrt(6.0 * (q::DOUBLE / n_days::DOUBLE
+                                - (s::DOUBLE / n_days::DOUBLE)
+                                  * (s::DOUBLE / n_days::DOUBLE)))
+                    / {GUMBEL_PI!r}), 6) END AS mu_cents,
+       CASE WHEN n_days > 1
+                 AND (q::DOUBLE / n_days::DOUBLE
+                      - (s::DOUBLE / n_days::DOUBLE)
+                        * (s::DOUBLE / n_days::DOUBLE)) > 0 THEN
+         round((s::DOUBLE / n_days::DOUBLE
+                - {GUMBEL_GAMMA!r}
+                  * (sqrt(6.0 * (q::DOUBLE / n_days::DOUBLE
+                                 - (s::DOUBLE / n_days::DOUBLE)
+                                   * (s::DOUBLE / n_days::DOUBLE)))
+                     / {GUMBEL_PI!r}))
+               + (sqrt(6.0 * (q::DOUBLE / n_days::DOUBLE
+                              - (s::DOUBLE / n_days::DOUBLE)
+                                * (s::DOUBLE / n_days::DOUBLE)))
+                  / {GUMBEL_PI!r}) * {gfac!r}, 6) END AS level_100d_cents
+FROM t
+"""
+
+
 UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
 
 
@@ -11313,6 +11420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holt_linear_forecast": q_holt_linear_forecast,
     "theil_sen_trend": q_theil_sen_trend,
     "label_centroid_affinity": q_label_centroid_affinity,
+    "value_wasserstein_drift": q_value_wasserstein_drift,
+    "daily_max_gumbel": q_daily_max_gumbel,
     # --- round-5 front block, rotated out after its 50/50-green window
     # in CORRECTNESS_r05.json (driver-witnessed; still covered every
     # round by tests/test_oracle_parity.py at sf0.001) --------------
@@ -11716,6 +11825,8 @@ ORACLES: dict[str, str] = {
     "holt_linear_forecast": o_holt_linear_forecast(),
     "theil_sen_trend": o_theil_sen_trend(),
     "label_centroid_affinity": o_label_centroid_affinity(),
+    "value_wasserstein_drift": o_value_wasserstein_drift(),
+    "daily_max_gumbel": o_daily_max_gumbel(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

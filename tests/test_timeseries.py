@@ -868,3 +868,63 @@ def test_theil_sen_ignores_outlier_day(spark):
     (r,) = theil_sen_trend(df).collect()
     assert r.n_days == 9 and r.n_pairs == 36
     assert r.slope_cents_per_day == 100.0 and r.slope_per_day == 1.0
+
+
+def test_value_wasserstein_hand_computed(spark):
+    """Two tiny distributions with a known EMD: even side {1.00, 3.00},
+    odd side {2.00, 4.00} -> W1 = 100 cents (shift each unit by 1)."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import value_wasserstein_drift
+
+    rows = [
+        (0, dt.datetime(2024, 3, 1), "click", 1.0),
+        (2, dt.datetime(2024, 3, 1), "click", 3.0),
+        (1, dt.datetime(2024, 3, 1), "click", 2.0),
+        (3, dt.datetime(2024, 3, 1), "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    (r,) = value_wasserstein_drift(df).collect()
+    assert (r.n_even, r.n_odd, r.w1_cents) == (2, 2, 100.0)
+    # identical sides -> exactly 0
+    same = spark.createDataFrame(
+        [(0, dt.datetime(2024, 3, 1), "x", 5.0), (1, dt.datetime(2024, 3, 1), "x", 5.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    (z,) = value_wasserstein_drift(same).collect()
+    assert z.w1_cents == 0.0
+
+
+def test_daily_max_gumbel_moments(spark):
+    """Moments replayed in python: beta = sqrt(6*var)/pi, mu = mean -
+    gamma*beta, level = mu + beta*gfac."""
+    import datetime as dt
+    import math
+
+    from pythonvectordb_spark.operators.timeseries import (
+        GUMBEL_GAMMA,
+        GUMBEL_PI,
+        daily_max_gumbel,
+    )
+
+    maxima = [10.0, 12.0, 9.0, 15.0, 11.0]
+    rows = []
+    for i, v in enumerate(maxima):
+        rows.append((dt.datetime(2024, 4, 1 + i, 1), v))
+        rows.append((dt.datetime(2024, 4, 1 + i, 2), v / 2))  # non-max filler
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    (r,) = daily_max_gumbel(df, ret_days=100).collect()
+    cents = [v * 100 for v in maxima]
+    n = len(cents)
+    mean = sum(cents) / n
+    var = sum(c * c for c in cents) / n - mean * mean
+    beta = math.sqrt(6 * var) / GUMBEL_PI
+    mu = mean - GUMBEL_GAMMA * beta
+    gfac = -math.log(-math.log(1 - 1 / 100))
+    assert r.n_days == n
+    assert abs(r.mean_daily_max_cents - round(mean, 6)) < 1e-6
+    assert abs(r.beta_cents - round(beta, 6)) < 1e-6
+    assert abs(r.mu_cents - round(mu, 6)) < 1e-6
+    assert abs(r.level_100d_cents - round(mu + beta * gfac, 6)) < 1e-5
