@@ -1824,19 +1824,19 @@ def label_centroid_affinity(
     """
     from pythonvectordb_spark.functions.vector import l2_normalize, quantize
 
+    # one checkpointed quantized projection feeds BOTH the dimension
+    # sums and the per-label counts (recomputing the scan per consumer
+    # is the union-recompute anti-pattern the advisor rejects)
+    q = emb.select(
+        F.col(label_col).alias("lbl"), quantize(l2_normalize(vec_col)).alias("qv")
+    ).localCheckpoint(eager=False)
     dims = (
-        emb.select(
-            F.col(label_col).alias("lbl"),
-            F.posexplode(quantize(l2_normalize(vec_col))).alias("d", "x"),
-        )
+        q.select("lbl", F.posexplode("qv").alias("d", "x"))
         .groupBy("lbl", "d")
         .agg(F.sum(F.col("x").cast("long")).cast("long").alias("sd"))
         .localCheckpoint(eager=False)
     )
-    counts = (
-        emb.groupBy(F.col(label_col).alias("lbl"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    counts = q.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = dims.select(F.col("lbl").alias("label_a"), "d", F.col("sd").alias("sa"))
     b = dims.select(F.col("lbl").alias("label_b"), "d", F.col("sd").alias("sb"))
     pairs = (
