@@ -249,6 +249,10 @@ HEADLINE = [
     "label_centroid_affinity",
     "value_wasserstein_drift",
     "daily_max_gumbel",
+    "bpe_encode_pieces",
+    "friedman_types_by_day",
+    "mann_kendall_trend",
+    "nb_class_f1",
 ]
 
 

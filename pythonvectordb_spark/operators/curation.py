@@ -1625,3 +1625,81 @@ def nb_auc(
             "auc"
         ),
     )
+
+
+def nb_class_f1(
+    df: DataFrame,
+    train_pred,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-class precision/recall/F1 for the NB gate — the operating
+    numbers a curation pipeline actually routes on, derived from the
+    same argmax decision `nb_classifier_confusion` matrixizes (rounded
+    score, class-name tie-break — the decision boundary is
+    engine-portable). Precision says how much junk a class gate lets
+    through; recall says how much of the class it loses; F1 orders the
+    classes by gate quality in one column.
+
+    Determinism: tp/fp/fn are exact integer counts over the argmax
+    predictions; three divisions per class (k classes), ROUNDED 6;
+    NULL where the denominator is 0 (a class never predicted / absent
+    from the test split).
+
+    Scale shape: the shared train+score pipeline, one k-row-per-doc
+    argmax window, then two class-grain grouped counts outer-joined on
+    the class directory.
+    """
+    from pyspark.sql import Window
+
+    sc = _nb_doc_scores(df, train_pred, label_col, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("_lbl").alias("actual"), F.col("cls").alias("pred"))
+        .localCheckpoint(eager=False)
+    )
+    classes = (
+        pred.select(F.col("actual").alias("cls"))
+        .unionByName(pred.select(F.col("pred").alias("cls")))
+        .distinct()
+    )
+    by_actual = pred.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_actual"),
+        F.sum((F.col("pred") == F.col("actual")).cast("long"))
+        .cast("long")
+        .alias("tp"),
+    )
+    by_pred = pred.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    j = (
+        classes.join(by_actual, "cls", "left")
+        .join(by_pred, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_actual", F.lit(0).cast("long")).alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),
+            F.coalesce("tp", F.lit(0).cast("long")).alias("tp"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    rec = F.col("tp").cast("double") / F.col("n_actual").cast("double")
+    f1 = (
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.col("n_pred") + F.col("n_actual")).cast("double")
+    )
+    return j.select(
+        "cls",
+        "n_actual",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") > 0, F.round(prec, 6)).alias("precision"),
+        F.when(F.col("n_actual") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(
+            (F.col("n_pred") + F.col("n_actual")) > 0, F.round(f1, 6)
+        ).alias("f1"),
+    )

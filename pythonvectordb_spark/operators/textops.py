@@ -1842,3 +1842,54 @@ def burrows_delta(
             ).alias("delta"),
         )
     )
+
+
+def bpe_encode_pieces(
+    df: DataFrame,
+    pattern: str,
+    n_merges: int = 10,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The piece-frequency table under the TRAINED merges — the third
+    leg of the BPE story (`bpe_merge_table` learns, `bpe_trained_
+    fertility` prices, this ENCODES): top-``top_n`` subword pieces by
+    corpus-weighted frequency after applying all learned merges, with
+    each piece's share of the total piece stream. The table a
+    vocabulary builder reads to decide which learned units earn an id
+    — a merge whose output piece carries negligible share was wasted.
+
+    Scale shape: `_bpe_train`'s shape (one corpus scan to the
+    distinct-word frame, vocabulary-sized rounds), then one explode of
+    the final symbol strings weighted by word counts, one
+    map-side-combined grouped sum, TakeOrdered(top_n) with
+    (count DESC, piece ASC) tie-break; the share divides by a
+    broadcast one-row total. The rank window runs on top_n rows.
+    """
+    from pyspark.sql import Window
+
+    _, final = _bpe_train(_bpe_words(df, pattern, text_col), n_merges)
+    pieces = (
+        final.select(F.explode(F.split("seq", " ")).alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+        .localCheckpoint(eager=False)
+    )
+    tot = pieces.agg(F.sum("n_occurrences").cast("long").alias("nt")).withColumn(
+        "_one", F.lit(1)
+    )
+    top = (
+        pieces.orderBy(F.desc("n_occurrences"), F.asc("piece"))
+        .limit(int(top_n))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+    )
+    rank = Window.orderBy(F.desc("n_occurrences"), F.asc("piece"))
+    return top.select(
+        F.row_number().over(rank).cast("int").alias("rank"),
+        "piece",
+        "n_occurrences",
+        F.round(
+            F.col("n_occurrences").cast("double") / F.col("nt").cast("double"), 6
+        ).alias("share"),
+    )

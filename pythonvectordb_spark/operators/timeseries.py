@@ -2251,3 +2251,193 @@ def daily_max_gumbel(
         F.when(ok, F.round(mu, 6)).alias("mu_cents"),
         F.when(ok, F.round(level, 6)).alias(f"level_{int(ret_days)}d_cents"),
     )
+
+
+def friedman_types_by_day(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Friedman test of event types blocked by day: within each day,
+    rank the types by daily revenue, then ask whether the type ORDERING
+    is consistent across days — the repeated-measures member of the
+    rank family (`kruskal_wallis` pools all rows; this blocks out the
+    day effect, so a global weekend surge can't masquerade as a type
+    difference). Large Q: the type ranking is stable day after day —
+    per-type capacity plans are meaningful.
+
+    Determinism: the (day x type) revenue grid is COMPLETED (absent
+    cells owe revenue 0 — required for balanced blocks) in exact
+    cents; within-day DOUBLED midranks r2 are exact int64, so the
+    tie-adjusted statistic
+    Q = (k-1) * sum_j (R2_j - n(k+1))^2 / (sum r2^2 - n*k*(k+1)^2)
+    is an exact integer ratio with ONE promotion, ROUNDED 6 (the
+    doubled-rank algebra absorbs the usual /4 factors). NULL when the
+    denominator is 0 (all types tied every day).
+
+    Scale shape: one map-side-combined grouped sum to the (day, type)
+    grain; the grid completion is day-frame x type-frame (calendar x
+    small vocabulary); the within-day rank window runs over k rows per
+    day. Everything after is k-row algebra.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    di = (
+        F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    cells = (
+        df.select(di.alias("di"), F.col(type_col).alias("ty"), cents.alias("c"))
+        .groupBy("di", "ty")
+        .agg(F.sum("c").cast("long").alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    days = cells.select("di").distinct()
+    types = cells.select("ty").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cells, ["di", "ty"], "left")
+        .select("di", "ty", F.coalesce("rev", F.lit(0).cast("long")).alias("rev"))
+    )
+    # doubled midrank of rev within its day: 2*(count below) + ties + 1
+    wd = Window.partitionBy("di")
+    below = F.sum(F.lit(1)).over(
+        Window.partitionBy("di").orderBy(F.asc("rev")).rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    ties = F.count(F.lit(1)).over(Window.partitionBy("di", "rev"))
+    ranked = grid.select(
+        "di",
+        "ty",
+        (F.lit(2) * F.coalesce(below, F.lit(0)) + ties + F.lit(1))
+        .cast("long")
+        .alias("r2"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("k"),
+    ).localCheckpoint(eager=False)
+    per_type = ranked.groupBy("ty").agg(
+        F.sum("r2").cast("long").alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("k").cast("long").alias("k"),
+    )
+    tots = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("sr22"),
+        F.max("k").cast("long").alias("k"),
+        F.countDistinct("di").cast("long").alias("n"),
+    ).withColumn("_one", F.lit(1))
+    # join per-type rank sums with the one-row totals (per_type's own
+    # k/n_days columns are dropped to avoid name ambiguity with tots)
+    stat = (
+        per_type.select("ty", "r2j")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tots), "_one")
+        .select(
+            "ty",
+            "r2j",
+            "sr22",
+            F.col("k"),
+            F.col("n"),
+            ((F.col("r2j") - F.col("n") * (F.col("k") + 1))
+             * (F.col("r2j") - F.col("n") * (F.col("k") + 1)))
+            .cast("long")
+            .alias("dev2"),
+        )
+    )
+    agg = stat.groupBy().agg(
+        F.max("k").cast("long").alias("n_types"),
+        F.max("n").cast("long").alias("n_days"),
+        F.sum("dev2").cast("long").alias("sdev2"),
+        F.max("sr22").cast("long").alias("sr22"),
+    )
+    denom = (
+        F.col("sr22")
+        - F.col("n_days") * F.col("n_types")
+        * (F.col("n_types") + 1) * (F.col("n_types") + 1)
+    ).cast("long")
+    q = (
+        (F.col("n_types") - 1).cast("double")
+        * F.col("sdev2").cast("double")
+        / denom.cast("double")
+    )
+    return agg.select(
+        "n_types",
+        "n_days",
+        F.when(denom > 0, F.round(q, 6)).alias("friedman_q"),
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue: S = sum of
+    sign(later - earlier) over all day pairs — the significance
+    companion to `theil_sen_trend` (TS says how big the robust slope
+    is; MK says whether a monotone trend EXISTS, distribution-free).
+    The standard pairing in ops monitoring: alert on MK, size the
+    response on TS.
+
+    Determinism: S and the tie-corrected variance
+    var = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18 are exact integers
+    (the /18 stays rational until the single z promotion); the
+    continuity-corrected z = (S -/+ 1)/sqrt(var) is ROUNDED 6, NULL
+    when var = 0 (all days tied).
+
+    Scale shape: one grouped sum to the calendar-bounded day grain;
+    the pair frame is day-grain squared (bounded by the calendar, like
+    `theil_sen_trend`); ties come from a grouped count on the distinct
+    daily values. Everything after is one-row algebra.
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("di").alias("di_a"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("di").alias("di_b"), F.col("cents").alias("cb"))
+    s = (
+        a.join(b, F.col("di_a") < F.col("di_b"))
+        .agg(
+            F.sum(F.signum((F.col("cb") - F.col("ca")).cast("double")).cast("long"))
+            .cast("long")
+            .alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+            F.sum("t").cast("long").alias("n_days"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    j = s.join(F.broadcast(ties), "_one")
+    n = F.col("n_days").cast("double")
+    var = (
+        n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    z = F.when(F.col("s") > 0, (F.col("s").cast("double") - F.lit(1.0)) / F.sqrt(var)).when(
+        F.col("s") < 0, (F.col("s").cast("double") + F.lit(1.0)) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n_days",
+        "n_pairs",
+        F.col("s").alias("mk_s"),
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+    )

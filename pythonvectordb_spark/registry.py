@@ -7215,6 +7215,197 @@ FROM t
 """
 
 
+def q_bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piece-frequency table under the TRAINED BPE merges (new round
+    6): top-20 subword pieces by corpus-weighted frequency after the
+    10 learned merges, with stream share — the encode leg of the BPE
+    story (`operators/textops.bpe_encode_pieces`)."""
+    return TX.bpe_encode_pieces(
+        load_table(spark, sf_dir, "documents"),
+        pattern=_BPE_SPLIT,
+        n_merges=BPE_N_MERGES,
+        top_n=20,
+    )
+
+
+def o_bpe_encode_pieces() -> str:
+    return f"""
+WITH {_bpe_cte_chain()},
+pieces AS MATERIALIZED (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS n_occurrences
+  FROM (SELECT unnest(string_split(seq, ' ')) AS piece, wc
+        FROM w{BPE_N_MERGES})
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS nt FROM pieces),
+top AS (SELECT piece, n_occurrences FROM pieces
+        ORDER BY n_occurrences DESC, piece ASC LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, piece ASC)
+            AS INT) AS rank,
+       piece, n_occurrences,
+       round(n_occurrences::DOUBLE / nt::DOUBLE, 6) AS share
+FROM top CROSS JOIN tot
+"""
+
+
+def q_friedman_types_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test of event types blocked by day (new round 6): is
+    the type revenue ORDERING stable across days — the
+    repeated-measures rank test next to `kruskal_wallis`'s pooled one;
+    doubled within-day midranks keep the tie-adjusted Q an exact
+    integer ratio (`operators/timeseries.friedman_types_by_day`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.friedman_types_by_day(load_table(spark, sf_dir, "events"))
+
+
+def o_friedman_types_by_day() -> str:
+    return """
+WITH cells AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         event_type AS ty,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT di FROM cells),
+types AS (SELECT DISTINCT ty FROM cells),
+grid AS (SELECT d.di, t.ty, coalesce(c.rev, 0) AS rev
+         FROM days d CROSS JOIN types t
+         LEFT JOIN cells c ON c.di = d.di AND c.ty = t.ty),
+ranked AS (
+  SELECT di, ty,
+         CAST(2 * coalesce(sum(1) OVER (PARTITION BY di ORDER BY rev ASC
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + count(*) OVER (PARTITION BY di, rev) + 1 AS BIGINT) AS r2,
+         CAST(count(*) OVER (PARTITION BY di) AS BIGINT) AS k
+  FROM grid),
+per_type AS (SELECT ty, CAST(sum(r2) AS BIGINT) AS r2j FROM ranked GROUP BY 1),
+tots AS (SELECT CAST(sum(r2 * r2) AS BIGINT) AS sr22,
+                CAST(max(k) AS BIGINT) AS k,
+                CAST(count(DISTINCT di) AS BIGINT) AS n
+         FROM ranked),
+stat AS (SELECT CAST((r2j - n * (k + 1)) * (r2j - n * (k + 1)) AS BIGINT)
+                  AS dev2, k, n, sr22
+         FROM per_type CROSS JOIN tots)
+SELECT CAST(max(k) AS BIGINT) AS n_types, CAST(max(n) AS BIGINT) AS n_days,
+       CASE WHEN (max(sr22) - max(n) * max(k) * (max(k) + 1) * (max(k) + 1))
+                 > 0 THEN
+         round((max(k) - 1)::DOUBLE * sum(dev2)::DOUBLE
+               / (max(sr22)
+                  - max(n) * max(k) * (max(k) + 1) * (max(k) + 1))::DOUBLE, 6)
+       END AS friedman_q
+FROM stat
+"""
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue (new round 6):
+    S over all day pairs, tie-corrected variance, continuity-corrected
+    z — alert on MK, size on `theil_sen_trend`
+    (`operators/timeseries.mann_kendall_trend`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.mann_kendall_trend(load_table(spark, sf_dir, "events"))
+
+
+def o_mann_kendall_trend() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+s AS (SELECT CAST(sum(CAST(sign(b.cents - a.cents) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM daily a JOIN daily b ON a.di < b.di),
+ties AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+                CAST(sum(t) AS BIGINT) AS n_days
+         FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+               GROUP BY cents))
+SELECT n_days, n_pairs, s AS mk_s,
+       CASE WHEN (n_days::DOUBLE * (n_days::DOUBLE - 1.0)
+                  * (2.0 * n_days::DOUBLE + 5.0)
+                  - tie_term::DOUBLE) / 18.0 > 0 THEN
+         round(CASE WHEN s > 0 THEN
+                 (s::DOUBLE - 1.0)
+                 / sqrt((n_days::DOUBLE * (n_days::DOUBLE - 1.0)
+                         * (2.0 * n_days::DOUBLE + 5.0)
+                         - tie_term::DOUBLE) / 18.0)
+               WHEN s < 0 THEN
+                 (s::DOUBLE + 1.0)
+                 / sqrt((n_days::DOUBLE * (n_days::DOUBLE - 1.0)
+                         * (2.0 * n_days::DOUBLE + 5.0)
+                         - tie_term::DOUBLE) / 18.0)
+               ELSE 0.0 END, 6) END AS z
+FROM s CROSS JOIN ties
+"""
+
+
+def q_nb_class_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 for the NB gate (new round 6):
+    the routing numbers derived from the same engine-portable argmax
+    as the confusion matrix (`operators/curation.nb_class_f1`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.nb_class_f1(docs, (F.col("doc_id") % 2) == 0)
+
+
+def o_nb_class_f1() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, lang, {O.sql_tokens('text')} AS w,
+                  doc_id % 2 = 0 AS is_tr FROM documents),
+tok AS (SELECT doc_id, lang, is_tr, unnest(w) AS tok FROM t),
+tr AS (SELECT * FROM tok WHERE is_tr),
+te AS (SELECT * FROM tok WHERE NOT is_tr),
+cond AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+         FROM tr GROUP BY 1, 2),
+clstok AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tok_c
+           FROM tr GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM tr),
+ndocs AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM ndocs),
+classes0 AS (
+  SELECT cls, ln(n_docs::DOUBLE / N::DOUBLE) AS prior_ln, tok_c + V AS denom
+  FROM ndocs JOIN clstok USING (cls) CROSS JOIN vocab CROSS JOIN tot
+),
+sc AS (
+  SELECT te.doc_id, te.lang, c.cls,
+         round(c.prior_ln
+               + sum(ln((coalesce(cond.c_tc, 0) + 1)::DOUBLE
+                        / c.denom::DOUBLE)), 6) AS score
+  FROM te CROSS JOIN classes0 c
+  LEFT JOIN cond ON cond.cls = c.cls AND cond.tok = te.tok
+  GROUP BY 1, 2, 3, c.prior_ln
+),
+pred AS (SELECT lang AS actual, cls AS pred FROM (
+           SELECT doc_id, lang, cls,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cls ASC) AS rn
+           FROM sc) WHERE rn = 1),
+classes AS (SELECT DISTINCT cls FROM (
+              SELECT actual AS cls FROM pred
+              UNION ALL SELECT pred FROM pred)),
+by_actual AS (SELECT actual AS cls, CAST(count(*) AS BIGINT) AS n_actual,
+                     CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tp
+              FROM pred GROUP BY 1),
+by_pred AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+            FROM pred GROUP BY 1)
+SELECT c.cls,
+       coalesce(n_actual, 0) AS n_actual,
+       coalesce(n_pred, 0) AS n_pred,
+       coalesce(tp, 0) AS tp,
+       CASE WHEN coalesce(n_pred, 0) > 0 THEN
+         round(coalesce(tp, 0)::DOUBLE / n_pred::DOUBLE, 6) END AS precision,
+       CASE WHEN coalesce(n_actual, 0) > 0 THEN
+         round(coalesce(tp, 0)::DOUBLE / n_actual::DOUBLE, 6) END AS recall,
+       CASE WHEN coalesce(n_pred, 0) + coalesce(n_actual, 0) > 0 THEN
+         round(2.0 * coalesce(tp, 0)::DOUBLE
+               / (coalesce(n_pred, 0) + coalesce(n_actual, 0))::DOUBLE, 6)
+       END AS f1
+FROM classes c
+LEFT JOIN by_actual ba ON ba.cls = c.cls
+LEFT JOIN by_pred bp ON bp.cls = c.cls
+"""
+
+
 UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
 
 
@@ -11422,6 +11613,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_affinity": q_label_centroid_affinity,
     "value_wasserstein_drift": q_value_wasserstein_drift,
     "daily_max_gumbel": q_daily_max_gumbel,
+    "bpe_encode_pieces": q_bpe_encode_pieces,
+    "friedman_types_by_day": q_friedman_types_by_day,
+    "mann_kendall_trend": q_mann_kendall_trend,
+    "nb_class_f1": q_nb_class_f1,
     # --- round-5 front block, rotated out after its 50/50-green window
     # in CORRECTNESS_r05.json (driver-witnessed; still covered every
     # round by tests/test_oracle_parity.py at sf0.001) --------------
@@ -11827,6 +12022,10 @@ ORACLES: dict[str, str] = {
     "label_centroid_affinity": o_label_centroid_affinity(),
     "value_wasserstein_drift": o_value_wasserstein_drift(),
     "daily_max_gumbel": o_daily_max_gumbel(),
+    "bpe_encode_pieces": o_bpe_encode_pieces(),
+    "friedman_types_by_day": o_friedman_types_by_day(),
+    "mann_kendall_trend": o_mann_kendall_trend(),
+    "nb_class_f1": o_nb_class_f1(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

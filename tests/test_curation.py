@@ -629,3 +629,33 @@ def test_nb_auc_degenerate_single_class_is_null(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     (r,) = nb_auc(df, F.col("doc_id") % 2 == 0).collect()
     assert r.auc is None  # no negatives in the test split
+
+
+def test_nb_class_f1_reconciles_with_confusion(spark):
+    """Precision/recall/F1 must reconcile with the confusion matrix on
+    the same split: tp, row and column sums agree."""
+    from pythonvectordb_spark.operators.curation import (
+        nb_class_f1,
+        nb_classifier_confusion,
+    )
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pred = (F.col("doc_id") % 2) == 0
+    conf = nb_classifier_confusion(docs, pred).collect()
+    f1 = {r.cls: r for r in nb_class_f1(docs, pred).collect()}
+    by_actual = {}
+    by_pred = {}
+    tp = {}
+    for r in conf:
+        by_actual[r.lang] = by_actual.get(r.lang, 0) + r.n_docs
+        by_pred[r.predicted] = by_pred.get(r.predicted, 0) + r.n_docs
+        if r.lang == r.predicted:
+            tp[r.lang] = r.n_docs
+    for cls, row in f1.items():
+        assert row.n_actual == by_actual.get(cls, 0)
+        assert row.n_pred == by_pred.get(cls, 0)
+        assert row.tp == tp.get(cls, 0)
+        if row.n_pred and row.n_actual:
+            assert abs(row.f1 - round(2 * row.tp / (row.n_pred + row.n_actual), 6)) < 1e-9

@@ -674,3 +674,29 @@ def test_burrows_delta_identical_sources_zero(spark):
     assert got[("a", "b")] == 0.0
     assert got[("a", "c")] > 0.0 and got[("b", "c")] > 0.0
     assert got[("a", "c")] == got[("b", "c")]
+
+
+def test_bpe_encode_pieces_matches_reference_encoder(spark):
+    """The piece table must equal the pure-Python reference encoder's
+    weighted piece counts under the same learned merges."""
+    from collections import Counter
+
+    from pythonvectordb_spark.operators.textops import bpe_encode_pieces
+
+    texts = ["low low lower lowest newer new", "wider new newer widest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.piece: (r.n_occurrences, r.share)
+        for r in bpe_encode_pieces(df, r"[A-Za-z]+", n_merges=5, top_n=50).collect()
+    }
+    _, seqs, words = _py_bpe_reference(texts, r"[A-Za-z]+", 5)
+    ref = Counter()
+    for w, c in words.items():
+        for p in seqs[w]:
+            ref[p] += c
+    total = sum(ref.values())
+    assert {p: n for p, (n, _) in got.items()} == dict(ref)
+    for p, (n, share) in got.items():
+        assert abs(share - round(n / total, 6)) < 1e-9

@@ -928,3 +928,51 @@ def test_daily_max_gumbel_moments(spark):
     assert abs(r.beta_cents - round(beta, 6)) < 1e-6
     assert abs(r.mu_cents - round(mu, 6)) < 1e-6
     assert abs(r.level_100d_cents - round(mu + beta * gfac, 6)) < 1e-5
+
+
+def test_friedman_hand_computed(spark):
+    """3 types x 3 days with a perfectly consistent ordering: Q equals
+    the no-tie closed form 12n/(k(k+1)) * sum (Rbar_j - (k+1)/2)^2 =
+    n(k-1) when rankings are identical every day (here 2*(3-1)=... ) —
+    computed directly with the textbook formula in python."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import friedman_types_by_day
+
+    rows = []
+    # type a always lowest, c always highest, 3 days
+    for d, base in enumerate((1.0, 2.0, 3.0)):
+        rows.append((dt.datetime(2024, 5, 1 + d), "a", base))
+        rows.append((dt.datetime(2024, 5, 1 + d), "b", base + 1.0))
+        rows.append((dt.datetime(2024, 5, 1 + d), "c", base + 2.0))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    (r,) = friedman_types_by_day(df).collect()
+    # textbook no-tie Friedman: ranks (1,2,3) each day, n=3, k=3
+    n, k = 3, 3
+    rsum = {1: n * 1, 2: n * 2, 3: n * 3}
+    q = (12.0 / (n * k * (k + 1))) * sum(
+        (rj - n * (k + 1) / 2) ** 2 for rj in rsum.values()
+    )
+    assert r.n_types == 3 and r.n_days == 3
+    assert abs(r.friedman_q - round(q, 6)) < 1e-9  # = 6.0 here
+    assert r.friedman_q == 6.0
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import mann_kendall_trend
+
+    rising = [(dt.datetime(2024, 6, 1 + i), float(i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rising, "ts timestamp, value double")
+    (r,) = mann_kendall_trend(df).collect()
+    assert r.mk_s == 15 and r.n_pairs == 15  # all pairs concordant
+    import math
+
+    var = 6 * 5 * 17 / 18
+    assert abs(r.z - round((15 - 1) / math.sqrt(var), 6)) < 1e-9
+    flat = [(dt.datetime(2024, 6, 1 + i), 2.0) for i in range(5)]
+    (f,) = mann_kendall_trend(
+        spark.createDataFrame(flat, "ts timestamp, value double")
+    ).collect()
+    assert f.mk_s == 0 and f.z is None  # all tied -> var 0 -> NULL
