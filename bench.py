@@ -253,6 +253,8 @@ HEADLINE = [
     "friedman_types_by_day",
     "mann_kendall_trend",
     "nb_class_f1",
+    "wilcoxon_week_over_week",
+    "chao1_vocab_richness",
 ]
 
 

@@ -1893,3 +1893,51 @@ def bpe_encode_pieces(
             F.col("n_occurrences").cast("double") / F.col("nt").cast("double"), 6
         ).alias("share"),
     )
+
+
+def chao1_vocab_richness(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate: how many word types the corpus
+    HASN'T shown yet, from the singleton/doubleton counts —
+    chao1 = V + F1(F1-1)/(2(F2+1)) (bias-corrected Chao 1984) with
+    Good-Turing coverage C = 1 - F1/N. The "is more data worth
+    crawling" number next to `heaps_law`'s growth curve and
+    `good_turing`'s smoothed counts: coverage near 1 with chao1 ~ V
+    says the source's vocabulary is exhausted — more of it buys
+    near-duplicates, not diversity.
+
+    Determinism: V, F1, F2, N are exact integer counts; chao1 and
+    coverage are one pinned double expression each, ROUNDED 6.
+
+    Scale shape: one explode -> map-side-combined token count, one
+    grouped count over the frequency-of-frequencies frame (bounded by
+    distinct frequencies), one-row algebra after.
+    """
+    from pythonvectordb_spark.functions.text import tokens as _tok
+
+    freq = (
+        df.select(F.explode(_tok(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    chao1 = F.col("vocab").cast("double") + F.col("f1").cast("double") * (
+        F.col("f1").cast("double") - F.lit(1.0)
+    ) / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0)))
+    coverage = F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.when(F.col("n_tokens") > 0, F.round(coverage, 6)).alias("coverage"),
+    )

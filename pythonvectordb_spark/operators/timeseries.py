@@ -2441,3 +2441,88 @@ def mann_kendall_trend(
         F.col("s").alias("mk_s"),
         F.when(var > 0, F.round(z, 6)).alias("z"),
     )
+
+
+def wilcoxon_week_over_week(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value", lag_days: int = 7
+) -> DataFrame:
+    """Wilcoxon signed-rank test of daily revenue against the same
+    weekday one week earlier — the PAIRED member of the rank family
+    (`mann_whitney` compares two groups; this pairs each day with its
+    own weekday twin, removing the day-of-week effect entirely): is
+    this week's revenue distribution shifted vs last week's, judged on
+    within-pair differences only.
+
+    Determinism: differences are exact cents; zero differences drop
+    (the standard Wilcoxon convention); DOUBLED midranks of |d| are
+    exact int64, so W2+ (doubled positive-rank sum), its expectation
+    n(n+1)/2, and the tie-corrected variance 4*Var(W) =
+    (n(n+1)(2n+1) - sum(t^3-t)/2) / 6 assemble from exact integers
+    with ONE promotion, ROUNDED 6. NULL z when no nonzero pairs or
+    zero variance.
+
+    Scale shape: one grouped sum to the day grain; the lag join is a
+    self-join on di = di + lag (calendar-bounded); ranks ride the
+    distinct-|d| frame.
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    cur = daily.select(F.col("di"), F.col("cents").alias("c_now"))
+    prev = daily.select(
+        (F.col("di") + F.lit(int(lag_days))).alias("di"),
+        F.col("cents").alias("c_prev"),
+    )
+    diffs = (
+        cur.join(prev, "di")
+        .select((F.col("c_now") - F.col("c_prev")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select(F.abs("d").alias("ad"), (F.col("d") > 0).cast("long").alias("pos"))
+        .localCheckpoint(eager=False)
+    )
+    gv = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("pos").cast("long").alias("tp"),
+    )
+    wcum = Window.orderBy(F.asc("ad")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mid = gv.select(
+        "ad",
+        "t",
+        "tp",
+        (F.lit(2) * (F.sum("t").over(wcum) - F.col("t")) + F.col("t") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+    agg = mid.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("tp") * F.col("mr2")).cast("long").alias("w2p"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n = F.col("n").cast("double")
+    # 4*Var(W): n(n+1)(2n+1)/6 - tie3/12, assembled in one pinned order
+    var4 = n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(6.0) - F.col(
+        "tie3"
+    ).cast("double") / F.lit(12.0)
+    z = (F.col("w2p").cast("double") - n * (n + F.lit(1.0)) / F.lit(2.0)) / F.sqrt(
+        var4
+    )
+    return agg.select(
+        F.col("n").alias("n_nonzero_pairs"),
+        F.col("w2p").alias("w2_plus"),
+        F.when((F.col("n") > 0) & (var4 > 0), F.round(z, 6)).alias("z"),
+    )

@@ -7406,6 +7406,80 @@ LEFT JOIN by_pred bp ON bp.cls = c.cls
 """
 
 
+def q_wilcoxon_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank of daily revenue vs the same weekday one
+    week back (new round 6): the PAIRED rank test — zero diffs drop,
+    doubled midranks of |d| keep W2+ and the tie-corrected variance
+    exact int64 (`operators/timeseries.wilcoxon_week_over_week`)."""
+    from pythonvectordb_spark.operators import timeseries as TS
+
+    return TS.wilcoxon_week_over_week(load_table(spark, sf_dir, "events"))
+
+
+def o_wilcoxon_week_over_week() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+diffs AS (SELECT abs(a.cents - b.cents) AS ad,
+                 CASE WHEN a.cents - b.cents > 0 THEN 1 ELSE 0 END AS pos
+          FROM daily a JOIN daily b ON a.di = b.di + 7
+          WHERE a.cents != b.cents),
+gv AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
+              CAST(sum(pos) AS BIGINT) AS tp
+       FROM diffs GROUP BY 1),
+mid AS (SELECT ad, t, tp,
+               CAST(2 * (sum(t) OVER (ORDER BY ad ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                    + t + 1 AS BIGINT) AS mr2
+        FROM gv),
+agg AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(tp * mr2) AS BIGINT) AS w2p,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM mid)
+SELECT n AS n_nonzero_pairs, w2p AS w2_plus,
+       CASE WHEN n > 0
+                 AND (n::DOUBLE * (n::DOUBLE + 1.0)
+                      * (2.0 * n::DOUBLE + 1.0) / 6.0
+                      - tie3::DOUBLE / 12.0) > 0 THEN
+         round((w2p::DOUBLE - n::DOUBLE * (n::DOUBLE + 1.0) / 2.0)
+               / sqrt(n::DOUBLE * (n::DOUBLE + 1.0)
+                      * (2.0 * n::DOUBLE + 1.0) / 6.0
+                      - tie3::DOUBLE / 12.0), 6) END AS z
+FROM agg
+"""
+
+
+def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage (new
+    round 6): the "is more data worth crawling" number from the
+    singleton/doubleton counts
+    (`operators/textops.chao1_vocab_richness`)."""
+    return TX.chao1_vocab_richness(load_table(spark, sf_dir, "documents"))
+
+
+def o_chao1_vocab_richness() -> str:
+    return f"""
+WITH freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest({O.sql_tokens('text')}) AS w
+                    FROM documents)
+              GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM freq)
+SELECT n_tokens, vocab, f1, f2,
+       round(vocab::DOUBLE
+             + f1::DOUBLE * (f1::DOUBLE - 1.0)
+               / (2.0 * (f2::DOUBLE + 1.0)), 6) AS chao1,
+       CASE WHEN n_tokens > 0 THEN
+         round(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) END AS coverage
+FROM agg
+"""
+
+
 UNIMAX_BUDGET = 100_000  # mixed capped/uncapped regime at the oracle SFs
 
 
@@ -11617,6 +11691,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "friedman_types_by_day": q_friedman_types_by_day,
     "mann_kendall_trend": q_mann_kendall_trend,
     "nb_class_f1": q_nb_class_f1,
+    "wilcoxon_week_over_week": q_wilcoxon_week_over_week,
+    "chao1_vocab_richness": q_chao1_vocab_richness,
     # --- round-5 front block, rotated out after its 50/50-green window
     # in CORRECTNESS_r05.json (driver-witnessed; still covered every
     # round by tests/test_oracle_parity.py at sf0.001) --------------
@@ -12026,6 +12102,8 @@ ORACLES: dict[str, str] = {
     "friedman_types_by_day": o_friedman_types_by_day(),
     "mann_kendall_trend": o_mann_kendall_trend(),
     "nb_class_f1": o_nb_class_f1(),
+    "wilcoxon_week_over_week": o_wilcoxon_week_over_week(),
+    "chao1_vocab_richness": o_chao1_vocab_richness(),
     "unimax_epochs": o_unimax_epochs(),
     "mmr_rerank": o_mmr_rerank(),
     "ann_recall_curve": o_ann_recall_curve(),

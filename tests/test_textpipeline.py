@@ -700,3 +700,17 @@ def test_bpe_encode_pieces_matches_reference_encoder(spark):
     assert {p: n for p, (n, _) in got.items()} == dict(ref)
     for p, (n, share) in got.items():
         assert abs(share - round(n / total, 6)) < 1e-9
+
+
+def test_chao1_hand_computed(spark):
+    """V=4 types, F1=2 singletons, F2=1 doubleton over 7 tokens:
+    chao1 = 4 + 2*1/(2*2) = 4.5, coverage = 1 - 2/7."""
+    from pythonvectordb_spark.operators.textops import chao1_vocab_richness
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c d")], "doc_id long, text string"
+    )
+    (r,) = chao1_vocab_richness(df).collect()
+    assert (r.n_tokens, r.vocab, r.f1, r.f2) == (7, 4, 2, 1)
+    assert r.chao1 == 4.5
+    assert abs(r.coverage - round(1 - 2 / 7, 6)) < 1e-9

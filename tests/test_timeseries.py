@@ -976,3 +976,31 @@ def test_mann_kendall_monotone_and_flat(spark):
         spark.createDataFrame(flat, "ts timestamp, value double")
     ).collect()
     assert f.mk_s == 0 and f.z is None  # all tied -> var 0 -> NULL
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark):
+    """Paired week-over-week fixture with known signed ranks: week 2
+    beats week 1 on every weekday except one tie (dropped) and one
+    loss; W+ replayed by hand."""
+    import datetime as dt
+
+    from pythonvectordb_spark.operators.timeseries import wilcoxon_week_over_week
+
+    week1 = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+    week2 = [12.0, 25.0, 30.0, 38.0, 58.0, 69.0, 80.0]
+    rows = []
+    for i, v in enumerate(week1):
+        rows.append((dt.datetime(2024, 7, 1 + i), v))
+    for i, v in enumerate(week2):
+        rows.append((dt.datetime(2024, 7, 8 + i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    (r,) = wilcoxon_week_over_week(df).collect()
+    # diffs (cents): +200 +500 0(drop) -200 +800 +900 +1000 -> n=6
+    # |d| sorted: 200,200,500,800,900,1000 -> midranks 1.5,1.5,3,4,5,6
+    # W+ = 1.5 + 3 + 4 + 5 + 6 = 19.5 -> doubled 39
+    assert r.n_nonzero_pairs == 6 and r.w2_plus == 39
+    import math
+
+    var4 = 6 * 7 * 13 / 6 - (2**3 - 2) / 12
+    z = (39 - 6 * 7 / 2) / math.sqrt(var4)
+    assert abs(r.z - round(z, 6)) < 1e-9
