@@ -11600,71 +11600,12 @@ FROM g JOIN b USING (source)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-6 front block (driver CORRECTNESS checks the FIRST 50
-    # entries). Composition (VERDICT r5 task 1): the 38 queries staged
-    # through rounds 4-5 + the 4 mllib_* entries (guarantee oracles
-    # since commit 2cf1439 — schema changed, fresh witness needed) + the
-    # 8 new-round-5 queries = EXACTLY the 50 never-witnessed (or
-    # stale-witnessed) registry entries. After this window EVERY
-    # registered query has a driver CORRECTNESS row. ----------------
-    "source_js_matrix": q_source_js_matrix,
-    "weekday_uniformity": q_weekday_uniformity,
-    "yearly_value_quartiles": q_yearly_value_quartiles,
-    "value_anova": q_value_anova,
-    "lognormal_jb": q_lognormal_jb,
-    "hour_profile_fit": q_hour_profile_fit,
-    "return_curve": q_return_curve,
-    "user_lifecycle_census": q_user_lifecycle_census,
-    "order_reconciliation": q_order_reconciliation,
-    "user_activity_dispersion": q_user_activity_dispersion,
-    "coldstart_rates": q_coldstart_rates,
-    "event_bigram_oov": q_event_bigram_oov,
-    "hour_circular_concentration": q_hour_circular_concentration,
-    "conversion_rate_shift": q_conversion_rate_shift,
-    "brand_yoy_growth": q_brand_yoy_growth,
-    "dup_cluster_purity": q_dup_cluster_purity,
-    "single_source_parts": q_single_source_parts,
-    "basket_diversity": q_basket_diversity,
-    "priority_leadtime": q_priority_leadtime,
-    "tax_discount_chisq": q_tax_discount_chisq,
-    "weekend_value_mw": q_weekend_value_mw,
-    "lang_length_anova": q_lang_length_anova,
-    "shard_uniformity": q_shard_uniformity,
-    "price_ending_profile": q_price_ending_profile,
-    "realized_vs_retail": q_realized_vs_retail,
-    "segment_acctbal_profile": q_segment_acctbal_profile,
-    "supplier_balance_corr": q_supplier_balance_corr,
-    "dedup_method_agreement": q_dedup_method_agreement,
-    "basket_size_value": q_basket_size_value,
-    "anomalous_days": q_anomalous_days,
-    "heldout_cross_entropy": q_heldout_cross_entropy,
-    "quality_pass_by_source": q_quality_pass_by_source,
-    "priority_mix_drift": q_priority_mix_drift,
-    "customer_brand_breadth": q_customer_brand_breadth,
-    "nation_trade_balance": q_nation_trade_balance,
-    "brand_market_presence": q_brand_market_presence,
-    "returnflag_quantity_mw": q_returnflag_quantity_mw,
-    "daypart_value_anova": q_daypart_value_anova,
-    # the four MLlib entries graduated from rows-only to guarantee
-    # oracles in round 5 (schema change -> they need a fresh driver
-    # witness; staged behind the 38 above)
-    "mllib_word2vec": q_mllib_word2vec,
-    "mllib_ivf_search": q_mllib_ivf_search,
-    "mllib_brp_neardup": q_mllib_brp_neardup,
-    "mllib_minhash_dedup": q_mllib_minhash_dedup,
-    # --- new round 5 (staged behind the 38 + 4 above; together they
-    # fill the round-6 front-50 exactly) ---------------------------
-    "media_jpeg_stats": q_media_jpeg_stats,
-    "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
-    "kneser_ney_bigrams": q_kneser_ney_bigrams,
-    "ngram_novelty": q_ngram_novelty,
-    "source_compressibility": q_source_compressibility,
-    "ivf_nprobe_curve": q_ivf_nprobe_curve,
-    "discount_quantity_spearman": q_discount_quantity_spearman,
-    "nb_calibration_bins": q_nb_calibration_bins,
-    # --- new round 6 (enter at the BACK of the never-witnessed prefix,
-    # per the witness-ordering contract test; front-50 candidates for
-    # the round-7 window) -------------------------------------------
+    # --- round-7 front block (driver CORRECTNESS checks the FIRST 50
+    # entries). Rotation per VERDICT r6 task 1: the 28 round-6 additions
+    # (never driver-witnessed; all 28 hash-matched the judge's own sf0.01
+    # sweep) lead; new round-7 queries enter BEHIND them (witness-ordering
+    # contract, tests/test_registry_contract.py); the remainder of the
+    # front-50 is the oldest-witnessed tail below. ---------------------
     "bpe_merge_table": q_bpe_merge_table,
     "bpe_trained_fertility": q_bpe_trained_fertility,
     "kruskal_wallis": q_kruskal_wallis,
@@ -11693,9 +11634,198 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_class_f1": q_nb_class_f1,
     "wilcoxon_week_over_week": q_wilcoxon_week_over_week,
     "chao1_vocab_richness": q_chao1_vocab_richness,
-    # --- round-5 front block, rotated out after its 50/50-green window
-    # in CORRECTNESS_r05.json (driver-witnessed; still covered every
-    # round by tests/test_oracle_parity.py at sf0.001) --------------
+    # --- previously driver-witnessed entries, ordered by the round of
+    # their LATEST green CORRECTNESS row ascending (oldest witness first),
+    # so any front-50 slots left over re-witness the stalest entries.
+    # All remain covered every round by tests/test_oracle_parity.py at
+    # sf0.001. --------------------------------------------------------
+    # -- latest driver witness: round 1 --
+    "knn_search": q_knn_search,
+    "knn_search_filtered": q_knn_search_filtered,
+    "knn_search_float": q_knn_search_float,
+    "get_vector": q_get_vector,
+    "get_vectors": q_get_vectors,
+    "quantize_vectors": q_quantize_vectors,
+    "knn_join": q_knn_join,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_filtered": q_ann_ivf_filtered,
+    "knn_l2": q_knn_l2,
+    "knn_mips": q_knn_mips,
+    "add_vectors": q_add_vectors,
+    "delete_vectors": q_delete_vectors,
+    "upsert_vectors": q_upsert_vectors,
+    "normalize_vectors": q_normalize_vectors,
+    "vector_stats": q_vector_stats,
+    "label_centroids": q_label_centroids,
+    "udtf_token_stats": q_udtf_token_stats,
+    "label_qsum_grouped_agg": q_label_qsum_grouped_agg,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_resolve": q_dedup_resolve,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "tfidf_terms": q_tfidf_terms,
+    "multimodal_join": q_multimodal_join,
+    "media_features": q_media_features,
+    "media_features_arrow": q_media_features_arrow,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
+    "pricing_summary": q_pricing_summary,
+    "part_brand_stats": q_part_brand_stats,
+    "forecast_revenue": q_forecast_revenue,
+    "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
+    "bilateral_trade": q_bilateral_trade,
+    "customer_distribution": q_customer_distribution,
+    "brand_revenue_share": q_brand_revenue_share,
+    "customer_order_running": q_customer_order_running,
+    "mktsegment_rollup": q_mktsegment_rollup,
+    "order_priority_counts": q_order_priority_counts,
+    # -- latest driver witness: round 2 --
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "distinct_agg_stats": q_distinct_agg_stats,
+    "salted_segment_revenue": q_salted_segment_revenue,
+    "events_tumbling": q_events_tumbling,
+    "large_volume_orders": q_large_volume_orders,
+    "brand_size_revenue": q_brand_size_revenue,
+    "orders_priority_pivot": q_orders_priority_pivot,
+    "orders_priority_unpivot": q_orders_priority_unpivot,
+    "props_json_stats": q_props_json_stats,
+    "top_dims_per_vector": q_top_dims_per_vector,
+    "nation_market_share": q_nation_market_share,
+    "returned_items": q_returned_items,
+    "customer_order_frame": q_customer_order_frame,
+    "event_type_medians": q_event_type_medians,
+    "events_value_histogram": q_events_value_histogram,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "customer_quartiles": q_customer_quartiles,
+    "embedding_dimension_stats": q_embedding_dimension_stats,
+    "bpe_token_counts": q_bpe_token_counts,
+    "latest_event_per_user": q_latest_event_per_user,
+    "deterministic_sample": q_deterministic_sample,
+    "adjacent_doc_similarity": q_adjacent_doc_similarity,
+    "event_transitions": q_event_transitions,
+    "purchase_click_interval_join": q_purchase_click_interval_join,
+    "moving_window_stats": q_moving_window_stats,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "scd2_user_state": q_scd2_user_state,
+    "user_event_paths": q_user_event_paths,
+    "event_outliers": q_event_outliers,
+    "events_grouping_sets": q_events_grouping_sets,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "pii_scrub_stats": q_pii_scrub_stats,
+    "stratified_corpus_sample": q_stratified_corpus_sample,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "corpus_token_share": q_corpus_token_share,
+    "ann_pq": q_ann_pq,
+    # -- latest driver witness: round 3 --
+    "event_value_regression": q_event_value_regression,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "semantic_dedup": q_semantic_dedup,
+    "pack_sequences": q_pack_sequences,
+    "build_vocab": q_build_vocab,
+    "encode_tokens": q_encode_tokens,
+    "corpus_stats": q_corpus_stats,
+    "incremental_dedup": q_incremental_dedup,
+    "value_equidepth_bins": q_value_equidepth_bins,
+    "bm25_rank": q_bm25_rank,
+    "top_events_per_user": q_top_events_per_user,
+    "weighted_sample_per_lang": q_weighted_sample_per_lang,
+    "bigram_surprisal": q_bigram_surprisal,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "pq_encode": q_pq_encode,
+    "ann_lsh": q_ann_lsh,
+    "ann_pq_trained": q_ann_pq_trained,
+    "ann_ivf_pq_trained": q_ann_ivf_pq_trained,
+    "matview_user_spend_twin": q_matview_user_spend_twin,
+    "dedup_gate_twin": q_dedup_gate_twin,
+    "events_by_hour": q_events_by_hour,
+    "nation_customer_stats": q_nation_customer_stats,
+    "value_percentiles": q_value_percentiles,
+    "events_cube": q_events_cube,
+    "customer_set_ops": q_customer_set_ops,
+    "asof_purchase_attribution": q_asof_purchase_attribution,
+    "sessionize_events": q_sessionize_events,
+    "hypertable_rollup": q_hypertable_rollup,
+    "cms_user_estimates": q_cms_user_estimates,
+    "zorder_pruning": q_zorder_pruning,
+    "snapshot_diff": q_snapshot_diff,
+    "bloom_prune_join": q_bloom_prune_join,
+    "boilerplate_share": q_boilerplate_share,
+    "repetition_stats": q_repetition_stats,
+    "chunk_documents": q_chunk_documents,
+    "quality_filter": q_quality_filter,
+    "unigram_surprisal": q_unigram_surprisal,
+    "lateship_priority_counts": q_lateship_priority_counts,
+    "knn_classify": q_knn_classify,
+    "top_brands_by_share": q_top_brands_by_share,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "heavy_part_suppliers": q_heavy_part_suppliers,
+    "sole_late_suppliers": q_sole_late_suppliers,
+    "nation_profit_trend": q_nation_profit_trend,
+    "min_cost_supplier": q_min_cost_supplier,
+    # -- latest driver witness: round 4 --
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "training_shard_stats": q_training_shard_stats,
+    "source_token_caps": q_source_token_caps,
+    "event_key_skew": q_event_key_skew,
+    "trade_pagerank": q_trade_pagerank,
+    "fuzzy_source_pairs": q_fuzzy_source_pairs,
+    "event_value_mad": q_event_value_mad,
+    "zone_pruned_scan": q_zone_pruned_scan,
+    "approx_percentile_error": q_approx_percentile_error,
+    "media_image_stats": q_media_image_stats,
+    "dedup_simhash_wide": q_dedup_simhash_wide,
+    "duplicate_spans": q_duplicate_spans,
+    "media_image_resize": q_media_image_resize,
+    "approx_distinct_error": q_approx_distinct_error,
+    "contamination_spans": q_contamination_spans,
+    "scrub_spans": q_scrub_spans,
+    "source_mixture": q_source_mixture,
+    "interleave_audit": q_interleave_audit,
+    "mutual_knn": q_mutual_knn,
+    "importance_weights": q_importance_weights,
+    "media_audio_stats": q_media_audio_stats,
+    "media_audio_resample": q_media_audio_resample,
+    "corpus_drift": q_corpus_drift,
+    "hard_negatives": q_hard_negatives,
+    "dup_source_matrix": q_dup_source_matrix,
+    "containment_pairs": q_containment_pairs,
+    "split_leakage": q_split_leakage,
+    "nb_lang_confusion": q_nb_lang_confusion,
+    "perplexity_buckets": q_perplexity_buckets,
+    "zipf_fit": q_zipf_fit,
+    "cluster_split_leakage": q_cluster_split_leakage,
+    "epoch_plan": q_epoch_plan,
+    "dedup_inflation": q_dedup_inflation,
+    "quantization_recall": q_quantization_recall,
+    "minhash_precision": q_minhash_precision,
+    "contrastive_triplets": q_contrastive_triplets,
+    "dq_violations": q_dq_violations,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
+    "unimax_epochs": q_unimax_epochs,
+    "mmr_rerank": q_mmr_rerank,
+    "ann_recall_curve": q_ann_recall_curve,
+    "k_anonymity": q_k_anonymity,
+    "resolve_keep_best": q_resolve_keep_best,
+    "rbo_overlap": q_rbo_overlap,
+    "ngram_coverage": q_ngram_coverage,
+    "dedup_threshold_curve": q_dedup_threshold_curve,
+    "minhash_estimate_error": q_minhash_estimate_error,
+    "supplier_part_counts": q_supplier_part_counts,
+    # -- latest driver witness: round 5 --
     "neyman_allocation": q_neyman_allocation,
     "source_entropy": q_source_entropy,
     "embedding_drift": q_embedding_drift,
@@ -11746,191 +11876,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm": q_customer_rfm,
     "fk_fanout_stats": q_fk_fanout_stats,
     "token_rank_drift": q_token_rank_drift,
-    # --- previously driver-witnessed block (green rows in
-    # CORRECTNESS_r01-r04; still covered every round by
-    # tests/test_oracle_parity.py at sf0.001) ----------------------
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "training_shard_stats": q_training_shard_stats,
-    "source_token_caps": q_source_token_caps,
-    "event_key_skew": q_event_key_skew,
-    "trade_pagerank": q_trade_pagerank,
-    "fuzzy_source_pairs": q_fuzzy_source_pairs,
-    "event_value_mad": q_event_value_mad,
-    "zone_pruned_scan": q_zone_pruned_scan,
-    "approx_percentile_error": q_approx_percentile_error,
-    "media_image_stats": q_media_image_stats,
-    "dedup_simhash_wide": q_dedup_simhash_wide,
-    "duplicate_spans": q_duplicate_spans,
-    "media_image_resize": q_media_image_resize,
-    "approx_distinct_error": q_approx_distinct_error,
-    "contamination_spans": q_contamination_spans,
-    "scrub_spans": q_scrub_spans,
-    "source_mixture": q_source_mixture,
-    "interleave_audit": q_interleave_audit,
-    "mutual_knn": q_mutual_knn,
-    "importance_weights": q_importance_weights,
-    "media_audio_stats": q_media_audio_stats,
-    "media_audio_resample": q_media_audio_resample,
-    "corpus_drift": q_corpus_drift,
-    "hard_negatives": q_hard_negatives,
-    "dup_source_matrix": q_dup_source_matrix,
-    "containment_pairs": q_containment_pairs,
-    "split_leakage": q_split_leakage,
-    "nb_lang_confusion": q_nb_lang_confusion,
-    "perplexity_buckets": q_perplexity_buckets,
-    "zipf_fit": q_zipf_fit,
-    "cluster_split_leakage": q_cluster_split_leakage,
-    "epoch_plan": q_epoch_plan,
-    "dedup_inflation": q_dedup_inflation,
-    "quantization_recall": q_quantization_recall,
-    "minhash_precision": q_minhash_precision,
-    "contrastive_triplets": q_contrastive_triplets,
-    "dq_violations": q_dq_violations,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "bpe_merge_pairs": q_bpe_merge_pairs,
-    "unimax_epochs": q_unimax_epochs,
-    "mmr_rerank": q_mmr_rerank,
-    "ann_recall_curve": q_ann_recall_curve,
-    "k_anonymity": q_k_anonymity,
-    "resolve_keep_best": q_resolve_keep_best,
-    "rbo_overlap": q_rbo_overlap,
-    "ngram_coverage": q_ngram_coverage,
-    "dedup_threshold_curve": q_dedup_threshold_curve,
-    "minhash_estimate_error": q_minhash_estimate_error,
-    "supplier_part_counts": q_supplier_part_counts,
-    "event_value_regression": q_event_value_regression,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "semantic_dedup": q_semantic_dedup,
-    "pack_sequences": q_pack_sequences,
-    "build_vocab": q_build_vocab,
-    "encode_tokens": q_encode_tokens,
-    "corpus_stats": q_corpus_stats,
-    "incremental_dedup": q_incremental_dedup,
-    "value_equidepth_bins": q_value_equidepth_bins,
-    "bm25_rank": q_bm25_rank,
-    "top_events_per_user": q_top_events_per_user,
-    "weighted_sample_per_lang": q_weighted_sample_per_lang,
-    "bigram_surprisal": q_bigram_surprisal,
-    "event_funnel": q_event_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "pq_encode": q_pq_encode,
-    "ann_lsh": q_ann_lsh,
-    "ann_pq_trained": q_ann_pq_trained,
-    "ann_ivf_pq_trained": q_ann_ivf_pq_trained,
-    "matview_user_spend_twin": q_matview_user_spend_twin,
-    "dedup_gate_twin": q_dedup_gate_twin,
-    "events_by_hour": q_events_by_hour,
-    "nation_customer_stats": q_nation_customer_stats,
-    "value_percentiles": q_value_percentiles,
-    "events_cube": q_events_cube,
-    "customer_set_ops": q_customer_set_ops,
-    "asof_purchase_attribution": q_asof_purchase_attribution,
-    "sessionize_events": q_sessionize_events,
-    "hypertable_rollup": q_hypertable_rollup,
-    "cms_user_estimates": q_cms_user_estimates,
-    "zorder_pruning": q_zorder_pruning,
-    "snapshot_diff": q_snapshot_diff,
-    "bloom_prune_join": q_bloom_prune_join,
-    "boilerplate_share": q_boilerplate_share,
-    "repetition_stats": q_repetition_stats,
-    "chunk_documents": q_chunk_documents,
-    "quality_filter": q_quality_filter,
-    "unigram_surprisal": q_unigram_surprisal,
-    "lateship_priority_counts": q_lateship_priority_counts,
-    "knn_classify": q_knn_classify,
-    "top_brands_by_share": q_top_brands_by_share,
-    "promo_revenue_share": q_promo_revenue_share,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "heavy_part_suppliers": q_heavy_part_suppliers,
-    "sole_late_suppliers": q_sole_late_suppliers,
-    "nation_profit_trend": q_nation_profit_trend,
-    "min_cost_supplier": q_min_cost_supplier,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "distinct_agg_stats": q_distinct_agg_stats,
-    "salted_segment_revenue": q_salted_segment_revenue,
-    "events_tumbling": q_events_tumbling,
-    "large_volume_orders": q_large_volume_orders,
-    "brand_size_revenue": q_brand_size_revenue,
-    "orders_priority_pivot": q_orders_priority_pivot,
-    "orders_priority_unpivot": q_orders_priority_unpivot,
-    "props_json_stats": q_props_json_stats,
-    "top_dims_per_vector": q_top_dims_per_vector,
-    "nation_market_share": q_nation_market_share,
-    "returned_items": q_returned_items,
-    "customer_order_frame": q_customer_order_frame,
-    "event_type_medians": q_event_type_medians,
-    "events_value_histogram": q_events_value_histogram,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "customer_quartiles": q_customer_quartiles,
-    "embedding_dimension_stats": q_embedding_dimension_stats,
-    "bpe_token_counts": q_bpe_token_counts,
-    "latest_event_per_user": q_latest_event_per_user,
-    "deterministic_sample": q_deterministic_sample,
-    "adjacent_doc_similarity": q_adjacent_doc_similarity,
-    "event_transitions": q_event_transitions,
-    "purchase_click_interval_join": q_purchase_click_interval_join,
-    "moving_window_stats": q_moving_window_stats,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "scd2_user_state": q_scd2_user_state,
-    "user_event_paths": q_user_event_paths,
-    "event_outliers": q_event_outliers,
-    "events_grouping_sets": q_events_grouping_sets,
-    "decontaminate_corpus": q_decontaminate_corpus,
-    "pii_scrub_stats": q_pii_scrub_stats,
-    "stratified_corpus_sample": q_stratified_corpus_sample,
-    "dup_cluster_sizes": q_dup_cluster_sizes,
-    "corpus_token_share": q_corpus_token_share,
-    "ann_pq": q_ann_pq,
-    "knn_search": q_knn_search,
-    "knn_search_filtered": q_knn_search_filtered,
-    "knn_search_float": q_knn_search_float,
-    "get_vector": q_get_vector,
-    "get_vectors": q_get_vectors,
-    "quantize_vectors": q_quantize_vectors,
-    "knn_join": q_knn_join,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_filtered": q_ann_ivf_filtered,
-    "knn_l2": q_knn_l2,
-    "knn_mips": q_knn_mips,
-    "add_vectors": q_add_vectors,
-    "delete_vectors": q_delete_vectors,
-    "upsert_vectors": q_upsert_vectors,
-    "normalize_vectors": q_normalize_vectors,
-    "vector_stats": q_vector_stats,
-    "label_centroids": q_label_centroids,
-    "udtf_token_stats": q_udtf_token_stats,
-    "label_qsum_grouped_agg": q_label_qsum_grouped_agg,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_resolve": q_dedup_resolve,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "token_counts": q_token_counts,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "tfidf_terms": q_tfidf_terms,
-    "multimodal_join": q_multimodal_join,
-    "media_features": q_media_features,
-    "media_features_arrow": q_media_features_arrow,
-    "media_resize": q_media_resize,
-    "media_frame_sample": q_media_frame_sample,
-    "pricing_summary": q_pricing_summary,
-    "part_brand_stats": q_part_brand_stats,
-    "forecast_revenue": q_forecast_revenue,
-    "shipping_priority": q_shipping_priority,
-    "regional_revenue": q_regional_revenue,
-    "bilateral_trade": q_bilateral_trade,
-    "customer_distribution": q_customer_distribution,
-    "brand_revenue_share": q_brand_revenue_share,
-    "customer_order_running": q_customer_order_running,
-    "mktsegment_rollup": q_mktsegment_rollup,
-    "order_priority_counts": q_order_priority_counts,
+    # -- latest driver witness: round 6 --
+    "source_js_matrix": q_source_js_matrix,
+    "weekday_uniformity": q_weekday_uniformity,
+    "yearly_value_quartiles": q_yearly_value_quartiles,
+    "value_anova": q_value_anova,
+    "lognormal_jb": q_lognormal_jb,
+    "hour_profile_fit": q_hour_profile_fit,
+    "return_curve": q_return_curve,
+    "user_lifecycle_census": q_user_lifecycle_census,
+    "order_reconciliation": q_order_reconciliation,
+    "user_activity_dispersion": q_user_activity_dispersion,
+    "coldstart_rates": q_coldstart_rates,
+    "event_bigram_oov": q_event_bigram_oov,
+    "hour_circular_concentration": q_hour_circular_concentration,
+    "conversion_rate_shift": q_conversion_rate_shift,
+    "brand_yoy_growth": q_brand_yoy_growth,
+    "dup_cluster_purity": q_dup_cluster_purity,
+    "single_source_parts": q_single_source_parts,
+    "basket_diversity": q_basket_diversity,
+    "priority_leadtime": q_priority_leadtime,
+    "tax_discount_chisq": q_tax_discount_chisq,
+    "weekend_value_mw": q_weekend_value_mw,
+    "lang_length_anova": q_lang_length_anova,
+    "shard_uniformity": q_shard_uniformity,
+    "price_ending_profile": q_price_ending_profile,
+    "realized_vs_retail": q_realized_vs_retail,
+    "segment_acctbal_profile": q_segment_acctbal_profile,
+    "supplier_balance_corr": q_supplier_balance_corr,
+    "dedup_method_agreement": q_dedup_method_agreement,
+    "basket_size_value": q_basket_size_value,
+    "anomalous_days": q_anomalous_days,
+    "heldout_cross_entropy": q_heldout_cross_entropy,
+    "quality_pass_by_source": q_quality_pass_by_source,
+    "priority_mix_drift": q_priority_mix_drift,
+    "customer_brand_breadth": q_customer_brand_breadth,
+    "nation_trade_balance": q_nation_trade_balance,
+    "brand_market_presence": q_brand_market_presence,
+    "returnflag_quantity_mw": q_returnflag_quantity_mw,
+    "daypart_value_anova": q_daypart_value_anova,
+    "mllib_word2vec": q_mllib_word2vec,
+    "mllib_ivf_search": q_mllib_ivf_search,
+    "mllib_brp_neardup": q_mllib_brp_neardup,
+    "mllib_minhash_dedup": q_mllib_minhash_dedup,
+    "media_jpeg_stats": q_media_jpeg_stats,
+    "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
+    "kneser_ney_bigrams": q_kneser_ney_bigrams,
+    "ngram_novelty": q_ngram_novelty,
+    "source_compressibility": q_source_compressibility,
+    "ivf_nprobe_curve": q_ivf_nprobe_curve,
+    "discount_quantity_spearman": q_discount_quantity_spearman,
+    "nb_calibration_bins": q_nb_calibration_bins,
     # --- rows-only by design (raw sketch outputs whose VALUES are
     # engine-specific; each has a green driver rows-only row AND a
     # hash-matched guarantee twin: approx_percentile_error /

@@ -37,43 +37,54 @@ def test_never_witnessed_queries_sit_in_front():
     at the BACK of the never-witnessed prefix, in front of all
     previously-witnessed entries.
 
-    STALE_WITNESS names queries whose driver row predates a schema
-    change (they must be re-witnessed, so they count as unwitnessed
-    until a post-change CORRECTNESS row lands). Rows-only-by-design
-    entries are pinned LAST and exempt.
+    STALE_UNTIL names queries whose driver row predates a schema change
+    (they must be re-witnessed, so they count as unwitnessed until a
+    CORRECTNESS row from round >= the listed round lands — derived from
+    the cumulative record, never frozen; round-6 VERDICT fix #1).
+    Rows-only-by-design entries are pinned LAST and exempt.
     """
     import glob
     import json
     import os
+    import re
 
     from pythonvectordb_spark.registry import ORACLES, QUERIES
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    witnessed: set[str] = set()
+    latest_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)", path).group(1))
         with open(path) as fh:
-            witnessed |= set(json.load(fh))
-    if not witnessed:  # fresh clone without driver artifacts: vacuous
+            for name in json.load(fh):
+                latest_round[name] = max(latest_round.get(name, 0), rnd)
+    if not latest_round:  # fresh clone without driver artifacts: vacuous
         return
-    # mllib_* graduated to guarantee oracles in round 5 (commit 2cf1439,
-    # schema change) — their r2/r3 rows are stale until round 6's window
-    stale_witness = {
-        "mllib_word2vec",
-        "mllib_ivf_search",
-        "mllib_brp_neardup",
-        "mllib_minhash_dedup",
+    # schema-change log: a witness row only counts if its round is >= the
+    # round that changed the query's output schema
+    stale_until = {
+        # mllib_* graduated to guarantee oracles in round 5 (commit
+        # 2cf1439) — re-witnessed by the round-6 window
+        "mllib_word2vec": 6,
+        "mllib_ivf_search": 6,
+        "mllib_brp_neardup": 6,
+        "mllib_minhash_dedup": 6,
+        # raw sketches graduated from rows-only to hashable sketch-internal
+        # oracles in round 7 (KMV precedent) — need a fresh witness
+        "approx_value_percentiles": 7,
+        "approx_distinct_events": 7,
     }
     rows_only = [n for n in QUERIES if n not in ORACLES]
     order = list(QUERIES)
-    assert order[-len(rows_only):] == rows_only, (
-        "rows-only entries must stay pinned at the very end: "
-        f"{rows_only} vs tail {order[-len(rows_only):]}"
-    )
+    if rows_only:
+        assert order[-len(rows_only):] == rows_only, (
+            "rows-only entries must stay pinned at the very end: "
+            f"{rows_only} vs tail {order[-len(rows_only):]}"
+        )
     seen_witnessed_at = None
     for i, name in enumerate(order):
         if name in rows_only:
             continue
-        is_witnessed = name in witnessed and name not in stale_witness
+        is_witnessed = latest_round.get(name, 0) >= stale_until.get(name, 1)
         if is_witnessed and seen_witnessed_at is None:
             seen_witnessed_at = (i, name)
         if not is_witnessed and seen_witnessed_at is not None:
