@@ -1251,3 +1251,69 @@ def pair_method_agreement(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
             F.round(F.col("n_both").cast("double") / uni.cast("double"), 9),
         ).alias("agreement"),
     )
+
+
+def method_mcnemar(
+    docs: DataFrame,
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """McNemar's test of MARGINAL homogeneity between two duplicate
+    detectors (new round 7 — the significance companion to
+    `pair_method_agreement`'s Jaccard and `cohens_kappa`'s chance-
+    corrected agreement): flag each document as duplicate-involved per
+    method, cross-tabulate the paired booleans, and test whether the
+    two methods flag DIFFERENT documents asymmetrically — the n10/n01
+    discordant counts are the only evidence, chi2 = (n10-n01)^2 /
+    (n10+n01), with the Edwards continuity-corrected variant
+    (|n10-n01|-1)^2/(n10+n01) beside it. A significant McNemar with a
+    high kappa means one method strictly dominates (its extra flags
+    are one-sided) — run that one; a symmetric disagreement means the
+    families see different duplicates — run both.
+
+    Determinism: flags are exact set-membership booleans; both
+    statistics are one double division over exact int64 counts,
+    ROUNDED 6 (NULL when no discordance).
+
+    Scale shape: each pair set collapses to its distinct flagged-doc
+    directory (map-side combined explode), two left joins onto the doc
+    spine broadcast the (tiny) directories, one global aggregate.
+    """
+    def flags(pairs: DataFrame, name: str) -> DataFrame:
+        return (
+            pairs.select(
+                F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+            )
+            .distinct()
+            .withColumn(name, F.lit(1))
+        )
+
+    base = (
+        docs.select(id_col)
+        .join(F.broadcast(flags(pairs_a, "fa")), id_col, "left")
+        .join(F.broadcast(flags(pairs_b, "fb")), id_col, "left")
+        .select(
+            F.coalesce("fa", F.lit(0)).alias("a"),
+            F.coalesce("fb", F.lit(0)).alias("b"),
+        )
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    disc = (F.col("n10") + F.col("n01")).cast("double")
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    cc = F.abs(diff) - F.lit(1.0)
+    return g.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(disc > 0.0, F.round(diff * diff / disc, 6)).alias("mcnemar_chi2"),
+        F.when(disc > 0.0, F.round(cc * cc / disc, 6)).alias("mcnemar_chi2_cc"),
+    )

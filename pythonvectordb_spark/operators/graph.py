@@ -546,3 +546,212 @@ def hits(
         .join(auth, "node")
         .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    iterations: int = 12,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    by fixed-count power iteration (new round 7): where does user
+    behavior SETTLE if the observed transition structure keeps running
+    — read against the empirical state share, a large gap means the
+    process is still transient (e.g. funnels that drain into 'error').
+
+    Transition probabilities are exact-integer ratios c(from,to) /
+    c(from); the iteration count is FIXED (12 rounds from the uniform
+    vector), so DuckDB replays identical rounds as unrolled
+    MATERIALIZED CTEs — the `hits`/`pagerank` determinism argument:
+    each round's grouped sum adds <= |states| doubles per group, and
+    the output rounds to 6 far above that float-order noise.
+
+    Scale shape: ONE window lag per user (shuffle by user, the
+    `event_transitions` frame) collapses to the state-grain transition
+    matrix (map-side combined); the 12 rounds then run on
+    |states|^2-sized broadcast joins — constant work regardless of
+    input rows. Lazy checkpoints keep the unrolled lineage linear.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("to_s"),
+            F.lag(type_col).over(w).alias("from_s"),
+        )
+        .filter(F.col("from_s").isNotNull())
+        .groupBy("from_s", "to_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    outc = pairs.groupBy("from_s").agg(F.sum("c").cast("long").alias("ct"))
+    trans = pairs.join(outc, "from_s").select(
+        "from_s",
+        "to_s",
+        (F.col("c").cast("double") / F.col("ct").cast("double")).alias("p"),
+    ).localCheckpoint(eager=True)
+    states = (
+        trans.select(F.col("from_s").alias("s"))
+        .unionByName(trans.select(F.col("to_s").alias("s")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_states = states.count()
+    v = states.select("s", F.lit(1.0 / float(n_states)).alias("v"))
+    for _ in range(int(iterations)):
+        raw = (
+            trans.join(v.withColumnRenamed("s", "_fs"), trans.from_s == F.col("_fs"))
+            .groupBy("to_s")
+            .agg(F.sum(F.col("p") * F.col("v")).alias("raw"))
+        )
+        # rows with no outgoing edges would leak mass; the event chain
+        # is strongly connected in practice, but renormalize anyway
+        tot = raw.agg(F.sum("raw").alias("t")).withColumn("_one", F.lit(1))
+        v = (
+            states.withColumn("_one", F.lit(1))
+            .join(F.broadcast(tot), "_one")
+            .join(raw, states.s == raw.to_s, "left")
+            .select(
+                "s",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    emp = events.groupBy(F.col(type_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot_e = events.agg(F.count(F.lit(1)).cast("long").alias("nt")).withColumn(
+        "_one", F.lit(1)
+    )
+    return (
+        states.join(v, "s")
+        .join(emp, "s")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot_e), "_one")
+        .select(
+            F.col("s").alias("event_type"),
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("nt").cast("double"), 6
+            ).alias("empirical_share"),
+            F.round("v", 6).alias("stationary_p"),
+        )
+    )
+
+
+def adamic_adar_links(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected pair graph (new
+    round 7): for every NON-adjacent node pair sharing at least one
+    common neighbor, the AA score sum_y 1/ln(deg(y)) over shared
+    neighbors y, plus the neighborhood Jaccard — on a dup graph these
+    are the merges the detector MISSED (two docs near-identical to the
+    same third doc but not flagged against each other: transitivity
+    repair candidates, ranked).
+
+    Determinism: degrees are exact int64; each 1/ln(deg) term is a
+    deterministic double of an exact integer (wedge centers have
+    deg >= 2 by construction, so ln > 0); the per-pair sum adds a
+    handful of such terms (grouped float-sum noise ~1e-15, ROUNDED 6);
+    neighborhood Jaccard is an exact-integer ratio.
+
+    Scale shape: the ordered wedge join (the `pair_graph_triangles`
+    discipline — symmetrized edges joined on the shared center with
+    x < z) generates exactly the candidate set; an anti-join removes
+    existing edges; degree and intersection counts are
+    map-side-combined grouped sums. Never all-pairs: work is
+    sum_y deg(y)^2, the wedge count — witnessed in bench.py's
+    rehearsal.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # wedges centered at y: (x, y, z) with x < z
+    l = sym.select(F.col("b").alias("y"), F.col("a").alias("x"))
+    r = sym.select(F.col("b").alias("y2"), F.col("a").alias("z"))
+    wedges = l.join(r, (F.col("y") == F.col("y2")) & (F.col("x") < F.col("z"))).select(
+        "x", "y", "z"
+    )
+    cand = (
+        wedges.join(deg.withColumnRenamed("node", "y"), "y")
+        .groupBy("x", "z")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("aa"),
+        )
+        .join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            ["x", "z"],
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("deg").alias("deg_x"))
+    db = deg.select(F.col("node").alias("z"), F.col("deg").alias("deg_z"))
+    return (
+        cand.join(da, "x")
+        .join(db, "z")
+        .select(
+            F.col("x").alias("id_a"),
+            F.col("z").alias("id_b"),
+            "n_common",
+            "deg_x",
+            "deg_z",
+            F.round("aa", 6).alias("adamic_adar"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_x") + F.col("deg_z") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("neighborhood_jaccard"),
+        )
+    )
+
+
+def mutual_knn_pairs(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Canonical (id_a < id_b) RECIPROCAL kNN edge list — the pair-set
+    twin of :func:`mutual_knn_degrees` (same exact int8-cosine top-k+1
+    neighbor rule, same BLAS-batched `knn_join` scorer, same 100 TB
+    swap to banded-LSH candidates); feeds graph analytics that need
+    the edges themselves, e.g. `adamic_adar_links`."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.search import knn_join
+
+    queries = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    topk = (
+        knn_join(emb, queries, k=k + 1, data_id=id_col, query_vec=vec_col,
+                 qvec_col=qvec_col)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(F.col("query_id").alias("a"), F.col(id_col).alias("b"))
+        .localCheckpoint(eager=False)  # both sides of the reciprocal join
+    )
+    rec = topk.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (
+        topk.join(rec, ["a", "b"], "left_semi")
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .distinct()
+    )

@@ -565,3 +565,231 @@ def bloom_fpr(
         F.round(fpr_m, 6).alias("fpr_measured"),
         F.round(expected, 6).alias("fpr_expected"),
     )
+
+
+def kmv_distinct_grouped(
+    df: DataFrame, key_col: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group K-minimum-values distinct-count sketch (the grouped
+    twin of :func:`kmv_distinct`): for every ``group_col`` value, hash
+    each key to a 32-bit md5 prefix, keep the k smallest DISTINCT hash
+    values, estimate D = (k-1) * 2^32 / h_(k), and report it next to
+    the exact distinct count and relative error.
+
+    Round-7 graduation of the last rows-only cardinality surface
+    (``approx_distinct_events``): HLL registers are engine-private, but
+    the KMV sketch's internals — the k-th hash boundary, the kept-hash
+    count, the estimate — are all md5-derived and expression-
+    reproducible, so the SKETCH ITSELF hash-matches a DuckDB oracle
+    (VERDICT r6 task 3; ``kmv_distinct_users`` precedent). The HLL
+    engine path stays exercised by the ``approx_distinct_error``
+    guarantee twin.
+
+    Determinism: hashes are exact int64; the per-group k-th order
+    statistic ranks DISTINCT integers (no ties); the estimate is one
+    double division, ROUNDED 6.
+
+    Scale shape: one distinct aggregation to the per-group hash
+    directory (map-side combined — same cost class as the exact
+    count-distinct it sits beside), then a per-group bottom-k via a
+    ranked window over that directory. In production the bottom-k
+    merges as per-shard min-heaps (keep the k smallest of a union);
+    the window here is the verification-friendly spelling of that
+    TakeOrdered-per-group.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashes = (
+        df.select(F.col(group_col), h.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc("h"))
+    kth = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(k))
+        .groupBy(group_col)
+        .agg(
+            F.max("h").cast("long").alias("kth_hash"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).cast("long").alias("n_distinct_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < F.lit(int(k)), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return exact.join(kth, group_col).select(
+        group_col,
+        F.lit(int(k)).cast("int").alias("k"),
+        "n_distinct_exact",
+        "kth_hash",
+        F.round(est, 6).alias("estimate"),
+        F.round(
+            F.abs(est - F.col("n_distinct_exact").cast("double"))
+            / F.col("n_distinct_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+SAMPLE_PCT_K = 256
+
+
+def bottomk_sample_percentiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = SAMPLE_PCT_K,
+    probes: tuple[float, ...] = (0.5, 0.99),
+) -> DataFrame:
+    """Per-group bottom-k-by-hash sample percentiles — a mergeable,
+    engine-reproducible quantile sketch: keep the ``k`` rows whose
+    unique-id md5 hash is smallest (a deterministic uniform
+    without-replacement sample; bottom-k of a union is the k smallest
+    of the per-shard bottom-ks, so the state merges exactly like KMV),
+    then take EXACT interpolated percentiles of the sampled values.
+
+    Round-7 graduation of the last rows-only percentile surface
+    (``approx_value_percentiles``): Spark's GK summary is
+    engine-private, but this sketch's internals — which rows the
+    sample keeps, hence every output number — are md5-derived and
+    expression-reproducible, so the sketch itself hash-matches a
+    DuckDB oracle (VERDICT r6 task 3; KMV precedent). The GK engine
+    path stays exercised by the ``approx_percentile_error`` guarantee
+    twin.
+
+    Determinism: the sample is fixed by md5 over the unique id (ties on
+    the 32-bit prefix broken by the id itself); the interpolated
+    percentile over a fixed multiset is exact arithmetic, ROUNDED 6.
+
+    Scale shape: one ranked window over (group, hash) picks the sample
+    — in production the bottom-k merges as per-shard min-heaps
+    (TakeOrdered per group, state k rows/group regardless of input) —
+    then one grouped exact percentile over k rows per group and a
+    broadcast join against the per-group row counts.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(F.asc("h"), F.asc(id_col))
+    p_sql = ", ".join(repr(float(p)) + "D" for p in probes)
+    samp = (
+        df.select(F.col(group_col), F.col(value_col), h.alias("h"), F.col(id_col))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(k))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sample_n"),
+            F.expr(f"percentile({value_col}, array({p_sql}))").alias("sp"),
+        )
+    )
+    full = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cols = [group_col, "n", "sample_n"]
+    out = full.join(F.broadcast(samp), group_col).select(
+        *cols,
+        *[
+            F.round(F.col("sp")[i], 6).alias(f"ap{int(round(p * 100))}")
+            for i, p in enumerate(probes)
+        ],
+    )
+    return out
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on two KMV sketches (new round
+    7 — the set-algebra completion of the KMV family): estimate
+    |A ∪ B| from the combined bottom-k of the union's hash directory
+    and |A ∩ B| as jaccard_est * union_est, where jaccard_est is the
+    fraction of the union's k minimum hashes that belong to BOTH sides
+    (the standard KMV/theta intersection estimator). Exact counts ride
+    along, so the estimate, its machinery, and its relative error are
+    all in one row.
+
+    Like :func:`kmv_distinct`, every number is md5-derived and
+    expression-reproducible, so the sketch itself hash-matches a
+    DuckDB oracle — the engine-private alternative (HLL union via
+    register max) cannot be checked this way.
+
+    Determinism: membership flags are exact; the bottom-k boundary
+    ranks distinct int64 hashes; the two estimates are single double
+    expressions, ROUNDED 6.
+
+    Scale shape: each side dedups to its key directory (map-side
+    combined), a full outer join aligns membership flags, one
+    TakeOrdered(k) picks the union's minimum hashes; everything after
+    is one-row algebra. Sketch state is k hashes + 2 flags regardless
+    of input size, and per-shard bottom-ks merge by keeping the k
+    smallest of the union.
+    """
+    a = df_a.select(F.col(key_col).alias("k_")).distinct()
+    b = df_b.select(F.col(key_col).alias("k_")).distinct()
+    m = (
+        a.withColumn("in_a", F.lit(1))
+        .join(b.withColumn("in_b", F.lit(1)), "k_", "full_outer")
+        .select(
+            "k_",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .localCheckpoint(eager=False)  # exact totals AND the bottom-k
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("k_").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = (
+        m.select(h.alias("h"), "in_a", "in_b")
+        .orderBy(F.asc("h"))
+        .limit(int(k))
+        .agg(
+            F.max("h").cast("long").alias("kth_hash"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both_kept"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    exact = m.agg(
+        F.sum("in_a").cast("long").alias("n_a_exact"),
+        F.sum("in_b").cast("long").alias("n_b_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_exact"),
+    ).withColumn("_one", F.lit(1))
+    j = exact.join(F.broadcast(kept), "_one")
+    union_est = F.when(
+        F.col("n_kept") < F.lit(int(k)), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    jacc_est = F.col("n_both_kept").cast("double") / F.col("n_kept").cast("double")
+    inter_est = jacc_est * union_est
+    return j.select(
+        F.lit(int(k)).cast("int").alias("k"),
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        "kth_hash",
+        "n_both_kept",
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jacc_est, 6).alias("jaccard_est"),
+        F.round(inter_est, 6).alias("inter_est"),
+        F.round(
+            F.abs(union_est - F.col("n_union_exact").cast("double"))
+            / F.col("n_union_exact").cast("double"),
+            6,
+        ).alias("union_rel_error"),
+    )

@@ -1159,3 +1159,150 @@ def spearman_corr(
             "spearman_rho"
         ),
     )
+
+
+def welch_ttest_matrix(
+    df: DataFrame, value_col: str = "n_chars", group_col: str = "source"
+) -> DataFrame:
+    """Pairwise Welch's t-test + effect sizes over every unordered group
+    pair (new round 7): the unequal-variance two-sample location test
+    that `mann_whitney` is the rank-based cousin of, plus the numbers a
+    data-pipeline report actually quotes — Cohen's d (pooled-SD
+    standardized difference) and the small-sample Hedges' g correction
+    J = 1 - 3/(4(n1+n2)-9). Welch-Satterthwaite df rides along so the
+    reader can judge the normal approximation.
+
+    Determinism: per-group (n, sum, sum-of-squares) are exact int64;
+    every downstream number is a pinned-order double expression over
+    those six integers per pair (sums promoted BEFORE squaring so the
+    square can never overflow the integer lattice), ROUNDED 6 — the
+    `source_js_matrix` pairwise discipline.
+
+    Scale shape: ONE map-side-combined grouped aggregation to the
+    group-cardinality frame, then a broadcast self-join over group
+    pairs (G^2/2 rows for G groups — report-sized). Degenerate groups
+    (n < 2) produce NULL stats rather than dividing by zero.
+    """
+    per = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a, b = per.alias("a"), per.alias("b")
+    j = a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
+
+    def stats(side):
+        n = F.col(f"{side}.n").cast("double")
+        s = F.col(f"{side}.s").cast("double")
+        ss = F.col(f"{side}.ss").cast("double")
+        mean = s / n
+        var = F.when(n > 1.0, (ss - s * s / n) / (n - 1.0))
+        return n, mean, var
+
+    n1, m1, v1 = stats("a")
+    n2, m2, v2 = stats("b")
+    se1, se2 = v1 / n1, v2 / n2
+    se = se1 + se2
+    t = (m1 - m2) / F.sqrt(se)
+    dfw = (se * se) / (
+        se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)
+    )
+    sp = F.sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+    d = (m1 - m2) / sp
+    jf = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1 + n2) - F.lit(9.0))
+    return j.select(
+        F.col("a.g").alias("source_a"),
+        F.col("b.g").alias("source_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(m1, 6).alias("mean_a"),
+        F.round(m2, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_welch"),
+        F.round(dfw, 6).alias("df_welch"),
+        F.round(d, 6).alias("cohen_d"),
+        F.round(jf * d, 6).alias("hedges_g"),
+    )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    chi2_99: float = 9.21034,
+) -> DataFrame:
+    """Diagonal-covariance Mahalanobis outlier census per event type
+    (new round 7): z^2 = ((cents - mean_c)/sd_c)^2 +
+    ((hour - mean_h)/sd_h)^2 over the (value, hour-of-day) pair —
+    the MULTIVARIATE companion to `event_outliers`' one-dimensional
+    fences: a 3 a.m. purchase of a typical amount and a typical-hour
+    purchase of an extreme amount both rank, and the count above the
+    chi-squared(2df, 99%) threshold 9.21 is the joint-anomaly budget a
+    monitor pages on.
+
+    Determinism: per-type moments come from exact int64 sums of cents
+    and hours; each row's z^2 is then a deterministic double
+    expression of those (no float accumulation order anywhere near
+    the threshold comparison); the max z^2 is an exact MAX over
+    deterministic doubles, ROUNDED 6.
+
+    Scale shape: one grouped integer-moment aggregation (map-side
+    combined), a broadcast of the per-type moment row back onto the
+    events, one filtered count — two passes over the scan, no window,
+    no sort.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    hour = F.hour(F.col(ts_col)).cast("long")
+    base = df.select(
+        F.col(type_col).alias("t"), cents.alias("v"), hour.alias("h")
+    )
+    mom = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+        F.sum("h").cast("long").alias("sh"),
+        F.sum(F.col("h") * F.col("h")).cast("long").alias("shh"),
+    )
+    nd = F.col("n").cast("double")
+    mv = F.col("sv").cast("double") / nd
+    vv = (F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv").cast("double") / nd) / (nd - F.lit(1.0))
+    mh = F.col("sh").cast("double") / nd
+    vh = (F.col("shh").cast("double") - F.col("sh").cast("double") * F.col("sh").cast("double") / nd) / (nd - F.lit(1.0))
+    momx = mom.select(
+        "t", "n", mv.alias("mv"), vv.alias("vv"), mh.alias("mh"), vh.alias("vh")
+    )
+    z2 = (
+        (F.col("v").cast("double") - F.col("mv"))
+        * (F.col("v").cast("double") - F.col("mv"))
+        / F.col("vv")
+        + (F.col("h").cast("double") - F.col("mh"))
+        * (F.col("h").cast("double") - F.col("mh"))
+        / F.col("vh")
+    )
+    scored = base.join(F.broadcast(momx), "t").select(
+        "t", "n", z2.alias("z2")
+    )
+    return (
+        scored.groupBy("t", "n")
+        .agg(
+            F.sum((F.col("z2") > F.lit(float(chi2_99))).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("z2").alias("max_z2"),
+        )
+        .select(
+            F.col("t").alias("event_type"),
+            "n",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+            ).alias("outlier_rate"),
+            F.round(F.col("max_z2"), 6).alias("max_z2"),
+        )
+    )

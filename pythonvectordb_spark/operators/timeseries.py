@@ -2149,6 +2149,67 @@ def value_wasserstein_drift(
         cents.alias("v"),
         (F.col(id_col) % 2 == 0).alias("even"),
     )
+    return _wasserstein_core(base, "n_even", "n_odd")
+
+
+def value_wasserstein_timecut(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact 1-Wasserstein distance per series between the FIRST-half
+    and SECOND-half days of the observed calendar range — the real
+    before/after deployment cut that `value_wasserstein_drift`'s A/A
+    null-calibration split documents as the production swap (round-7
+    follow-through, VERDICT r6 task 7): same exact DECIMAL(38,0)
+    common-denominator arithmetic, but the side predicate is
+    day < (min_day + max_day + 1) / 2, so the number now measures
+    actual temporal drift in cents instead of the sampling-noise floor.
+    Read the two together: timecut >> A/A floor means the shift is
+    real.
+
+    Determinism and scale shape are inherited from the shared core
+    (one distinct-value grouped count per series, cumulative window,
+    one decimal sum); the calendar midpoint is a one-row global min/max
+    broadcast, exact integer arithmetic.
+    """
+    di = (
+        F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    bounds = (
+        df.agg(
+            F.min(di).cast("long").alias("min_di"),
+            F.max(di).cast("long").alias("max_di"),
+        )
+        .select(
+            ((F.col("min_di") + F.col("max_di") + 1) / 2)
+            .cast("long")
+            .alias("mid_di")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = (
+        df.select(
+            F.col(type_col).alias("t"),
+            cents.alias("v"),
+            di.alias("di"),
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(bounds), "_one")
+        .select("t", "v", (F.col("di") < F.col("mid_di")).alias("even"))
+    )
+    return _wasserstein_core(base, "n_before", "n_after")
+
+
+def _wasserstein_core(
+    base: DataFrame, n_true_name: str, n_false_name: str
+) -> DataFrame:
+    """Shared exact-W1 engine over a (t, v, even) frame: distinct-value
+    grouped counts, cumulative CDF window, DECIMAL(38,0) terms, one
+    double division (docstring on `value_wasserstein_drift`)."""
     per_val = base.groupBy("t", "v").agg(
         F.sum(F.col("even").cast("long")).cast("long").alias("ce"),
         F.sum((~F.col("even")).cast("long")).cast("long").alias("co"),
@@ -2181,8 +2242,8 @@ def value_wasserstein_drift(
     )
     return g.select(
         F.col("t").alias("event_type"),
-        "n_even",
-        "n_odd",
+        F.col("n_even").alias(n_true_name),
+        F.col("n_odd").alias(n_false_name),
         F.when(
             (F.col("n_even") > 0) & (F.col("n_odd") > 0),
             F.round(F.coalesce(w1, F.lit(0.0)), 6),
@@ -2525,4 +2586,140 @@ def wilcoxon_week_over_week(
         F.col("n").alias("n_nonzero_pairs"),
         F.col("w2p").alias("w2_plus"),
         F.when((F.col("n") > 0) & (var4 > 0), F.round(z, 6)).alias("z"),
+    )
+
+
+def hellinger_value_drift(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_cents: int = 10_000,
+) -> DataFrame:
+    """Hellinger distance between the first-half and second-half
+    calendar days' value-bucket distributions per event type (new
+    round 7): the bounded [0,1] drift metric that completes the
+    divergence family — KS reports the largest CDF gap
+    (`ks_drift`), W1 the transport cost (`value_wasserstein_timecut`),
+    Hellinger the geometric overlap sqrt(1 - BC), symmetric and finite
+    even when a bucket empties (where KL blows up).
+
+    Determinism: bucket counts are exact int64; each Bhattacharyya
+    term sqrt(cb_i * ca_i) is a deterministic double OF AN EXACT
+    INTEGER PRODUCT (no per-engine p*q float products), the per-type
+    sum adds <= |buckets| such terms (float-order noise ~1e-15), and
+    BC normalizes by sqrt(nb*na) once — ROUNDED 6, far above the
+    noise.
+
+    Scale shape: one (type, half, bucket) grouped count (map-side
+    combined — the shuffle carries buckets, not rows), a pivot to
+    (before, after) counts per bucket, one grouped sum per type; the
+    calendar midpoint is a one-row broadcast.
+    """
+    di = (
+        F.unix_micros(F.date_trunc("day", F.col(ts_col))) / F.lit(86_400_000_000)
+    ).cast("long")
+    bounds = (
+        df.agg(F.min(di).alias("mn"), F.max(di).alias("mx"))
+        .select(((F.col("mn") + F.col("mx") + 1) / 2).cast("long").alias("mid_di"))
+        .withColumn("_one", F.lit(1))
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = (
+        df.select(
+            F.col(type_col).alias("t"),
+            (cents / F.lit(int(bucket_cents))).cast("long").alias("bkt"),
+            di.alias("di"),
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(bounds), "_one")
+        .select("t", "bkt", (F.col("di") < F.col("mid_di")).alias("before"))
+    )
+    per = base.groupBy("t", "bkt").agg(
+        F.sum(F.col("before").cast("long")).cast("long").alias("cb"),
+        F.sum((~F.col("before")).cast("long")).cast("long").alias("ca"),
+    )
+    g = per.groupBy("t").agg(
+        F.sum("cb").cast("long").alias("n_before"),
+        F.sum("ca").cast("long").alias("n_after"),
+        F.sum(F.sqrt((F.col("cb") * F.col("ca")).cast("double"))).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    bc = F.col("s") / F.sqrt(
+        F.col("n_before").cast("double") * F.col("n_after").cast("double")
+    )
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n_before",
+        "n_after",
+        "n_buckets",
+        F.round(bc, 6).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 6).alias("hellinger"),
+    )
+
+
+def gpd_tail_fit(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    threshold_q: float = 0.95,
+    return_obs: int = 1000,
+) -> DataFrame:
+    """Peaks-over-threshold Generalized Pareto tail fit per event type
+    (new round 7): the EXCEEDANCE companion to `daily_max_gumbel`'s
+    block-maxima fit — u = exact interpolated q95 of the value,
+    exceedances y = v - u, method-of-moments GPD shape/scale
+    xi = (1 - m^2/s^2)/2, beta = m(m^2/s^2 + 1)/2 (Hosking & Wallis
+    1987), and the N-observation return level
+    u + beta/xi * ((N * zeta_u)^xi - 1) with zeta_u the exceedance
+    rate — the "how bad is the 1-in-1000 event" number a pipeline
+    SLO quotes.
+
+    Determinism: cents are exact int64 and the threshold is one
+    interpolated exact percentile (the `value_percentiles` parity
+    precedent); exceedance moments are sums of deterministic doubles
+    (noise ~1e-15 under ROUND 6); every downstream number is a pinned
+    double expression. Degenerate tails (n_exc < 2 or zero variance)
+    emit NULL fits.
+
+    Scale shape: one exact-percentile aggregation per type, one
+    broadcast of the per-type thresholds, one filtered grouped moment
+    aggregation — the exceedance frame is quantile-bounded at ~5% of
+    rows by construction.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(F.col(type_col).alias("t"), cents.alias("v"))
+    thr = base.groupBy("t").agg(
+        F.expr(f"percentile(v, {float(threshold_q)!r}D)").alias("u"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    exc = (
+        base.join(F.broadcast(thr), "t")
+        .filter(F.col("v").cast("double") > F.col("u"))
+        .select("t", "n", "u", (F.col("v").cast("double") - F.col("u")).alias("y"))
+    )
+    g = exc.groupBy("t", "n", "u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    ne = F.col("n_exc").cast("double")
+    m = F.col("sy") / ne
+    s2 = (F.col("syy") - F.col("sy") * F.col("sy") / ne) / (ne - F.lit(1.0))
+    ratio = m * m / s2
+    xi = F.lit(0.5) * (F.lit(1.0) - ratio)
+    beta = F.lit(0.5) * m * (ratio + F.lit(1.0))
+    zeta = ne / F.col("n").cast("double")
+    rl = F.col("u") + (beta / xi) * (
+        F.pow(F.lit(float(return_obs)) * zeta, xi) - F.lit(1.0)
+    )
+    ok = (F.col("n_exc") > 1) & (s2 > 0.0) & (xi != 0.0)
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n",
+        "n_exc",
+        F.round(F.col("u"), 6).alias("u_cents"),
+        F.when(ok, F.round(xi, 6)).alias("gpd_xi"),
+        F.when(ok, F.round(beta, 6)).alias("gpd_beta"),
+        F.when(ok, F.round(rl, 6)).alias(f"rl{int(return_obs)}_cents"),
     )

@@ -2851,9 +2851,45 @@ FROM j GROUP BY n_name
 
 
 def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct counts (sketch-based; rows-only check —
-    HLL estimates are engine-specific by construction)."""
-    return RL.approx_distinct_events(load_table(spark, sf_dir, "events"))
+    """Per-event-type KMV distinct-user sketch (GRADUATED round 7 from
+    rows-only HLL to a hash-matched oracle, VERDICT r6 task 3): the
+    k-min md5-prefix hashes are expression-reproducible, so the sketch
+    internals — k-th hash boundary, estimate, relative error — ARE the
+    checked values (`kmv_distinct_users` precedent). The engine HLL
+    path stays covered by the `approx_distinct_error` guarantee twin
+    (`operators/sketch.kmv_distinct_grouped`)."""
+    from pythonvectordb_spark.operators.sketch import kmv_distinct_grouped
+
+    return kmv_distinct_grouped(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type", k=64
+    )
+
+
+def o_approx_distinct_events() -> str:
+    from pythonvectordb_spark.operators.sketch import KMV_SPACE
+
+    return f"""
+WITH h AS (SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+           FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+      FROM h),
+kth AS (SELECT event_type, CAST(max(h) AS BIGINT) AS kth_hash,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM r WHERE rn <= 64 GROUP BY 1),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+       FROM events GROUP BY 1)
+SELECT event_type, CAST(64 AS INT) AS k, n_distinct_exact, kth_hash,
+       round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                  ELSE 63.0 * {KMV_SPACE!r} / kth_hash::DOUBLE END, 6)
+         AS estimate,
+       round(abs((CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                       ELSE 63.0 * {KMV_SPACE!r} / kth_hash::DOUBLE END)
+                 - n_distinct_exact::DOUBLE)
+             / n_distinct_exact::DOUBLE, 6) AS rel_error
+FROM ex JOIN kth USING (event_type)
+"""
 
 
 def q_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2885,17 +2921,37 @@ FROM events GROUP BY 1
 
 
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (GK sketch) per event type — the 100 TB
-    percentile path: bounded sketch state with partial merge, vs the
-    exact `value_percentiles` twin whose state is the group's values.
-    Rows-only driver check (sketch internals are engine-specific);
-    tests/test_properties.py bounds its error against the exact twin."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
-        F.expr("approx_percentile(value, 0.99, 10000)").alias("ap99"),
+    """Per-event-type bottom-k-by-hash sample percentiles (GRADUATED
+    round 7 from rows-only GK to a hash-matched oracle, VERDICT r6
+    task 3): a mergeable quantile sketch — keep the 256 rows with
+    smallest md5(event_id) hash per group (per-shard bottom-ks union
+    exactly like KMV), exact interpolated p50/p99 over the sample —
+    whose internals are expression-reproducible, so the sketch itself
+    hash-matches DuckDB. The engine GK path stays covered by the
+    `approx_percentile_error` guarantee twin; the bounded-state vs
+    exact-twin contrast (`value_percentiles`) is unchanged
+    (`operators/sketch.bottomk_sample_percentiles`)."""
+    from pythonvectordb_spark.operators.sketch import bottomk_sample_percentiles
+
+    return bottomk_sample_percentiles(
+        load_table(spark, sf_dir, "events"), "value", "event_id", "event_type"
     )
+
+
+def o_approx_value_percentiles() -> str:
+    return """
+WITH r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                        event_id ASC) AS rn
+           FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n,
+             round(quantile_cont(value::DOUBLE, 0.5), 6) AS ap50,
+             round(quantile_cont(value::DOUBLE, 0.99), 6) AS ap99
+      FROM r WHERE rn <= 256 GROUP BY 1),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT event_type, n, sample_n, ap50, ap99 FROM n JOIN s USING (event_type)
+"""
 
 
 def q_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11599,6 +11655,564 @@ FROM g JOIN b USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# new round 7
+# --------------------------------------------------------------------------
+
+
+def q_mllib_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LogisticRegression trained text gate (new round 7, VERDICT
+    r6 task 6): hashed bag-of-words -> linear model learning the
+    above-mean-length quality rule, held-out accuracy and positive
+    recall asserted as within-bound data in the `mllib_*` guarantee
+    pattern; DuckDB recomputes the exact md5 test split and label
+    counts (`indexing.logreg_text_gate`)."""
+    from pythonvectordb_spark.indexing import logreg_text_gate
+
+    return logreg_text_gate(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_logreg_gate() -> str:
+    return """
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+             FROM documents),
+t AS (SELECT doc_id, n_chars * cnt > tot_chars AS pos
+      FROM documents CROSS JOIN tot
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))::BIGINT % 5 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_test,
+       CAST(1 AS BIGINT) AS accuracy_ok,
+       CAST(1 AS BIGINT) AS pos_recall_ok
+FROM t
+"""
+
+
+def q_value_wasserstein_timecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein drift between first-half and second-half
+    calendar days per event type (new round 7, VERDICT r6 task 7): the
+    real before/after deployment cut of `value_wasserstein_drift`'s
+    A/A split, same DECIMAL(38,0) exact arithmetic
+    (`operators/timeseries.value_wasserstein_timecut`)."""
+    from pythonvectordb_spark.operators import timeseries as TS2
+
+    return TS2.value_wasserstein_timecut(load_table(spark, sf_dir, "events"))
+
+
+def o_value_wasserstein_timecut() -> str:
+    return """
+WITH b0 AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di
+            FROM events),
+mid AS (SELECT CAST((min(di) + max(di) + 1) // 2 AS BIGINT) AS mid_di FROM b0),
+base AS (SELECT t, v, di < mid_di AS even FROM b0 CROSS JOIN mid),
+pv AS (SELECT t, v,
+              CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+              CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS co
+       FROM base GROUP BY 1, 2),
+cur AS (SELECT t, v,
+               CAST(sum(ce) OVER w AS BIGINT) AS cume,
+               CAST(sum(co) OVER w AS BIGINT) AS cumo,
+               CAST(sum(ce) OVER (PARTITION BY t) AS BIGINT) AS ne,
+               CAST(sum(co) OVER (PARTITION BY t) AS BIGINT) AS no,
+               lead(v) OVER (PARTITION BY t ORDER BY v ASC) AS vnext
+        FROM pv
+        WINDOW w AS (PARTITION BY t ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+g AS (SELECT t, CAST(max(ne) AS BIGINT) AS n_before,
+             CAST(max(no) AS BIGINT) AS n_after,
+             sum(CASE WHEN vnext IS NOT NULL THEN
+                   CAST(vnext - v AS HUGEINT)
+                   * CAST(abs(no * cume - ne * cumo) AS HUGEINT)
+                 END) AS num
+      FROM cur GROUP BY 1)
+SELECT t AS event_type, n_before, n_after,
+       CASE WHEN n_before > 0 AND n_after > 0 THEN
+         round(coalesce(num::DOUBLE / (n_before::DOUBLE * n_after::DOUBLE), 0.0), 6)
+       END AS w1_cents
+FROM g
+"""
+
+
+def q_kmv_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style KMV set operations (new round 7): union and
+    intersection estimates for the URGENT-priority vs HIGH-priority
+    customer bases from one combined bottom-64 hash sketch, exact
+    counts and relative error beside them — md5-derived internals so
+    the sketch itself hash-matches (`operators/sketch.kmv_set_ops`)."""
+    from pythonvectordb_spark.operators.sketch import kmv_set_ops
+
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_set_ops(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+        "o_custkey",
+    )
+
+
+def o_kmv_custkey_overlap() -> str:
+    from pythonvectordb_spark.operators.sketch import KMV_SPACE
+
+    return f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k_ FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS k_ FROM orders
+      WHERE o_orderpriority = '2-HIGH'),
+m AS (SELECT coalesce(a.k_, b.k_) AS k_,
+             CASE WHEN a.k_ IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.k_ IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM a FULL OUTER JOIN b ON a.k_ = b.k_),
+kept AS (SELECT CAST(max(h) AS BIGINT) AS kth_hash,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(in_a * in_b) AS BIGINT) AS n_both_kept
+         FROM (SELECT ('0x' || substr(md5(CAST(k_ AS VARCHAR)), 1, 8))::BIGINT AS h,
+                      in_a, in_b
+               FROM m ORDER BY h ASC LIMIT 64)),
+ex AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_a_exact,
+              CAST(sum(in_b) AS BIGINT) AS n_b_exact,
+              CAST(count(*) AS BIGINT) AS n_union_exact,
+              CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact
+       FROM m)
+SELECT CAST(64 AS INT) AS k, n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+       kth_hash, n_both_kept,
+       round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                  ELSE 63.0 * {KMV_SPACE!r} / kth_hash::DOUBLE END, 6) AS union_est,
+       round(n_both_kept::DOUBLE / n_kept::DOUBLE, 6) AS jaccard_est,
+       round((n_both_kept::DOUBLE / n_kept::DOUBLE)
+             * (CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                     ELSE 63.0 * {KMV_SPACE!r} / kth_hash::DOUBLE END), 6) AS inter_est,
+       round(abs((CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                       ELSE 63.0 * {KMV_SPACE!r} / kth_hash::DOUBLE END)
+                 - n_union_exact::DOUBLE) / n_union_exact::DOUBLE, 6)
+         AS union_rel_error
+FROM ex CROSS JOIN kept
+"""
+
+
+def q_welch_ttest_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch t / Welch-Satterthwaite df / Cohen's d / Hedges' g
+    over source doc lengths (new round 7): the parametric companion to
+    `mann_whitney` with the effect sizes a corpus report quotes
+    (`operators/stats.welch_ttest_matrix`)."""
+    return ST.welch_ttest_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def o_welch_ttest_sources() -> str:
+    return """
+WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(n_chars) AS BIGINT) AS s,
+                    CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+             FROM documents GROUP BY 1),
+j AS (SELECT a.g AS ga, a.n AS na, a.s AS sa, a.ss AS ssa,
+             b.g AS gb, b.n AS nb, b.s AS sb, b.ss AS ssb
+      FROM per a JOIN per b ON a.g < b.g),
+c AS (SELECT ga, gb, na, nb,
+             sa::DOUBLE / na::DOUBLE AS m1,
+             sb::DOUBLE / nb::DOUBLE AS m2,
+             (ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+               / (na::DOUBLE - 1.0) AS v1,
+             (ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE)
+               / (nb::DOUBLE - 1.0) AS v2
+      FROM j),
+e AS (SELECT ga, gb, na, nb, m1, m2, v1, v2,
+             v1 / na::DOUBLE AS se1, v2 / nb::DOUBLE AS se2
+      FROM c)
+SELECT ga AS source_a, gb AS source_b, na AS n_a, nb AS n_b,
+       round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_welch,
+       round(((se1 + se2) * (se1 + se2))
+             / (se1 * se1 / (na::DOUBLE - 1.0)
+                + se2 * se2 / (nb::DOUBLE - 1.0)), 6) AS df_welch,
+       round((m1 - m2) / sqrt(((na::DOUBLE - 1.0) * v1 + (nb::DOUBLE - 1.0) * v2)
+                              / (na::DOUBLE + nb::DOUBLE - 2.0)), 6) AS cohen_d,
+       round((1.0 - 3.0 / (4.0 * (na::DOUBLE + nb::DOUBLE) - 9.0))
+             * ((m1 - m2) / sqrt(((na::DOUBLE - 1.0) * v1 + (nb::DOUBLE - 1.0) * v2)
+                                 / (na::DOUBLE + nb::DOUBLE - 2.0))), 6) AS hedges_g
+FROM e
+"""
+
+
+def q_dedup_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar marginal-homogeneity test between the MinHash>=0.8 and
+    SimHash<=3 duplicate detectors' per-document flags (new round 7):
+    the significance companion to `dedup_method_agreement`'s Jaccard —
+    symmetric disagreement means the families see different duplicates
+    (`operators/dedup.method_mcnemar`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.method_mcnemar(
+        docs,
+        DD.minhash_lsh_pairs(docs, threshold=0.8),
+        DD.simhash_pairs(docs, max_hamming=3),
+    )
+
+
+def o_dedup_mcnemar() -> str:
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM ({o_dedup_minhash_lsh()})),
+s AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM ({o_dedup_simhash()})),
+fa AS (SELECT DISTINCT node AS doc_id
+       FROM (SELECT unnest([id_a, id_b]) AS node FROM m) u),
+fb AS (SELECT DISTINCT node AS doc_id
+       FROM (SELECT unnest([id_a, id_b]) AS node FROM s) u),
+base AS (SELECT CASE WHEN fa.doc_id IS NULL THEN 0 ELSE 1 END AS a,
+                CASE WHEN fb.doc_id IS NULL THEN 0 ELSE 1 END AS b
+         FROM documents d
+         LEFT JOIN fa ON d.doc_id = fa.doc_id
+         LEFT JOIN fb ON d.doc_id = fb.doc_id),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM base)
+SELECT n_docs, n11, n10, n01, n00,
+       CASE WHEN n10 + n01 > 0 THEN
+         round(((n10 - n01)::DOUBLE * (n10 - n01)::DOUBLE)
+               / (n10 + n01)::DOUBLE, 6) END AS mcnemar_chi2,
+       CASE WHEN n10 + n01 > 0 THEN
+         round((abs((n10 - n01)::DOUBLE) - 1.0) * (abs((n10 - n01)::DOUBLE) - 1.0)
+               / (n10 + n01)::DOUBLE, 6) END AS mcnemar_chi2_cc
+FROM g
+"""
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain,
+    12 fixed power-iteration rounds vs the empirical state share (new
+    round 7): the long-run behavioral equilibrium read against where
+    traffic actually is (`operators/graph.markov_stationary`)."""
+    from pythonvectordb_spark.operators.graph import markov_stationary
+
+    return markov_stationary(load_table(spark, sf_dir, "events"))
+
+
+def o_markov_stationary() -> str:
+    return """
+WITH ordered AS (
+  SELECT event_type AS to_s,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_s
+  FROM events),
+pairs AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS c
+          FROM ordered WHERE from_s IS NOT NULL GROUP BY 1, 2),
+outc AS (SELECT from_s, CAST(sum(c) AS BIGINT) AS ct FROM pairs GROUP BY 1),
+trans AS MATERIALIZED (
+  SELECT from_s, to_s, c::DOUBLE / ct::DOUBLE AS p
+  FROM pairs JOIN outc USING (from_s)),
+states AS MATERIALIZED (
+  SELECT DISTINCT s FROM (SELECT from_s AS s FROM trans
+                          UNION ALL SELECT to_s FROM trans) u),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+v0 AS MATERIALIZED (SELECT s, 1.0 / ns.n AS v FROM states CROSS JOIN ns),
+r1 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v0 v ON t.from_s = v.s GROUP BY 1
+),
+tot1 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r1),
+v1 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot1 x LEFT JOIN r1 r ON r.s = st.s
+),
+r2 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v1 v ON t.from_s = v.s GROUP BY 1
+),
+tot2 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r2),
+v2 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot2 x LEFT JOIN r2 r ON r.s = st.s
+),
+r3 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v2 v ON t.from_s = v.s GROUP BY 1
+),
+tot3 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r3),
+v3 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot3 x LEFT JOIN r3 r ON r.s = st.s
+),
+r4 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v3 v ON t.from_s = v.s GROUP BY 1
+),
+tot4 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r4),
+v4 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot4 x LEFT JOIN r4 r ON r.s = st.s
+),
+r5 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v4 v ON t.from_s = v.s GROUP BY 1
+),
+tot5 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r5),
+v5 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot5 x LEFT JOIN r5 r ON r.s = st.s
+),
+r6 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v5 v ON t.from_s = v.s GROUP BY 1
+),
+tot6 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r6),
+v6 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot6 x LEFT JOIN r6 r ON r.s = st.s
+),
+r7 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v6 v ON t.from_s = v.s GROUP BY 1
+),
+tot7 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r7),
+v7 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot7 x LEFT JOIN r7 r ON r.s = st.s
+),
+r8 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v7 v ON t.from_s = v.s GROUP BY 1
+),
+tot8 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r8),
+v8 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot8 x LEFT JOIN r8 r ON r.s = st.s
+),
+r9 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v8 v ON t.from_s = v.s GROUP BY 1
+),
+tot9 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r9),
+v9 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot9 x LEFT JOIN r9 r ON r.s = st.s
+),
+r10 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v9 v ON t.from_s = v.s GROUP BY 1
+),
+tot10 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r10),
+v10 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot10 x LEFT JOIN r10 r ON r.s = st.s
+),
+r11 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v10 v ON t.from_s = v.s GROUP BY 1
+),
+tot11 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r11),
+v11 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot11 x LEFT JOIN r11 r ON r.s = st.s
+),
+r12 AS MATERIALIZED (
+  SELECT t.to_s AS s, sum(t.p * v.v) AS raw
+  FROM trans t JOIN v11 v ON t.from_s = v.s GROUP BY 1
+),
+tot12 AS MATERIALIZED (SELECT sum(raw) AS tt FROM r12),
+v12 AS MATERIALIZED (
+  SELECT st.s, coalesce(r.raw, 0.0) / x.tt AS v
+  FROM states st CROSS JOIN tot12 x LEFT JOIN r12 r ON r.s = st.s
+),
+emp AS (SELECT event_type AS s, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+tote AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM events)
+SELECT st.s AS event_type, e.n_events,
+       round(e.n_events::DOUBLE / t.nt::DOUBLE, 6) AS empirical_share,
+       round(v.v, 6) AS stationary_p
+FROM states st
+JOIN v12 v ON v.s = st.s
+JOIN emp e ON e.s = st.s
+CROSS JOIN tote t
+"""
+
+
+def q_adamic_adar_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the mutual-kNN embedding graph
+    (new round 7): non-adjacent vector pairs ranked by shared-neighbor
+    evidence sum 1/ln(deg) plus neighborhood Jaccard — the missed-merge
+    candidates of the reciprocal top-5 graph
+    (`operators/graph.adamic_adar_links`, `.mutual_knn_pairs`)."""
+    from pythonvectordb_spark.operators.graph import (
+        adamic_adar_links,
+        mutual_knn_pairs,
+    )
+
+    return adamic_adar_links(mutual_knn_pairs(_emb(spark, sf_dir), k=5))
+
+
+def o_adamic_adar_mutual_knn(k: int = 5) -> str:
+    qv = O.sql_qvec("embedding")
+    cos = (
+        "(list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        " / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        " * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb, {cos} AS score
+  FROM q a CROSS JOIN q b
+),
+rk AS (
+  SELECT qa, qb,
+         row_number() OVER (PARTITION BY qa ORDER BY score DESC, qb ASC) AS rn
+  FROM p
+),
+tk AS (SELECT qa AS a, qb AS b FROM rk WHERE rn <= {k + 1} AND qa != qb),
+mp AS MATERIALIZED (
+  SELECT e.a, e.b FROM tk e JOIN tk r ON e.a = r.b AND e.b = r.a
+  WHERE e.a < e.b),
+sym AS MATERIALIZED (
+  SELECT a, b FROM mp UNION ALL SELECT b, a FROM mp),
+deg AS MATERIALIZED (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+cand AS (
+  SELECT w.x, w.z, CAST(count(*) AS BIGINT) AS n_common,
+         sum(1.0 / ln(d.deg::DOUBLE)) AS aa
+  FROM (SELECT l.a AS x, l.b AS y, r.a AS z
+        FROM sym l JOIN sym r ON l.b = r.b AND l.a < r.a) w
+  JOIN deg d ON d.node = w.y
+  GROUP BY 1, 2
+),
+nc AS (
+  SELECT c.x, c.z, c.n_common, c.aa
+  FROM cand c
+  LEFT JOIN mp ON mp.a = c.x AND mp.b = c.z
+  WHERE mp.a IS NULL
+)
+SELECT nc.x AS id_a, nc.z AS id_b, nc.n_common,
+       da.deg AS deg_x, db.deg AS deg_z,
+       round(nc.aa, 6) AS adamic_adar,
+       round(nc.n_common::DOUBLE
+             / (da.deg + db.deg - nc.n_common)::DOUBLE, 6)
+         AS neighborhood_jaccard
+FROM nc
+JOIN deg da ON da.node = nc.x
+JOIN deg db ON db.node = nc.z
+"""
+
+
+def q_hellinger_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between first-half and second-half day
+    value-bucket distributions per event type (new round 7): the
+    bounded [0,1] member of the drift family next to KS and W1
+    (`operators/timeseries.hellinger_value_drift`)."""
+    from pythonvectordb_spark.operators import timeseries as TS2
+
+    return TS2.hellinger_value_drift(load_table(spark, sf_dir, "events"))
+
+
+def o_hellinger_value_drift() -> str:
+    return """
+WITH b0 AS (SELECT event_type AS t,
+                   CAST(round(value * 100) AS BIGINT) // 10000 AS bkt,
+                   CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di
+            FROM events),
+mid AS (SELECT CAST((min(di) + max(di) + 1) // 2 AS BIGINT) AS mid_di FROM b0),
+base AS (SELECT t, bkt, di < mid_di AS before FROM b0 CROSS JOIN mid),
+per AS (SELECT t, bkt,
+               CAST(sum(CASE WHEN before THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+               CAST(sum(CASE WHEN before THEN 0 ELSE 1 END) AS BIGINT) AS ca
+        FROM base GROUP BY 1, 2),
+g AS (SELECT t, CAST(sum(cb) AS BIGINT) AS n_before,
+             CAST(sum(ca) AS BIGINT) AS n_after,
+             sum(sqrt((cb * ca)::DOUBLE)) AS s,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM per GROUP BY 1)
+SELECT t AS event_type, n_before, n_after, n_buckets,
+       round(s / sqrt(n_before::DOUBLE * n_after::DOUBLE), 6) AS bhattacharyya,
+       round(sqrt(greatest(0.0, 1.0 - s / sqrt(n_before::DOUBLE * n_after::DOUBLE))), 6)
+         AS hellinger
+FROM g
+"""
+
+
+def q_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD tail fit per event type (new round 7):
+    method-of-moments xi/beta over q95 exceedances and the
+    1000-observation return level — the exceedance companion to
+    `daily_max_gumbel` (`operators/timeseries.gpd_tail_fit`)."""
+    from pythonvectordb_spark.operators import timeseries as TS2
+
+    return TS2.gpd_tail_fit(load_table(spark, sf_dir, "events"))
+
+
+def o_gpd_tail_fit() -> str:
+    return """
+WITH base AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v
+              FROM events),
+thr AS (SELECT t, quantile_cont(v::DOUBLE, 0.95) AS u,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 1),
+exc AS (SELECT b.t, thr.n, thr.u, b.v::DOUBLE - thr.u AS y
+        FROM base b JOIN thr ON b.t = thr.t WHERE b.v::DOUBLE > thr.u),
+g AS (SELECT t, n, u, CAST(count(*) AS BIGINT) AS n_exc,
+             sum(y) AS sy, sum(y * y) AS syy
+      FROM exc GROUP BY 1, 2, 3),
+c AS (SELECT t, n, u, n_exc,
+             sy / n_exc::DOUBLE AS m,
+             (syy - sy * sy / n_exc::DOUBLE) / (n_exc::DOUBLE - 1.0) AS s2
+      FROM g),
+e AS (SELECT t, n, u, n_exc, m, s2,
+             0.5 * (1.0 - m * m / s2) AS xi,
+             0.5 * m * (m * m / s2 + 1.0) AS beta,
+             n_exc::DOUBLE / n::DOUBLE AS zeta
+      FROM c)
+SELECT t AS event_type, n, n_exc, round(u, 6) AS u_cents,
+       CASE WHEN n_exc > 1 AND s2 > 0.0 AND xi != 0.0
+            THEN round(xi, 6) END AS gpd_xi,
+       CASE WHEN n_exc > 1 AND s2 > 0.0 AND xi != 0.0
+            THEN round(beta, 6) END AS gpd_beta,
+       CASE WHEN n_exc > 1 AND s2 > 0.0 AND xi != 0.0
+            THEN round(u + (beta / xi) * (pow(1000.0 * zeta, xi) - 1.0), 6)
+            END AS rl1000_cents
+FROM e
+"""
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Mahalanobis (value, hour) joint-outlier
+    census per event type vs the chi-squared(2, 99%) threshold (new
+    round 7): the multivariate companion to `event_outliers`
+    (`operators/stats.mahalanobis_outliers`)."""
+    return ST.mahalanobis_outliers(load_table(spark, sf_dir, "events"))
+
+
+def o_mahalanobis_outliers() -> str:
+    return """
+WITH base AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v,
+                     CAST(hour(ts) AS BIGINT) AS h
+              FROM events),
+mom AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS svv,
+               CAST(sum(h) AS BIGINT) AS sh, CAST(sum(h * h) AS BIGINT) AS shh
+        FROM base GROUP BY 1),
+momx AS (SELECT t, n,
+                sv::DOUBLE / n::DOUBLE AS mv,
+                (svv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+                  / (n::DOUBLE - 1.0) AS vv,
+                sh::DOUBLE / n::DOUBLE AS mh,
+                (shh::DOUBLE - sh::DOUBLE * sh::DOUBLE / n::DOUBLE)
+                  / (n::DOUBLE - 1.0) AS vh
+         FROM mom),
+scored AS (SELECT b.t, m.n,
+                  (b.v::DOUBLE - m.mv) * (b.v::DOUBLE - m.mv) / m.vv
+                  + (b.h::DOUBLE - m.mh) * (b.h::DOUBLE - m.mh) / m.vh AS z2
+           FROM base b JOIN momx m ON b.t = m.t),
+g AS (SELECT t, n,
+             CAST(sum(CASE WHEN z2 > 9.21034 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             max(z2) AS mz
+      FROM scored GROUP BY 1, 2)
+SELECT t AS event_type, n, n_outliers,
+       round(n_outliers::DOUBLE / n::DOUBLE, 6) AS outlier_rate,
+       round(mz, 6) AS max_z2
+FROM g
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Rotation per VERDICT r6 task 1: the 28 round-6 additions
@@ -11634,6 +12248,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_class_f1": q_nb_class_f1,
     "wilcoxon_week_over_week": q_wilcoxon_week_over_week,
     "chao1_vocab_richness": q_chao1_vocab_richness,
+    # --- graduated round 7 (rows-only -> hash-matched sketch-internal
+    # oracles, VERDICT r6 task 3): output schema changed, so they need
+    # a fresh driver witness and sit in the never-witnessed prefix
+    # (stale_until=7 in tests/test_registry_contract.py) -------------
+    "approx_value_percentiles": q_approx_value_percentiles,
+    "approx_distinct_events": q_approx_distinct_events,
+    # --- new round 7 (enter at the BACK of the never-witnessed prefix,
+    # per the witness-ordering contract; 28 + 2 graduated + 20 new fill
+    # the round-7 front-50 exactly) ----------------------------------
+    "mllib_logreg_gate": q_mllib_logreg_gate,
+    "value_wasserstein_timecut": q_value_wasserstein_timecut,
+    "kmv_custkey_overlap": q_kmv_custkey_overlap,
+    "welch_ttest_sources": q_welch_ttest_sources,
+    "dedup_mcnemar": q_dedup_mcnemar,
+    "markov_stationary": q_markov_stationary,
+    "adamic_adar_mutual_knn": q_adamic_adar_mutual_knn,
+    "hellinger_value_drift": q_hellinger_value_drift,
+    "gpd_tail_fit": q_gpd_tail_fit,
+    "mahalanobis_outliers": q_mahalanobis_outliers,
     # --- previously driver-witnessed entries, ordered by the round of
     # their LATEST green CORRECTNESS row ascending (oldest witness first),
     # so any front-50 slots left over re-witness the stalest entries.
@@ -11927,13 +12560,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_nprobe_curve": q_ivf_nprobe_curve,
     "discount_quantity_spearman": q_discount_quantity_spearman,
     "nb_calibration_bins": q_nb_calibration_bins,
-    # --- rows-only by design (raw sketch outputs whose VALUES are
-    # engine-specific; each has a green driver rows-only row AND a
-    # hash-matched guarantee twin: approx_percentile_error /
-    # approx_distinct_error). Kept at the very END so they never spend
-    # a front-50 driver slot again (VERDICT r4 task 4). -------------
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "approx_distinct_events": q_approx_distinct_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -12248,6 +12874,20 @@ ORACLES: dict[str, str] = {
     "fuzzy_source_pairs": o_fuzzy_source_pairs(),
     "event_value_mad": o_event_value_mad(),
     "zone_pruned_scan": o_zone_pruned_scan(),
-    # approx_distinct_events + mllib_*: intentionally no oracle (HLL and
-    # MLlib hashing are engine-specific); driver records rows-only checks
+    # round 7: the last two rows-only entries graduated to hash-matched
+    # sketch-internal oracles (KMV / bottom-k sample) — every registered
+    # query is now DuckDB-oracled
+    "approx_value_percentiles": o_approx_value_percentiles(),
+    "approx_distinct_events": o_approx_distinct_events(),
+    # new round 7
+    "mllib_logreg_gate": o_mllib_logreg_gate(),
+    "value_wasserstein_timecut": o_value_wasserstein_timecut(),
+    "kmv_custkey_overlap": o_kmv_custkey_overlap(),
+    "welch_ttest_sources": o_welch_ttest_sources(),
+    "dedup_mcnemar": o_dedup_mcnemar(),
+    "markov_stationary": o_markov_stationary(),
+    "adamic_adar_mutual_knn": o_adamic_adar_mutual_knn(),
+    "hellinger_value_drift": o_hellinger_value_drift(),
+    "gpd_tail_fit": o_gpd_tail_fit(),
+    "mahalanobis_outliers": o_mahalanobis_outliers(),
 }

@@ -161,3 +161,72 @@ def test_hits_star_graph(spark):
     assert got["c"] == (0.0, 1.0)
     for h in ("h1", "h2", "h3"):
         assert abs(got[h][0] - round(1 / 3, 6)) < 1e-6 and got[h][1] == 0.0
+
+
+def test_markov_stationary_two_state_chain(spark):
+    """Deterministic 2-state chain a->b->a...: P is a perfect swap, so
+    12 (even) rounds return the uniform start = the true stationary
+    (0.5, 0.5)."""
+    from pythonvectordb_spark.operators.graph import markov_stationary
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "a" if i % 2 == 0 else "b")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_type: r for r in markov_stationary(df).collect()}
+    assert abs(out["a"].stationary_p - 0.5) < 1e-6
+    assert abs(out["b"].stationary_p - 0.5) < 1e-6
+    assert out["a"].n_events == 10 and out["b"].n_events == 10
+
+
+def test_adamic_adar_path_graph(spark):
+    """Path 1-2-3: the only candidate is (1,3) through center 2
+    (deg 2): AA = 1/ln(2), n_common 1, Jaccard 1/1 (N(1)={2},
+    N(3)={2})."""
+    import math
+
+    from pythonvectordb_spark.operators.graph import adamic_adar_links
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    (r,) = adamic_adar_links(pairs).collect()
+    assert (r.id_a, r.id_b, r.n_common) == (1, 3, 1)
+    assert abs(r.adamic_adar - round(1.0 / math.log(2.0), 6)) < 1e-9
+    assert r.neighborhood_jaccard == 1.0
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    """Triangle 1-2-3: every pair is already an edge -> no candidates."""
+    from pythonvectordb_spark.operators.graph import adamic_adar_links
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    assert adamic_adar_links(pairs).count() == 0
+
+
+def test_mutual_knn_pairs_are_reciprocal_subset(spark):
+    """Every mutual pair must appear in both directions of the top-k
+    lists; degrees derived from pairs match mutual_knn_degrees."""
+    from pythonvectordb_spark.operators.graph import (
+        mutual_knn_degrees,
+        mutual_knn_pairs,
+    )
+    from pythonvectordb_spark.registry import _emb
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    pairs = mutual_knn_pairs(emb, k=5)
+    deg_from_pairs = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("vec_id"))
+        .groupBy("vec_id")
+        .count()
+        .collect()
+    )
+    deg_ref = {
+        r.vec_id: r.mutual_degree
+        for r in mutual_knn_degrees(emb, k=5).collect()
+    }
+    for r in deg_from_pairs:
+        assert deg_ref[r.vec_id] == r["count"], r

@@ -276,3 +276,23 @@ def test_synonym_order_monotone_flag_is_not_tautological(spark):
     ).coalesce(1)
     (bad,) = synonym_order_stats(shuffled, vocab, "zzz").collect()
     assert bad.sims_monotone == 0  # the regression the flag must catch
+
+
+def test_logreg_text_gate_learns_separable_label(spark):
+    """A label perfectly determined by a marker token must be learned:
+    accuracy_ok and pos_recall_ok both 1 on held-out docs."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import logreg_text_gate
+
+    rows = [
+        (i, ("yes marker " + "pad " * 5) if i % 2 else "plain filler text pad", )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = logreg_text_gate(
+        df, label_expr=F.col("text").contains("marker"), max_iter=10
+    ).collect()
+    (r,) = out
+    assert r.n_test > 0 and 0 < r.n_pos_test < r.n_test
+    assert r.accuracy_ok == 1 and r.pos_recall_ok == 1

@@ -1626,3 +1626,27 @@ def test_label_centroid_affinity_orthogonal_and_identical(spark):
     assert got[(0, 1)].cosine == 1.0
     assert got[(0, 2)].cosine == 0.0 and got[(1, 2)].cosine == 0.0
     assert got[(0, 2)].n_a == 3 and got[(0, 2)].n_b == 4
+
+
+def test_method_mcnemar_hand_computed(spark):
+    """Flags: docs {1,2} by A (pairs 1-2), docs {2,3} by B (pairs 2-3)
+    over universe {1..5}: n11=1 (doc2), n10=1 (doc1), n01=1 (doc3),
+    n00=2 -> chi2 = 0, cc variant (|0|-1)^2/2 = 0.5."""
+    from pythonvectordb_spark.operators.dedup import method_mcnemar
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pa = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    pb = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    (r,) = method_mcnemar(docs, pa, pb).collect()
+    assert (r.n_docs, r.n11, r.n10, r.n01, r.n00) == (5, 1, 1, 1, 2)
+    assert r.mcnemar_chi2 == 0.0 and r.mcnemar_chi2_cc == 0.5
+
+
+def test_method_mcnemar_no_discordance_null(spark):
+    from pythonvectordb_spark.operators.dedup import method_mcnemar
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 4)], "doc_id long")
+    p = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    (r,) = method_mcnemar(docs, p, p).collect()
+    assert r.n10 == 0 and r.n01 == 0
+    assert r.mcnemar_chi2 is None and r.mcnemar_chi2_cc is None

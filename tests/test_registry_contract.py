@@ -6,8 +6,9 @@ unhashable there (round 2's `pq_encode` err). Any ORACLED query can
 rotate into the driver's front-50 window in a later round, so every one
 of them must emit only scalar columns — operators keep their natural
 array outputs; the REGISTERED projection strings them
-(`pq_encode`/`encode_tokens` pattern). Rows-only entries (no oracle) are
-exempt: the driver only counts their rows.
+(`pq_encode`/`encode_tokens` pattern). Since round 7 every registered
+query is oracled — the last two rows-only sketches graduated to
+hash-matched sketch-internal oracles (KMV / bottom-k sample).
 """
 
 from pyspark.sql import types as T
@@ -41,7 +42,6 @@ def test_never_witnessed_queries_sit_in_front():
     (they must be re-witnessed, so they count as unwitnessed until a
     CORRECTNESS row from round >= the listed round lands — derived from
     the cumulative record, never frozen; round-6 VERDICT fix #1).
-    Rows-only-by-design entries are pinned LAST and exempt.
     """
     import glob
     import json
@@ -73,17 +73,13 @@ def test_never_witnessed_queries_sit_in_front():
         "approx_value_percentiles": 7,
         "approx_distinct_events": 7,
     }
+    # the last two rows-only entries graduated to sketch-internal
+    # oracles in round 7 — every registered query must carry an oracle
     rows_only = [n for n in QUERIES if n not in ORACLES]
+    assert not rows_only, f"unoracled queries are no longer allowed: {rows_only}"
     order = list(QUERIES)
-    if rows_only:
-        assert order[-len(rows_only):] == rows_only, (
-            "rows-only entries must stay pinned at the very end: "
-            f"{rows_only} vs tail {order[-len(rows_only):]}"
-        )
     seen_witnessed_at = None
     for i, name in enumerate(order):
-        if name in rows_only:
-            continue
         is_witnessed = latest_round.get(name, 0) >= stale_until.get(name, 1)
         if is_witnessed and seen_witnessed_at is None:
             seen_witnessed_at = (i, name)

