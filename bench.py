@@ -920,11 +920,6 @@ def main() -> None:
             "delete_anti_join_ms": round(delete_ms, 1),
             "snapshot_load_ms": round(load_ms, 1),
             "int8_bytes_per_vector": 64,  # dim bytes/vector, matches reference
-            "control_query_s": {
-                "start": control_start,
-                "end": control_end,
-                "delta_pct": control_delta_pct,
-            },
             "knn_single_ms": round(single_ms, 1),
             "concurrent_qps": round(concurrent_qps, 1),
             "concurrent_qps_coalesced": round(concurrent_qps_coalesced, 1),
@@ -936,6 +931,20 @@ def main() -> None:
             ),
             "coalesced_floor_ok": bool(coalesced_floor_ok),
             "knn_qps_50k_32k_batch": round(qps_32k, 1),
+            # Control marker sits NEXT TO the headline qps (VERDICT r6
+            # task 5) so a loaded window is self-labeling without
+            # cross-referencing: qps falls as host load rises while the
+            # control query time rises, so qps x control-seconds is
+            # roughly load-invariant — compare qps_x_control_s across
+            # rounds, not raw qps.
+            "control_query_s": {
+                "start": control_start,
+                "end": control_end,
+                "delta_pct": control_delta_pct,
+            },
+            "qps_x_control_s": round(
+                qps * (control_start + control_end) / 2.0, 2
+            ),
             "knn_qps_50k": round(qps, 1),
         }
     )

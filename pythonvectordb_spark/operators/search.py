@@ -1655,7 +1655,13 @@ def ndcg_ivf(
     ranked = ann.select(
         F.col(id_col), F.round("score", 9).alias("r9")
     ).select(id_col, F.row_number().over(wr).alias("rank"))
-    weights = F.array(*[F.lit(float(w)) for w in DCG_WEIGHTS_10[:kk]])
+    # weights and the ideal DCG derive from kk, not a fixed top-10 table:
+    # element_at must cover ranks 1..kk (a truncated array yields NULL
+    # terms for ranks > 10) and the perfect ranking must score ndcg = 1.0
+    # at every k (ADVICE r6)
+    w_k = [1.0 / _math.log2(r + 1) for r in range(1, kk + 1)]
+    idcg_k = sum((kk - i) * w_k[i] for i in range(kk))
+    weights = F.array(*[F.lit(float(w)) for w in w_k])
     rel = F.coalesce(
         (F.lit(kk + 1) - F.col("exact_rank")).cast("long"), F.lit(0).cast("long")
     )
@@ -1668,8 +1674,8 @@ def ndcg_ivf(
         F.lit(kk).cast("int").alias("k"),
         F.lit(int(nprobe)).cast("int").alias("nprobe"),
         F.round(F.col("dcg"), 6).alias("dcg"),
-        F.round(F.lit(float(IDCG_10)), 6).alias("idcg"),
-        F.round(F.col("dcg") / F.lit(float(IDCG_10)), 6).alias("ndcg"),
+        F.round(F.lit(float(idcg_k)), 6).alias("idcg"),
+        F.round(F.col("dcg") / F.lit(float(idcg_k)), 6).alias("ndcg"),
     )
 
 

@@ -1601,6 +1601,19 @@ def test_ndcg_and_mrr_on_testdata(spark):
     (nd,) = ndcg_ivf(emb, QUERY_VEC, CENTROIDS, k=10, nprobe=2).collect()
     assert abs(nd.idcg - round(IDCG_10, 6)) < 1e-9
     assert 0.0 <= nd.ndcg <= 1.0 and abs(nd.dcg / nd.idcg - nd.ndcg) < 1e-5
+    # k != 10 (ADVICE r6): ideal DCG must derive from k — full-coverage
+    # probing (nprobe = all centroids) is exact, so ndcg must be 1.0 for
+    # BOTH k=5 (was overstated idcg → ndcg < 1) and k=15 (was NULL DCG
+    # terms past rank 10)
+    import math as _m
+
+    for kk in (5, 15):
+        (ndk,) = ndcg_ivf(emb, QUERY_VEC, CENTROIDS, k=kk,
+                          nprobe=len(CENTROIDS)).collect()
+        w = [1.0 / _m.log2(r + 1) for r in range(1, kk + 1)]
+        idcg_k = sum((kk - i) * w[i] for i in range(kk))
+        assert abs(ndk.idcg - round(idcg_k, 6)) < 1e-9
+        assert abs(ndk.ndcg - 1.0) < 1e-6, (kk, ndk)
     ann = ann_lsh_multiprobe_search(emb, QUERY_VEC, lsh_band_planes(20, 5), k=10)
     (mr,) = mrr_at_k(emb, ann, QUERY_VEC, k=10).collect()
     if mr.found_rank == 0:
