@@ -255,6 +255,28 @@ HEADLINE = [
     "nb_class_f1",
     "wilcoxon_week_over_week",
     "chao1_vocab_richness",
+    # round-7 additions (graduated sketches keep their original
+    # HEADLINE slots; these are the 20 new queries)
+    "mllib_logreg_gate",
+    "value_wasserstein_timecut",
+    "kmv_custkey_overlap",
+    "welch_ttest_sources",
+    "dedup_mcnemar",
+    "markov_stationary",
+    "adamic_adar_mutual_knn",
+    "hellinger_value_drift",
+    "gpd_tail_fit",
+    "mahalanobis_outliers",
+    "pettitt_changepoint",
+    "dow_seasonal_decomposition",
+    "ljung_box_daily",
+    "logrank_segments",
+    "ks_bh_fdr",
+    "stratification_deff",
+    "quantization_saturation",
+    "source_vocab_jaccard",
+    "nb_average_precision",
+    "mllib_isotonic_calibration",
 ]
 
 
@@ -432,6 +454,11 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
             # stay ~linear in corpus size
             "duplicate_spans": lambda d, e, n: _tx().duplicate_spans(d, window=8),
             "temperature_mixture": lambda d, e, n: _cu().temperature_mixture(d),
+            # round-7 addition: pairwise shingle-vocabulary overlap —
+            # work is the distinct (source, shingle) frame plus the
+            # equi-join matches, both linear in corpus size (witnessed
+            # below, per the round-6 work-witness discipline)
+            "source_vocab_jaccard": lambda d, e, n: _tx().source_vocab_jaccard(d),
         }
         for name, fn in cases.items():
             fn(docs1, emb1, n1).count()  # warm (JIT/codegen on the small SF)
@@ -496,10 +523,31 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
         out["queries"]["duplicate_spans"]["token_growth"] = round(
             tok_big / max(tok_small, 1), 2
         )
+        # round-7 witness: source_vocab_jaccard's work is the distinct
+        # (source, shingle) frame it joins on — the per-replica
+        # vocabulary translation makes it grow linearly, so a measured
+        # ~10x here proves the pair matrix never goes quadratic in docs
+        from pythonvectordb_spark.functions.text import shingles as _sh
+
+        def _shingle_rows(d):
+            return (
+                d.select(F.col("source"), F.explode(_sh("text", 3)).alias("t"))
+                .distinct()
+                .count()
+            )
+
+        sh_small, sh_big = _shingle_rows(docs1), _shingle_rows(docs10)
+        out["queries"]["source_vocab_jaccard"]["shingles_small"] = int(sh_small)
+        out["queries"]["source_vocab_jaccard"]["shingles_big"] = int(sh_big)
+        out["queries"]["source_vocab_jaccard"]["shingle_growth"] = round(
+            sh_big / max(sh_small, 1), 2
+        )
         log(
             f"bench sf1 work witness: semantic candidates {cand_small} -> "
             f"{cand_big} ({cand_big / max(cand_small, 1):.2f}x); spans tokens "
-            f"{tok_small} -> {tok_big} ({tok_big / max(tok_small, 1):.2f}x)"
+            f"{tok_small} -> {tok_big} ({tok_big / max(tok_small, 1):.2f}x); "
+            f"vocab shingles {sh_small} -> {sh_big} "
+            f"({sh_big / max(sh_small, 1):.2f}x)"
         )
 
         # iterative-graph scale point: the 25-node trade graph vs the

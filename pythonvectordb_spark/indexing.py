@@ -464,3 +464,112 @@ def logreg_text_gate(
         (acc >= F.lit(float(min_accuracy))).cast("long").alias("accuracy_ok"),
         (rec >= F.lit(float(min_pos_recall))).cast("long").alias("pos_recall_ok"),
     )
+
+
+def isotonic_length_calibration(
+    docs: DataFrame,
+    test_mod: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MLlib IsotonicRegression calibrating a cheap proxy score into a
+    probability (new round 7, the estimator step past
+    `logreg_text_gate`): the gate scores documents by raw CHARACTER
+    length (free — it is a stored column) but routes on the
+    above-mean TOKEN count rule; chars track tokens monotonically but
+    not perfectly (r ~ 0.998, a handful of disagreements per 500 docs
+    here — multi-space runs and word-length skew), which is exactly
+    the shape isotonic / PAV recalibration exists for: a monotone,
+    distribution-free map from proxy score to P(label) with a fuzzy
+    step where the proxies disagree.
+
+    Split: md5(doc_id) last hex digit mod `test_mod` == 0 is the TEST
+    set, the rest fit the model — expression-reproducible on both
+    engines (the `logreg_text_gate` convention). The label's mean is
+    computed over ALL docs (exact integer cross-multiplication, no
+    float mean), so the label of any doc is engine-independent.
+
+    Guarantee-oracle shape (the `mllib_*` precedent, `logreg_text_gate`):
+    isotonic breakpoints are engine-specific, so the CHECKED columns
+    are (a) exact test-split counts DuckDB recomputes bit-for-bit and
+    (b) two asserted-as-data properties: `monotone_ok` — calibrated
+    predictions are nondecreasing in the raw score across the test set
+    (PAV's defining invariant, checked with a window, not assumed) —
+    and `brier_beats_base_ok` — test Brier score of the calibrated
+    probabilities is at or under the base-rate predictor's p*(1-p) +
+    1e-9 (a calibrator that learned nothing fails it; measured ~0.01
+    vs ~0.25 here).
+
+    Scale shape: one narrow token-count map, one broadcast 1-row total,
+    one isotonic fit (MLlib sorts-and-pools the train pairs; the model
+    broadcasts as boundary arrays), one scored window pass and a 1-row
+    verdict.
+    """
+    from pyspark.ml.regression import IsotonicRegression
+    from pyspark.sql import Window
+
+    from pythonvectordb_spark.functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col),
+        F.col("n_chars").cast("double").alias("raw"),
+        F.size(tokens(text_col)).cast("long").alias("ntok"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum("ntok").cast("long").alias("_tot"),
+    ).withColumn("_one", F.lit(1))
+    labeled = (
+        base.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            id_col,
+            "raw",
+            (F.col("ntok") * F.col("_cnt") > F.col("_tot"))
+            .cast("double")
+            .alias("label"),
+        )
+    )
+    is_test = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 32, 1), 16, 10)
+        .cast("long")
+        % int(test_mod)
+        == 0
+    )
+    data = (
+        labeled.withColumn("features", array_to_vector(F.array(F.col("raw"))))
+        .withColumn("is_test", is_test)
+        .localCheckpoint(eager=False)  # feeds fit() AND transform()
+    )
+    iso = IsotonicRegression(
+        featuresCol="features", labelCol="label", predictionCol="p_cal"
+    )
+    model = iso.fit(data.filter(~F.col("is_test")))
+    pred = model.transform(data.filter(F.col("is_test"))).select(
+        "raw", "label", F.col("p_cal").cast("double").alias("p")
+    )
+    wup = Window.orderBy(F.asc("raw"))
+    flags = pred.select(
+        "label",
+        "p",
+        (F.col("p") >= F.lag("p").over(wup)).alias("_mono"),
+    )
+    g = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("label").cast("long").alias("n_pos_test"),
+        F.min(F.coalesce(F.col("_mono"), F.lit(True))).alias("_mono_all"),
+        F.sum((F.col("p") - F.col("label")) * (F.col("p") - F.col("label"))).alias(
+            "_brier_n"
+        ),
+    )
+    pbar = F.col("n_pos_test").cast("double") / F.col("n_test").cast("double")
+    brier_cal = F.col("_brier_n") / F.col("n_test").cast("double")
+    brier_base = pbar * (F.lit(1.0) - pbar)
+    return g.select(
+        "n_test",
+        "n_pos_test",
+        F.col("_mono_all").cast("long").alias("monotone_ok"),
+        (brier_cal <= brier_base + F.lit(1e-9)).cast("long").alias(
+            "brier_beats_base_ok"
+        ),
+    )

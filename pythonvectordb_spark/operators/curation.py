@@ -1703,3 +1703,75 @@ def nb_class_f1(
             (F.col("n_pred") + F.col("n_actual")) > 0, F.round(f1, 6)
         ).alias("f1"),
     )
+
+
+def nb_average_precision(
+    df: DataFrame,
+    train_pred,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-vs-rest average precision (PR-AUC) per class for the NB
+    curation gate (new round 7): `nb_auc` grades ranking against the
+    NEGATIVES (ROC is prevalence-blind); average precision grades it
+    against the class's own scarcity — for a 5%-prevalence class a 0.95
+    ROC AUC can hide a gate whose top-of-ranking is still mostly junk,
+    and AP is the number that says so. Baseline for a random ranker is
+    the prevalence, emitted beside it.
+
+    Determinism: scores come ROUNDED 6 from the shared `_nb_doc_scores`
+    pipeline (exact micros both engines); ties collapse into distinct
+    score blocks with exact int64 cumulative counts (descending-score
+    window), and AP = sum_blocks(cp * cumTP / cumN) / n_pos follows the
+    `value_anova` float-sum-then-round discipline over the
+    score-cardinality frame, ROUNDED 6.
+
+    Scale shape: one shared train+score pipeline, per (class, score)
+    grouped counts, one descending cumulative window bounded by score
+    cardinality, one class-grain reduction.
+    """
+    from pyspark.sql import Window
+
+    sc = _nb_doc_scores(df, train_pred, label_col, text_col, id_col)
+    v = F.round(F.col("score") * 1_000_000).cast("long")
+    base = sc.select(
+        "cls", v.alias("v"), (F.col("_lbl") == F.col("cls")).cast("long").alias("pos")
+    )
+    gv = base.groupBy("cls", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("cp"),
+    )
+    wdesc = (
+        Window.partitionBy("cls")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gv.select(
+        "cls",
+        "c",
+        "cp",
+        F.sum("c").over(wdesc).cast("long").alias("cum_n"),
+        F.sum("cp").over(wdesc).cast("long").alias("cum_tp"),
+    )
+    term = (
+        F.col("cp").cast("double")
+        * F.col("cum_tp").cast("double")
+        / F.col("cum_n").cast("double")
+    )
+    per = cum.groupBy("cls").agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("cp")).cast("long").alias("n_neg"),
+        F.sum(term).alias("ap_num"),
+    )
+    npos = F.col("n_pos").cast("double")
+    tot = npos + F.col("n_neg").cast("double")
+    return per.select(
+        "cls",
+        "n_pos",
+        "n_neg",
+        F.when(F.col("n_pos") > 0, F.round(F.col("ap_num") / npos, 6)).alias(
+            "average_precision"
+        ),
+        F.round(npos / tot, 6).alias("prevalence"),
+    )

@@ -1306,3 +1306,227 @@ def mahalanobis_outliers(
             F.round(F.col("max_z2"), 6).alias("max_z2"),
         )
     )
+
+
+def ks_bh_fdr_matrix(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov distances between every
+    source's length distribution, with Benjamini-Hochberg FDR control
+    over the whole pair matrix (new round 7): `ks_drift` tests ONE
+    split; a 20-source corpus has 190 simultaneous pair tests, and
+    without FDR control ~10 of them "fail" at alpha=0.05 by chance
+    alone. BH is the standard fix: rank the p-values ascending, find
+    the largest k with p_(k) <= k*alpha/m, reject ranks 1..k.
+
+    Determinism: per-source ECDF steps are exact int64 cumulative
+    counts on the shared value grid; the KS numerator max|cume_a*n_b -
+    cume_b*n_a| never leaves the integer lattice, so D = that /
+    (n_a*n_b) is one division. The p-value is the one-term asymptotic
+    2*exp(-2*ne*D^2) with ne*D^2 = D_num^2 / ((n_a+n_b)*n_a*n_b) exact
+    rational — one exp per pair, ROUNDED 6. Ranking tie-break:
+    (p, source_a, source_b).
+
+    Scale shape: one grouped count to the (group, value) grain, a
+    groups x grid fill (report-sized: G * |distinct values|), one
+    cumulative window per group, one equi-join on the grid value for
+    all pairs at once, then windows over the G^2/2-row pair frame.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    ).localCheckpoint(eager=False)  # feeds counts, the grid, and group sizes
+    counts = base.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = base.select("v").distinct()
+    groups = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    filled = (
+        grid.crossJoin(F.broadcast(groups))
+        .join(counts, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            "n",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wc = Window.partitionBy("g").orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = filled.select(
+        "g", "v", "n", F.sum("c").over(wc).cast("long").alias("cume")
+    ).localCheckpoint(eager=False)  # both sides of the pair join
+    a, b = ecdf.alias("a"), ecdf.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(
+            F.col("a.g").alias("source_a"),
+            F.col("b.g").alias("source_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("a.cume") * F.col("b.n") - F.col("b.cume") * F.col("a.n")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    dn = F.col("d_num").cast("double")
+    lam2 = dn * dn / ((na + nb) * na * nb)  # = ne * D^2, exact rational
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam2))
+    scored = pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.round(dn / (na * nb), 6).alias("d_stat"),
+        p.alias("_p"),
+    )
+    wr = Window.orderBy(F.asc("_p"), F.asc("source_a"), F.asc("source_b"))
+    wall = Window.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wr).cast("long").alias("p_rank"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    ).select(
+        "*",
+        (
+            F.col("_p")
+            <= F.col("p_rank").cast("double") * F.lit(float(alpha)) / F.col("m").cast("double")
+        ).alias("_under"),
+    )
+    kstar = ranked.select(
+        "*",
+        F.max(F.when(F.col("_under"), F.col("p_rank")).otherwise(F.lit(0)))
+        .over(wall)
+        .cast("long")
+        .alias("_kstar"),
+    )
+    return kstar.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "d_stat",
+        F.round(F.col("_p"), 6).alias("p_ks"),
+        "p_rank",
+        F.round(
+            F.col("p_rank").cast("double") * F.lit(float(alpha)) / F.col("m").cast("double"),
+            6,
+        ).alias("bh_cut"),
+        (F.col("p_rank") <= F.col("_kstar")).cast("long").alias("rejected"),
+    )
+
+
+def stratification_design_effect(
+    df: DataFrame, value_col: str = "n_chars", group_col: str = "source"
+) -> DataFrame:
+    """Design effect of source-stratified sampling for estimating mean
+    document length (new round 7): DEFF = V_stratified/V_srs under
+    proportional allocation — the number that tells a curation pipeline
+    how much cheaper a stratified quality-audit sample is than simple
+    random sampling (`neyman_allocation` sizes the strata; this grades
+    the design). DEFF = sum_h W_h * S_h^2 / S^2: the within-stratum
+    variance share; 1 - DEFF is the variance the strata soak up.
+
+    Determinism: per-stratum and total (n, sum, sum-of-squares) are
+    exact int64; each stratum's W_h*S_h^2 term is one double expression
+    over six integers and the cross-stratum sum follows the
+    `value_anova` float-sum-then-round discipline (G report-sized
+    strata), ROUNDED 6.
+
+    Scale shape: one map-side-combined grouped aggregation to the
+    stratum grain, one G-row reduction to a single verdict row.
+    """
+    per = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum("v").cast("long").alias("s_h"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ss_h"),
+        )
+    )
+    nh = F.col("n_h").cast("double")
+    sh = F.col("s_h").cast("double")
+    ssh = F.col("ss_h").cast("double")
+    var_h = F.when(F.col("n_h") > 1, (ssh - sh * sh / nh) / (nh - F.lit(1.0)))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n_h").cast("long").alias("n"),
+        F.sum("s_h").cast("long").alias("s"),
+        F.sum("ss_h").cast("long").alias("ss"),
+        F.sum(nh * var_h).alias("w_num"),  # sum_h n_h * S_h^2
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var_tot = (ss - s * s / n) / (n - F.lit(1.0))
+    deff = (F.col("w_num") / n) / var_tot
+    return tot.select(
+        F.col("n").alias("n_rows"),
+        "n_strata",
+        F.round(F.sqrt(var_tot), 6).alias("sd_total"),
+        F.round(F.sqrt(F.col("w_num") / n), 6).alias("sd_within"),
+        F.round(deff, 6).alias("deff"),
+        F.round((F.lit(1.0) - deff) * F.lit(100.0), 6).alias("var_reduction_pct"),
+    )
+
+
+def quantization_saturation(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension int8 saturation audit of the K3 quantizer (new
+    round 7): counts components that land ON the clamp boundary
+    (|q| = 127) and in the top half of the code range (|q| >= 64) after
+    normalize+quantize — the health check that catches a dimension
+    whose mass concentrates so hard that 8-bit resolution collapses
+    (`quantization_recall` measures the end effect on search; this
+    localizes WHICH dimension burns the budget). All-zero saturation
+    with unit-norm inputs is itself information: no axis dominates.
+
+    Determinism: the quantized codes are exact int8 by K3's
+    trunc-toward-zero contract (`functions/vector.quantize`), so every
+    count is exact int64; the mean code and rates are one division
+    each, ROUNDED 6.
+
+    Scale shape: one posexplode to the (row x dim) grain — a narrow
+    map, no shuffle until the dim-cardinality groupBy (64 groups,
+    map-side combined).
+    """
+    from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+
+    q = emb.select(
+        F.posexplode(quantize(l2_normalize(F.col(vec_col)))).alias("dim", "q")
+    )
+    g = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.abs(F.col("q")) == 127).cast("long")).cast("long").alias("n_sat"),
+        F.sum((F.abs(F.col("q")) >= 64).cast("long")).cast("long").alias("n_high"),
+        F.min("q").cast("int").alias("min_q"),
+        F.max("q").cast("int").alias("max_q"),
+        F.sum(F.col("q").cast("long")).cast("long").alias("s_q"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        "n_sat",
+        F.round(F.col("n_sat").cast("double") / nd, 6).alias("sat_rate"),
+        "n_high",
+        F.round(F.col("n_high").cast("double") / nd, 6).alias("high_rate"),
+        "min_q",
+        "max_q",
+        F.round(F.col("s_q").cast("double") / nd, 6).alias("mean_q"),
+    )

@@ -1941,3 +1941,68 @@ def chao1_vocab_richness(
         F.round(chao1, 6).alias("chao1"),
         F.when(F.col("n_tokens") > 0, F.round(coverage, 6)).alias("coverage"),
     )
+
+
+def source_vocab_jaccard(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Pairwise PHRASE-vocabulary set overlap between sources (new
+    round 7): `source_js_matrix` / `source_kl_matrix` compare token
+    DISTRIBUTIONS — two sources can share every word yet diverge on
+    frequency, or share almost none and still look close after
+    smoothing. Jaccard on the distinct word-3-gram sets is the
+    orthogonal axis ("do they share actual phrasing"), and the two
+    directed containments separate "A is a subset of B" from
+    "half-overlap" — the signal a mixture planner uses to spot
+    redundant sources. 3-grams, not unigrams, because a corpus drawn
+    from one base vocabulary makes every unigram set identical while
+    the phrase sets still separate (measured ~0.02-0.05 here).
+
+    Determinism: distinct (source, shingle) sets from the shared
+    shingler (`functions/text.shingles`, DuckDB mirror
+    `oracle.sql_shingles_of`), exact int64 set sizes and intersection
+    counts; Jaccard and containments are one division each, ROUNDED 6.
+
+    Scale shape: one distinct to the (source, shingle) grain, one
+    equi-join ON SHINGLE for all pairs at once (bucketed by shingle,
+    never all-pairs over docs), one grouped count per pair, one
+    broadcast of the G-row vocab sizes onto the G^2/2-row pair frame.
+    """
+    from pythonvectordb_spark.functions.text import shingles
+
+    st = (
+        docs.select(
+            F.col("source").alias("g"),
+            F.explode(shingles("text", n)).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # both sides of the pair join + sizes
+    )
+    sizes = st.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab")
+    ).localCheckpoint(eager=False)  # both sides of the pair grid
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    # full pair grid so a disjoint-vocabulary pair reports jaccard 0
+    # instead of silently dropping out of the inner join
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("vocab").alias("vocab_b"))
+    grid = sa.join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
+    out = grid.join(inter, ["source_a", "source_b"], "left").withColumn(
+        "n_common", F.coalesce("n_common", F.lit(0)).cast("long")
+    )
+    va = F.col("vocab_a").cast("double")
+    vb = F.col("vocab_b").cast("double")
+    nc = F.col("n_common").cast("double")
+    return out.select(
+        "source_a",
+        "source_b",
+        "vocab_a",
+        "vocab_b",
+        "n_common",
+        F.round(nc / (va + vb - nc), 6).alias("jaccard"),
+        F.round(nc / va, 6).alias("containment_a"),
+        F.round(nc / vb, 6).alias("containment_b"),
+    )

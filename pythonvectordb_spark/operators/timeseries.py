@@ -2723,3 +2723,374 @@ def gpd_tail_fit(
         F.when(ok, F.round(beta, 6)).alias("gpd_beta"),
         F.when(ok, F.round(rl, 6)).alias(f"rl{int(return_obs)}_cents"),
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily revenue (new round
+    7): the nonparametric "did the level shift, and WHEN" companion to
+    `cusum_shift` (which assumes a known in-control mean) and
+    `mann_kendall_trend` (which tests monotone drift, not a step).
+    U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j); K = max|U_t| locates the
+    most probable break day and p ~= 2*exp(-6K^2/(n^3+n^2)) is the
+    classic approximation.
+
+    Determinism: the O(n^2) double sum is NEVER materialized — with
+    doubled midranks mr2 = 2*rank (the `mann_whitney` machinery),
+    sgn-row-sums collapse to 2r_i - n - 1 exactly (ties included), and
+    the within-prefix part cancels by antisymmetry, so
+    U_t = cumsum(mr2)_t - t*(n+1) is EXACT int64 end to end; only the
+    final exp() is floating point, ROUNDED 6. Argmax tie-break:
+    earliest day.
+
+    Scale shape: one map-side-combined grouped sum to the
+    calendar-bounded day grain, one value-grouped midrank window, one
+    cumulative window over days — no self-join, no n^2 anywhere.
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)  # feeds the midrank frame AND the join
+    )
+    gv = daily.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = Window.orderBy(F.asc("cents")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # doubled midrank of each distinct value: 2*(below) + cnt + 1
+    mr = gv.select(
+        "cents",
+        (F.lit(2) * (F.sum("cnt").over(wv) - F.col("cnt")) + F.col("cnt") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+    wd = Window.orderBy(F.asc("di")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = (
+        daily.join(mr, "cents")
+        .select(
+            "di",
+            F.row_number().over(Window.orderBy(F.asc("di"))).alias("t"),
+            F.sum("mr2").over(wd).cast("long").alias("cum_mr2"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        )
+        # U_t = sum_{i<=t}(2 r_i) - t(n+1); mr2 = 2r exactly (ties ok)
+        .select(
+            "di",
+            "t",
+            "n",
+            (F.col("cum_mr2") - F.col("t") * (F.col("n") + F.lit(1)))
+            .cast("long")
+            .alias("u_t"),
+        )
+        .filter(F.col("t") < F.col("n"))  # U_n = 0 by construction
+    )
+    best = cum.orderBy(F.abs(F.col("u_t")).desc(), F.asc("di")).limit(1)
+    n = F.col("n").cast("double")
+    k = F.abs(F.col("u_t")).cast("double")
+    p = F.lit(2.0) * F.exp(F.lit(-6.0) * k * k / (n * n * n + n * n))
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+        F.col("di").alias("changepoint_di"),
+        F.col("u_t").alias("u_at_change"),
+        F.round(F.least(F.lit(1.0), p), 6).alias("p_approx"),
+    )
+
+
+def dow_seasonal_decomposition(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily revenue (new round
+    7): classic moving-average decomposition — trend = centered 7-day
+    MA, seasonal = per-weekday mean of the detrended series — the
+    "which weekday carries the week" profile `weekday_uniformity` only
+    chi-squares. Kept EXACT by never dividing the MA: detr7 =
+    7*cents - sum7 is int64, so the per-dow mean is one integer-sum
+    division (seasonal in currency units divides by 700: 7 for the MA,
+    100 for cents), and the within-dow spread comes from exact integer
+    moments of detr7.
+
+    Windows are guarded to FULL calendar weeks (7 rows spanning exactly
+    6 day-indices) so a gap in the day series disqualifies its windows
+    rather than silently biasing the MA. dow = di % 7 — a fixed,
+    engine-agnostic weekday labeling (di is the unix day index).
+
+    Scale shape: one grouped sum to the day grain, one 7-row window,
+    one 7-group aggregation — report-sized output.
+    """
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w7 = Window.orderBy(F.asc("di")).rowsBetween(-3, 3)
+    win = daily.select(
+        "di",
+        "cents",
+        F.sum("cents").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+        (F.max("di").over(w7) - F.min("di").over(w7)).cast("long").alias("span7"),
+    ).filter((F.col("cnt7") == 7) & (F.col("span7") == 6))
+    detr = win.select(
+        (F.col("di") % 7).cast("long").alias("dow"),
+        (F.lit(7) * F.col("cents") - F.col("sum7")).cast("long").alias("d7"),
+    )
+    g = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("d7").cast("long").alias("s"),
+        F.sum(F.col("d7") * F.col("d7")).cast("long").alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean7 = F.col("s").cast("double") / nd
+    var7 = F.when(
+        F.col("n_days") > 1,
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / nd)
+        / (nd - F.lit(1.0)),
+    )
+    return g.select(
+        "dow",
+        "n_days",
+        F.round(mean7 / F.lit(700.0), 6).alias("seasonal"),
+        F.round(F.sqrt(var7) / F.lit(700.0), 6).alias("within_sd"),
+    ).orderBy("dow")
+
+
+def ljung_box_daily(
+    df: DataFrame, max_lag: int = 7, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on daily revenue (new round
+    7): Q = n(n+2) * sum_{k=1..7} rho_k^2/(n-k) asks whether ANY of the
+    first 7 autocorrelations is live — the single-number gate on top of
+    `hourly_acf`'s per-lag curve (and the formal cousin of `runs_test`).
+    Q above chi2(7, 99%) = 18.475 means "not white noise, look at the
+    lags".
+
+    Determinism: with S = sum(cents) exact, the centered series scaled
+    by n — z_t = n*x_t - S — is exact DECIMAL(38,0) (the
+    `value_wasserstein_drift` discipline), so every lag-k autocovariance
+    numerator sum(z_t * z_{t-k}) is exact decimal (|z| ~ 1e12, products
+    ~ 1e24, sums well under 1e38); rho_k = that / sum(z^2) is ONE double
+    division per lag, and Q is a single 7-term expression over those
+    doubles — no float accumulation anywhere.
+
+    Scale shape: one grouped sum to the day grain, one 7-lag window
+    pass, one global aggregation to a single row.
+    """
+    kk = int(max_lag)
+    daily = (
+        df.select(
+            (
+                F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    wall = Window.partitionBy()
+    wd = Window.orderBy(F.asc("di"))
+    base = daily.select(
+        "di",
+        "cents",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("cents").over(wall).cast("long").alias("s"),
+    ).select(
+        "di",
+        "n",
+        (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)").alias("z"),
+    )
+    lagged = base.select(
+        "di",
+        "n",
+        "z",
+        *[F.lag("z", k).over(wd).alias(f"z{k}") for k in range(1, kk + 1)],
+    )
+    agg = lagged.groupBy("n").agg(
+        F.sum(F.col("z") * F.col("z")).alias("g0"),
+        *[
+            F.sum(F.col("z") * F.col(f"z{k}")).alias(f"g{k}")
+            for k in range(1, kk + 1)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    rhos = [
+        (F.col(f"g{k}").cast("double") / F.col("g0").cast("double"))
+        for k in range(1, kk + 1)
+    ]
+    q = nd * (nd + F.lit(2.0)) * sum(
+        (r * r / (nd - F.lit(float(k))) for k, r in zip(range(1, kk + 1), rhos)),
+        start=F.lit(0.0),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        *[F.round(r, 6).alias(f"rho{k}") for k, r in zip(range(1, kk + 1), rhos)],
+        F.round(q, 6).alias("q_lb"),
+        (q > F.lit(18.475307)).cast("long").alias("crossed_99"),
+    )
+
+
+def logrank_segments(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = "BUILDING",
+    seg_b: str = "MACHINERY",
+) -> DataFrame:
+    """Two-sample log-rank test on time-to-second-order (new round 7):
+    `km_survival` DRAWS the curves; this is the test that says whether
+    two market segments' repeat-purchase hazards actually differ.
+    Subjects are first-time buyers; the event is the second order
+    (time = days between first and second order date, first-date /
+    orderkey tie-broken), censored at the corpus horizon (max order
+    date). At each distinct event time: O_a observed events in A,
+    E_a = d * r_a / r expected under the null, hypergeometric variance
+    V = d*(r_a/r)*(r_b/r)*(r-d)/(r-1); the statistic is
+    (sum O_a - sum E_a)^2 / sum V ~ chi2(1).
+
+    Determinism: death and at-risk counts are exact int64 from grouped
+    windows (at-risk by cumulative subtraction, never a per-subject
+    scan per time); E and V are per-time double expressions over four
+    integers, summed over the event-time frame and ROUNDED 6 (the
+    `value_anova` cross-group float-sum discipline — the frame is
+    calendar-gap-bounded, hundreds of rows).
+
+    Scale shape: one window over orders per customer (shuffle on
+    custkey), one broadcast of the 1-row horizon, grouped counts to the
+    (segment, time) grain, two cumulative windows, one 1-row verdict.
+    """
+    seg = customer.filter(
+        F.col("c_mktsegment").isin([seg_a, seg_b])
+    ).select(F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("g"))
+    wo = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    firsts = (
+        orders.select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").alias("d"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .groupBy("ck")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("dmax")).withColumn(
+        "_one", F.lit(1)
+    )
+    subj = (
+        seg.join(firsts, "ck")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(horizon), "_one")
+        .select(
+            "g",
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff("dmax", "d1"))
+            .cast("long")
+            .alias("time"),
+            F.col("d2").isNotNull().cast("long").alias("event"),
+        )
+        .localCheckpoint(eager=False)  # feeds the grid and both groups
+    )
+    times = (
+        subj.filter(F.col("event") == 1)
+        .select("time")
+        .distinct()
+        .localCheckpoint(eager=False)  # read per group grid + final restrict
+    )
+    ga = subj.filter(F.col("g") == seg_a)
+    gb = subj.filter(F.col("g") == seg_b)
+
+    # at-risk must come from each group's FULL time list (censored
+    # subjects between event-grid points still count), so cumulate on
+    # the union of the event grid and the group's own times, then
+    # restrict back to event times:
+    def risk_at(s: DataFrame, suffix: str) -> DataFrame:
+        byt = s.groupBy("time").agg(
+            F.count(F.lit(1)).cast("long").alias("c_all"),
+            F.sum("event").cast("long").alias("c_ev"),
+        )
+        grid = (
+            times.select("time")
+            .unionByName(byt.select("time"))
+            .distinct()
+        )
+        j = grid.join(byt, "time", "left").select(
+            "time",
+            F.coalesce("c_all", F.lit(0)).cast("long").alias("c_all"),
+            F.coalesce("c_ev", F.lit(0)).cast("long").alias("d"),
+        )
+        wt = Window.orderBy(F.asc("time")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wn = Window.partitionBy()
+        return (
+            j.select(
+                "time",
+                F.col("d").alias(f"d_{suffix}"),
+                (
+                    F.sum("c_all").over(wn)
+                    - (F.sum("c_all").over(wt) - F.col("c_all"))
+                )
+                .cast("long")
+                .alias(f"r_{suffix}"),
+            )
+            .join(times, "time")  # back to event times only
+        )
+
+    joined = risk_at(ga, "a").join(risk_at(gb, "b"), "time")
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    ra = F.col("r_a").cast("double")
+    rb = F.col("r_b").cast("double")
+    r = ra + rb
+    e_a = d * ra / r
+    v = F.when(
+        r > 1.0, d * (ra / r) * (rb / r) * (r - d) / (r - F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    tot = joined.agg(
+        F.sum("d_a").cast("long").alias("events_a"),
+        F.sum("d_b").cast("long").alias("events_b"),
+        F.max("r_a").cast("long").alias("n_a"),
+        F.max("r_b").cast("long").alias("n_b"),
+        F.sum(F.col("d_a").cast("double") - e_a).alias("ome"),
+        F.sum(v).alias("vs"),
+    )
+    z2 = F.col("ome") * F.col("ome") / F.col("vs")
+    return tot.select(
+        F.lit(seg_a).alias("segment_a"),
+        F.lit(seg_b).alias("segment_b"),
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        F.round(F.col("ome"), 6).alias("o_minus_e"),
+        F.round(F.col("vs"), 6).alias("var_logrank"),
+        F.when(F.col("vs") > 0, F.round(z2, 6)).alias("z2_logrank"),
+        F.when(F.col("vs") > 0, (z2 > F.lit(6.634897)).cast("long")).alias(
+            "crossed_99"
+        ),
+    )

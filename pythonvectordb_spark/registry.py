@@ -12213,6 +12213,462 @@ FROM g
 
 
 
+
+
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint on daily revenue (new round 7): exact
+    doubled-midrank algebra collapses the O(n^2) sgn double sum to one
+    cumulative window — U_t, K, the break day and the classic
+    2*exp(-6K^2/(n^3+n^2)) approximation
+    (`operators/timeseries.pettitt_changepoint`)."""
+    from pythonvectordb_spark.operators import timeseries as TS7
+
+    return TS7.pettitt_changepoint(load_table(spark, sf_dir, "events"))
+
+
+def o_pettitt_changepoint() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+gv AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY 1),
+mr AS (SELECT cents,
+              CAST(2 * (sum(cnt) OVER (ORDER BY cents ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                   + cnt + 1 AS BIGINT) AS mr2
+       FROM gv),
+cum AS (SELECT di,
+               CAST(row_number() OVER (ORDER BY di ASC) AS BIGINT) AS t,
+               CAST(sum(mr2) OVER (ORDER BY di ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_mr2,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily JOIN mr USING (cents)),
+u AS (SELECT di, t, n, CAST(cum_mr2 - t * (n + 1) AS BIGINT) AS u_t
+      FROM cum WHERE t < n),
+best AS (SELECT * FROM u ORDER BY abs(u_t) DESC, di ASC LIMIT 1)
+SELECT n AS n_days, CAST(abs(u_t) AS BIGINT) AS k_stat, di AS changepoint_di,
+       u_t AS u_at_change,
+       round(least(1.0, 2.0 * exp(-6.0 * abs(u_t)::DOUBLE * abs(u_t)::DOUBLE
+                 / (n::DOUBLE * n::DOUBLE * n::DOUBLE + n::DOUBLE * n::DOUBLE))),
+             6) AS p_approx
+FROM best
+"""
+
+
+def q_dow_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily revenue (new round
+    7): centered 7-day MA trend kept exact by never dividing
+    (detr7 = 7*cents - sum7), per-dow seasonal means and within-dow
+    spreads from exact integer moments
+    (`operators/timeseries.dow_seasonal_decomposition`)."""
+    from pythonvectordb_spark.operators import timeseries as TS7
+
+    return TS7.dow_seasonal_decomposition(load_table(spark, sf_dir, "events"))
+
+
+def o_dow_seasonal_decomposition() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+win AS (SELECT di, cents,
+               CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
+               CAST(count(*) OVER w7 AS BIGINT) AS cnt7,
+               CAST(max(di) OVER w7 - min(di) OVER w7 AS BIGINT) AS span7
+        FROM daily
+        WINDOW w7 AS (ORDER BY di ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+detr AS (SELECT CAST(di % 7 AS BIGINT) AS dow,
+                CAST(7 * cents - sum7 AS BIGINT) AS d7
+         FROM win WHERE cnt7 = 7 AND span7 = 6),
+g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(d7) AS BIGINT) AS s, CAST(sum(d7 * d7) AS BIGINT) AS ss
+      FROM detr GROUP BY 1)
+SELECT dow, n_days,
+       round(s::DOUBLE / n_days::DOUBLE / 700.0, 6) AS seasonal,
+       CASE WHEN n_days > 1 THEN
+         round(sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE)
+                    / (n_days::DOUBLE - 1.0)) / 700.0, 6) END AS within_sd
+FROM g
+"""
+
+
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test, lags 1..7, on daily
+    revenue (new round 7): exact DECIMAL(38,0) autocovariances of the
+    n-scaled centered series, one double division per lag, Q as a
+    single 7-term expression (`operators/timeseries.ljung_box_daily`)."""
+    from pythonvectordb_spark.operators import timeseries as TS7
+
+    return TS7.ljung_box_daily(load_table(spark, sf_dir, "events"))
+
+
+def o_ljung_box_daily() -> str:
+    rho = "\n".join(
+        f"  g{k}::DOUBLE / g0::DOUBLE AS r{k}," for k in range(1, 8)
+    )
+    qterms = " + ".join(f"r{k} * r{k} / (nd - {float(k)!r})" for k in range(1, 8))
+    lags = ",\n".join(
+        f"       lag(z, {k}) OVER (ORDER BY di ASC) AS z{k}" for k in range(1, 8)
+    )
+    gsums = ",\n".join(
+        f"       sum(z * z{k}) AS g{k}" for k in range(1, 8)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+base AS (SELECT di,
+                CAST(count(*) OVER () AS BIGINT) AS n,
+                CAST(CAST(count(*) OVER () AS BIGINT) * cents
+                     - CAST(sum(cents) OVER () AS BIGINT) AS HUGEINT) AS z
+         FROM daily),
+lagged AS (SELECT di, n, z,
+{lags}
+           FROM base),
+agg AS (SELECT n, sum(z * z) AS g0,
+{gsums}
+        FROM lagged GROUP BY 1),
+r AS (SELECT n, n::DOUBLE AS nd,
+{rho}
+             g0
+      FROM agg)
+SELECT n AS n_days,
+       {", ".join(f"round(r{k}, 6) AS rho{k}" for k in range(1, 8))},
+       round(nd * (nd + 2.0) * (0.0 + {qterms}), 6) AS q_lb,
+       CAST(CASE WHEN nd * (nd + 2.0) * (0.0 + {qterms}) > 18.475307
+            THEN 1 ELSE 0 END AS BIGINT) AS crossed_99
+FROM r
+"""
+
+
+def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test on time-to-second-order, BUILDING vs
+    MACHINERY (new round 7): exact at-risk/death counts per event time
+    by cumulative subtraction, per-time hypergeometric E and V summed
+    to the chi2(1) statistic
+    (`operators/timeseries.logrank_segments`)."""
+    from pythonvectordb_spark.operators import timeseries as TS7
+
+    return TS7.logrank_segments(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def o_logrank_segments() -> str:
+    def risk(seg: str, sfx: str) -> str:
+        return f"""
+byt_{sfx} AS (SELECT time, CAST(count(*) AS BIGINT) AS c_all,
+                     CAST(sum(event) AS BIGINT) AS c_ev
+              FROM subj WHERE g = '{seg}' GROUP BY 1),
+grid_{sfx} AS (SELECT time FROM times UNION SELECT time FROM byt_{sfx}),
+r_{sfx} AS (SELECT g.time,
+                   coalesce(b.c_ev, 0)::BIGINT AS d_{sfx},
+                   CAST(sum(coalesce(b.c_all, 0)) OVER ()
+                        - (sum(coalesce(b.c_all, 0)) OVER (ORDER BY g.time ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - coalesce(b.c_all, 0)) AS BIGINT) AS r_{sfx}
+            FROM grid_{sfx} g LEFT JOIN byt_{sfx} b USING (time)),
+ev_{sfx} AS (SELECT r_{sfx}.* FROM r_{sfx} JOIN times USING (time))"""
+
+    return f"""
+WITH seg AS (SELECT c_custkey AS ck, c_mktsegment AS g FROM customer
+             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+f AS (SELECT o_custkey AS ck, o_orderdate AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders),
+firsts AS (SELECT ck, min(CASE WHEN rn = 1 THEN d END) AS d1,
+                  min(CASE WHEN rn = 2 THEN d END) AS d2
+           FROM f WHERE rn <= 2 GROUP BY 1),
+hz AS (SELECT max(o_orderdate) AS dmax FROM orders),
+subj AS (SELECT g,
+                CAST(CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                     ELSE date_diff('day', d1, dmax) END AS BIGINT) AS time,
+                CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM seg JOIN firsts USING (ck) CROSS JOIN hz),
+times AS (SELECT DISTINCT time FROM subj WHERE event = 1),{risk("BUILDING", "a")},{risk("MACHINERY", "b")},
+joined AS (SELECT ev_a.time, d_a, r_a, d_b, r_b
+           FROM ev_a JOIN ev_b USING (time)),
+terms AS (SELECT d_a, d_b, r_a, r_b,
+                 (d_a + d_b)::DOUBLE AS d, r_a::DOUBLE AS ra, r_b::DOUBLE AS rb
+          FROM joined),
+tot AS (SELECT CAST(sum(d_a) AS BIGINT) AS events_a,
+               CAST(sum(d_b) AS BIGINT) AS events_b,
+               CAST(max(r_a) AS BIGINT) AS n_a,
+               CAST(max(r_b) AS BIGINT) AS n_b,
+               sum(d_a::DOUBLE - d * ra / (ra + rb)) AS ome,
+               sum(CASE WHEN ra + rb > 1.0 THEN
+                     d * (ra / (ra + rb)) * (rb / (ra + rb))
+                       * (ra + rb - d) / (ra + rb - 1.0)
+                   ELSE 0.0 END) AS vs
+        FROM terms)
+SELECT 'BUILDING' AS segment_a, 'MACHINERY' AS segment_b, n_a, n_b,
+       events_a, events_b,
+       round(ome, 6) AS o_minus_e, round(vs, 6) AS var_logrank,
+       CASE WHEN vs > 0 THEN round(ome * ome / vs, 6) END AS z2_logrank,
+       CASE WHEN vs > 0 THEN
+         CAST(CASE WHEN ome * ome / vs > 6.634897 THEN 1 ELSE 0 END AS BIGINT)
+       END AS crossed_99
+FROM tot
+"""
+
+
+def q_ks_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS distances over all source pairs with
+    Benjamini-Hochberg FDR control (new round 7): exact integer ECDF
+    lattice, one-term asymptotic p from an exact rational ne*D^2, BH
+    ranking over the pair frame (`operators/stats.ks_bh_fdr_matrix`)."""
+    return ST.ks_bh_fdr_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def o_ks_bh_fdr() -> str:
+    return """
+WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+counts AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+grid AS (SELECT DISTINCT v FROM base),
+groups AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+filled AS (SELECT gr.g, gd.v, gr.n, coalesce(c.c, 0)::BIGINT AS c
+           FROM grid gd CROSS JOIN groups gr
+           LEFT JOIN counts c ON c.g = gr.g AND c.v = gd.v),
+ecdf AS (SELECT g, v, n,
+                CAST(sum(c) OVER (PARTITION BY g ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cume
+         FROM filled),
+pairs AS (SELECT a.g AS source_a, b.g AS source_b, a.n AS n_a, b.n AS n_b,
+                 CAST(max(abs(a.cume * b.n - b.cume * a.n)) AS BIGINT) AS d_num
+          FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.g < b.g
+          GROUP BY 1, 2, 3, 4),
+scored AS (SELECT source_a, source_b, n_a, n_b,
+                  round(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) AS d_stat,
+                  least(1.0, 2.0 * exp(-2.0 * (d_num::DOUBLE * d_num::DOUBLE
+                        / ((n_a::DOUBLE + n_b::DOUBLE)
+                           * n_a::DOUBLE * n_b::DOUBLE)))) AS p
+           FROM pairs),
+ranked AS (SELECT *,
+                  CAST(row_number() OVER (ORDER BY p ASC, source_a ASC,
+                                          source_b ASC) AS BIGINT) AS p_rank,
+                  CAST(count(*) OVER () AS BIGINT) AS m
+           FROM scored),
+flagged AS (SELECT *,
+                   p <= p_rank::DOUBLE * 0.05 / m::DOUBLE AS under
+            FROM ranked),
+kst AS (SELECT *,
+               CAST(max(CASE WHEN under THEN p_rank ELSE 0 END) OVER ()
+                    AS BIGINT) AS kstar
+        FROM flagged)
+SELECT source_a, source_b, n_a, n_b, d_stat,
+       round(p, 6) AS p_ks, p_rank,
+       round(p_rank::DOUBLE * 0.05 / m::DOUBLE, 6) AS bh_cut,
+       CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM kst
+"""
+
+
+def q_stratification_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of source-stratified sampling for mean document
+    length (new round 7): exact per-stratum integer moments, within /
+    total variance ratio under proportional allocation
+    (`operators/stats.stratification_design_effect`)."""
+    return ST.stratification_design_effect(load_table(spark, sf_dir, "documents"))
+
+
+def o_stratification_deff() -> str:
+    return """
+WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_h,
+                    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s_h,
+                    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                         AS BIGINT) AS ss_h
+             FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(n_h) AS BIGINT) AS n,
+               CAST(sum(s_h) AS BIGINT) AS s,
+               CAST(sum(ss_h) AS BIGINT) AS ss,
+               sum(n_h::DOUBLE * (CASE WHEN n_h > 1 THEN
+                     (ss_h::DOUBLE - s_h::DOUBLE * s_h::DOUBLE / n_h::DOUBLE)
+                       / (n_h::DOUBLE - 1.0) END)) AS w_num
+        FROM per)
+SELECT n AS n_rows, n_strata,
+       round(sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                  / (n::DOUBLE - 1.0)), 6) AS sd_total,
+       round(sqrt(w_num / n::DOUBLE), 6) AS sd_within,
+       round((w_num / n::DOUBLE)
+             / ((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                / (n::DOUBLE - 1.0)), 6) AS deff,
+       round((1.0 - (w_num / n::DOUBLE)
+              / ((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                 / (n::DOUBLE - 1.0))) * 100.0, 6) AS var_reduction_pct
+FROM tot
+"""
+
+
+def q_quantization_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 clamp/saturation audit of the K3 quantizer
+    (new round 7): exact counts of boundary and high-half codes per
+    dimension after normalize+quantize
+    (`operators/stats.quantization_saturation`)."""
+    return ST.quantization_saturation(load_table(spark, sf_dir, "embeddings"))
+
+
+def o_quantization_saturation() -> str:
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH q AS (SELECT {qv} AS qvec FROM embeddings),
+px AS (SELECT unnest(list_transform(qvec, (x, i) ->
+                {{'dim': i - 1, 'q': x}})) AS s
+       FROM q),
+flat AS (SELECT CAST(s.dim AS INTEGER) AS dim, CAST(s.q AS BIGINT) AS q
+         FROM px),
+g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sat,
+             CAST(sum(CASE WHEN abs(q) >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+             CAST(min(q) AS INTEGER) AS min_q,
+             CAST(max(q) AS INTEGER) AS max_q,
+             CAST(sum(q) AS BIGINT) AS s_q
+      FROM flat GROUP BY 1)
+SELECT dim, n, n_sat,
+       round(n_sat::DOUBLE / n::DOUBLE, 6) AS sat_rate,
+       n_high,
+       round(n_high::DOUBLE / n::DOUBLE, 6) AS high_rate,
+       min_q, max_q,
+       round(s_q::DOUBLE / n::DOUBLE, 6) AS mean_q
+FROM g
+"""
+
+
+def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-3-gram vocabulary Jaccard + directed containments
+    between sources (new round 7): exact distinct-set sizes and
+    intersections via one equi-join on the shingle
+    (`operators/textops.source_vocab_jaccard`)."""
+    return TX.source_vocab_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+def o_source_vocab_jaccard() -> str:
+    return f"""
+WITH t AS (SELECT source, {O.sql_tokens('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT source AS g, unnest({O.sql_shingles_of('w', 3)}) AS tok
+       FROM t),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS vocab FROM sh GROUP BY 1),
+inter AS (SELECT a.g AS source_a, b.g AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.tok = b.tok AND a.g < b.g
+          GROUP BY 1, 2),
+grid AS (SELECT sa.g AS source_a, sa.vocab AS vocab_a,
+                sb.g AS source_b, sb.vocab AS vocab_b
+         FROM sizes sa JOIN sizes sb ON sa.g < sb.g),
+out AS (SELECT source_a, source_b, vocab_a, vocab_b,
+               coalesce(n_common, 0)::BIGINT AS n_common
+        FROM grid LEFT JOIN inter USING (source_a, source_b))
+SELECT source_a, source_b, vocab_a, vocab_b, n_common,
+       round(n_common::DOUBLE
+             / (vocab_a::DOUBLE + vocab_b::DOUBLE - n_common::DOUBLE), 6)
+         AS jaccard,
+       round(n_common::DOUBLE / vocab_a::DOUBLE, 6) AS containment_a,
+       round(n_common::DOUBLE / vocab_b::DOUBLE, 6) AS containment_b
+FROM out
+"""
+
+
+def q_nb_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest average precision (PR-AUC) per class for the NB gate
+    (new round 7): the prevalence-aware twin of `nb_auc` from the same
+    shared scores — exact tie-block cumulative counts, AP as the
+    recall-weighted precision sum
+    (`operators/curation.nb_average_precision`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.nb_average_precision(docs, (F.col("doc_id") % 2) == 0)
+
+
+def o_nb_average_precision() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, lang, {O.sql_tokens('text')} AS w,
+                  doc_id % 2 = 0 AS is_tr FROM documents),
+tok AS (SELECT doc_id, lang, is_tr, unnest(w) AS tok FROM t),
+tr AS (SELECT * FROM tok WHERE is_tr),
+te AS (SELECT * FROM tok WHERE NOT is_tr),
+cond AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+         FROM tr GROUP BY 1, 2),
+clstok AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tok_c
+           FROM tr GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM tr),
+ndocs AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM ndocs),
+classes AS (
+  SELECT cls, ln(n_docs::DOUBLE / N::DOUBLE) AS prior_ln, tok_c + V AS denom
+  FROM ndocs JOIN clstok USING (cls) CROSS JOIN vocab CROSS JOIN tot
+),
+sc AS (
+  SELECT te.doc_id, te.lang, c.cls,
+         round(c.prior_ln
+               + sum(ln((coalesce(cond.c_tc, 0) + 1)::DOUBLE
+                        / c.denom::DOUBLE)), 6) AS score
+  FROM te CROSS JOIN classes c
+  LEFT JOIN cond ON cond.cls = c.cls AND cond.tok = te.tok
+  GROUP BY 1, 2, 3, c.prior_ln
+),
+base AS (SELECT cls, CAST(round(score * 1000000.0) AS BIGINT) AS v,
+                CASE WHEN lang = cls THEN 1 ELSE 0 END AS pos
+         FROM sc),
+gv AS (SELECT cls, v, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(pos) AS BIGINT) AS cp
+       FROM base GROUP BY 1, 2),
+cum AS (SELECT cls, c, cp,
+               CAST(sum(c) OVER wd AS BIGINT) AS cum_n,
+               CAST(sum(cp) OVER wd AS BIGINT) AS cum_tp
+        FROM gv
+        WINDOW wd AS (PARTITION BY cls ORDER BY v DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+per AS (SELECT cls, CAST(sum(cp) AS BIGINT) AS n_pos,
+               CAST(sum(c) - sum(cp) AS BIGINT) AS n_neg,
+               sum(cp::DOUBLE * cum_tp::DOUBLE / cum_n::DOUBLE) AS ap_num
+        FROM cum GROUP BY 1)
+SELECT cls, n_pos, n_neg,
+       CASE WHEN n_pos > 0 THEN round(ap_num / n_pos::DOUBLE, 6) END
+         AS average_precision,
+       round(n_pos::DOUBLE / (n_pos::DOUBLE + n_neg::DOUBLE), 6) AS prevalence
+FROM per
+"""
+
+
+def q_mllib_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib IsotonicRegression calibrating the char-length proxy into
+    P(above-mean token count) (new round 7, the estimator step past
+    `mllib_logreg_gate`): monotonicity and beats-base-rate Brier
+    asserted as within-bound data in the `mllib_*` guarantee pattern;
+    DuckDB recomputes the exact md5 test split and label counts
+    (`indexing.isotonic_length_calibration`)."""
+    from pythonvectordb_spark.indexing import isotonic_length_calibration
+
+    return isotonic_length_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_isotonic_calibration() -> str:
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len({O.sql_tokens('text')}) AS BIGINT) AS ntok
+           FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(ntok) AS BIGINT) AS tt FROM t),
+te AS (SELECT doc_id, ntok * cnt > tt AS pos
+       FROM t CROSS JOIN tot
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))::BIGINT
+             % 5 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_test,
+       CAST(1 AS BIGINT) AS monotone_ok,
+       CAST(1 AS BIGINT) AS brier_beats_base_ok
+FROM te
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 front block (driver CORRECTNESS checks the FIRST 50
     # entries). Rotation per VERDICT r6 task 1: the 28 round-6 additions
@@ -12267,6 +12723,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hellinger_value_drift": q_hellinger_value_drift,
     "gpd_tail_fit": q_gpd_tail_fit,
     "mahalanobis_outliers": q_mahalanobis_outliers,
+    "pettitt_changepoint": q_pettitt_changepoint,
+    "dow_seasonal_decomposition": q_dow_seasonal_decomposition,
+    "ljung_box_daily": q_ljung_box_daily,
+    "logrank_segments": q_logrank_segments,
+    "ks_bh_fdr": q_ks_bh_fdr,
+    "stratification_deff": q_stratification_deff,
+    "quantization_saturation": q_quantization_saturation,
+    "source_vocab_jaccard": q_source_vocab_jaccard,
+    "nb_average_precision": q_nb_average_precision,
+    "mllib_isotonic_calibration": q_mllib_isotonic_calibration,
     # --- previously driver-witnessed entries, ordered by the round of
     # their LATEST green CORRECTNESS row ascending (oldest witness first),
     # so any front-50 slots left over re-witness the stalest entries.
@@ -12890,4 +13356,14 @@ ORACLES: dict[str, str] = {
     "hellinger_value_drift": o_hellinger_value_drift(),
     "gpd_tail_fit": o_gpd_tail_fit(),
     "mahalanobis_outliers": o_mahalanobis_outliers(),
+    "pettitt_changepoint": o_pettitt_changepoint(),
+    "dow_seasonal_decomposition": o_dow_seasonal_decomposition(),
+    "ljung_box_daily": o_ljung_box_daily(),
+    "logrank_segments": o_logrank_segments(),
+    "ks_bh_fdr": o_ks_bh_fdr(),
+    "stratification_deff": o_stratification_deff(),
+    "quantization_saturation": o_quantization_saturation(),
+    "source_vocab_jaccard": o_source_vocab_jaccard(),
+    "nb_average_precision": o_nb_average_precision(),
+    "mllib_isotonic_calibration": o_mllib_isotonic_calibration(),
 }

@@ -659,3 +659,26 @@ def test_nb_class_f1_reconciles_with_confusion(spark):
         assert row.tp == tp.get(cls, 0)
         if row.n_pred and row.n_actual:
             assert abs(row.f1 - round(2 * row.tp / (row.n_pred + row.n_actual), 6)) < 1e-9
+
+
+def test_nb_average_precision_separable_classes(spark):
+    """Disjoint class vocabularies rank perfectly: AP = 1.0 for both
+    classes, prevalence = the class share."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.curation import nb_average_precision
+
+    rows = [
+        (i, "xx xx xx" if i % 4 < 2 else "yy yy yy",
+         "aa" if i % 4 < 2 else "bb")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.cls: r
+        for r in nb_average_precision(df, (F.col("doc_id") % 2) == 0).collect()
+    }
+    assert set(out) == {"aa", "bb"}
+    for cls in ("aa", "bb"):
+        assert out[cls].average_precision == 1.0
+        assert out[cls].prevalence == 0.5

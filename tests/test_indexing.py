@@ -296,3 +296,17 @@ def test_logreg_text_gate_learns_separable_label(spark):
     (r,) = out
     assert r.n_test > 0 and 0 < r.n_pos_test < r.n_test
     assert r.accuracy_ok == 1 and r.pos_recall_ok == 1
+
+
+def test_isotonic_length_calibration_flags(spark):
+    """A clean monotone chars->tokens relationship calibrates well:
+    monotone predictions and a Brier score beating the base rate."""
+    from pythonvectordb_spark.indexing import isotonic_length_calibration
+
+    # text with k tokens => n_chars ~ 2k, perfectly monotone
+    rows = [(i, "w " * (5 + i), 2 * (5 + i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    (r,) = isotonic_length_calibration(df).collect()
+    assert r.n_test > 0
+    assert r.monotone_ok == 1
+    assert r.brier_beats_base_ok == 1

@@ -498,3 +498,55 @@ def test_mahalanobis_outliers_plants_one(spark):
     (r,) = mahalanobis_outliers(df).collect()
     assert r.n == 100 and r.n_outliers == 1
     assert r.max_z2 > 9.21034
+
+
+def test_ks_bh_identical_vs_shifted(spark):
+    """Identical sources get p = 1 (never rejected); a far-shifted
+    third source is rejected against both under BH."""
+    from pythonvectordb_spark.operators.stats import ks_bh_fdr_matrix
+
+    rows = (
+        [(i, "ga", i % 50) for i in range(50)]
+        + [(100 + i, "gb", i % 50) for i in range(50)]
+        + [(200 + i, "gc", 1000 + (i % 50)) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {(r.source_a, r.source_b): r for r in ks_bh_fdr_matrix(df).collect()}
+    assert len(out) == 3
+    ab = out[("ga", "gb")]
+    assert ab.d_stat == 0.0 and ab.p_ks == 1.0 and ab.rejected == 0
+    for pair in (("ga", "gc"), ("gb", "gc")):
+        r = out[pair]
+        assert r.d_stat == 1.0 and r.p_ks < 1e-6 and r.rejected == 1
+
+
+def test_deff_zero_within_variance(spark):
+    """Strata that are each internally constant have DEFF = 0: the
+    stratification absorbs 100% of the variance."""
+    from pythonvectordb_spark.operators.stats import (
+        stratification_design_effect,
+    )
+
+    rows = [(i, "x", 10) for i in range(20)] + [(50 + i, "y", 30) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    (r,) = stratification_design_effect(df).collect()
+    assert r.n_rows == 40 and r.n_strata == 2
+    assert r.sd_within == 0.0 and r.deff == 0.0
+    assert r.var_reduction_pct == 100.0
+
+
+def test_quantization_saturation_one_hot(spark):
+    """One-hot unit vectors saturate exactly their hot dimension at
+    +127 (trunc(1.0 * 127)); every other dimension stays at 0."""
+    from pythonvectordb_spark.operators.stats import quantization_saturation
+
+    vecs = [
+        (i, [1.0 if d == i else 0.0 for d in range(4)]) for i in range(4)
+    ] + [(4, [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in quantization_saturation(df).collect()}
+    assert len(out) == 4
+    assert out[0].n_sat == 2 and out[0].max_q == 127
+    for d in (1, 2, 3):
+        assert out[d].n_sat == 1 and out[d].sat_rate == 0.2
+    assert out[1].min_q == 0  # never negative here

@@ -714,3 +714,19 @@ def test_chao1_hand_computed(spark):
     assert (r.n_tokens, r.vocab, r.f1, r.f2) == (7, 4, 2, 1)
     assert r.chao1 == 4.5
     assert abs(r.coverage - round(1 - 2 / 7, 6)) < 1e-9
+
+
+def test_source_vocab_jaccard_hand_sets(spark):
+    """Two four-token docs sharing one of their two 3-gram shingles:
+    Jaccard = 1/3, both containments = 1/2."""
+    from pythonvectordb_spark.operators.textops import source_vocab_jaccard
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "sa"), (2, "a b c x", "sb")],
+        "doc_id long, text string, source string",
+    )
+    (r,) = source_vocab_jaccard(df).collect()
+    assert (r.source_a, r.source_b) == ("sa", "sb")
+    assert r.vocab_a == 2 and r.vocab_b == 2 and r.n_common == 1
+    assert r.jaccard == round(1 / 3, 6)
+    assert r.containment_a == 0.5 and r.containment_b == 0.5

@@ -1083,3 +1083,90 @@ def test_gpd_exponential_tail_xi_near_zero(spark):
     (r,) = gpd_tail_fit(df).collect()
     assert r.n == 105 and r.n_exc >= 2
     assert r.gpd_xi is not None and r.gpd_beta is not None
+
+
+def test_pettitt_clean_step(spark):
+    """10 days at 1.00 then 10 days at 100.00: the break is at day 10
+    with K = 10*10 = 100 (every prefix-suffix pair signs -1)."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.timeseries import pettitt_changepoint
+
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 00:00:00", "click", 1.0 if i < 10 else 100.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = pettitt_changepoint(df).collect()
+    assert r.n_days == 20 and r.k_stat == 100
+    assert r.u_at_change == -100  # low regime first -> negative U
+    assert r.p_approx < 0.01
+
+
+def test_dow_seasonal_flat_series_zero(spark):
+    """A constant daily series decomposes to zero seasonal and zero
+    within-dow spread for every weekday."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.timeseries import (
+        dow_seasonal_decomposition,
+    )
+
+    rows = [(i, f"2024-01-{i + 1:02d} 00:00:00", "click", 5.0) for i in range(28)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dow_seasonal_decomposition(df).collect()
+    assert len(out) == 7
+    assert all(r.seasonal == 0.0 for r in out)
+    assert all(r.within_sd == 0.0 for r in out)
+
+
+def test_ljung_box_alternating_rejects(spark):
+    """A strict two-level alternation has rho1 near -1 and a Q far
+    beyond the chi2(7) 99% bar."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.timeseries import ljung_box_daily
+
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 00:00:00", "click", 1.0 if i % 2 else 3.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = ljung_box_daily(df).collect()
+    assert r.n_days == 30
+    assert r.rho1 < -0.9 and r.rho2 > 0.8
+    assert r.crossed_99 == 1 and r.q_lb > 18.475307
+
+
+def test_logrank_identical_groups_zero(spark):
+    """Two segments with identical order patterns: O - E is exactly 0
+    at every event time, so the statistic is 0."""
+    from pythonvectordb_spark.operators.timeseries import logrank_segments
+
+    cust = spark.createDataFrame(
+        [(i, "BUILDING") for i in range(5)]
+        + [(100 + i, "MACHINERY") for i in range(5)],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = []
+    ok = 0
+    for base in (0, 100):
+        for i in range(5):
+            ok += 1
+            orders.append((ok, base + i, f"2024-01-{1 + i:02d}"))
+            if i < 3:  # 3 of 5 customers repeat after i+2 days
+                ok += 1
+                orders.append((ok, base + i, f"2024-01-{3 + 2 * i:02d}"))
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    (r,) = logrank_segments(odf, cust).collect()
+    assert r.n_a == r.n_b == 5
+    assert r.events_a == r.events_b == 3
+    assert r.o_minus_e == 0.0 and r.z2_logrank == 0.0
