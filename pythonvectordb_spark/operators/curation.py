@@ -1452,17 +1452,23 @@ def ngram_novelty(
     equi-join on the shingle key — never a doc x doc comparison. At
     100 TB the join key would be dictionary-encoded / hashed to 64-bit;
     the string key keeps the oracle exact here and the shuffle shape is
-    identical.
+    identical. The shingler is the Arrow twin (`shingles_fast`,
+    bit-equal to the expression form by the pinned property test) —
+    the corpus-side explode dominates this operator's cost and the
+    Arrow batch path cuts it ~5x (round 7; the dedup family made the
+    same swap in round 2).
     """
-    from pythonvectordb_spark.functions.text import shingles
+    from pythonvectordb_spark.functions.text import shingles_fast
 
     corpus_grams = (
-        corpus.select(F.explode(shingles(text_col, n)).alias("g")).groupBy("g").agg(
+        corpus.select(F.explode(shingles_fast(text_col, n)).alias("g")).groupBy("g").agg(
             F.count(F.lit(1)).alias("_c")
         )
     ).select("g")
     bg = (
-        batch.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("_gs"))
+        batch.select(
+            F.col(id_col).alias("doc_id"), shingles_fast(text_col, n).alias("_gs")
+        )
         .select("doc_id", F.size("_gs").alias("n_shingles"), F.explode_outer("_gs").alias("g"))
     )
     novel = (

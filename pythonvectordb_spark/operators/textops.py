@@ -1957,21 +1957,23 @@ def source_vocab_jaccard(docs: DataFrame, n: int = 3) -> DataFrame:
     the phrase sets still separate (measured ~0.02-0.05 here).
 
     Determinism: distinct (source, shingle) sets from the shared
-    shingler (`functions/text.shingles`, DuckDB mirror
-    `oracle.sql_shingles_of`), exact int64 set sizes and intersection
-    counts; Jaccard and containments are one division each, ROUNDED 6.
+    shingler (`functions/text.shingles_fast`, the Arrow twin pinned
+    bit-equal to the expression version by tests/test_properties.py;
+    DuckDB mirror `oracle.sql_shingles_of`), exact int64 set sizes and
+    intersection counts; Jaccard and containments are one division
+    each, ROUNDED 6.
 
     Scale shape: one distinct to the (source, shingle) grain, one
     equi-join ON SHINGLE for all pairs at once (bucketed by shingle,
     never all-pairs over docs), one grouped count per pair, one
     broadcast of the G-row vocab sizes onto the G^2/2-row pair frame.
     """
-    from pythonvectordb_spark.functions.text import shingles
+    from pythonvectordb_spark.functions.text import shingles_fast
 
     st = (
         docs.select(
             F.col("source").alias("g"),
-            F.explode(shingles("text", n)).alias("tok"),
+            F.explode(shingles_fast("text", n)).alias("tok"),
         )
         .distinct()
         .localCheckpoint(eager=False)  # both sides of the pair join + sizes

@@ -315,3 +315,48 @@ def test_spearman_midrank_frames_are_broadcast(spark):
     df = QUERIES["discount_quantity_spearman"](spark, SF_SMOKE)
     assert E.has_broadcast_join(df)
     assert E.has_partial_aggregate(df)
+
+
+def test_pettitt_no_self_join(spark):
+    """Pettitt's O(n^2) double sum must collapse to windows + ONE
+    broadcast midrank join — no day x day self-join, no cartesian."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["pettitt_changepoint"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # argmax without global sort
+    assert E.has_broadcast_join(df)
+
+
+def test_ks_bh_pair_matrix_is_equi_join(spark):
+    """The G^2/2 KS pair matrix must come from ONE equi-join on the
+    grid value (residual a.g < b.g), never a pairwise loop."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["ks_bh_fdr"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vocab_jaccard_joins_on_shingle(spark):
+    """Vocabulary overlap must equi-join on the shingle key (bucketed
+    by content), with the G-row size frames broadcast."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["source_vocab_jaccard"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert E.has_broadcast_join(df)
+
+
+def test_ljung_box_single_window_pass(spark):
+    """All seven lags must share one window sort — a per-lag rescan
+    would read the day series seven times."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["ljung_box_daily"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one Scan of events feeds the whole plan
+    assert plan.count("Scan parquet") <= 1
