@@ -1474,13 +1474,18 @@ def stratification_design_effect(
     ss = F.col("ss").cast("double")
     var_tot = (ss - s * s / n) / (n - F.lit(1.0))
     deff = (F.col("w_num") / n) / var_tot
+    # constant-column guard: zero total variance makes DEFF undefined —
+    # emit NULL rather than engine-specific division-by-zero behavior
+    live = var_tot > F.lit(0.0)
     return tot.select(
         F.col("n").alias("n_rows"),
         "n_strata",
         F.round(F.sqrt(var_tot), 6).alias("sd_total"),
         F.round(F.sqrt(F.col("w_num") / n), 6).alias("sd_within"),
-        F.round(deff, 6).alias("deff"),
-        F.round((F.lit(1.0) - deff) * F.lit(100.0), 6).alias("var_reduction_pct"),
+        F.when(live, F.round(deff, 6)).alias("deff"),
+        F.when(live, F.round((F.lit(1.0) - deff) * F.lit(100.0), 6)).alias(
+            "var_reduction_pct"
+        ),
     )
 
 

@@ -2936,8 +2936,12 @@ def ljung_box_daily(
         ],
     )
     nd = F.col("n").cast("double")
+    # constant series guard: zero total variance (g0 = 0) has no
+    # defined autocorrelation — emit NULLs rather than engine-specific
+    # division-by-zero behavior
+    live = F.col("g0") > F.lit(0).cast("decimal(38,0)")
     rhos = [
-        (F.col(f"g{k}").cast("double") / F.col("g0").cast("double"))
+        F.when(live, F.col(f"g{k}").cast("double") / F.col("g0").cast("double"))
         for k in range(1, kk + 1)
     ]
     q = nd * (nd + F.lit(2.0)) * sum(
@@ -2948,7 +2952,7 @@ def ljung_box_daily(
         F.col("n").alias("n_days"),
         *[F.round(r, 6).alias(f"rho{k}") for k, r in zip(range(1, kk + 1), rhos)],
         F.round(q, 6).alias("q_lb"),
-        (q > F.lit(18.475307)).cast("long").alias("crossed_99"),
+        F.when(live, (q > F.lit(18.475307)).cast("long")).alias("crossed_99"),
     )
 
 

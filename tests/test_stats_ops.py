@@ -550,3 +550,17 @@ def test_quantization_saturation_one_hot(spark):
     for d in (1, 2, 3):
         assert out[d].n_sat == 1 and out[d].sat_rate == 0.2
     assert out[1].min_q == 0  # never negative here
+
+
+def test_deff_constant_column_null(spark):
+    """A constant value column has zero total variance: DEFF is
+    undefined and comes back NULL."""
+    from pythonvectordb_spark.operators.stats import (
+        stratification_design_effect,
+    )
+
+    rows = [(i, "x" if i % 2 else "y", 7) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    (r,) = stratification_design_effect(df).collect()
+    assert r.n_rows == 30 and r.sd_total == 0.0
+    assert r.deff is None and r.var_reduction_pct is None

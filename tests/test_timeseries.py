@@ -1170,3 +1170,20 @@ def test_logrank_identical_groups_zero(spark):
     assert r.n_a == r.n_b == 5
     assert r.events_a == r.events_b == 3
     assert r.o_minus_e == 0.0 and r.z2_logrank == 0.0
+
+
+def test_ljung_box_constant_series_null(spark):
+    """A constant daily series has zero variance: autocorrelation is
+    undefined, so every rho and the verdict come back NULL instead of
+    an engine-specific division-by-zero artifact."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.timeseries import ljung_box_daily
+
+    rows = [(i, f"2024-01-{i + 1:02d} 00:00:00", "click", 5.0) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = ljung_box_daily(df).collect()
+    assert r.n_days == 20
+    assert r.rho1 is None and r.q_lb is None and r.crossed_99 is None
