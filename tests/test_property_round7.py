@@ -152,3 +152,96 @@ def test_logrank_matches_per_subject_model(spark, subj_a, subj_b):
     assert row.events_a == ev_a and row.events_b == ev_b
     assert abs(row.o_minus_e - round(o_minus_e, 6)) < 1e-6
     assert abs(row.var_logrank - round(var, 6)) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=9, max_size=16
+    ).filter(lambda v: len(set(v)) > 1)  # non-constant: rho defined
+)
+def test_ljung_box_matches_numpy_model(spark, values):
+    """DECIMAL autocovariances == the classic float formula on the
+    same series (n-scaled centering cancels exactly)."""
+    from pythonvectordb_spark.operators.timeseries import ljung_box_daily
+
+    n = len(values)
+    mean = sum(values) / n
+    g0 = sum((x - mean) ** 2 for x in values)
+    (r,) = ljung_box_daily(_mk_events(spark, values)).collect()
+    q = 0.0
+    for k in range(1, 8):
+        gk = sum(
+            (values[t] - mean) * (values[t - k] - mean) for t in range(k, n)
+        )
+        rho = gk / g0
+        q += rho * rho / (n - k)
+        assert abs(getattr(r, f"rho{k}") - round(rho, 6)) < 1e-6, k
+    q *= n * (n + 2)
+    assert abs(r.q_lb - round(q, 6)) < 1e-4
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+                  st.integers(min_value=1, max_value=50)),
+        min_size=6,
+        max_size=30,
+    ).filter(
+        lambda d: len({v for _, v in d}) > 1
+        and all(sum(1 for g, _ in d if g == s) >= 2 for s in {g for g, _ in d})
+    )
+)
+def test_deff_matches_float_model(spark, data):
+    """Exact-integer-moment DEFF == the textbook per-stratum variance
+    formula."""
+    from pythonvectordb_spark.operators.stats import (
+        stratification_design_effect,
+    )
+
+    rows = [(i, g, v) for i, (g, v) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    (r,) = stratification_design_effect(df).collect()
+
+    n = len(data)
+    vals = [v for _, v in data]
+    mean = sum(vals) / n
+    var_tot = sum((x - mean) ** 2 for x in vals) / (n - 1)
+    groups = {g for g, _ in data}
+    w_num = 0.0
+    for g in groups:
+        gv = [v for gg, v in data if gg == g]
+        m = sum(gv) / len(gv)
+        w_num += len(gv) * (sum((x - m) ** 2 for x in gv) / (len(gv) - 1))
+    deff = (w_num / n) / var_tot
+    assert r.n_rows == n and r.n_strata == len(groups)
+    assert abs(r.sd_total - round(math.sqrt(var_tot), 6)) < 1e-6
+    assert abs(r.deff - round(deff, 6)) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ta=st.lists(st.sampled_from("abcde"), min_size=3, max_size=12),
+    tb=st.lists(st.sampled_from("abcde"), min_size=3, max_size=12),
+)
+def test_vocab_jaccard_matches_python_sets(spark, ta, tb):
+    """The shingle equi-join reproduces plain Python set algebra."""
+    from pythonvectordb_spark.operators.textops import source_vocab_jaccard
+
+    df = spark.createDataFrame(
+        [(1, " ".join(ta), "sa"), (2, " ".join(tb), "sb")],
+        "doc_id long, text string, source string",
+    )
+    (r,) = source_vocab_jaccard(df).collect()
+
+    def sh(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    A, B = sh(ta), sh(tb)
+    inter = len(A & B)
+    assert r.vocab_a == len(A) and r.vocab_b == len(B)
+    assert r.n_common == inter
+    assert abs(r.jaccard - round(inter / len(A | B), 6)) < 1e-9
