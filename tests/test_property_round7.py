@@ -245,3 +245,70 @@ def test_vocab_jaccard_matches_python_sets(spark, ta, tb):
     assert r.vocab_a == len(A) and r.vocab_b == len(B)
     assert r.n_common == inter
     assert abs(r.jaccard - round(inter / len(A | B), 6)) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=8, max_size=21
+    )
+)
+def test_dow_seasonal_matches_float_model(spark, values):
+    """The 7x-scaled integer detrending equals the classic
+    (x_t - MA7_t) decomposition on full windows."""
+    from pythonvectordb_spark.operators.timeseries import (
+        dow_seasonal_decomposition,
+    )
+
+    n = len(values)
+    detr = {}  # dow -> list of classic detrended values
+    for t in range(3, n - 3):
+        ma = sum(values[t - 3 : t + 4]) / 7.0
+        # day index of 2024-01-(t+1) = di0 + t; dow = (di0 + t) % 7;
+        # 2024-01-01 is unix day 19723, 19723 % 7 = 4
+        detr.setdefault((19723 + t) % 7, []).append(values[t] - ma)
+    out = {r.dow: r for r in dow_seasonal_decomposition(_mk_events(spark, values)).collect()}
+    assert set(out) == set(detr)
+    for dow, xs in detr.items():
+        assert out[dow].n_days == len(xs)
+        assert abs(out[dow].seasonal - round(sum(xs) / len(xs), 6)) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-4.0, max_value=4.0,
+                      allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantization_saturation_matches_k3_model(spark, vecs):
+    """Saturation counts agree with the K3 numpy model (normalize,
+    clamp, truncate toward zero) applied per component."""
+    import math as m
+
+    from pythonvectordb_spark.operators.stats import quantization_saturation
+
+    def k3(v):
+        nrm = m.sqrt(sum(x * x for x in v))
+        out = []
+        for x in v:
+            val = max(-128.0, min(127.0, (x / nrm) * 127.0))
+            out.append(int(val))
+        return out
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    out = {r.dim: r for r in quantization_saturation(df).collect()}
+    qs = [k3([float(__import__("numpy").float32(x)) for x in v]) for v in vecs]
+    for d in range(4):
+        col = [q[d] for q in qs]
+        assert out[d].n == len(col)
+        assert out[d].n_sat == sum(1 for q in col if abs(q) == 127)
+        assert out[d].n_high == sum(1 for q in col if abs(q) >= 64)
+        assert out[d].min_q == min(col) and out[d].max_q == max(col)
