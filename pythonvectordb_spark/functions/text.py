@@ -75,7 +75,7 @@ def shingles_fast(text: Column | str, n: int = 3) -> Column:
     def _shingle(texts):
         out = []
         for t in texts:
-            w = [x for x in t.split(" ") if x]
+            w = [] if t is None else [x for x in t.split(" ") if x]
             if len(w) < nn:
                 out.append([])
             else:

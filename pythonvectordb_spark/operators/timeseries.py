@@ -3075,13 +3075,22 @@ def logrank_segments(
     v = F.when(
         r > 1.0, d * (ra / r) * (rb / r) * (r - d) / (r - F.lit(1.0))
     ).otherwise(F.lit(0.0))
-    tot = joined.agg(
-        F.sum("d_a").cast("long").alias("events_a"),
-        F.sum("d_b").cast("long").alias("events_b"),
-        F.max("r_a").cast("long").alias("n_a"),
-        F.max("r_b").cast("long").alias("n_b"),
-        F.sum(F.col("d_a").cast("double") - e_a).alias("ome"),
-        F.sum(v).alias("vs"),
+    # n_a/n_b are DIRECT subject counts per group (a subject censored
+    # before the first event time is still in the cohort; max(at-risk)
+    # would drop it — ADVICE r7), as a broadcast 1-row frame:
+    ncnt = subj.agg(
+        F.sum((F.col("g") == seg_a).cast("long")).alias("n_a"),
+        F.sum((F.col("g") == seg_b).cast("long")).alias("n_b"),
+    ).withColumn("_one", F.lit(1))
+    tot = (
+        joined.agg(
+            F.sum("d_a").cast("long").alias("events_a"),
+            F.sum("d_b").cast("long").alias("events_b"),
+            F.sum(F.col("d_a").cast("double") - e_a).alias("ome"),
+            F.sum(v).alias("vs"),
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(ncnt), "_one")
     )
     z2 = F.col("ome") * F.col("ome") / F.col("vs")
     return tot.select(

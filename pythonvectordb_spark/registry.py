@@ -12306,8 +12306,11 @@ def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_ljung_box_daily() -> str:
+    # zero-variance guard mirrors the Spark side (timeseries.py `live`):
+    # a constant series has g0 = 0 -> every rho, q_lb and crossed_99 NULL
     rho = "\n".join(
-        f"  g{k}::DOUBLE / g0::DOUBLE AS r{k}," for k in range(1, 8)
+        f"  CASE WHEN g0 > 0 THEN g{k}::DOUBLE / g0::DOUBLE END AS r{k},"
+        for k in range(1, 8)
     )
     qterms = " + ".join(f"r{k} * r{k} / (nd - {float(k)!r})" for k in range(1, 8))
     lags = ",\n".join(
@@ -12339,8 +12342,10 @@ r AS (SELECT n, n::DOUBLE AS nd,
 SELECT n AS n_days,
        {", ".join(f"round(r{k}, 6) AS rho{k}" for k in range(1, 8))},
        round(nd * (nd + 2.0) * (0.0 + {qterms}), 6) AS q_lb,
-       CAST(CASE WHEN nd * (nd + 2.0) * (0.0 + {qterms}) > 18.475307
-            THEN 1 ELSE 0 END AS BIGINT) AS crossed_99
+       CASE WHEN g0 > 0 THEN
+         CAST(CASE WHEN nd * (nd + 2.0) * (0.0 + {qterms}) > 18.475307
+              THEN 1 ELSE 0 END AS BIGINT)
+       END AS crossed_99
 FROM r
 """
 
@@ -12396,10 +12401,11 @@ joined AS (SELECT ev_a.time, d_a, r_a, d_b, r_b
 terms AS (SELECT d_a, d_b, r_a, r_b,
                  (d_a + d_b)::DOUBLE AS d, r_a::DOUBLE AS ra, r_b::DOUBLE AS rb
           FROM joined),
+ncnt AS (SELECT CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         FROM subj),
 tot AS (SELECT CAST(sum(d_a) AS BIGINT) AS events_a,
                CAST(sum(d_b) AS BIGINT) AS events_b,
-               CAST(max(r_a) AS BIGINT) AS n_a,
-               CAST(max(r_b) AS BIGINT) AS n_b,
                sum(d_a::DOUBLE - d * ra / (ra + rb)) AS ome,
                sum(CASE WHEN ra + rb > 1.0 THEN
                      d * (ra / (ra + rb)) * (rb / (ra + rb))
@@ -12413,7 +12419,7 @@ SELECT 'BUILDING' AS segment_a, 'MACHINERY' AS segment_b, n_a, n_b,
        CASE WHEN vs > 0 THEN
          CAST(CASE WHEN ome * ome / vs > 6.634897 THEN 1 ELSE 0 END AS BIGINT)
        END AS crossed_99
-FROM tot
+FROM tot CROSS JOIN ncnt
 """
 
 
@@ -12496,12 +12502,16 @@ SELECT n AS n_rows, n_strata,
        round(sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
                   / (n::DOUBLE - 1.0)), 6) AS sd_total,
        round(sqrt(w_num / n::DOUBLE), 6) AS sd_within,
-       round((w_num / n::DOUBLE)
-             / ((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
-                / (n::DOUBLE - 1.0)), 6) AS deff,
-       round((1.0 - (w_num / n::DOUBLE)
-              / ((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
-                 / (n::DOUBLE - 1.0))) * 100.0, 6) AS var_reduction_pct
+       CASE WHEN (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                 / (n::DOUBLE - 1.0) > 0.0 THEN
+         round((w_num / n::DOUBLE)
+               / ((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                  / (n::DOUBLE - 1.0)), 6) END AS deff,
+       CASE WHEN (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                 / (n::DOUBLE - 1.0) > 0.0 THEN
+         round((1.0 - (w_num / n::DOUBLE)
+                / ((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                   / (n::DOUBLE - 1.0))) * 100.0, 6) END AS var_reduction_pct
 FROM tot
 """
 

@@ -228,10 +228,15 @@ def test_shingle_implementations_identical(spark):
     ).collect()
     for r in both:
         assert list(r.a) == list(r.b), f"doc {r.doc_id}"
-    # edge: short document -> empty shingles in both
-    edge = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
-    r = edge.select(shingles("text").alias("a"), shingles_fast("text").alias("b")).first()
-    assert list(r.a) == [] and list(r.b) == []
+    # edges: short document AND a NULL text row (ADVICE r7 — the UDF
+    # must not raise) -> empty shingles in both implementations
+    edge = spark.createDataFrame(
+        [(1, "one two"), (2, None)], "doc_id long, text string"
+    )
+    for r in edge.select(
+        shingles("text").alias("a"), shingles_fast("text").alias("b")
+    ).collect():
+        assert list(r.a) == [] and list(r.b) == []
 
 
 def test_embedding_near_dup_paths_identical(spark):

@@ -149,6 +149,9 @@ def test_logrank_matches_per_subject_model(spark, subj_a, subj_b):
             var += d * (ra / r) * (rb / r) * (r - d) / (r - 1)
 
     (row,) = out
+    # n is the SUBJECT count per group (ADVICE r7): a subject censored
+    # before the earliest event time still belongs to the cohort
+    assert row.n_a == len(subj_a) and row.n_b == len(subj_b)
     assert row.events_a == ev_a and row.events_b == ev_b
     assert abs(row.o_minus_e - round(o_minus_e, 6)) < 1e-6
     assert abs(row.var_logrank - round(var, 6)) < 1e-6
