@@ -1,0 +1,284 @@
+"""MLlib-trained estimators exposed as queries: Word2Vec, IVF KMeans, BRP/MinHash LSH, LogReg gate, isotonic calibration.
+
+Mechanically split from the former single-file registry.py (round 8)
+with zero semantic change; statement text is unchanged, only moved.
+"""
+
+
+from pythonvectordb_spark.registry._core import (
+    DD,
+    DataFrame,
+    F,
+    FX,
+    NGRAM_MAX_DF,
+    O,
+    S,
+    SparkSession,
+    _JACCARD,
+    _SH_CTE,
+    _SH_KEPT_CTE,
+    load_table,
+)
+
+
+def q_mllib_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Word2Vec batch embedding training, graduated from
+    rows-only to a guarantee oracle (round 5, the
+    `approx_percentile_error` pattern): negative-sampling math stays
+    engine-specific, but the model CONTRACT does not — the trained
+    vocabulary is exactly the token set with corpus frequency >=
+    minCount under the same tokenizer (DuckDB recomputes n_vocab
+    independently; verified equal at both SFs), and the probe word's
+    top-5 synonym list must be full-length, vocabulary-only,
+    probe-free, and similarity-sorted. A vocab-selection or
+    synonym-query regression breaks the value hash."""
+    from pythonvectordb_spark.indexing import word2vec_guarantee
+
+    return word2vec_guarantee(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_word2vec() -> str:
+    # RegexTokenizer(pattern='[^a-z]+', toLowercase=True) replicated:
+    # lowercase, split on non-letter runs, drop empties; vocab = tokens
+    # with corpus count >= 5 (Word2Vec minCount)
+    return """
+SELECT CAST((SELECT count(*) FROM (
+         SELECT tok FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                     x -> len(x) > 0)) AS tok
+           FROM documents) u
+         GROUP BY tok HAVING count(*) >= 5) v) AS BIGINT) AS n_vocab,
+       CAST(5 AS BIGINT) AS n_neighbors,
+       CAST(1 AS BIGINT) AS all_in_vocab,
+       CAST(1 AS BIGINT) AS probe_excluded,
+       CAST(1 AS BIGINT) AS sims_monotone
+"""
+
+
+def q_mllib_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-codebook IVF search, graduated from rows-only to a
+    guarantee oracle (round 5): the MLlib-trained index is exercised on
+    two paths — (a) FULL probe (nprobe = n_clusters): every cluster is
+    scanned, so a lossless partition assignment must reproduce the
+    exact float-cosine top-10 bit-for-bit (DuckDB recomputes that
+    top-10 directly — a dropped or double-assigned row breaks the
+    hash); (b) PRUNED probe (nprobe=4 of 8): recall@10 vs the same
+    exact top-10, emitted as within-bound data (>= 0.2; measured
+    0.3/0.5 at sf0.001/sf0.01 — uniform-random embeddings are ANN's
+    worst case, the clustered-corpus curve lives in bench.py). The
+    trained codebook itself stays engine-specific; both guarantees are
+    invariant to it."""
+    from pythonvectordb_spark.indexing import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_clusters=8)
+    full = (
+        S.ann_ivf_search(emb, FX.QUERY_VEC, cents, k=10, nprobe=8)
+        .select("vec_id", F.round("score", 9).alias("score"))
+        .localCheckpoint(eager=False)  # output AND recall reference
+    )
+    pruned = S.ann_ivf_search(emb, FX.QUERY_VEC, cents, k=10, nprobe=4)
+    hits = (
+        pruned.join(
+            F.broadcast(full.select(F.col("vec_id").alias("eid"))),
+            F.col("vec_id") == F.col("eid"),
+            "left_semi",
+        )
+        .agg((F.count(F.lit(1)) >= F.lit(2)).cast("long").alias("pruned_recall_ok"))
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        full.withColumn("_one", F.lit(1))
+        .join(F.broadcast(hits), "_one")
+        .select("vec_id", "score", "pruned_recall_ok")
+    )
+
+
+def o_mllib_ivf_search() -> str:
+    return f"""
+SELECT vec_id,
+       round({O.sql_cosine_float_lit(FX.QUERY_VEC, 'embedding')}, 9) AS score,
+       CAST(1 AS BIGINT) AS pruned_recall_ok
+FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_mllib_brp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH near-dup join, graduated from
+    rows-only to a guarantee oracle (round 5): the candidate
+    generator's pair recall against the EXACT int8-cosine pair set
+    (>= 0.45 on the quantized storage representation both engines
+    share) is asserted as data — (n_exact_pairs, recall_ok) with
+    recall bound 0.66 (measured 0.83 at sf0.001, 1.0 at sf0.01 with 6
+    hash tables; seeds fixed). DuckDB recomputes n_exact_pairs by
+    brute force over the probe table, which is bounded BY CONTRACT —
+    at 100 TB this audit runs on a sample and the production path is
+    the generator alone (the bench's dedup_pair_recall section is the
+    same audit at scale)."""
+    from pythonvectordb_spark.indexing import brp_lsh_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        DD.embedding_near_dup(emb, 0.45, method="pandas")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # totals agg AND semi-join probe
+    )
+    brp = brp_lsh_near_dup(emb, cosine_threshold=0.45, num_hash_tables=6).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).withColumn("_one", F.lit(1))
+    n_hit = (
+        exact.join(brp, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        n_exact.join(F.broadcast(n_hit), "_one")
+        .select(
+            "n_exact_pairs",
+            (
+                F.col("n_hit").cast("double")
+                >= F.lit(0.66) * F.col("n_exact_pairs").cast("double")
+            )
+            .cast("long")
+            .alias("recall_ok"),
+        )
+    )
+
+
+def o_mllib_brp_neardup() -> str:
+    # brute-force exact int8-cosine pairs at >= 0.45 (the pandas
+    # verifier's semantics: exact integer dots/norms in float64)
+    qv = O.sql_qvec("embedding")
+    cos = (
+        "CASE WHEN list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum') = 0"
+        "       OR list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum') = 0"
+        "  THEN 0.0"
+        "  ELSE list_aggregate(list_transform(a.qv, (x, i) -> x::BIGINT * b.qv[i]::BIGINT), 'sum')::DOUBLE"
+        "       / (sqrt(list_aggregate(list_transform(a.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)"
+        "          * sqrt(list_aggregate(list_transform(b.qv, x -> x::BIGINT * x::BIGINT), 'sum')::DOUBLE)) END"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.45
+"""
+
+
+def q_mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH text near-dup join, graduated from rows-only to
+    a guarantee oracle (round 5): pair recall against the EXACT
+    word-3-gram Jaccard >= 0.7 pair set (the oracled
+    `dedup_ngram_jaccard` semantics, df-capped) asserted as data —
+    (n_exact_pairs, recall_ok) with bound 0.9 (measured 1.0 at both
+    SFs; 8 single-hash OR-tables give collision probability
+    1-(1-j)^8 ≈ 0.99993 at j=0.7, so the bound has enormous margin).
+    DuckDB recomputes n_exact_pairs with the inverted-index pair SQL."""
+    from pythonvectordb_spark.indexing import minhash_lsh_text_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        DD.ngram_jaccard_pairs(docs, threshold=0.7, max_df=NGRAM_MAX_DF)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # totals agg AND semi-join probe
+    )
+    mh = minhash_lsh_text_pairs(docs, jaccard_threshold=0.7).select("id_a", "id_b")
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).withColumn("_one", F.lit(1))
+    n_hit = (
+        exact.join(mh, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        n_exact.join(F.broadcast(n_hit), "_one")
+        .select(
+            "n_exact_pairs",
+            (
+                F.col("n_hit").cast("double")
+                >= F.lit(0.9) * F.col("n_exact_pairs").cast("double")
+            )
+            .cast("long")
+            .alias("recall_ok"),
+        )
+    )
+
+
+def o_mllib_minhash_dedup() -> str:
+    return f"""
+WITH {_SH_CTE},
+{_SH_KEPT_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shv, b.shv))::BIGINT AS n_common,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+  FROM shk a JOIN shk b ON a.doc_id < b.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM pairs WHERE {_JACCARD} >= 0.7
+"""
+
+
+def q_mllib_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LogisticRegression trained text gate (new round 7, VERDICT
+    r6 task 6): hashed bag-of-words -> linear model learning the
+    above-mean-length quality rule, held-out accuracy and positive
+    recall asserted as within-bound data in the `mllib_*` guarantee
+    pattern; DuckDB recomputes the exact md5 test split and label
+    counts (`indexing.logreg_text_gate`)."""
+    from pythonvectordb_spark.indexing import logreg_text_gate
+
+    return logreg_text_gate(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_logreg_gate() -> str:
+    return """
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+             FROM documents),
+t AS (SELECT doc_id, n_chars * cnt > tot_chars AS pos
+      FROM documents CROSS JOIN tot
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))::BIGINT % 5 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_test,
+       CAST(1 AS BIGINT) AS accuracy_ok,
+       CAST(1 AS BIGINT) AS pos_recall_ok
+FROM t
+"""
+
+
+def q_mllib_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib IsotonicRegression calibrating the char-length proxy into
+    P(above-mean token count) (new round 7, the estimator step past
+    `mllib_logreg_gate`): monotonicity and beats-base-rate Brier
+    asserted as within-bound data in the `mllib_*` guarantee pattern;
+    DuckDB recomputes the exact md5 test split and label counts
+    (`indexing.isotonic_length_calibration`)."""
+    from pythonvectordb_spark.indexing import isotonic_length_calibration
+
+    return isotonic_length_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_isotonic_calibration() -> str:
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len({O.sql_tokens('text')}) AS BIGINT) AS ntok
+           FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(ntok) AS BIGINT) AS tt FROM t),
+te AS (SELECT doc_id, ntok * cnt > tt AS pos
+       FROM t CROSS JOIN tot
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))::BIGINT
+             % 5 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_test,
+       CAST(1 AS BIGINT) AS monotone_ok,
+       CAST(1 AS BIGINT) AS brier_beats_base_ok
+FROM te
+"""
