@@ -277,6 +277,10 @@ HEADLINE = [
     "source_vocab_jaccard",
     "nb_average_precision",
     "mllib_isotonic_calibration",
+    # round-8: third trained-estimator family (ALS retrieval) and the
+    # three-gate champion-challenger report
+    "mllib_als_retrieval",
+    "gate_champion_challenger",
 ]
 
 
@@ -404,6 +408,12 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="pvdb_sf1_")
     out: dict = {"factor": factor, "queries": {}}
+    # self-labeling section (VERDICT r7 task 8): the same start/end
+    # control pair the headline qps carries, so exponent flutter
+    # (semantic_dedup read 0.76-0.95 across rounds) is attributable to
+    # host load WITHOUT cross-round adjudication
+    ctrl_start = _control_query_s(spark, sf_dir)
+    log(f"bench sf1 rehearsal control (start): {ctrl_start}s")
     try:
         t0 = time.time()
         _build_scaled_dir(spark, sf_dir, factor, tmp)
@@ -584,6 +594,124 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    ctrl_end = _control_query_s(spark, sf_dir)
+    out["control_query_s"] = {
+        "start": ctrl_start,
+        "end": ctrl_end,
+        "delta_pct": round(
+            (ctrl_end - ctrl_start) / max(ctrl_start, 1e-9) * 100, 1
+        ),
+    }
+    log(
+        f"bench sf1 rehearsal control (end): {ctrl_end}s "
+        f"(delta {out['control_query_s']['delta_pct']}% vs start)"
+    )
+    return out
+
+
+def _decade2_rehearsal(spark, sf_dir: str) -> dict:
+    """Second measured decade (VERDICT r7 task 6): the two flagship
+    families (knn_join, semantic_dedup) at a 100x twin of sf_dir, so
+    the "linear by measurement" claim spans sf0.1 -> sf1 -> sf10
+    instead of one decade. Same deterministic scale-up, same size
+    rules, same work witness (semantic candidate count at
+    threshold=-2); the per-decade exponent here is measured between
+    the 10x and 100x points. Self-labeling: carries its own start/end
+    control pair.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    from pythonvectordb_spark.fixtures import _seeded_unit
+    from pythonvectordb_spark.operators import dedup as DD
+
+    ctrl_start = _control_query_s(spark, sf_dir)
+    log(f"bench sf10 rehearsal control (start): {ctrl_start}s")
+    tmp10 = tempfile.mkdtemp(prefix="pvdb_sf1_")
+    tmp100 = tempfile.mkdtemp(prefix="pvdb_sf10_")
+    out: dict = {"factors": [10, 100], "queries": {}}
+    try:
+        t0 = time.time()
+        _build_scaled_dir(spark, sf_dir, 10, tmp10)
+        _build_scaled_dir(spark, sf_dir, 100, tmp100)
+        out["build_s"] = round(time.time() - t0, 1)
+        emb1 = load_table(spark, sf_dir, "embeddings")
+        n1 = emb1.count()
+        emb10 = spark.read.parquet(f"{tmp10}/embeddings.parquet")
+        emb100 = spark.read.parquet(f"{tmp100}/embeddings.parquet")
+        n10, n100 = emb10.count(), emb100.count()
+
+        def sem_centroids(n):  # same size rule as _scale_rehearsal
+            k = max(8, n // 250)
+            return [_seeded_unit(9000 + i) for i in range(k)]
+
+        cases = {
+            "semantic_dedup": lambda e, n: DD.semantic_dedup_pairs(
+                e, sem_centroids(n), 0.4, assign="arrow"
+            ),
+            "knn_join_1024q": lambda e, n: S.knn_join(
+                S.with_qvec(e),
+                e.limit(1024).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec_query"),
+                ),
+                k=10,
+                query_vec="qvec_query",
+            ),
+        }
+        for name, fn in cases.items():
+            fn(emb1, n1).count()  # warm JIT/codegen on the small SF
+            t0 = time.time()
+            rows10 = fn(emb10, n10).count()
+            t10 = time.time() - t0
+            t0 = time.time()
+            rows100 = fn(emb100, n100).count()
+            t100 = time.time() - t0
+            exp = math.log(max(t100, 1e-9) / max(t10, 1e-9)) / math.log(10)
+            out["queries"][name] = {
+                "t_sf1_s": round(t10, 2),
+                "t_sf10_s": round(t100, 2),
+                "exponent_decade2": round(exp, 2),
+                "rows_sf1": int(rows10),
+                "rows_sf10": int(rows100),
+            }
+            log(
+                f"bench sf10 rehearsal {name}: {t10:.2f}s -> {t100:.2f}s "
+                f"(decade-2 exponent {exp:.2f}; rows {rows10} -> {rows100})"
+            )
+        # work witness across the SECOND decade: within-block candidate
+        # pairs (threshold=-2 keeps every candidate)
+        cand10 = DD.semantic_dedup_pairs(
+            emb10, sem_centroids(n10), -2.0, assign="arrow"
+        ).count()
+        cand100 = DD.semantic_dedup_pairs(
+            emb100, sem_centroids(n100), -2.0, assign="arrow"
+        ).count()
+        q = out["queries"]["semantic_dedup"]
+        q["candidates_sf1"] = int(cand10)
+        q["candidates_sf10"] = int(cand100)
+        q["candidate_growth_decade2"] = round(cand100 / max(cand10, 1), 2)
+        # knn_join work is queries x corpus by definition: the witness
+        # is the scored-pair count, exact and engine-independent
+        out["queries"]["knn_join_1024q"]["scored_pairs_sf1"] = 1024 * n10
+        out["queries"]["knn_join_1024q"]["scored_pairs_sf10"] = 1024 * n100
+        log(
+            f"bench sf10 work witness: semantic candidates {cand10} -> "
+            f"{cand100} ({cand100 / max(cand10, 1):.2f}x at 10x data)"
+        )
+    finally:
+        shutil.rmtree(tmp10, ignore_errors=True)
+        shutil.rmtree(tmp100, ignore_errors=True)
+    ctrl_end = _control_query_s(spark, sf_dir)
+    out["control_query_s"] = {
+        "start": ctrl_start,
+        "end": ctrl_end,
+        "delta_pct": round(
+            (ctrl_end - ctrl_start) / max(ctrl_start, 1e-9) * 100, 1
+        ),
+    }
+    log(f"bench sf10 rehearsal control (end): {ctrl_end}s")
     return out
 
 
@@ -939,8 +1067,12 @@ def main() -> None:
     # argue, the scaling exponent of the heaviest families. Skippable
     # for quick local iterations via SPARK_GRAFT_SKIP_SF1=1.
     sf1_rehearsal = None
+    sf10_rehearsal = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         sf1_rehearsal = _scale_rehearsal(spark, sf_dir)
+        # second decade (VERDICT r7 task 6) for the two flagship
+        # families; skippable together with the first
+        sf10_rehearsal = _decade2_rehearsal(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # Key order matters: the driver records only the LAST 2000 chars of
@@ -957,6 +1089,8 @@ def main() -> None:
     }
     if sf1_rehearsal is not None:
         out["sf1_rehearsal"] = sf1_rehearsal
+    if sf10_rehearsal is not None:
+        out["sf10_rehearsal"] = sf10_rehearsal
     # Headline scalars LAST so they land inside the driver's tail window.
     out.update(
         {

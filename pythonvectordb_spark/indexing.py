@@ -573,3 +573,169 @@ def isotonic_length_calibration(
             "brier_beats_base_ok"
         ),
     )
+
+
+def als_purchase_retrieval(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 20,
+    shortlist: int = 96,
+    test_mod: int = 5,
+    rank: int = 16,
+    max_iter: int = 10,
+    reg_param: float = 0.1,
+    alpha: float = 10.0,
+    chance_floor_frac: float = 0.4,
+) -> DataFrame:
+    """MLlib ALS implicit-feedback retrieval on the customer x part
+    purchase matrix (new round 8, VERDICT r7 task 4): the third trained
+    estimator family, and "similarity search as a join" realized the
+    collaborative way — no embedding column at all, the index IS the
+    factorization. Interactions are distinct (customer, part) purchase
+    counts from orders |><| lineitem; a deterministic md5 interaction
+    split holds out test pairs; ALS (implicitPrefs, fixed seed) factors
+    the train matrix; retrieval quality is held-out hit-rate@k of the
+    model's top-k recommendations per test user with that user's TRAIN
+    items excluded, reported beside the identically-evaluated global
+    popularity baseline (top train items, same exclusion, same k).
+
+    Guarantee-oracle shape (the `mllib_*` precedent,
+    `logreg_text_gate`): learned factors are engine-specific, so the
+    CHECKED columns are (a) the exact interaction/split census —
+    DuckDB recomputes the distinct-pair counts and the md5 split
+    bit-for-bit — and (b) the two hit-rates asserted as within-bound
+    data (`*_ok` flags); a training regression breaks the value hash
+    without it ever depending on float factors.
+
+    Determinism of the split: test = md5(user || '-' || item) last hex
+    digit mod `test_mod` == 0 — expression-reproducible on both
+    engines, independent of row order.
+
+    Scale shape: ALS is Spark's block-partitioned alternating least
+    squares — user/item factor blocks stay distributed, each of the
+    `max_iter` sweeps is a pair of shuffles keyed on the block ids, and
+    nothing materializes centrally (the 100 TB path: interactions
+    shuffle once to blocks, factors are rank-sized rows).
+    recommendForUserSubset is MLlib's blocked factor-product top-k (it
+    cross-joins user and item factor BLOCKS and keeps a per-user heap —
+    never the full score matrix); the shortlist explode is test-users x
+    `shortlist` rows; the popularity arm broadcasts one `shortlist`-row
+    item list. Only the 1-row verdict reaches the driver.
+    """
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import Window
+
+    inter = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    is_test = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user").cast("string"),
+                        F.lit("-"),
+                        F.col("item").cast("string"),
+                    )
+                ),
+                32,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(test_mod)
+        == 0
+    )
+    data = inter.withColumn("is_test", is_test).localCheckpoint(
+        eager=False
+    )  # feeds fit(), both eval arms, and the census agg
+    train = data.filter(~F.col("is_test"))
+    test = data.filter(F.col("is_test"))
+
+    als = ALS(
+        rank=int(rank),
+        maxIter=int(max_iter),
+        regParam=float(reg_param),
+        alpha=float(alpha),
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="cnt",
+        seed=SEED,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(train)
+
+    test_users = test.select("user").distinct()
+    recs = (
+        model.recommendForUserSubset(test_users, int(shortlist))
+        .select("user", F.explode("recommendations").alias("r"))
+        .select("user", F.col("r.item").alias("item"), F.col("r.rating").alias("s"))
+    )
+
+    def _topk_hits(cand: DataFrame, order_cols) -> DataFrame:
+        """Exclude the user's TRAIN items, keep the first k by the
+        arm's own ranking, count held-out hits per arm."""
+        w = Window.partitionBy("user").orderBy(*order_cols)
+        kept = (
+            cand.join(
+                train.select("user", "item"), ["user", "item"], "left_anti"
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(k))
+            .select("user", "item")
+        )
+        return kept.join(test.select("user", "item"), ["user", "item"], "semi")
+
+    als_hits = _topk_hits(recs, [F.col("s").desc(), F.col("item").asc()])
+    pop = (
+        train.groupBy("item")
+        .agg(F.sum("cnt").cast("long").alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("item").asc())
+        .limit(int(shortlist))
+    )
+    pop_cand = test_users.crossJoin(F.broadcast(pop))
+    pop_hits = _topk_hits(pop_cand, [F.col("pc").desc(), F.col("item").asc()])
+
+    census = data.agg(
+        F.countDistinct("user").cast("long").alias("n_users"),
+        F.countDistinct("item").cast("long").alias("n_items"),
+        F.count(F.lit(1)).cast("long").alias("n_interactions"),
+        F.sum((~F.col("is_test")).cast("long")).cast("long").alias("n_train"),
+        F.sum(F.col("is_test").cast("long")).cast("long").alias("n_test"),
+    ).withColumn("_one", F.lit(1))
+    nh_a = als_hits.agg(F.count(F.lit(1)).cast("long").alias("_ha")).withColumn(
+        "_one", F.lit(1)
+    )
+    nh_p = pop_hits.agg(F.count(F.lit(1)).cast("long").alias("_hp")).withColumn(
+        "_one", F.lit(1)
+    )
+    ntu = test_users.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_users")
+    ).withColumn("_one", F.lit(1))
+    g = census.join(F.broadcast(ntu), "_one").join(F.broadcast(nh_a), "_one").join(
+        F.broadcast(nh_p), "_one"
+    )
+    als_rate = F.col("_ha").cast("double") / F.col("n_test").cast("double")
+    pop_rate = F.col("_hp").cast("double") / F.col("n_test").cast("double")
+    chance = (
+        F.lit(float(chance_floor_frac))
+        * F.lit(float(k))
+        / F.col("n_items").cast("double")
+    )
+    return g.select(
+        "n_users",
+        "n_items",
+        "n_interactions",
+        "n_train",
+        "n_test",
+        "n_test_users",
+        (als_rate >= chance).cast("long").alias("als_hit_rate_ok"),
+        (pop_rate >= chance).cast("long").alias("pop_hit_rate_ok"),
+    )

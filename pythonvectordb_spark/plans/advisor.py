@@ -243,7 +243,41 @@ def advise(
     txt = explain_str(df)
     out: list[Finding] = []
 
-    for frag in _findall_ops(txt, "CartesianProduct"):
+    lines = txt.split("\n")
+    for i, ln in enumerate(lines):
+        m = re.match(r"^\s*[+:*\-|\s]*(CartesianProduct[^\n]*)", ln)
+        if not m:
+            continue
+        frag = m.group(1)
+        ctx = "\n".join(lines[max(0, i - 6) : i + 7])
+        # formatted explain keeps class names in the per-node detail
+        # section — follow the node ids around the cartesian into it
+        ids = re.findall(r"\((\d+)\)", ctx)
+        detail = "\n".join(
+            frag2
+            for nid in ids
+            for frag2 in re.findall(
+                rf"^\({nid}\) [^\n]*(?:\n[^\(\n][^\n]*)*", txt, flags=re.MULTILINE
+            )
+        )
+        if "ml.recommendation" in ctx or "ml.recommendation" in detail:
+            # MLlib ALS recommendForAll/ForUserSubset: a BLOCKED factor
+            # cross-product (user-factor blocks x item-factor blocks,
+            # per-block GEMM + bounded top-k heap) — the documented
+            # all-pairs-scoring algorithm, not the accidental-cartesian
+            # bug class (same carve-out shape as the UDTF exemption:
+            # the op has no narrower physical form).
+            out.append(
+                Finding(
+                    "mllib-blocked-recommend",
+                    "info",
+                    "ALS blocked recommend: intentional factor-block "
+                    "cross-product with per-block top-k. Bound the user "
+                    "subset and k; work is users x items by definition.",
+                    frag,
+                )
+            )
+            continue
         out.append(
             Finding(
                 "cartesian-product",
@@ -367,6 +401,6 @@ def advise(
             )
         )
 
-    sev = {"high": 0, "medium": 1, "low": 2}
+    sev = {"high": 0, "medium": 1, "low": 2, "info": 3}
     out.sort(key=lambda f: sev[f.severity])
     return out

@@ -975,3 +975,120 @@ SELECT cls, n_pos, n_neg,
        round(n_pos::DOUBLE / (n_pos::DOUBLE + n_neg::DOUBLE), 6) AS prevalence
 FROM per
 """
+
+
+def q_gate_champion_challenger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-challenger report over the three quality gates (new
+    round 8, VERDICT r7 task 5): rule / Naive Bayes / trained
+    LogisticRegression evaluated against one reference label on one
+    shared md5 held-out split — exact accuracies and McNemar
+    discordant-correctness counts for the two expression-exact gates,
+    integer-count champion verdict, guarantee flags for the trained arm
+    (`operators.curation.gate_champion_challenger`)."""
+    return CU.gate_champion_challenger(load_table(spark, sf_dir, "documents"))
+
+
+def o_gate_champion_challenger() -> str:
+    from pythonvectordb_spark.functions.text import STOPWORDS
+
+    stop = O.sql_stopword_filter("t", STOPWORDS)
+    # rule arm: o_quality_filter's CTE chain reduced to (doc_id, keep);
+    # NB arm: o_nb_lang_confusion's model SQL with the binary length
+    # label and the md5 split; logreg columns are guarantee literals
+    # (the o_mllib_logreg_gate precedent)
+    return f"""
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+             FROM documents),
+lbl AS (SELECT doc_id, text, n_chars * cnt > tot_chars AS pos,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))::BIGINT
+                 % 5 = 0 AS is_test
+        FROM documents CROSS JOIN tot),
+qb AS (SELECT doc_id, {O.sql_tokens('text')} AS t FROM documents),
+qc AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len({stop})::DOUBLE AS n_stop,
+         len(list_distinct(t))::DOUBLE AS n_uniq,
+         coalesce(list_aggregate(
+           list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))),
+           'max'), 0)::DOUBLE AS top_cnt
+  FROM qb
+),
+qr AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0 THEN n_uniq / n_tok::DOUBLE ELSE 0.0 END AS ttr,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok::DOUBLE ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tok > 0 THEN top_cnt / n_tok::DOUBLE ELSE 0.0 END AS top_share
+  FROM qc
+),
+rule AS (
+  SELECT doc_id,
+         NOT (n_tok < 10 OR ttr < 0.25 OR stop_ratio > 0.6 OR top_share > 0.25)
+           AS rule_pred
+  FROM qr
+),
+t2 AS (SELECT l.doc_id,
+              CASE WHEN l.pos THEN 'long' ELSE 'short' END AS qlbl,
+              {O.sql_tokens('l.text')} AS w,
+              NOT l.is_test AS is_tr
+       FROM lbl l),
+tok AS (SELECT doc_id, qlbl, is_tr, unnest(w) AS tok FROM t2),
+tr AS (SELECT * FROM tok WHERE is_tr),
+te AS (SELECT * FROM tok WHERE NOT is_tr),
+cond AS (SELECT qlbl AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+         FROM tr GROUP BY 1, 2),
+clstok AS (SELECT qlbl AS cls, CAST(count(*) AS BIGINT) AS tok_c
+           FROM tr GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM tr),
+ndocs AS (SELECT CASE WHEN pos THEN 'long' ELSE 'short' END AS cls,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM lbl WHERE NOT is_test GROUP BY 1),
+ntot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM ndocs),
+classes AS (
+  SELECT cls, ln(n_docs::DOUBLE / N::DOUBLE) AS prior_ln, tok_c + V AS denom
+  FROM ndocs JOIN clstok USING (cls) CROSS JOIN vocab CROSS JOIN ntot
+),
+sc AS (
+  SELECT te.doc_id, te.qlbl, c.cls,
+         round(c.prior_ln
+               + sum(ln((coalesce(cond.c_tc, 0) + 1)::DOUBLE
+                        / c.denom::DOUBLE)), 6) AS score
+  FROM te CROSS JOIN classes c
+  LEFT JOIN cond ON cond.cls = c.cls AND cond.tok = te.tok
+  GROUP BY 1, 2, 3, c.prior_ln
+),
+rk AS (
+  SELECT doc_id, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM sc
+),
+nb AS (SELECT doc_id, cls = 'long' AS nb_pred FROM rk WHERE rn = 1),
+spine AS (SELECT l.doc_id, l.pos
+          FROM lbl l JOIN qc USING (doc_id)
+          WHERE l.is_test AND qc.n_tok > 0),
+per AS (SELECT CASE WHEN s.pos THEN 1 ELSE 0 END AS p,
+               CASE WHEN r.rule_pred = s.pos THEN 1 ELSE 0 END AS rc,
+               CASE WHEN n.nb_pred = s.pos THEN 1 ELSE 0 END AS nc
+        FROM spine s JOIN rule r USING (doc_id) JOIN nb n USING (doc_id)),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(p) AS BIGINT) AS n_pos_test,
+             CAST(sum(rc) AS BIGINT) AS cr,
+             CAST(sum(nc) AS BIGINT) AS cn,
+             CAST(sum(rc * (1 - nc)) AS BIGINT) AS n10,
+             CAST(sum((1 - rc) * nc) AS BIGINT) AS n01
+      FROM per)
+SELECT n_test, n_pos_test,
+       round(cr::DOUBLE / n_test::DOUBLE, 6) AS acc_rule,
+       round(cn::DOUBLE / n_test::DOUBLE, 6) AS acc_nb,
+       n10 AS mcnemar_rule_nb_n10,
+       n01 AS mcnemar_rule_nb_n01,
+       CASE WHEN n10 + n01 > 0 THEN
+         round((abs((n10 - n01)::DOUBLE) - 1.0) * (abs((n10 - n01)::DOUBLE) - 1.0)
+               / (n10 + n01)::DOUBLE, 6) END AS mcnemar_rule_nb_chi2_cc,
+       CASE WHEN cn >= cr THEN 'nb' ELSE 'rule' END AS exact_champion,
+       CAST(1 AS BIGINT) AS logreg_acc_ok,
+       CAST(1 AS BIGINT) AS logreg_beats_rule_ok
+FROM g
+"""

@@ -282,3 +282,39 @@ SELECT CAST(count(*) AS BIGINT) AS n_test,
        CAST(1 AS BIGINT) AS brier_beats_base_ok
 FROM te
 """
+
+
+def q_mllib_als_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ALS implicit-feedback retrieval on the customer x part
+    purchase matrix (new round 8, VERDICT r7 task 4): the third
+    trained-estimator family — exact interaction/split census checked
+    bit-for-bit, held-out hit-rate@20 of ALS and the popularity
+    baseline asserted against the data-derived chance floor
+    (`indexing.als_purchase_retrieval`; the `mllib_*` guarantee
+    pattern)."""
+    from pythonvectordb_spark.indexing import als_purchase_retrieval
+
+    return als_purchase_retrieval(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def o_mllib_als_retrieval() -> str:
+    return """
+WITH inter AS (SELECT CAST(o_custkey AS INT) AS u, CAST(l_partkey AS INT) AS i
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY 1, 2),
+s AS (SELECT u, i,
+             ('0x' || substr(md5(u::VARCHAR || '-' || i::VARCHAR), 32, 1))::BIGINT
+               % 5 = 0 AS is_test
+      FROM inter)
+SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_interactions,
+       CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(count(DISTINCT CASE WHEN is_test THEN u END) AS BIGINT) AS n_test_users,
+       CAST(1 AS BIGINT) AS als_hit_rate_ok,
+       CAST(1 AS BIGINT) AS pop_hit_rate_ok
+FROM s
+"""

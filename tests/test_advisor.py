@@ -122,3 +122,34 @@ def test_registry_has_no_scale_killers(spark):
         if bad:
             flagged[name] = bad
     assert not flagged, f"scale-killer plans in registry: {flagged}"
+
+
+def test_als_blocked_recommend_not_a_cartesian(spark):
+    """MLlib's recommendForUserSubset plans a blocked factor
+    cross-product by design; the advisor must class it
+    `mllib-blocked-recommend`, not the cartesian bug class — while a
+    REAL accidental cartesian stays flagged."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.plans.advisor import advise
+
+    inter = spark.createDataFrame(
+        [(u, i, 1.0) for u in range(12) for i in range(8) if (u + i) % 3],
+        "user int, item int, cnt double",
+    )
+    model = ALS(
+        rank=2, maxIter=2, implicitPrefs=True, seed=42,
+        userCol="user", itemCol="item", ratingCol="cnt",
+    ).fit(inter)
+    recs = model.recommendForUserSubset(inter.select("user").distinct(), 3)
+    codes = _codes(advise(recs))
+    assert "cartesian-product" not in codes
+    assert "mllib-blocked-recommend" in codes
+    # control: a genuine cartesian is still the bug class (hinted so
+    # the tiny frames don't degrade to a broadcast nested loop)
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    assert "cartesian-product" in _codes(
+        advise(a.crossJoin(b.hint("shuffle_replicate_nl")))
+    )

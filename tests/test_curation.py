@@ -682,3 +682,37 @@ def test_nb_average_precision_separable_classes(spark):
     for cls in ("aa", "bb"):
         assert out[cls].average_precision == 1.0
         assert out[cls].prevalence == 0.5
+
+
+def test_gate_champion_challenger_separable_label(spark):
+    """With a marker token that exactly determines an above-mean-length
+    label, the NB gate learns it (acc 1.0) while the rule gate cannot
+    (it keys on composition, not the marker), so the champion verdict
+    and the McNemar counts are forced."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.operators.curation import gate_champion_challenger
+
+    # long docs (> mean chars) carry 'marker'; every doc passes the
+    # rule gate's heuristics (>= 10 diverse tokens incl. stopwords)
+    long_txt = "marker " + " ".join(f"w{i}" for i in range(30)) + " the a of"
+    short_txt = " ".join(f"v{i}" for i in range(12)) + " the a of"
+    rows = [
+        (i, long_txt if i % 2 else short_txt,
+         len(long_txt) if i % 2 else len(short_txt))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    (r,) = gate_champion_challenger(df).collect()
+    assert r.n_test > 0 and 0 < r.n_pos_test < r.n_test
+    # NB separates perfectly via the marker (and the w/v vocabularies)
+    assert r.acc_nb == 1.0
+    # the rule gate passes everything -> it is right exactly on the
+    # positive (keep-worthy) docs
+    assert abs(r.acc_rule - r.n_pos_test / r.n_test) < 1e-6
+    assert r.exact_champion == "nb"
+    # discordance is one-sided: NB right where rule wrong (the
+    # negatives), never the reverse
+    assert r.mcnemar_rule_nb_n10 == 0
+    assert r.mcnemar_rule_nb_n01 == r.n_test - r.n_pos_test
+    assert r.logreg_acc_ok == 1 and r.logreg_beats_rule_ok == 1

@@ -310,3 +310,73 @@ def test_isotonic_length_calibration_flags(spark):
     assert r.n_test > 0
     assert r.monotone_ok == 1
     assert r.brier_beats_base_ok == 1
+
+
+def test_als_purchase_retrieval_structured_data(spark):
+    """On a block-structured purchase matrix (users buy only inside
+    their block) ALS must clear the chance floor by construction, and
+    the interaction census must be exact."""
+    from pythonvectordb_spark.indexing import als_purchase_retrieval
+
+    # 60 users x 40 items in 4 blocks of (15 users x 10 items); each
+    # user buys every item of their block once -> 600 interactions
+    orders, lineitem, ok = [], [], 0
+    for u in range(60):
+        for it in range(40):
+            if u // 15 == it // 10:
+                ok += 1
+                orders.append((ok, u))
+                lineitem.append((ok, it))
+    odf = spark.createDataFrame(orders, "o_orderkey long, o_custkey long")
+    ldf = spark.createDataFrame(lineitem, "l_orderkey long, l_partkey long")
+    (r,) = als_purchase_retrieval(odf, ldf, k=5, shortlist=24).collect()
+    assert r.n_users == 60 and r.n_items == 40
+    assert r.n_interactions == 600
+    assert r.n_train + r.n_test == 600 and r.n_test > 0
+    assert r.n_test_users > 0
+    # within-block structure is learnable: both arms clear the floor
+    # (popularity concentrates on block items too since blocks are equal)
+    assert r.als_hit_rate_ok == 1
+
+
+def test_als_purchase_retrieval_split_is_md5(spark):
+    """The census columns must match a direct md5-split recomputation."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import als_purchase_retrieval
+    from tests.conftest import SF_SMOKE
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    (r,) = als_purchase_retrieval(orders, lineitem).collect()
+    inter = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .count()
+    )
+    n = inter.count()
+    n_test = inter.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user").cast("string"),
+                        F.lit("-"),
+                        F.col("item").cast("string"),
+                    )
+                ),
+                32,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    ).count()
+    assert r.n_interactions == n
+    assert r.n_test == n_test and r.n_train == n - n_test
