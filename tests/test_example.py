@@ -5,9 +5,12 @@ compose on the public API."""
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 
+@pytest.mark.slow
 def test_llm_pipeline_example_runs(spark):
     from llm_pipeline import run
 

@@ -77,6 +77,7 @@ def duck_events(skew_dir):
     con.close()
 
 
+@pytest.mark.slow
 def test_funnel_heavy_user_matches_oracle(spark, skew_dir, duck_events):
     from pythonvectordb_spark.registry import ORACLES, QUERIES
 

@@ -1,7 +1,14 @@
 """Every registered query must hash-match its DuckDB oracle at sf0.001
-(the driver runs the same check at sf0.01)."""
+(the driver runs the same check at sf0.01).
+
+Tier-2 (`slow`): the /verify sweep runs the identical comparison for
+all queries at the larger sf0.01 before every commit, so the fast path
+(`-m "not slow"`) skips this module; the full suite still runs it once
+per round."""
 
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import compare, duck_connection

@@ -265,6 +265,7 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark):
     assert recall >= 0.8, f"recall {recall:.2f} ({len(exact)} exact pairs)"
 
 
+@pytest.mark.slow
 def test_lsh_int_signatures_arrow_equals_expr(spark):
     """The Arrow matmul signature kernel and the HOF expression twin
     must agree on EVERY band signature — they share exact int64

@@ -7,6 +7,8 @@ censoring included."""
 import math
 
 from hypothesis import given, settings, strategies as st
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -90,6 +92,7 @@ def test_ks_d_matches_bruteforce(spark, ga, gb):
         max_size=6,
     ),
 )
+@pytest.mark.slow
 def test_logrank_matches_per_subject_model(spark, subj_a, subj_b):
     """The cumulative-subtraction at-risk counts reproduce the naive
     per-subject definition (at-risk = time >= t) at every event time,

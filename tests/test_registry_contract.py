@@ -11,6 +11,8 @@ query is oracled — the last two rows-only sketches graduated to
 hash-matched sketch-internal oracles (KMV / bottom-k sample).
 """
 
+import pytest
+
 from pyspark.sql import types as T
 
 from tests.conftest import SF_SMOKE
@@ -18,6 +20,7 @@ from tests.conftest import SF_SMOKE
 NON_SCALAR = (T.ArrayType, T.MapType, T.StructType)
 
 
+@pytest.mark.slow
 def test_oracled_schemas_are_driver_canonicalizable(spark):
     from pythonvectordb_spark.registry import ORACLES, QUERIES
 

@@ -58,6 +58,7 @@ def test_server_matches_knn_join(spark, qtable):
             assert srv.search(v) == _knn_join_single(spark, qtable, v)
 
 
+@pytest.mark.slow
 def test_server_concurrent_scatter(spark, qtable):
     """8 threads x 4 queries each through one server: every caller gets
     ITS OWN query's results (no cross-wiring under coalescing), equal to

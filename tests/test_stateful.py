@@ -1,11 +1,14 @@
 """applyInPandasWithState: per-user running state across microbatches
 must converge to the batch aggregate over the same rows."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_stateful_tracker_converges_to_batch(spark, tmp_path):
     from pythonvectordb_spark.sources.testdata import load_table
     from pythonvectordb_spark.streaming.stateful import user_activity_tracker
