@@ -360,3 +360,31 @@ def test_ljung_box_single_window_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one Scan of events feeds the whole plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_als_retrieval_plan_shape(spark):
+    """The only cartesian in the ALS plan is MLlib's blocked recommend
+    (ml.recommendation frames on both sides); the evaluation itself is
+    equi-joins, and no Python touches the data path."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["mllib_als_retrieval"](spark, SF_SMOKE)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert plan.count("CartesianProduct") == 1
+    assert "ml.recommendation" in plan  # the blocked-recommend wrapper
+    assert "BatchEvalPython" not in plan
+    assert "LeftAnti" in plan  # train-item exclusion is an equi anti-join
+
+
+def test_gate_champion_challenger_plan_shape(spark):
+    """Three gates, one spine: the whole report stays JVM-side (no
+    row-wise Python), with map-side partial aggregates under the NB
+    token counts."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    df = QUERIES["gate_champion_challenger"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert E.has_partial_aggregate(df)
