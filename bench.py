@@ -661,7 +661,13 @@ def _decade2_rehearsal(spark, sf_dir: str) -> dict:
             ),
         }
         for name, fn in cases.items():
-            fn(emb1, n1).count()  # warm JIT/codegen on the small SF
+            # warm EACH point once before timing (plan codegen + first
+            # parquet read of the freshly-built twin): the round-8
+            # partition experiment showed the cold first read alone
+            # inflates the decade-2 exponent 1.01 -> 1.06
+            fn(emb1, n1).count()
+            fn(emb10, n10).count()
+            fn(emb100, n100).count()
             t0 = time.time()
             rows10 = fn(emb10, n10).count()
             t10 = time.time() - t0

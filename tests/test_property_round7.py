@@ -318,3 +318,86 @@ def test_quantization_saturation_matches_k3_model(spark, vecs):
         assert out[d].n_sat == sum(1 for q in col if abs(q) == 127)
         assert out[d].n_high == sum(1 for q in col if abs(q) >= 64)
         assert out[d].min_q == min(col) and out[d].max_q == max(col)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["alpha beta gamma", "alpha beta", "delta epsilon zeta eta"]),
+            st.integers(min_value=1, max_value=3),
+        ),
+        min_size=10,
+        max_size=24,
+    )
+)
+@pytest.mark.slow
+def test_champion_gate_matches_python_model(spark, texts):
+    """The exact columns of gate_champion_challenger (label census, NB
+    accuracy, McNemar counts, champion verdict) must agree with a
+    literal Python reimplementation of the add-one-smoothed NB, the md5
+    split, and the above-mean-length label on arbitrary tiny corpora
+    (round 8; the rule arm is forced to all-keep by construction so the
+    model stays closed-form)."""
+    import hashlib
+    import math as m
+
+    from pythonvectordb_spark.operators.curation import gate_champion_challenger
+
+    # every doc: >= 10 diverse tokens incl. stopwords -> rule keeps all
+    pad = " the a of and to w1 w2 w3 w4 w5"
+    rows = [(i, (t * r).strip() + pad) for i, (t, r) in enumerate(texts)]
+    docs = [(i, txt, len(txt)) for i, txt in rows]
+    df = spark.createDataFrame(docs, "doc_id long, text string, n_chars int")
+    (r,) = gate_champion_challenger(df).collect()
+
+    n, tot = len(docs), sum(c for _, _, c in docs)
+    pos = {i: c * n > tot for i, _, c in docs}
+    is_test = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[-1], 16) % 5 == 0
+        for i, _, _ in docs
+    }
+    toks = {i: [w for w in t.split(" ") if w] for i, t, _ in docs}
+    test_ids = [i for i in is_test if is_test[i] and toks[i]]
+    if not test_ids or all(pos.values()) or not any(pos.values()):
+        return  # degenerate: no test rows or single-class NB train
+    tr_ids = [i for i in is_test if not is_test[i]]
+    if not tr_ids or len({pos[i] for i in tr_ids}) < 2:
+        return
+
+    # python NB (add-one smoothing over the train vocabulary)
+    classes = {"long": [i for i in tr_ids if pos[i]],
+               "short": [i for i in tr_ids if not pos[i]]}
+    vocab = {w for i in tr_ids for w in toks[i]}
+    V = len(vocab)
+    cond = {}
+    for cls, ids in classes.items():
+        cnt = {}
+        for i in ids:
+            for w in toks[i]:
+                cnt[w] = cnt.get(w, 0) + 1
+        cond[cls] = (cnt, sum(cnt.values()) + V)
+    N = len(tr_ids)
+    nb_pred = {}
+    for i in test_ids:
+        scores = {}
+        for cls, ids in classes.items():
+            cnt, denom = cond[cls]
+            s = m.log(len(ids) / N) + sum(
+                m.log((cnt.get(w, 0) + 1) / denom) for w in toks[i]
+            )
+            scores[cls] = round(s, 6)
+        # argmax, class-name tie-break ('long' < 'short')
+        nb_pred[i] = max(scores, key=lambda c: (scores[c], c == "long")) == "long"
+
+    cr = sum(1 for i in test_ids if pos[i])          # rule keeps all
+    cn = sum(1 for i in test_ids if nb_pred[i] == pos[i])
+    n10 = sum(1 for i in test_ids if pos[i] and nb_pred[i] != pos[i])
+    n01 = sum(1 for i in test_ids if (not pos[i]) and nb_pred[i] == pos[i])
+    assert r.n_test == len(test_ids)
+    assert r.n_pos_test == sum(1 for i in test_ids if pos[i])
+    assert abs(r.acc_rule - round(cr / len(test_ids), 6)) < 1e-9
+    assert abs(r.acc_nb - round(cn / len(test_ids), 6)) < 1e-9
+    assert r.mcnemar_rule_nb_n10 == n10
+    assert r.mcnemar_rule_nb_n01 == n01
+    assert r.exact_champion == ("nb" if cn >= cr else "rule")
