@@ -42,3 +42,15 @@ def test_hybrid_search_and_export_example_runs(spark):
     assert len(s["hybrid_top"]) == 10
     assert s["skew_factor"] >= 1.0
     assert sum(s["shards"].values()) == s["n_exported"] > 0
+
+
+@pytest.mark.slow
+def test_gates_and_retrieval_example_runs(spark):
+    from gates_and_retrieval import run
+
+    s = run("/root/testdata/sf0.001")
+    g, r = s["gates"], s["retrieval"]
+    assert g["n_test"] > 0 and g["exact_champion"] in ("nb", "rule")
+    assert g["logreg_acc_ok"] == 1
+    assert r["n_interactions"] == r["n_train"] + r["n_test"] > 0
+    assert r["als_hit_rate_ok"] == 1 and r["pop_hit_rate_ok"] == 1
