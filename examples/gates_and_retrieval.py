@@ -3,8 +3,9 @@
     python examples/gates_and_retrieval.py [sf_dir]
 
 Composes the trained-estimator operators the way a curation + serving
-job would: pick the ingest quality gate by evidence (the three-gate
-champion-challenger report), then build the collaborative retrieval
+job would: pick the ingest quality gate by evidence (the four-gate,
+two-label champion-challenger report — round 9 adds the GBT tree arm
+and the topic-routing label), then build the collaborative retrieval
 index (ALS on the purchase matrix) next to the content index the other
 examples build, and read both verdict frames into one summary. Every
 step is a pure DataFrame transform; nothing collects until the end.

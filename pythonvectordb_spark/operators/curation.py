@@ -1790,58 +1790,93 @@ def gate_champion_challenger(
     max_iter: int = 20,
     reg_param: float = 0.01,
     logreg_min_accuracy: float = 0.85,
+    gbt_min_accuracy: float = 0.9,
+    gbt_max_iter: int = 10,
+    gbt_max_depth: int = 3,
+    topic_term: str = "vector",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Champion-challenger report over the repo's THREE quality gates
-    (new round 8, VERDICT r7 task 5): the rule gate
-    (:func:`quality_filter`'s keep verdict), the Naive Bayes gate
-    (:func:`nb_classifier_confusion`'s model trained on the binary
-    label), and the MLlib LogisticRegression gate
-    (`indexing.logreg_text_gate`'s exact pipeline) — evaluated against
-    ONE reference label on ONE shared held-out split, with pairwise
-    error-pattern disagreement, so "which gate should ingest run?" is
-    one query instead of three incomparable ones.
+    """Champion-challenger report over FOUR quality gates on TWO
+    reference labels (round 8 + round-9 extension, VERDICT r8 tasks
+    3/4): the rule gate (:func:`quality_filter`'s keep verdict), the
+    Naive Bayes gate (:func:`nb_classifier_confusion`'s model), the
+    MLlib LogisticRegression gate (`indexing.logreg_text_gate`'s exact
+    pipeline), and an MLlib GBTClassifier gate on the cheap numeric
+    features `quality_filter` already computes — evaluated on ONE
+    shared held-out split, with pairwise error-pattern disagreement, so
+    "which gate should ingest run?" is one query instead of four
+    incomparable ones.
 
-    Reference label and split are `logreg_text_gate`'s: positive =
+    Primary label and split are `logreg_text_gate`'s: positive =
     ABOVE-MEAN-LENGTH (n_chars * n_docs > sum(n_chars), exact-integer
     cross-multiplied); test = md5(doc_id) last hex digit mod
     `test_mod` == 0. The evaluation spine is test documents with >= 1
     token (the NB tokenizer's contract — zero-token documents are not
     classifiable by a bag-of-words gate).
 
+    Second label (round 9 — makes the exact champion verdict
+    discriminating instead of foregone): TOPIC ROUTING — positive =
+    the document mentions `topic_term` more often than the corpus
+    mean (per-doc count * n_docs > total count, the length label's
+    exact-integer cross-multiplied discipline; balanced by
+    construction, P(pos) ≈ 0.51 at sf0.001/sf0.01). "Route documents
+    about X to pipeline Y" is the standard curation gate a
+    bag-of-words model exists for, and unlike the length label this
+    one IS in the token distribution: measured `acc_nb_topic`
+    0.780303/0.833333 vs `acc_rule_topic` 0.515152/0.537879 at
+    sf0.001/sf0.01 —
+    the `exact_champion_topic` verdict is earned, not structural.
+    (The lang-marker label VERDICT r8 suggested as an example was
+    measured first and rejected: each language's marker tokens appear
+    at uniform ~0.10 rates across ALL languages in this testdata, so
+    lang-NB scores a chance-level 0.515/0.583 — no signal to earn a
+    verdict with.) Both topic accuracies reuse the same spine and are
+    expression-exact.
+
     Checked-column design (mirrors `dedup_mcnemar` + the `mllib_*`
     guarantee precedent): the rule and NB gates are expression-exact,
-    so their accuracies, the McNemar b/c discordant-correctness counts
-    between them, the continuity-corrected chi2, and the integer-count
-    champion verdict all hash exactly (DuckDB recomputes the NB model
-    bit-for-bit — `o_nb_lang_confusion`'s SQL with the binary label).
-    The trained LogisticRegression's predictions are engine-specific,
-    so its columns are guarantee flags: held-out accuracy >= bound,
-    and beats-the-rule-gate as an integer-count comparison asserted as
-    data (measured: logreg ~0.95+ vs rule 0.477/0.545 and NB
-    0.500/0.553 at sf0.001/sf0.01 — both cheap gates are near chance
-    on the length label because the ~31-word shared vocabulary gives
-    their per-token signals nothing to separate on, which is the point
-    of the report: it SHOWS that with numbers instead of folklore, and
-    the exact champion verdict between them is still a deterministic
-    integer-count comparison).
+    so their accuracies on BOTH labels, the McNemar b/c
+    discordant-correctness counts, the continuity-corrected chi2, and
+    the integer-count champion verdicts all hash exactly (DuckDB
+    recomputes both NB models bit-for-bit — `o_nb_lang_confusion`'s
+    SQL shape). The trained LogisticRegression's and GBT's predictions
+    are engine-specific, so their columns are guarantee flags:
+    held-out accuracy >= bound and beats-the-rule-gate as
+    integer-count comparisons asserted as data.
 
-    Scale shape: one corpus pass computes label + split + rule verdict
-    (pure expressions); the NB arm is `_nb_doc_scores`' checkpointed
-    tokenize (model frames broadcast, scoring join AQE-broadcast); the
-    LBFGS arm is `max_iter` tree-aggregated passes over hashed term
-    counts with a broadcast coefficient vector; everything meets on the
-    doc-id spine with one final 1-row aggregate. No Python in the hot
-    path, nothing but the verdict reaches the driver.
+    Measured margins per SF (the guarantee-flag documentation rule,
+    ADVICE r8): on the length label, logreg accuracy 0.984848/0.946970
+    and GBT accuracy 1.000000/0.984848 at sf0.001/sf0.01 vs bounds
+    0.85/0.9 and rule 0.477/0.545, NB 0.500/0.553 — the tree arm can
+    represent the
+    label's generating rule exactly (one axis-aligned split on length
+    at the mean), which is the report's point: per-token linear/NB
+    gates structurally cannot separate a length label, a depth-limited
+    tree on the four numeric quality signals can.
+
+    Scale shape: one corpus pass computes labels + split + rule
+    verdict (pure expressions, checkpointed — the quality features
+    feed both the rule arm and the GBT arm); each NB arm is
+    `_nb_doc_scores`' checkpointed tokenize (model frames broadcast,
+    scoring join AQE-broadcast); the LBFGS arm is `max_iter`
+    tree-aggregated passes over hashed term counts with a broadcast
+    coefficient vector; the GBT arm is `gbt_max_iter` depth-bounded
+    histogram-aggregation passes over a 4-feature frame (tree
+    ensembles train on binned sufficient statistics — no per-row
+    driver work); everything meets on the doc-id spine with one final
+    1-row aggregate. No Python in the hot path, nothing but the
+    verdict reaches the driver.
     """
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF, RegexTokenizer
+    from pyspark.ml.classification import GBTClassifier, LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer, VectorAssembler
     from pyspark.sql import Window
 
+    n_term = F.size(F.filter(tokens(text_col), lambda x: x == F.lit(topic_term)))
     tot = docs.agg(
         F.count(F.lit(1)).cast("long").alias("_cnt"),
         F.sum("n_chars").cast("long").alias("_tot_chars"),
+        F.sum(n_term).cast("long").alias("_tot_term"),
     ).withColumn("_one", F.lit(1))
     is_test = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 32, 1), 16, 10)
@@ -1856,20 +1891,26 @@ def gate_champion_challenger(
             id_col,
             text_col,
             (F.col("n_chars") * F.col("_cnt") > F.col("_tot_chars")).alias("pos"),
+            (n_term.cast("long") * F.col("_cnt") > F.col("_tot_term")).alias(
+                "pos_topic"
+            ),
             is_test.alias("is_test"),
             F.size(tokens(text_col)).alias("_ntok"),
+            F.col("n_chars"),
         )
-        .localCheckpoint(eager=False)  # feeds the spine, NB label frame,
-        # and the logreg train/score passes
+        .localCheckpoint(eager=False)  # feeds the spine, both NB label
+        # frames, and the logreg + GBT train/score passes
     )
     spine = base.filter(F.col("is_test") & (F.col("_ntok") > 0)).select(
-        id_col, "pos"
+        id_col, "pos", "pos_topic"
     )
 
-    # --- rule gate: quality_filter's keep verdict ----------------------
-    rule = quality_filter(docs, id_col=id_col, text_col=text_col).select(
-        id_col, F.col("keep").alias("rule_pred")
+    # --- rule gate: quality_filter's keep verdict; its numeric quality
+    # signals double as the GBT arm's features ---------------------------
+    qf = quality_filter(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
     )
+    rule = qf.select(id_col, F.col("keep").alias("rule_pred"))
 
     # --- NB gate: binary-label multinomial NB, argmax on rounded score -
     lbl = base.select(
@@ -1884,6 +1925,21 @@ def gate_champion_challenger(
         sc.withColumn("rn", F.row_number().over(wnb))
         .filter(F.col("rn") == 1)
         .select(id_col, (F.col("cls") == F.lit("long")).alias("nb_pred"))
+    )
+
+    # --- NB gate retrained on the second (topic-routing) label: 'mod'
+    # sorts before 'oth', the engine-portable class-name tie-break ------
+    lbl2 = base.select(
+        id_col,
+        text_col,
+        F.when(F.col("pos_topic"), F.lit("mod")).otherwise(F.lit("oth")).alias("llbl"),
+        "is_test",
+    )
+    sc2 = _nb_doc_scores(lbl2, ~F.col("is_test"), "llbl", text_col, id_col)
+    nb2 = (
+        sc2.withColumn("rn", F.row_number().over(wnb))
+        .filter(F.col("rn") == 1)
+        .select(id_col, (F.col("cls") == F.lit("mod")).alias("nb_topic_pred"))
     )
 
     # --- logreg gate: the logreg_text_gate pipeline, per-doc verdicts --
@@ -1901,15 +1957,59 @@ def gate_champion_challenger(
         id_col, (F.col("prediction") == 1.0).alias("lr_pred")
     )
 
+    # --- GBT gate: tree ensemble on the four numeric quality signals
+    # plus raw length — the one gate family that CAN represent the
+    # length label's generating rule (an axis-aligned threshold) -------
+    gfeat = (
+        qf.select(
+            id_col,
+            F.col("n_tokens").cast("double").alias("f_ntok"),
+            "type_token_ratio",
+            "stopword_ratio",
+            "top_token_share",
+        )
+        .join(
+            base.select(
+                id_col,
+                F.col("n_chars").cast("double").alias("f_nchars"),
+                F.col("pos").cast("double").alias("label"),
+                "is_test",
+            ),
+            id_col,
+        )
+    )
+    gfeat = VectorAssembler(
+        inputCols=[
+            "f_ntok",
+            "type_token_ratio",
+            "stopword_ratio",
+            "top_token_share",
+            "f_nchars",
+        ],
+        outputCol="features",
+    ).transform(gfeat).localCheckpoint(eager=False)  # feeds fit() AND transform()
+    gbt = GBTClassifier(
+        maxIter=int(gbt_max_iter), maxDepth=int(gbt_max_depth), seed=7
+    )
+    gbt_model = gbt.fit(gfeat.filter(~F.col("is_test")))
+    gbtp = gbt_model.transform(gfeat.filter(F.col("is_test"))).select(
+        id_col, (F.col("prediction") == 1.0).alias("gbt_pred")
+    )
+
     per = (
         spine.join(rule, id_col)
         .join(nb, id_col)
         .join(lrp, id_col)
+        .join(gbtp, id_col)
+        .join(nb2, id_col)
         .select(
             F.col("pos").cast("long").alias("p"),
             (F.col("rule_pred") == F.col("pos")).cast("long").alias("rc"),
             (F.col("nb_pred") == F.col("pos")).cast("long").alias("nc"),
             (F.col("lr_pred") == F.col("pos")).cast("long").alias("lc"),
+            (F.col("gbt_pred") == F.col("pos")).cast("long").alias("gc"),
+            (F.col("rule_pred") == F.col("pos_topic")).cast("long").alias("rc2"),
+            (F.col("nb_topic_pred") == F.col("pos_topic")).cast("long").alias("nc2"),
         )
     )
     g = per.agg(
@@ -1918,6 +2018,9 @@ def gate_champion_challenger(
         F.sum("rc").cast("long").alias("_cr"),
         F.sum("nc").cast("long").alias("_cn"),
         F.sum("lc").cast("long").alias("_cl"),
+        F.sum("gc").cast("long").alias("_cg"),
+        F.sum("rc2").cast("long").alias("_cr2"),
+        F.sum("nc2").cast("long").alias("_cn2"),
         F.sum(F.col("rc") * (1 - F.col("nc"))).cast("long").alias("mcnemar_rule_nb_n10"),
         F.sum((1 - F.col("rc")) * F.col("nc")).cast("long").alias("mcnemar_rule_nb_n01"),
     )
@@ -1942,4 +2045,15 @@ def gate_champion_challenger(
         .cast("long")
         .alias("logreg_acc_ok"),
         (F.col("_cl") >= F.col("_cr")).cast("long").alias("logreg_beats_rule_ok"),
+        F.round(F.col("_cr2").cast("double") / nd, 6).alias("acc_rule_topic"),
+        F.round(F.col("_cn2").cast("double") / nd, 6).alias("acc_nb_topic"),
+        F.when(F.col("_cn2") >= F.col("_cr2"), F.lit("nb"))
+        .otherwise(F.lit("rule"))
+        .alias("exact_champion_topic"),
+        (
+            F.col("_cg").cast("double") / nd >= F.lit(float(gbt_min_accuracy))
+        )
+        .cast("long")
+        .alias("gbt_acc_ok"),
+        (F.col("_cg") >= F.col("_cr")).cast("long").alias("gbt_beats_rule_ok"),
     )

@@ -978,12 +978,14 @@ FROM per
 
 
 def q_gate_champion_challenger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Champion-challenger report over the three quality gates (new
-    round 8, VERDICT r7 task 5): rule / Naive Bayes / trained
-    LogisticRegression evaluated against one reference label on one
-    shared md5 held-out split — exact accuracies and McNemar
-    discordant-correctness counts for the two expression-exact gates,
-    integer-count champion verdict, guarantee flags for the trained arm
+    """Champion-challenger report over the four quality gates (round 8
+    + round-9 GBT/topic extension, VERDICT r8 tasks 3/4): rule / Naive
+    Bayes / trained LogisticRegression / trained GBTClassifier
+    evaluated on one shared md5 held-out split against TWO reference
+    labels (above-mean length; above-mean topic-term mentions) — exact
+    accuracies and McNemar discordant-correctness counts for the
+    expression-exact gates on both labels, integer-count champion
+    verdicts, guarantee flags for the two trained arms
     (`operators.curation.gate_champion_challenger`)."""
     return CU.gate_champion_challenger(load_table(spark, sf_dir, "documents"))
 
@@ -993,18 +995,26 @@ def o_gate_champion_challenger() -> str:
 
     stop = O.sql_stopword_filter("t", STOPWORDS)
     # rule arm: o_quality_filter's CTE chain reduced to (doc_id, keep);
-    # NB arm: o_nb_lang_confusion's model SQL with the binary length
-    # label and the md5 split; logreg columns are guarantee literals
-    # (the o_mllib_logreg_gate precedent)
+    # NB arms: o_nb_lang_confusion's model SQL with the binary length
+    # label (arm 1) and the binary above-mean-topic-term label (arm 2)
+    # on the md5 split; logreg + GBT columns are guarantee literals
+    # (the o_mllib_logreg_gate precedent; measured margins live in the
+    # operator docstring)
     return f"""
-WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
-                    CAST(sum(n_chars) AS BIGINT) AS tot_chars
-             FROM documents),
-lbl AS (SELECT doc_id, text, n_chars * cnt > tot_chars AS pos,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))::BIGINT
+WITH qb AS (SELECT doc_id, {O.sql_tokens('text')} AS t FROM documents),
+tc AS (SELECT doc_id,
+              CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS n_term
+       FROM qb),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        FROM documents),
+tott AS (SELECT CAST(sum(n_term) AS BIGINT) AS tot_term FROM tc),
+lbl AS (SELECT d.doc_id, d.text, d.n_chars * cnt > tot_chars AS pos,
+               tc.n_term * cnt > tot_term AS pos_topic,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 32, 1))::BIGINT
                  % 5 = 0 AS is_test
-        FROM documents CROSS JOIN tot),
-qb AS (SELECT doc_id, {O.sql_tokens('text')} AS t FROM documents),
+        FROM documents d JOIN tc ON d.doc_id = tc.doc_id
+        CROSS JOIN tot CROSS JOIN tott),
 qc AS (
   SELECT doc_id,
          len(t) AS n_tok,
@@ -1030,10 +1040,11 @@ rule AS (
 ),
 t2 AS (SELECT l.doc_id,
               CASE WHEN l.pos THEN 'long' ELSE 'short' END AS qlbl,
+              CASE WHEN l.pos_topic THEN 'mod' ELSE 'oth' END AS tlbl,
               {O.sql_tokens('l.text')} AS w,
               NOT l.is_test AS is_tr
        FROM lbl l),
-tok AS (SELECT doc_id, qlbl, is_tr, unnest(w) AS tok FROM t2),
+tok AS (SELECT doc_id, qlbl, tlbl, is_tr, unnest(w) AS tok FROM t2),
 tr AS (SELECT * FROM tok WHERE is_tr),
 te AS (SELECT * FROM tok WHERE NOT is_tr),
 cond AS (SELECT qlbl AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
@@ -1065,17 +1076,49 @@ rk AS (
   FROM sc
 ),
 nb AS (SELECT doc_id, cls = 'long' AS nb_pred FROM rk WHERE rn = 1),
-spine AS (SELECT l.doc_id, l.pos
+cond2 AS (SELECT tlbl AS cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+          FROM tr GROUP BY 1, 2),
+clstok2 AS (SELECT tlbl AS cls, CAST(count(*) AS BIGINT) AS tok_c
+            FROM tr GROUP BY 1),
+ndocs2 AS (SELECT CASE WHEN pos_topic THEN 'mod' ELSE 'oth' END AS cls,
+                  CAST(count(*) AS BIGINT) AS n_docs
+           FROM lbl WHERE NOT is_test GROUP BY 1),
+classes2 AS (
+  SELECT cls, ln(n_docs::DOUBLE / N::DOUBLE) AS prior_ln, tok_c + V AS denom
+  FROM ndocs2 JOIN clstok2 USING (cls) CROSS JOIN vocab CROSS JOIN ntot
+),
+sc2 AS (
+  SELECT te.doc_id, c.cls,
+         round(c.prior_ln
+               + sum(ln((coalesce(cond2.c_tc, 0) + 1)::DOUBLE
+                        / c.denom::DOUBLE)), 6) AS score
+  FROM te CROSS JOIN classes2 c
+  LEFT JOIN cond2 ON cond2.cls = c.cls AND cond2.tok = te.tok
+  GROUP BY 1, 2, c.prior_ln
+),
+rk2 AS (
+  SELECT doc_id, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM sc2
+),
+nb2 AS (SELECT doc_id, cls = 'mod' AS nb_topic_pred FROM rk2 WHERE rn = 1),
+spine AS (SELECT l.doc_id, l.pos, l.pos_topic
           FROM lbl l JOIN qc USING (doc_id)
           WHERE l.is_test AND qc.n_tok > 0),
 per AS (SELECT CASE WHEN s.pos THEN 1 ELSE 0 END AS p,
                CASE WHEN r.rule_pred = s.pos THEN 1 ELSE 0 END AS rc,
-               CASE WHEN n.nb_pred = s.pos THEN 1 ELSE 0 END AS nc
-        FROM spine s JOIN rule r USING (doc_id) JOIN nb n USING (doc_id)),
+               CASE WHEN n.nb_pred = s.pos THEN 1 ELSE 0 END AS nc,
+               CASE WHEN r.rule_pred = s.pos_topic THEN 1 ELSE 0 END AS rc2,
+               CASE WHEN n2.nb_topic_pred = s.pos_topic THEN 1 ELSE 0 END AS nc2
+        FROM spine s JOIN rule r USING (doc_id) JOIN nb n USING (doc_id)
+        JOIN nb2 n2 USING (doc_id)),
 g AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
              CAST(sum(p) AS BIGINT) AS n_pos_test,
              CAST(sum(rc) AS BIGINT) AS cr,
              CAST(sum(nc) AS BIGINT) AS cn,
+             CAST(sum(rc2) AS BIGINT) AS cr2,
+             CAST(sum(nc2) AS BIGINT) AS cn2,
              CAST(sum(rc * (1 - nc)) AS BIGINT) AS n10,
              CAST(sum((1 - rc) * nc) AS BIGINT) AS n01
       FROM per)
@@ -1089,6 +1132,11 @@ SELECT n_test, n_pos_test,
                / (n10 + n01)::DOUBLE, 6) END AS mcnemar_rule_nb_chi2_cc,
        CASE WHEN cn >= cr THEN 'nb' ELSE 'rule' END AS exact_champion,
        CAST(1 AS BIGINT) AS logreg_acc_ok,
-       CAST(1 AS BIGINT) AS logreg_beats_rule_ok
+       CAST(1 AS BIGINT) AS logreg_beats_rule_ok,
+       round(cr2::DOUBLE / n_test::DOUBLE, 6) AS acc_rule_topic,
+       round(cn2::DOUBLE / n_test::DOUBLE, 6) AS acc_nb_topic,
+       CASE WHEN cn2 >= cr2 THEN 'nb' ELSE 'rule' END AS exact_champion_topic,
+       CAST(1 AS BIGINT) AS gbt_acc_ok,
+       CAST(1 AS BIGINT) AS gbt_beats_rule_ok
 FROM g
 """

@@ -716,3 +716,12 @@ def test_gate_champion_challenger_separable_label(spark):
     assert r.mcnemar_rule_nb_n10 == 0
     assert r.mcnemar_rule_nb_n01 == r.n_test - r.n_pos_test
     assert r.logreg_acc_ok == 1 and r.logreg_beats_rule_ok == 1
+    # round-9 arms: the length label is an axis-aligned threshold on
+    # n_chars, so the tree gate nails it and beats the all-keep rule
+    assert r.gbt_acc_ok == 1 and r.gbt_beats_rule_ok == 1
+    # no doc contains the topic term -> pos_topic is all-false, the
+    # all-keep rule is wrong everywhere, single-class NB is right
+    # everywhere, and the topic champion verdict is forced
+    assert r.acc_rule_topic == 0.0
+    assert r.acc_nb_topic == 1.0
+    assert r.exact_champion_topic == "nb"

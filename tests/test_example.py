@@ -52,5 +52,10 @@ def test_gates_and_retrieval_example_runs(spark):
     g, r = s["gates"], s["retrieval"]
     assert g["n_test"] > 0 and g["exact_champion"] in ("nb", "rule")
     assert g["logreg_acc_ok"] == 1
+    # round-9 arms: tree gate learns the length label; the topic label
+    # is the learnable one, so its champion verdict is earned by NB
+    assert g["gbt_acc_ok"] == 1 and g["gbt_beats_rule_ok"] == 1
+    assert g["acc_nb_topic"] > g["acc_rule_topic"]
+    assert g["exact_champion_topic"] == "nb"
     assert r["n_interactions"] == r["n_train"] + r["n_test"] > 0
     assert r["als_hit_rate_ok"] == 1 and r["pop_hit_rate_ok"] == 1

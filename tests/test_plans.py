@@ -378,9 +378,10 @@ def test_als_retrieval_plan_shape(spark):
 
 
 def test_gate_champion_challenger_plan_shape(spark):
-    """Three gates, one spine: the whole report stays JVM-side (no
-    row-wise Python), with map-side partial aggregates under the NB
-    token counts."""
+    """Four gates, two labels, one spine: the whole report stays
+    JVM-side (no row-wise Python — tree-model scoring is a ScalaUDF,
+    not BatchEvalPython), with map-side partial aggregates under the
+    NB token counts."""
     from pythonvectordb_spark.registry import QUERIES
 
     df = QUERIES["gate_champion_challenger"](spark, SF_SMOKE)
