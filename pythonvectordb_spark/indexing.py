@@ -26,7 +26,7 @@ try:  # Spark >= 3.1
 except ImportError:  # pragma: no cover
     array_to_vector = None
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pythonvectordb_spark.functions.vector import l2_normalize
@@ -611,6 +611,12 @@ def als_purchase_retrieval(
     digit mod `test_mod` == 0 — expression-reproducible on both
     engines, independent of row order.
 
+    Id-width limit (ADVICE r8): MLlib ALS requires int32 user/item
+    ids, so the casts are guarded — a key outside int32 raises instead
+    of silently wrapping (the DuckDB oracle's CAST(... AS INT) errors
+    on the same input). Key spaces past 2^31 need a dense-id remap
+    (dense_rank over distinct keys) before this operator.
+
     Scale shape: ALS is Spark's block-partitioned alternating least
     squares — user/item factor blocks stay distributed, each of the
     `max_iter` sweeps is a pair of shuffles keyed on the block ids, and
@@ -625,11 +631,32 @@ def als_purchase_retrieval(
     from pyspark.ml.recommendation import ALS
     from pyspark.sql import Window
 
+    # MLlib ALS requires int32 ids. A plain non-ANSI cast would silently
+    # wrap/NULL keys past 2^31 and corrupt the census (ADVICE r8), so
+    # the cast is guarded: any out-of-range key fails the job loudly
+    # instead. Data with >2^31 key space needs a dense-id remap first
+    # (dense_rank over the distinct keys) — out of scope here because
+    # TPC-H custkey/partkey are generated well inside int32 at every
+    # published SF; the DuckDB oracle's CAST(... AS INT) errors on
+    # overflow for the same reason, keeping the two engines in parity.
+    def _int32(col: Column, name: str) -> Column:
+        return F.when(
+            (col >= F.lit(-2147483648)) & (col <= F.lit(2147483647)),
+            col.cast("int"),
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    name + " id exceeds MLlib ALS's int32 limit: %s",
+                    col.cast("string"),
+                )
+            ).cast("int")
+        )
+
     inter = (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
         .groupBy(
-            F.col("o_custkey").cast("int").alias("user"),
-            F.col("l_partkey").cast("int").alias("item"),
+            _int32(F.col("o_custkey"), "user").alias("user"),
+            _int32(F.col("l_partkey"), "item").alias("item"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )

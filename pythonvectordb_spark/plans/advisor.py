@@ -249,18 +249,51 @@ def advise(
         if not m:
             continue
         frag = m.group(1)
-        ctx = "\n".join(lines[max(0, i - 6) : i + 7])
-        # formatted explain keeps class names in the per-node detail
-        # section — follow the node ids around the cartesian into it
-        ids = re.findall(r"\((\d+)\)", ctx)
-        detail = "\n".join(
-            frag2
-            for nid in ids
-            for frag2 in re.findall(
-                rf"^\({nid}\) [^\n]*(?:\n[^\(\n][^\n]*)*", txt, flags=re.MULTILINE
+        # The exemption must hold on the cartesian node's OWN child
+        # branches (ADVICE r8): an accidental cartesian that merely
+        # sits NEAR ALS recommend frames in the tree — beside them, or
+        # above a single recommend output — must still flag. Walk the
+        # formatted tree downward while the branch-marker indentation
+        # is strictly deeper than the cartesian's (exactly its
+        # subtree), split it into the two direct child branches, and
+        # require the recommendation class in the detail entries of
+        # BOTH: MLlib's blocked recommend feeds the cross-product from
+        # two factor-block MapPartitions whose detail names
+        # ml.recommendation.ALSModel on each side. (A hand-written
+        # cross of two recommend OUTPUT frames would also pass — both
+        # branches genuinely are recommendation frames — accepted.)
+        depth = len(re.match(r"^[\s:+|\-*]*", ln).group(0))
+        branches: list[list[str]] = []
+        child_depth = None
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip() or "(" not in nxt:
+                break
+            nd = len(re.match(r"^[\s:+|\-*]*", nxt).group(0))
+            if nd <= depth:
+                break
+            if child_depth is None:
+                child_depth = nd
+            if nd == child_depth:
+                branches.append([])
+            if branches:
+                branches[-1].append(nxt)
+
+        def _branch_has_recommend(branch: list[str]) -> bool:
+            ids = re.findall(
+                r"\((\d+)\)\s*$", "\n".join(branch), flags=re.MULTILINE
             )
-        )
-        if "ml.recommendation" in ctx or "ml.recommendation" in detail:
+            detail = "\n".join(
+                frag2
+                for nid in ids
+                for frag2 in re.findall(
+                    rf"^\({nid}\) [^\n]*(?:\n[^\(\n][^\n]*)*",
+                    txt,
+                    flags=re.MULTILINE,
+                )
+            )
+            return "ml.recommendation" in detail
+
+        if len(branches) >= 2 and all(map(_branch_has_recommend, branches)):
             # MLlib ALS recommendForAll/ForUserSubset: a BLOCKED factor
             # cross-product (user-factor blocks x item-factor blocks,
             # per-block GEMM + bounded top-k heap) — the documented

@@ -300,6 +300,22 @@ def q_mllib_als_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_mllib_als_retrieval() -> str:
+    # Contract notes (ADVICE r8):
+    # * the registered binding pins test_mod=5 (the operator default);
+    #   the `% 5` below IS that value — change both together.
+    # * the two *_ok literals are guarantee flags with measured margins
+    #   (chance floor 0.4*k/n_items): ALS hit-rate 0.125749 = 3.1x floor
+    #   at sf0.001, 0.009738 = 2.4x at sf0.01; popularity 0.112275 =
+    #   2.8x / 0.010880 = 2.7x. Cold-start exposure (test users with
+    #   zero TRAIN interactions stay in the denominator but can never
+    #   be hit by ALS's coldStartStrategy="drop"): measured 0/150 and
+    #   0/1498 such users at sf0.001/sf0.01 — every TPC-H customer has
+    #   many interactions, so the md5 pair split strands nobody; a
+    #   data shape with single-interaction users would need the floor
+    #   rescaled by the non-cold share.
+    # * CAST(... AS INT) errors on >int32 keys in DuckDB, matching the
+    #   Spark side's guarded cast (indexing._int32) — both engines fail
+    #   loudly rather than silently wrapping.
     return """
 WITH inter AS (SELECT CAST(o_custkey AS INT) AS u, CAST(l_partkey AS INT) AS i
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -153,3 +153,11 @@ def test_als_blocked_recommend_not_a_cartesian(spark):
     assert "cartesian-product" in _codes(
         advise(a.crossJoin(b.hint("shuffle_replicate_nl")))
     )
+    # tightened control (ADVICE r8): a genuine cartesian that is
+    # ADJACENT to a recommend frame — here, directly ABOVE one, with
+    # ALS machinery throughout its left subtree — must still flag; the
+    # exemption requires the recommendation class in BOTH direct child
+    # branches of the cartesian node itself
+    leak = recs.select("user").crossJoin(b.hint("shuffle_replicate_nl"))
+    codes_leak = _codes(advise(leak))
+    assert "cartesian-product" in codes_leak
