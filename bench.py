@@ -610,14 +610,20 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
 
 
 def _decade2_rehearsal(spark, sf_dir: str) -> dict:
-    """Second measured decade (VERDICT r7 task 6): the two flagship
-    families (knn_join, semantic_dedup) at a 100x twin of sf_dir, so
-    the "linear by measurement" claim spans sf0.1 -> sf1 -> sf10
-    instead of one decade. Same deterministic scale-up, same size
-    rules, same work witness (semantic candidate count at
-    threshold=-2); the per-decade exponent here is measured between
-    the 10x and 100x points. Self-labeling: carries its own start/end
-    control pair.
+    """Second measured decade (VERDICT r7 task 6; r8 tasks 5/6): three
+    flagship families — knn_join, semantic_dedup, and the text-dedup
+    family duplicate_spans — at a 100x twin of sf_dir, so the "linear
+    by measurement" claim spans sf0.1 -> sf1 -> sf10 instead of one
+    decade and covers a token-level text operator, not just vector
+    ops. Same deterministic scale-up, same size rules, same work
+    witnesses (semantic candidate count at threshold=-2; window-hash
+    count == whitespace tokens for spans; scored pairs by definition
+    for knn); the per-decade exponent here is measured between the 10x
+    and 100x points. Self-labeling: carries its own start/end control
+    pair PLUS a per-point control stamp taken immediately before each
+    timed measurement (r8's driver artifact needed an out-of-band warm
+    re-measure to adjudicate a 1.07 exponent; with per-point stamps a
+    polluted point is identified inside the artifact).
     """
     import math
     import shutil
@@ -641,16 +647,19 @@ def _decade2_rehearsal(spark, sf_dir: str) -> dict:
         emb10 = spark.read.parquet(f"{tmp10}/embeddings.parquet")
         emb100 = spark.read.parquet(f"{tmp100}/embeddings.parquet")
         n10, n100 = emb10.count(), emb100.count()
+        docs1 = load_table(spark, sf_dir, "documents")
+        docs10 = spark.read.parquet(f"{tmp10}/documents.parquet")
+        docs100 = spark.read.parquet(f"{tmp100}/documents.parquet")
 
         def sem_centroids(n):  # same size rule as _scale_rehearsal
             k = max(8, n // 250)
             return [_seeded_unit(9000 + i) for i in range(k)]
 
         cases = {
-            "semantic_dedup": lambda e, n: DD.semantic_dedup_pairs(
+            "semantic_dedup": lambda d, e, n: DD.semantic_dedup_pairs(
                 e, sem_centroids(n), 0.4, assign="arrow"
             ),
-            "knn_join_1024q": lambda e, n: S.knn_join(
+            "knn_join_1024q": lambda d, e, n: S.knn_join(
                 S.with_qvec(e),
                 e.limit(1024).select(
                     F.col("vec_id").alias("query_id"),
@@ -659,32 +668,45 @@ def _decade2_rehearsal(spark, sf_dir: str) -> dict:
                 k=10,
                 query_vec="qvec_query",
             ),
+            # r8 task 5: a text-dedup family in the second decade —
+            # window-hash spans are O(tokens), witnessed exactly below
+            "duplicate_spans": lambda d, e, n: _tx().duplicate_spans(
+                d, window=8
+            ),
         }
         for name, fn in cases.items():
             # warm EACH point once before timing (plan codegen + first
             # parquet read of the freshly-built twin): the round-8
             # partition experiment showed the cold first read alone
             # inflates the decade-2 exponent 1.01 -> 1.06
-            fn(emb1, n1).count()
-            fn(emb10, n10).count()
-            fn(emb100, n100).count()
+            fn(docs1, emb1, n1).count()
+            fn(docs10, emb10, n10).count()
+            fn(docs100, emb100, n100).count()
+            # r8 task 6: per-point control stamp immediately before
+            # each timed point, so a co-tenant window that pollutes
+            # exactly one point is identified inside the artifact
+            ctrl_p10 = _control_query_s(spark, sf_dir)
             t0 = time.time()
-            rows10 = fn(emb10, n10).count()
+            rows10 = fn(docs10, emb10, n10).count()
             t10 = time.time() - t0
+            ctrl_p100 = _control_query_s(spark, sf_dir)
             t0 = time.time()
-            rows100 = fn(emb100, n100).count()
+            rows100 = fn(docs100, emb100, n100).count()
             t100 = time.time() - t0
             exp = math.log(max(t100, 1e-9) / max(t10, 1e-9)) / math.log(10)
             out["queries"][name] = {
                 "t_sf1_s": round(t10, 2),
                 "t_sf10_s": round(t100, 2),
+                "ctrl_before_sf1_s": ctrl_p10,
+                "ctrl_before_sf10_s": ctrl_p100,
                 "exponent_decade2": round(exp, 2),
                 "rows_sf1": int(rows10),
                 "rows_sf10": int(rows100),
             }
             log(
                 f"bench sf10 rehearsal {name}: {t10:.2f}s -> {t100:.2f}s "
-                f"(decade-2 exponent {exp:.2f}; rows {rows10} -> {rows100})"
+                f"(decade-2 exponent {exp:.2f}; rows {rows10} -> {rows100}; "
+                f"point controls {ctrl_p10}s / {ctrl_p100}s)"
             )
         # work witness across the SECOND decade: within-block candidate
         # pairs (threshold=-2 keeps every candidate)
@@ -702,9 +724,22 @@ def _decade2_rehearsal(spark, sf_dir: str) -> dict:
         # is the scored-pair count, exact and engine-independent
         out["queries"]["knn_join_1024q"]["scored_pairs_sf1"] = 1024 * n10
         out["queries"]["knn_join_1024q"]["scored_pairs_sf10"] = 1024 * n100
+        # duplicate_spans work == window-hash count == whitespace tokens
+        tok10 = docs10.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).first()[0]
+        tok100 = docs100.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).first()[0]
+        qs = out["queries"]["duplicate_spans"]
+        qs["tokens_sf1"] = int(tok10)
+        qs["tokens_sf10"] = int(tok100)
+        qs["token_growth_decade2"] = round(tok100 / max(tok10, 1), 2)
         log(
             f"bench sf10 work witness: semantic candidates {cand10} -> "
-            f"{cand100} ({cand100 / max(cand10, 1):.2f}x at 10x data)"
+            f"{cand100} ({cand100 / max(cand10, 1):.2f}x at 10x data); "
+            f"spans tokens {tok10} -> {tok100} "
+            f"({tok100 / max(tok10, 1):.2f}x)"
         )
     finally:
         shutil.rmtree(tmp10, ignore_errors=True)
@@ -800,6 +835,12 @@ def main() -> None:
         t0 = time.time()
         S.knn_search(table, FX.QUERY_VEC, k=10).collect()
         single_ms = min(single_ms, (time.time() - t0) * 1000)
+
+    # end-of-knn-section control: together with control_start this
+    # brackets exactly the headline qps measurements (r8 task 2 — the
+    # knn section must defend itself against loaded windows)
+    knn_ctrl_end = _control_query_s(spark, sf_dir)
+    log(f"bench knn section control (end): {knn_ctrl_end}s")
 
     # --- concurrent search (benchmark_suite.py:133-162 analogue): N
     # client threads issuing independent single-query jobs. Concurrency
@@ -1069,6 +1110,45 @@ def main() -> None:
         " start is JVM warm-up, compare rounds on the END value)"
     )
 
+    # --- knn headline self-defense (VERDICT r8 task 2): the official
+    # record has twice carried a co-tenancy dip (r6 663 qps, r8 696 qps
+    # vs clean readings of 1,509-1,833) because the knn section ran in
+    # a loaded window while the rest of the run was clean. If the knn
+    # section's own control pair exceeds 3x this run's idle floor,
+    # re-measure the headline number ONCE now (the host had the whole
+    # run to calm down), with its own control pair, and emit BOTH
+    # readings — the artifact then adjudicates itself.
+    knn_retry = None
+    idle_floor = min(control_start, knn_ctrl_end, control_end)
+    if max(control_start, knn_ctrl_end) > 3.0 * idle_floor:
+        log(
+            f"bench knn section control pair ({control_start}s/"
+            f"{knn_ctrl_end}s) exceeds 3x idle floor {idle_floor}s -> "
+            "re-measuring headline qps"
+        )
+        retry_ctrl_start = _control_query_s(spark, sf_dir)
+        rtable = S.with_qvec(tiled).repartition(32).persist()
+        rtable.count()
+        S.knn_join(rtable, queries, k=10, query_vec="qvec_query").count()
+        retry_sec = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            S.knn_join(rtable, queries, k=10, query_vec="qvec_query").count()
+            retry_sec = min(retry_sec, time.time() - t0)
+        rtable.unpersist()
+        retry_ctrl_end = _control_query_s(spark, sf_dir)
+        knn_retry = {
+            "qps": round(n_queries / retry_sec, 1),
+            "control_query_s": {
+                "start": retry_ctrl_start,
+                "end": retry_ctrl_end,
+            },
+        }
+        log(
+            f"bench knn retry: {knn_retry['qps']} qps "
+            f"(controls {retry_ctrl_start}s / {retry_ctrl_end}s)"
+        )
+
     # --- 10x scale rehearsal (round-3 VERDICT ask #5): measure, don't
     # argue, the scaling exponent of the heaviest families. Skippable
     # for quick local iterations via SPARK_GRAFT_SKIP_SF1=1.
@@ -1130,12 +1210,24 @@ def main() -> None:
                 "end": control_end,
                 "delta_pct": control_delta_pct,
             },
+            # the pair that brackets exactly the headline knn section
+            # (start-of-run control doubles as the section start)
+            "knn_section_control_s": {
+                "start": control_start,
+                "end": knn_ctrl_end,
+            },
             "qps_x_control_s": round(
                 qps * (control_start + control_end) / 2.0, 2
             ),
             "knn_qps_50k": round(qps, 1),
         }
     )
+    if knn_retry is not None:
+        # loaded-window re-measure (see the self-defense block): the
+        # retry value + its own control pair, emitted BESIDE the
+        # original so the record carries both
+        out["knn_qps_50k_retry"] = knn_retry["qps"]
+        out["knn_retry_control_s"] = knn_retry["control_query_s"]
     spark.stop()
     print(json.dumps(out))
 
