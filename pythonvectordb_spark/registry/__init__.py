@@ -7,1493 +7,183 @@ Parity conventions (see oracle.py):
   * integer outputs exact, cast to BIGINT/INT explicitly on both sides;
   * deterministic tie-breaks (score DESC, id ASC) everywhere.
 
-Split into per-family modules in round 8 (see registry/_core.py etc.);
-this package module re-exports every name the single-file registry
-defined, plus the QUERIES/ORACLES assemblies, verbatim.
+Split into per-family modules in round 8; slimmed in round 9 (VERDICT
+r8 task 7): the QUERIES/ORACLES assemblies are now BUILT from the
+family modules off the ordered name list below instead of 1,500 lines
+of mechanical re-exports, and any name the single-file registry
+exported (q_*/o_* functions, shared constants) resolves lazily via the
+module __getattr__ — `from pythonvectordb_spark.registry import X`
+keeps working for every X the family modules define.
+
+_ORDER is the driver contract's load-bearing part: the CORRECTNESS
+window checks the FIRST 50 entries each round, so never-witnessed /
+schema-stale queries lead (contract test
+tests/test_registry_contract.py) followed by previously-witnessed
+queries oldest-witness-first (tools/rotation_plan.py mechanizes the
+rotation; _core.STALE_UNTIL is the shared schema-change ledger).
 """
 
-
 from __future__ import annotations
+
+import importlib
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# family modules that define q_<name> / o_<name> pairs (one module per
+# operator family; _core holds shared constants + SQL helper builders)
+_FAMILIES = (
+    "vector",
+    "retrieval",
+    "dedup",
+    "text",
+    "media",
+    "relational",
+    "stats",
+    "timeseries",
+    "sketch",
+    "graph",
+    "layout",
+    "curation",
+    "streaming",
+    "mllib",
+)
 
-from pythonvectordb_spark.registry._core import (  # noqa: F401
-    ArrayType,
-    BM25_B,
-    BM25_K1,
-    BM25_QUERY,
-    BPE_N_MERGES,
-    CU,
-    Callable,
-    DD,
-    DIM,
-    DataFrame,
-    EPOCH_BUDGET,
-    F,
-    FT,
-    FX,
-    FloatType,
-    IntegerType,
-    LANG_MARKERS_SORTED,
-    LongType,
-    M,
-    MATRYOSHKA_PREFIXES,
-    MM,
-    NGRAM_MAX_DF,
-    O,
-    RL,
-    S,
-    ST,
-    STOPWORDS,
-    SparkSession,
-    StructField,
-    StructType,
-    TX,
-    UNIMAX_BUDGET,
-    Window,
-    _BATCH_SCHEMA,
-    _BPE_SPLIT,
-    _CMS_PROBE_KEYS,
-    _DELETE_IDS,
-    _EDGES_SQL,
-    _JACCARD,
-    _LOOKUP_IDS,
-    _NEW_BATCH_IDS,
-    _NEW_BATCH_VECS,
-    _PRIORITY_PIVOT,
-    _SH_CTE,
-    _SH_KEPT_CTE,
-    _SIMHASH_CTE,
-    _bpe_cte_chain,
-    _emb,
-    _fingerprint,
-    _new_batch,
-    _o_ann_ivf_pq,
-    _o_ann_pq,
-    _pq_sql_codes,
-    _pq_sql_dist,
-    _simhash_cte,
-    _sql_fingerprint,
-    _sql_int8_sym_cos,
-    _sql_new_batch,
-    _sql_sign_bits,
-    _tokens,
-    annotations,
-    dequantize,
-    l2_norm,
-    load_table,
-    pd,
+# Registry order (round-9 rotation): gate_champion_challenger leads
+# (schema extended this round -> counts as never-witnessed), then the
+# last r1 witness, the 37-query r2 cohort, and the stalest r3 queries
+# fill the front-50; everything after stays oldest-witness-first.
+_ORDER = (
+    "gate_champion_challenger", "order_priority_counts", "ann_lsh_multiprobe",
+    "distinct_agg_stats", "salted_segment_revenue", "events_tumbling", "large_volume_orders",
+    "brand_size_revenue", "orders_priority_pivot", "orders_priority_unpivot",
+    "props_json_stats", "top_dims_per_vector", "nation_market_share", "returned_items",
+    "customer_order_frame", "event_type_medians", "events_value_histogram",
+    "small_quantity_revenue", "idle_rich_customers", "customer_quartiles",
+    "embedding_dimension_stats", "bpe_token_counts", "latest_event_per_user",
+    "deterministic_sample", "adjacent_doc_similarity", "event_transitions",
+    "purchase_click_interval_join", "moving_window_stats", "cms_heavy_hitters",
+    "scd2_user_state", "user_event_paths", "event_outliers", "events_grouping_sets",
+    "decontaminate_corpus", "pii_scrub_stats", "stratified_corpus_sample",
+    "dup_cluster_sizes", "corpus_token_share", "ann_pq", "event_value_regression",
+    "ann_ivf_pq", "semantic_dedup", "pack_sequences", "build_vocab", "encode_tokens",
+    "corpus_stats", "incremental_dedup", "value_equidepth_bins", "bm25_rank",
+    "top_events_per_user", "weighted_sample_per_lang", "bigram_surprisal",
+    "event_funnel", "retention_cohorts", "pq_encode", "ann_lsh", "ann_pq_trained",
+    "ann_ivf_pq_trained", "matview_user_spend_twin", "dedup_gate_twin", "events_by_hour",
+    "nation_customer_stats", "value_percentiles", "events_cube", "customer_set_ops",
+    "asof_purchase_attribution", "sessionize_events", "hypertable_rollup",
+    "cms_user_estimates", "zorder_pruning", "snapshot_diff", "bloom_prune_join",
+    "boilerplate_share", "repetition_stats", "chunk_documents", "quality_filter",
+    "unigram_surprisal", "lateship_priority_counts", "knn_classify", "top_brands_by_share",
+    "promo_revenue_share", "top_supplier_revenue", "heavy_part_suppliers",
+    "sole_late_suppliers", "nation_profit_trend", "min_cost_supplier", "hybrid_rrf_search",
+    "training_shard_stats", "source_token_caps", "event_key_skew", "trade_pagerank",
+    "fuzzy_source_pairs", "event_value_mad", "zone_pruned_scan", "approx_percentile_error",
+    "media_image_stats", "dedup_simhash_wide", "duplicate_spans", "media_image_resize",
+    "approx_distinct_error", "contamination_spans", "scrub_spans", "source_mixture",
+    "interleave_audit", "mutual_knn", "importance_weights", "media_audio_stats",
+    "media_audio_resample", "corpus_drift", "hard_negatives", "dup_source_matrix",
+    "containment_pairs", "split_leakage", "nb_lang_confusion", "perplexity_buckets",
+    "zipf_fit", "cluster_split_leakage", "epoch_plan", "dedup_inflation",
+    "quantization_recall", "minhash_precision", "contrastive_triplets", "dq_violations",
+    "tokenizer_fertility", "bpe_merge_pairs", "unimax_epochs", "mmr_rerank",
+    "ann_recall_curve", "k_anonymity", "resolve_keep_best", "rbo_overlap",
+    "ngram_coverage", "dedup_threshold_curve", "minhash_estimate_error",
+    "supplier_part_counts", "neyman_allocation", "source_entropy", "embedding_drift",
+    "dedup_graph_triangles", "heaps_law", "good_turing", "truncation_stats",
+    "source_kl_matrix", "source_lang_mi", "pmi_collocations", "bootstrap_order_ci",
+    "ivf_balance", "cusum_shift", "ks_drift", "dedup_kcore", "revenue_gini",
+    "arrival_burstiness", "event_type_affinity", "benford_digits", "fk_orphans",
+    "event_debounce", "conversion_lag", "user_behavior_entropy", "km_survival",
+    "hourly_acf", "rank_stability", "trimmed_value_stats", "twonn_intrinsic_dim",
+    "hourly_xcorr", "kendall_tau", "hhi_concentration", "mann_whitney", "runs_test",
+    "hill_tail_index", "ivf_silhouette", "embedding_effective_rank", "dedup_assortativity",
+    "copurchase_lift", "markov_entropy_rate", "discount_elasticity", "return_rate_wilson",
+    "priority_segment_chisq", "interpurchase_gap", "source_ttr", "source_decile_shift",
+    "session_depth_hist", "brand_pareto", "customer_rfm", "fk_fanout_stats",
+    "token_rank_drift", "source_js_matrix", "weekday_uniformity", "yearly_value_quartiles",
+    "value_anova", "lognormal_jb", "hour_profile_fit", "return_curve", "user_lifecycle_census",
+    "order_reconciliation", "user_activity_dispersion", "coldstart_rates",
+    "event_bigram_oov", "hour_circular_concentration", "conversion_rate_shift",
+    "brand_yoy_growth", "dup_cluster_purity", "single_source_parts", "basket_diversity",
+    "priority_leadtime", "tax_discount_chisq", "weekend_value_mw", "lang_length_anova",
+    "shard_uniformity", "price_ending_profile", "realized_vs_retail", "segment_acctbal_profile",
+    "supplier_balance_corr", "dedup_method_agreement", "basket_size_value",
+    "anomalous_days", "heldout_cross_entropy", "quality_pass_by_source",
+    "priority_mix_drift", "customer_brand_breadth", "nation_trade_balance",
+    "brand_market_presence", "returnflag_quantity_mw", "daypart_value_anova",
+    "mllib_word2vec", "mllib_ivf_search", "mllib_brp_neardup", "mllib_minhash_dedup",
+    "media_jpeg_stats", "media_jpeg_roundtrip", "kneser_ney_bigrams", "ngram_novelty",
+    "source_compressibility", "ivf_nprobe_curve", "discount_quantity_spearman",
+    "nb_calibration_bins", "bpe_merge_table", "bpe_trained_fertility", "kruskal_wallis",
+    "brown_forsythe", "cohens_kappa", "ewma_daily_value", "revenue_drawdown",
+    "sign_bit_recall", "matryoshka_recall", "embedding_anisotropy", "ndcg_ivf",
+    "mrr_lsh", "kmv_distinct_users", "bloom_fpr_purchases", "trade_hits",
+    "burrows_delta", "nb_auc", "holt_linear_forecast", "theil_sen_trend",
+    "label_centroid_affinity", "value_wasserstein_drift", "daily_max_gumbel",
+    "bpe_encode_pieces", "friedman_types_by_day", "mann_kendall_trend", "nb_class_f1",
+    "wilcoxon_week_over_week", "chao1_vocab_richness", "approx_value_percentiles",
+    "approx_distinct_events", "mllib_logreg_gate", "value_wasserstein_timecut",
+    "kmv_custkey_overlap", "welch_ttest_sources", "dedup_mcnemar", "markov_stationary",
+    "adamic_adar_mutual_knn", "hellinger_value_drift", "gpd_tail_fit", "mahalanobis_outliers",
+    "pettitt_changepoint", "dow_seasonal_decomposition", "ljung_box_daily",
+    "logrank_segments", "ks_bh_fdr", "stratification_deff", "quantization_saturation",
+    "source_vocab_jaccard", "nb_average_precision", "mllib_isotonic_calibration",
+    "mllib_als_retrieval", "knn_search", "knn_search_filtered", "knn_search_float",
+    "get_vector", "get_vectors", "quantize_vectors", "knn_join", "ann_ivf",
+    "ann_ivf_filtered", "knn_l2", "knn_mips", "add_vectors", "delete_vectors",
+    "upsert_vectors", "normalize_vectors", "vector_stats", "label_centroids",
+    "udtf_token_stats", "label_qsum_grouped_agg", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "simhash_fingerprints", "dedup_simhash", "dedup_embedding",
+    "dedup_resolve", "pipeline_clean_corpus", "token_counts", "text_quality",
+    "lang_id", "doc_fingerprint", "rolling_fingerprint", "tfidf_terms", "multimodal_join",
+    "media_features", "media_features_arrow", "media_resize", "media_frame_sample",
+    "pricing_summary", "part_brand_stats", "forecast_revenue", "shipping_priority",
+    "regional_revenue", "bilateral_trade", "customer_distribution", "brand_revenue_share",
+    "customer_order_running", "mktsegment_rollup",
 )
 
 
-from pythonvectordb_spark.registry.vector import (  # noqa: F401
-    o_add_vectors,
-    o_ann_ivf,
-    o_ann_ivf_filtered,
-    o_ann_ivf_pq,
-    o_ann_ivf_pq_trained,
-    o_ann_lsh,
-    o_ann_lsh_multiprobe,
-    o_ann_pq,
-    o_ann_pq_trained,
-    o_delete_vectors,
-    o_embedding_anisotropy,
-    o_embedding_dimension_stats,
-    o_embedding_drift,
-    o_embedding_effective_rank,
-    o_get_vector,
-    o_get_vectors,
-    o_ivf_balance,
-    o_ivf_nprobe_curve,
-    o_ivf_silhouette,
-    o_knn_classify,
-    o_knn_join,
-    o_knn_l2,
-    o_knn_mips,
-    o_knn_search,
-    o_knn_search_filtered,
-    o_knn_search_float,
-    o_label_centroid_affinity,
-    o_label_centroids,
-    o_label_qsum_grouped_agg,
-    o_matryoshka_recall,
-    o_mrr_lsh,
-    o_ndcg_ivf,
-    o_normalize_vectors,
-    o_pq_encode,
-    o_quantization_recall,
-    o_quantization_saturation,
-    o_quantize_vectors,
-    o_sign_bit_recall,
-    o_top_dims_per_vector,
-    o_twonn_intrinsic_dim,
-    o_upsert_vectors,
-    o_vector_stats,
-    q_add_vectors,
-    q_ann_ivf,
-    q_ann_ivf_filtered,
-    q_ann_ivf_pq,
-    q_ann_ivf_pq_trained,
-    q_ann_lsh,
-    q_ann_lsh_multiprobe,
-    q_ann_pq,
-    q_ann_pq_trained,
-    q_delete_vectors,
-    q_embedding_anisotropy,
-    q_embedding_dimension_stats,
-    q_embedding_drift,
-    q_embedding_effective_rank,
-    q_get_vector,
-    q_get_vectors,
-    q_ivf_balance,
-    q_ivf_nprobe_curve,
-    q_ivf_silhouette,
-    q_knn_classify,
-    q_knn_join,
-    q_knn_l2,
-    q_knn_mips,
-    q_knn_search,
-    q_knn_search_filtered,
-    q_knn_search_float,
-    q_label_centroid_affinity,
-    q_label_centroids,
-    q_label_qsum_grouped_agg,
-    q_matryoshka_recall,
-    q_mrr_lsh,
-    q_ndcg_ivf,
-    q_normalize_vectors,
-    q_pq_encode,
-    q_quantization_recall,
-    q_quantization_saturation,
-    q_quantize_vectors,
-    q_sign_bit_recall,
-    q_top_dims_per_vector,
-    q_twonn_intrinsic_dim,
-    q_upsert_vectors,
-    q_vector_stats,
-)
+def _module(fam: str):
+    return importlib.import_module(f"pythonvectordb_spark.registry.{fam}")
 
 
-from pythonvectordb_spark.registry.text import (  # noqa: F401
-    o_bigram_surprisal,
-    o_boilerplate_share,
-    o_bpe_encode_pieces,
-    o_bpe_merge_pairs,
-    o_bpe_merge_table,
-    o_bpe_token_counts,
-    o_bpe_trained_fertility,
-    o_build_vocab,
-    o_burrows_delta,
-    o_chao1_vocab_richness,
-    o_chunk_documents,
-    o_corpus_stats,
-    o_corpus_token_share,
-    o_doc_fingerprint,
-    o_encode_tokens,
-    o_event_bigram_oov,
-    o_good_turing,
-    o_heaps_law,
-    o_heldout_cross_entropy,
-    o_kneser_ney_bigrams,
-    o_lang_id,
-    o_ngram_coverage,
-    o_ngram_novelty,
-    o_pack_sequences,
-    o_perplexity_buckets,
-    o_pmi_collocations,
-    o_quality_filter,
-    o_repetition_stats,
-    o_rolling_fingerprint,
-    o_source_compressibility,
-    o_source_lang_mi,
-    o_source_ttr,
-    o_source_vocab_jaccard,
-    o_text_quality,
-    o_tfidf_terms,
-    o_token_counts,
-    o_token_rank_drift,
-    o_tokenizer_fertility,
-    o_truncation_stats,
-    o_udtf_token_stats,
-    o_unigram_surprisal,
-    o_zipf_fit,
-    q_bigram_surprisal,
-    q_boilerplate_share,
-    q_bpe_encode_pieces,
-    q_bpe_merge_pairs,
-    q_bpe_merge_table,
-    q_bpe_token_counts,
-    q_bpe_trained_fertility,
-    q_build_vocab,
-    q_burrows_delta,
-    q_chao1_vocab_richness,
-    q_chunk_documents,
-    q_corpus_stats,
-    q_corpus_token_share,
-    q_doc_fingerprint,
-    q_encode_tokens,
-    q_event_bigram_oov,
-    q_good_turing,
-    q_heaps_law,
-    q_heldout_cross_entropy,
-    q_kneser_ney_bigrams,
-    q_lang_id,
-    q_ngram_coverage,
-    q_ngram_novelty,
-    q_pack_sequences,
-    q_perplexity_buckets,
-    q_pmi_collocations,
-    q_quality_filter,
-    q_repetition_stats,
-    q_rolling_fingerprint,
-    q_source_compressibility,
-    q_source_lang_mi,
-    q_source_ttr,
-    q_source_vocab_jaccard,
-    q_text_quality,
-    q_tfidf_terms,
-    q_token_counts,
-    q_token_rank_drift,
-    q_tokenizer_fertility,
-    q_truncation_stats,
-    q_udtf_token_stats,
-    q_unigram_surprisal,
-    q_zipf_fit,
-)
+def _build() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    by_name: dict[str, object] = {}
+    for fam in _FAMILIES:
+        by_name.update(
+            (k, v) for k, v in vars(_module(fam)).items()
+            if k.startswith(("q_", "o_")) and callable(v)
+        )
+    queries = {}
+    oracles = {}
+    missing = []
+    for name in _ORDER:
+        q = by_name.get("q_" + name)
+        o = by_name.get("o_" + name)
+        if q is None or o is None:
+            missing.append(name)
+            continue
+        queries[name] = q
+        oracles[name] = o()
+    if missing:  # fail loudly at import: a renamed/dropped binding is a bug
+        raise ImportError(f"registry _ORDER names without q_/o_ bindings: {missing}")
+    return queries, oracles
 
 
-from pythonvectordb_spark.registry.dedup import (  # noqa: F401
-    o_adjacent_doc_similarity,
-    o_containment_pairs,
-    o_contamination_spans,
-    o_dedup_embedding,
-    o_dedup_exact,
-    o_dedup_inflation,
-    o_dedup_mcnemar,
-    o_dedup_method_agreement,
-    o_dedup_minhash_lsh,
-    o_dedup_ngram_jaccard,
-    o_dedup_resolve,
-    o_dedup_simhash,
-    o_dedup_simhash_wide,
-    o_dedup_threshold_curve,
-    o_dup_cluster_purity,
-    o_dup_cluster_sizes,
-    o_dup_source_matrix,
-    o_duplicate_spans,
-    o_incremental_dedup,
-    o_minhash_estimate_error,
-    o_minhash_precision,
-    o_pipeline_clean_corpus,
-    o_resolve_keep_best,
-    o_scrub_spans,
-    o_semantic_dedup,
-    o_simhash_fingerprints,
-    q_adjacent_doc_similarity,
-    q_containment_pairs,
-    q_contamination_spans,
-    q_dedup_embedding,
-    q_dedup_exact,
-    q_dedup_inflation,
-    q_dedup_mcnemar,
-    q_dedup_method_agreement,
-    q_dedup_minhash_lsh,
-    q_dedup_ngram_jaccard,
-    q_dedup_resolve,
-    q_dedup_simhash,
-    q_dedup_simhash_wide,
-    q_dedup_threshold_curve,
-    q_dup_cluster_purity,
-    q_dup_cluster_sizes,
-    q_dup_source_matrix,
-    q_duplicate_spans,
-    q_incremental_dedup,
-    q_minhash_estimate_error,
-    q_minhash_precision,
-    q_pipeline_clean_corpus,
-    q_resolve_keep_best,
-    q_scrub_spans,
-    q_semantic_dedup,
-    q_simhash_fingerprints,
-)
+QUERIES, ORACLES = _build()
 
 
-from pythonvectordb_spark.registry.curation import (  # noqa: F401
-    o_gate_champion_challenger,
-    q_gate_champion_challenger,
-    o_cluster_split_leakage,
-    o_corpus_drift,
-    o_decontaminate_corpus,
-    o_deterministic_sample,
-    o_dq_violations,
-    o_epoch_plan,
-    o_importance_weights,
-    o_k_anonymity,
-    o_nb_auc,
-    o_nb_average_precision,
-    o_nb_calibration_bins,
-    o_nb_class_f1,
-    o_nb_lang_confusion,
-    o_neyman_allocation,
-    o_pii_scrub_stats,
-    o_quality_pass_by_source,
-    o_source_mixture,
-    o_split_leakage,
-    o_stratified_corpus_sample,
-    o_unimax_epochs,
-    o_weighted_sample_per_lang,
-    q_cluster_split_leakage,
-    q_corpus_drift,
-    q_decontaminate_corpus,
-    q_deterministic_sample,
-    q_dq_violations,
-    q_epoch_plan,
-    q_importance_weights,
-    q_k_anonymity,
-    q_nb_auc,
-    q_nb_average_precision,
-    q_nb_calibration_bins,
-    q_nb_class_f1,
-    q_nb_lang_confusion,
-    q_neyman_allocation,
-    q_pii_scrub_stats,
-    q_quality_pass_by_source,
-    q_source_mixture,
-    q_split_leakage,
-    q_stratified_corpus_sample,
-    q_unimax_epochs,
-    q_weighted_sample_per_lang,
-)
-
-
-from pythonvectordb_spark.registry.media import (  # noqa: F401
-    o_media_audio_resample,
-    o_media_audio_stats,
-    o_media_features,
-    o_media_frame_sample,
-    o_media_image_resize,
-    o_media_image_stats,
-    o_media_jpeg_roundtrip,
-    o_media_jpeg_stats,
-    o_media_resize,
-    o_multimodal_join,
-    q_media_audio_resample,
-    q_media_audio_stats,
-    q_media_features,
-    q_media_features_arrow,
-    q_media_frame_sample,
-    q_media_image_resize,
-    q_media_image_stats,
-    q_media_jpeg_roundtrip,
-    q_media_jpeg_stats,
-    q_media_resize,
-    q_multimodal_join,
-)
-
-
-from pythonvectordb_spark.registry.sketch import (  # noqa: F401
-    o_approx_distinct_error,
-    o_approx_distinct_events,
-    o_approx_percentile_error,
-    o_approx_value_percentiles,
-    o_bloom_fpr_purchases,
-    o_cms_heavy_hitters,
-    o_cms_user_estimates,
-    o_kmv_custkey_overlap,
-    o_kmv_distinct_users,
-    q_approx_distinct_error,
-    q_approx_distinct_events,
-    q_approx_percentile_error,
-    q_approx_value_percentiles,
-    q_bloom_fpr_purchases,
-    q_cms_heavy_hitters,
-    q_cms_user_estimates,
-    q_kmv_custkey_overlap,
-    q_kmv_distinct_users,
-)
-
-
-from pythonvectordb_spark.registry.layout import (  # noqa: F401
-    o_bloom_prune_join,
-    o_snapshot_diff,
-    o_zone_pruned_scan,
-    o_zorder_pruning,
-    q_bloom_prune_join,
-    q_snapshot_diff,
-    q_zone_pruned_scan,
-    q_zorder_pruning,
-)
-
-
-from pythonvectordb_spark.registry.graph import (  # noqa: F401
-    o_adamic_adar_mutual_knn,
-    o_copurchase_lift,
-    o_dedup_assortativity,
-    o_dedup_graph_triangles,
-    o_dedup_kcore,
-    o_event_type_affinity,
-    o_markov_entropy_rate,
-    o_markov_stationary,
-    o_trade_hits,
-    o_trade_pagerank,
-    q_adamic_adar_mutual_knn,
-    q_copurchase_lift,
-    q_dedup_assortativity,
-    q_dedup_graph_triangles,
-    q_dedup_kcore,
-    q_event_type_affinity,
-    q_markov_entropy_rate,
-    q_markov_stationary,
-    q_trade_hits,
-    q_trade_pagerank,
-)
-
-
-from pythonvectordb_spark.registry.retrieval import (  # noqa: F401
-    o_ann_recall_curve,
-    o_bm25_rank,
-    o_contrastive_triplets,
-    o_hard_negatives,
-    o_hybrid_rrf_search,
-    o_interleave_audit,
-    o_mmr_rerank,
-    o_mutual_knn,
-    o_rbo_overlap,
-    o_shard_uniformity,
-    o_source_token_caps,
-    o_training_shard_stats,
-    q_ann_recall_curve,
-    q_bm25_rank,
-    q_contrastive_triplets,
-    q_hard_negatives,
-    q_hybrid_rrf_search,
-    q_interleave_audit,
-    q_mmr_rerank,
-    q_mutual_knn,
-    q_rbo_overlap,
-    q_shard_uniformity,
-    q_source_token_caps,
-    q_training_shard_stats,
-)
-
-
-from pythonvectordb_spark.registry.relational import (  # noqa: F401
-    o_basket_diversity,
-    o_basket_size_value,
-    o_bilateral_trade,
-    o_brand_market_presence,
-    o_brand_pareto,
-    o_brand_revenue_share,
-    o_brand_size_revenue,
-    o_brand_yoy_growth,
-    o_customer_brand_breadth,
-    o_customer_distribution,
-    o_customer_order_frame,
-    o_customer_order_running,
-    o_customer_quartiles,
-    o_customer_rfm,
-    o_customer_set_ops,
-    o_distinct_agg_stats,
-    o_event_type_medians,
-    o_events_cube,
-    o_events_grouping_sets,
-    o_events_value_histogram,
-    o_fk_fanout_stats,
-    o_fk_orphans,
-    o_forecast_revenue,
-    o_heavy_part_suppliers,
-    o_idle_rich_customers,
-    o_large_volume_orders,
-    o_lateship_priority_counts,
-    o_min_cost_supplier,
-    o_mktsegment_rollup,
-    o_nation_customer_stats,
-    o_nation_market_share,
-    o_nation_profit_trend,
-    o_nation_trade_balance,
-    o_order_priority_counts,
-    o_order_reconciliation,
-    o_orders_priority_pivot,
-    o_orders_priority_unpivot,
-    o_part_brand_stats,
-    o_pricing_summary,
-    o_priority_leadtime,
-    o_promo_revenue_share,
-    o_props_json_stats,
-    o_realized_vs_retail,
-    o_regional_revenue,
-    o_returned_items,
-    o_salted_segment_revenue,
-    o_segment_acctbal_profile,
-    o_shipping_priority,
-    o_single_source_parts,
-    o_small_quantity_revenue,
-    o_sole_late_suppliers,
-    o_supplier_part_counts,
-    o_top_brands_by_share,
-    o_top_supplier_revenue,
-    o_value_percentiles,
-    o_yearly_value_quartiles,
-    q_basket_diversity,
-    q_basket_size_value,
-    q_bilateral_trade,
-    q_brand_market_presence,
-    q_brand_pareto,
-    q_brand_revenue_share,
-    q_brand_size_revenue,
-    q_brand_yoy_growth,
-    q_customer_brand_breadth,
-    q_customer_distribution,
-    q_customer_order_frame,
-    q_customer_order_running,
-    q_customer_quartiles,
-    q_customer_rfm,
-    q_customer_set_ops,
-    q_distinct_agg_stats,
-    q_event_type_medians,
-    q_events_cube,
-    q_events_grouping_sets,
-    q_events_value_histogram,
-    q_fk_fanout_stats,
-    q_fk_orphans,
-    q_forecast_revenue,
-    q_heavy_part_suppliers,
-    q_idle_rich_customers,
-    q_large_volume_orders,
-    q_lateship_priority_counts,
-    q_min_cost_supplier,
-    q_mktsegment_rollup,
-    q_nation_customer_stats,
-    q_nation_market_share,
-    q_nation_profit_trend,
-    q_nation_trade_balance,
-    q_order_priority_counts,
-    q_order_reconciliation,
-    q_orders_priority_pivot,
-    q_orders_priority_unpivot,
-    q_part_brand_stats,
-    q_pricing_summary,
-    q_priority_leadtime,
-    q_promo_revenue_share,
-    q_props_json_stats,
-    q_realized_vs_retail,
-    q_regional_revenue,
-    q_returned_items,
-    q_salted_segment_revenue,
-    q_segment_acctbal_profile,
-    q_shipping_priority,
-    q_single_source_parts,
-    q_small_quantity_revenue,
-    q_sole_late_suppliers,
-    q_supplier_part_counts,
-    q_top_brands_by_share,
-    q_top_supplier_revenue,
-    q_value_percentiles,
-    q_yearly_value_quartiles,
-)
-
-
-from pythonvectordb_spark.registry.timeseries import (  # noqa: F401
-    o_anomalous_days,
-    o_arrival_burstiness,
-    o_asof_purchase_attribution,
-    o_coldstart_rates,
-    o_conversion_lag,
-    o_conversion_rate_shift,
-    o_cusum_shift,
-    o_daily_max_gumbel,
-    o_dow_seasonal_decomposition,
-    o_event_debounce,
-    o_event_funnel,
-    o_event_key_skew,
-    o_event_outliers,
-    o_event_transitions,
-    o_event_value_regression,
-    o_events_by_hour,
-    o_events_tumbling,
-    o_ewma_daily_value,
-    o_gpd_tail_fit,
-    o_hellinger_value_drift,
-    o_holt_linear_forecast,
-    o_hour_circular_concentration,
-    o_hour_profile_fit,
-    o_hourly_acf,
-    o_hourly_xcorr,
-    o_hypertable_rollup,
-    o_interpurchase_gap,
-    o_km_survival,
-    o_ks_drift,
-    o_latest_event_per_user,
-    o_ljung_box_daily,
-    o_logrank_segments,
-    o_mann_kendall_trend,
-    o_moving_window_stats,
-    o_pettitt_changepoint,
-    o_purchase_click_interval_join,
-    o_retention_cohorts,
-    o_return_curve,
-    o_revenue_drawdown,
-    o_scd2_user_state,
-    o_session_depth_hist,
-    o_sessionize_events,
-    o_theil_sen_trend,
-    o_top_events_per_user,
-    o_user_activity_dispersion,
-    o_user_behavior_entropy,
-    o_user_event_paths,
-    o_user_lifecycle_census,
-    o_value_wasserstein_drift,
-    o_value_wasserstein_timecut,
-    q_anomalous_days,
-    q_arrival_burstiness,
-    q_asof_purchase_attribution,
-    q_coldstart_rates,
-    q_conversion_lag,
-    q_conversion_rate_shift,
-    q_cusum_shift,
-    q_daily_max_gumbel,
-    q_dow_seasonal_decomposition,
-    q_event_debounce,
-    q_event_funnel,
-    q_event_key_skew,
-    q_event_outliers,
-    q_event_transitions,
-    q_event_value_regression,
-    q_events_by_hour,
-    q_events_tumbling,
-    q_ewma_daily_value,
-    q_gpd_tail_fit,
-    q_hellinger_value_drift,
-    q_holt_linear_forecast,
-    q_hour_circular_concentration,
-    q_hour_profile_fit,
-    q_hourly_acf,
-    q_hourly_xcorr,
-    q_hypertable_rollup,
-    q_interpurchase_gap,
-    q_km_survival,
-    q_ks_drift,
-    q_latest_event_per_user,
-    q_ljung_box_daily,
-    q_logrank_segments,
-    q_mann_kendall_trend,
-    q_moving_window_stats,
-    q_pettitt_changepoint,
-    q_purchase_click_interval_join,
-    q_retention_cohorts,
-    q_return_curve,
-    q_revenue_drawdown,
-    q_scd2_user_state,
-    q_session_depth_hist,
-    q_sessionize_events,
-    q_theil_sen_trend,
-    q_top_events_per_user,
-    q_user_activity_dispersion,
-    q_user_behavior_entropy,
-    q_user_event_paths,
-    q_user_lifecycle_census,
-    q_value_wasserstein_drift,
-    q_value_wasserstein_timecut,
-)
-
-
-from pythonvectordb_spark.registry.stats import (  # noqa: F401
-    o_benford_digits,
-    o_bootstrap_order_ci,
-    o_brown_forsythe,
-    o_cohens_kappa,
-    o_daypart_value_anova,
-    o_discount_elasticity,
-    o_discount_quantity_spearman,
-    o_event_value_mad,
-    o_friedman_types_by_day,
-    o_fuzzy_source_pairs,
-    o_hhi_concentration,
-    o_hill_tail_index,
-    o_kendall_tau,
-    o_kruskal_wallis,
-    o_ks_bh_fdr,
-    o_lang_length_anova,
-    o_lognormal_jb,
-    o_mahalanobis_outliers,
-    o_mann_whitney,
-    o_price_ending_profile,
-    o_priority_mix_drift,
-    o_priority_segment_chisq,
-    o_rank_stability,
-    o_return_rate_wilson,
-    o_returnflag_quantity_mw,
-    o_revenue_gini,
-    o_runs_test,
-    o_source_decile_shift,
-    o_source_entropy,
-    o_source_js_matrix,
-    o_source_kl_matrix,
-    o_stratification_deff,
-    o_supplier_balance_corr,
-    o_tax_discount_chisq,
-    o_trimmed_value_stats,
-    o_value_anova,
-    o_value_equidepth_bins,
-    o_weekday_uniformity,
-    o_weekend_value_mw,
-    o_welch_ttest_sources,
-    o_wilcoxon_week_over_week,
-    q_benford_digits,
-    q_bootstrap_order_ci,
-    q_brown_forsythe,
-    q_cohens_kappa,
-    q_daypart_value_anova,
-    q_discount_elasticity,
-    q_discount_quantity_spearman,
-    q_event_value_mad,
-    q_friedman_types_by_day,
-    q_fuzzy_source_pairs,
-    q_hhi_concentration,
-    q_hill_tail_index,
-    q_kendall_tau,
-    q_kruskal_wallis,
-    q_ks_bh_fdr,
-    q_lang_length_anova,
-    q_lognormal_jb,
-    q_mahalanobis_outliers,
-    q_mann_whitney,
-    q_price_ending_profile,
-    q_priority_mix_drift,
-    q_priority_segment_chisq,
-    q_rank_stability,
-    q_return_rate_wilson,
-    q_returnflag_quantity_mw,
-    q_revenue_gini,
-    q_runs_test,
-    q_source_decile_shift,
-    q_source_entropy,
-    q_source_js_matrix,
-    q_source_kl_matrix,
-    q_stratification_deff,
-    q_supplier_balance_corr,
-    q_tax_discount_chisq,
-    q_trimmed_value_stats,
-    q_value_anova,
-    q_value_equidepth_bins,
-    q_weekday_uniformity,
-    q_weekend_value_mw,
-    q_welch_ttest_sources,
-    q_wilcoxon_week_over_week,
-)
-
-
-from pythonvectordb_spark.registry.streaming import (  # noqa: F401
-    o_dedup_gate_twin,
-    o_matview_user_spend_twin,
-    q_dedup_gate_twin,
-    q_matview_user_spend_twin,
-)
-
-
-from pythonvectordb_spark.registry.mllib import (  # noqa: F401
-    o_mllib_als_retrieval,
-    q_mllib_als_retrieval,
-    o_mllib_brp_neardup,
-    o_mllib_isotonic_calibration,
-    o_mllib_ivf_search,
-    o_mllib_logreg_gate,
-    o_mllib_minhash_dedup,
-    o_mllib_word2vec,
-    q_mllib_brp_neardup,
-    q_mllib_isotonic_calibration,
-    q_mllib_ivf_search,
-    q_mllib_logreg_gate,
-    q_mllib_minhash_dedup,
-    q_mllib_word2vec,
-)
-
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-8 front block (driver CORRECTNESS checks the FIRST 50
-    # entries). Witness-freshness rotation per VERDICT r7 task 1: the 2
-    # new round-8 queries lead (never-witnessed prefix, contract test
-    # tests/test_registry_contract.py), then 48 of the 49 queries whose
-    # latest driver witness dates to round 1 — their evidence predates
-    # five rounds of refactors. The one r1-witnessed query that does not
-    # fit the window ("order_priority_counts", a trivial grouped count)
-    # is first in line for round 9; standing policy: every round's spare
-    # window capacity re-witnesses the stalest cohort. -----------------
-
-    "mllib_als_retrieval": q_mllib_als_retrieval,
-    "gate_champion_challenger": q_gate_champion_challenger,
-    "knn_search": q_knn_search,
-    "knn_search_filtered": q_knn_search_filtered,
-    "knn_search_float": q_knn_search_float,
-    "get_vector": q_get_vector,
-    "get_vectors": q_get_vectors,
-    "quantize_vectors": q_quantize_vectors,
-    "knn_join": q_knn_join,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_filtered": q_ann_ivf_filtered,
-    "knn_l2": q_knn_l2,
-    "knn_mips": q_knn_mips,
-    "add_vectors": q_add_vectors,
-    "delete_vectors": q_delete_vectors,
-    "upsert_vectors": q_upsert_vectors,
-    "normalize_vectors": q_normalize_vectors,
-    "vector_stats": q_vector_stats,
-    "label_centroids": q_label_centroids,
-    "udtf_token_stats": q_udtf_token_stats,
-    "label_qsum_grouped_agg": q_label_qsum_grouped_agg,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_resolve": q_dedup_resolve,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "token_counts": q_token_counts,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "tfidf_terms": q_tfidf_terms,
-    "multimodal_join": q_multimodal_join,
-    "media_features": q_media_features,
-    "media_features_arrow": q_media_features_arrow,
-    "media_resize": q_media_resize,
-    "media_frame_sample": q_media_frame_sample,
-    "pricing_summary": q_pricing_summary,
-    "part_brand_stats": q_part_brand_stats,
-    "forecast_revenue": q_forecast_revenue,
-    "shipping_priority": q_shipping_priority,
-    "regional_revenue": q_regional_revenue,
-    "bilateral_trade": q_bilateral_trade,
-    "customer_distribution": q_customer_distribution,
-    "brand_revenue_share": q_brand_revenue_share,
-    "customer_order_running": q_customer_order_running,
-    "mktsegment_rollup": q_mktsegment_rollup,
-    # --- previously witnessed (rounds 2-7), driver re-checks as the
-    # window rotates ---------------------------------------------------
-    "bpe_merge_table": q_bpe_merge_table,
-    "bpe_trained_fertility": q_bpe_trained_fertility,
-    "kruskal_wallis": q_kruskal_wallis,
-    "brown_forsythe": q_brown_forsythe,
-    "cohens_kappa": q_cohens_kappa,
-    "ewma_daily_value": q_ewma_daily_value,
-    "revenue_drawdown": q_revenue_drawdown,
-    "sign_bit_recall": q_sign_bit_recall,
-    "matryoshka_recall": q_matryoshka_recall,
-    "embedding_anisotropy": q_embedding_anisotropy,
-    "ndcg_ivf": q_ndcg_ivf,
-    "mrr_lsh": q_mrr_lsh,
-    "kmv_distinct_users": q_kmv_distinct_users,
-    "bloom_fpr_purchases": q_bloom_fpr_purchases,
-    "trade_hits": q_trade_hits,
-    "burrows_delta": q_burrows_delta,
-    "nb_auc": q_nb_auc,
-    "holt_linear_forecast": q_holt_linear_forecast,
-    "theil_sen_trend": q_theil_sen_trend,
-    "label_centroid_affinity": q_label_centroid_affinity,
-    "value_wasserstein_drift": q_value_wasserstein_drift,
-    "daily_max_gumbel": q_daily_max_gumbel,
-    "bpe_encode_pieces": q_bpe_encode_pieces,
-    "friedman_types_by_day": q_friedman_types_by_day,
-    "mann_kendall_trend": q_mann_kendall_trend,
-    "nb_class_f1": q_nb_class_f1,
-    "wilcoxon_week_over_week": q_wilcoxon_week_over_week,
-    "chao1_vocab_richness": q_chao1_vocab_richness,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "approx_distinct_events": q_approx_distinct_events,
-    "mllib_logreg_gate": q_mllib_logreg_gate,
-    "value_wasserstein_timecut": q_value_wasserstein_timecut,
-    "kmv_custkey_overlap": q_kmv_custkey_overlap,
-    "welch_ttest_sources": q_welch_ttest_sources,
-    "dedup_mcnemar": q_dedup_mcnemar,
-    "markov_stationary": q_markov_stationary,
-    "adamic_adar_mutual_knn": q_adamic_adar_mutual_knn,
-    "hellinger_value_drift": q_hellinger_value_drift,
-    "gpd_tail_fit": q_gpd_tail_fit,
-    "mahalanobis_outliers": q_mahalanobis_outliers,
-    "pettitt_changepoint": q_pettitt_changepoint,
-    "dow_seasonal_decomposition": q_dow_seasonal_decomposition,
-    "ljung_box_daily": q_ljung_box_daily,
-    "logrank_segments": q_logrank_segments,
-    "ks_bh_fdr": q_ks_bh_fdr,
-    "stratification_deff": q_stratification_deff,
-    "quantization_saturation": q_quantization_saturation,
-    "source_vocab_jaccard": q_source_vocab_jaccard,
-    "nb_average_precision": q_nb_average_precision,
-    "mllib_isotonic_calibration": q_mllib_isotonic_calibration,
-    "order_priority_counts": q_order_priority_counts,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "distinct_agg_stats": q_distinct_agg_stats,
-    "salted_segment_revenue": q_salted_segment_revenue,
-    "events_tumbling": q_events_tumbling,
-    "large_volume_orders": q_large_volume_orders,
-    "brand_size_revenue": q_brand_size_revenue,
-    "orders_priority_pivot": q_orders_priority_pivot,
-    "orders_priority_unpivot": q_orders_priority_unpivot,
-    "props_json_stats": q_props_json_stats,
-    "top_dims_per_vector": q_top_dims_per_vector,
-    "nation_market_share": q_nation_market_share,
-    "returned_items": q_returned_items,
-    "customer_order_frame": q_customer_order_frame,
-    "event_type_medians": q_event_type_medians,
-    "events_value_histogram": q_events_value_histogram,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "customer_quartiles": q_customer_quartiles,
-    "embedding_dimension_stats": q_embedding_dimension_stats,
-    "bpe_token_counts": q_bpe_token_counts,
-    "latest_event_per_user": q_latest_event_per_user,
-    "deterministic_sample": q_deterministic_sample,
-    "adjacent_doc_similarity": q_adjacent_doc_similarity,
-    "event_transitions": q_event_transitions,
-    "purchase_click_interval_join": q_purchase_click_interval_join,
-    "moving_window_stats": q_moving_window_stats,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "scd2_user_state": q_scd2_user_state,
-    "user_event_paths": q_user_event_paths,
-    "event_outliers": q_event_outliers,
-    "events_grouping_sets": q_events_grouping_sets,
-    "decontaminate_corpus": q_decontaminate_corpus,
-    "pii_scrub_stats": q_pii_scrub_stats,
-    "stratified_corpus_sample": q_stratified_corpus_sample,
-    "dup_cluster_sizes": q_dup_cluster_sizes,
-    "corpus_token_share": q_corpus_token_share,
-    "ann_pq": q_ann_pq,
-    "event_value_regression": q_event_value_regression,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "semantic_dedup": q_semantic_dedup,
-    "pack_sequences": q_pack_sequences,
-    "build_vocab": q_build_vocab,
-    "encode_tokens": q_encode_tokens,
-    "corpus_stats": q_corpus_stats,
-    "incremental_dedup": q_incremental_dedup,
-    "value_equidepth_bins": q_value_equidepth_bins,
-    "bm25_rank": q_bm25_rank,
-    "top_events_per_user": q_top_events_per_user,
-    "weighted_sample_per_lang": q_weighted_sample_per_lang,
-    "bigram_surprisal": q_bigram_surprisal,
-    "event_funnel": q_event_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "pq_encode": q_pq_encode,
-    "ann_lsh": q_ann_lsh,
-    "ann_pq_trained": q_ann_pq_trained,
-    "ann_ivf_pq_trained": q_ann_ivf_pq_trained,
-    "matview_user_spend_twin": q_matview_user_spend_twin,
-    "dedup_gate_twin": q_dedup_gate_twin,
-    "events_by_hour": q_events_by_hour,
-    "nation_customer_stats": q_nation_customer_stats,
-    "value_percentiles": q_value_percentiles,
-    "events_cube": q_events_cube,
-    "customer_set_ops": q_customer_set_ops,
-    "asof_purchase_attribution": q_asof_purchase_attribution,
-    "sessionize_events": q_sessionize_events,
-    "hypertable_rollup": q_hypertable_rollup,
-    "cms_user_estimates": q_cms_user_estimates,
-    "zorder_pruning": q_zorder_pruning,
-    "snapshot_diff": q_snapshot_diff,
-    "bloom_prune_join": q_bloom_prune_join,
-    "boilerplate_share": q_boilerplate_share,
-    "repetition_stats": q_repetition_stats,
-    "chunk_documents": q_chunk_documents,
-    "quality_filter": q_quality_filter,
-    "unigram_surprisal": q_unigram_surprisal,
-    "lateship_priority_counts": q_lateship_priority_counts,
-    "knn_classify": q_knn_classify,
-    "top_brands_by_share": q_top_brands_by_share,
-    "promo_revenue_share": q_promo_revenue_share,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "heavy_part_suppliers": q_heavy_part_suppliers,
-    "sole_late_suppliers": q_sole_late_suppliers,
-    "nation_profit_trend": q_nation_profit_trend,
-    "min_cost_supplier": q_min_cost_supplier,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "training_shard_stats": q_training_shard_stats,
-    "source_token_caps": q_source_token_caps,
-    "event_key_skew": q_event_key_skew,
-    "trade_pagerank": q_trade_pagerank,
-    "fuzzy_source_pairs": q_fuzzy_source_pairs,
-    "event_value_mad": q_event_value_mad,
-    "zone_pruned_scan": q_zone_pruned_scan,
-    "approx_percentile_error": q_approx_percentile_error,
-    "media_image_stats": q_media_image_stats,
-    "dedup_simhash_wide": q_dedup_simhash_wide,
-    "duplicate_spans": q_duplicate_spans,
-    "media_image_resize": q_media_image_resize,
-    "approx_distinct_error": q_approx_distinct_error,
-    "contamination_spans": q_contamination_spans,
-    "scrub_spans": q_scrub_spans,
-    "source_mixture": q_source_mixture,
-    "interleave_audit": q_interleave_audit,
-    "mutual_knn": q_mutual_knn,
-    "importance_weights": q_importance_weights,
-    "media_audio_stats": q_media_audio_stats,
-    "media_audio_resample": q_media_audio_resample,
-    "corpus_drift": q_corpus_drift,
-    "hard_negatives": q_hard_negatives,
-    "dup_source_matrix": q_dup_source_matrix,
-    "containment_pairs": q_containment_pairs,
-    "split_leakage": q_split_leakage,
-    "nb_lang_confusion": q_nb_lang_confusion,
-    "perplexity_buckets": q_perplexity_buckets,
-    "zipf_fit": q_zipf_fit,
-    "cluster_split_leakage": q_cluster_split_leakage,
-    "epoch_plan": q_epoch_plan,
-    "dedup_inflation": q_dedup_inflation,
-    "quantization_recall": q_quantization_recall,
-    "minhash_precision": q_minhash_precision,
-    "contrastive_triplets": q_contrastive_triplets,
-    "dq_violations": q_dq_violations,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "bpe_merge_pairs": q_bpe_merge_pairs,
-    "unimax_epochs": q_unimax_epochs,
-    "mmr_rerank": q_mmr_rerank,
-    "ann_recall_curve": q_ann_recall_curve,
-    "k_anonymity": q_k_anonymity,
-    "resolve_keep_best": q_resolve_keep_best,
-    "rbo_overlap": q_rbo_overlap,
-    "ngram_coverage": q_ngram_coverage,
-    "dedup_threshold_curve": q_dedup_threshold_curve,
-    "minhash_estimate_error": q_minhash_estimate_error,
-    "supplier_part_counts": q_supplier_part_counts,
-    "neyman_allocation": q_neyman_allocation,
-    "source_entropy": q_source_entropy,
-    "embedding_drift": q_embedding_drift,
-    "dedup_graph_triangles": q_dedup_graph_triangles,
-    "heaps_law": q_heaps_law,
-    "good_turing": q_good_turing,
-    "truncation_stats": q_truncation_stats,
-    "source_kl_matrix": q_source_kl_matrix,
-    "source_lang_mi": q_source_lang_mi,
-    "pmi_collocations": q_pmi_collocations,
-    "bootstrap_order_ci": q_bootstrap_order_ci,
-    "ivf_balance": q_ivf_balance,
-    "cusum_shift": q_cusum_shift,
-    "ks_drift": q_ks_drift,
-    "dedup_kcore": q_dedup_kcore,
-    "revenue_gini": q_revenue_gini,
-    "arrival_burstiness": q_arrival_burstiness,
-    "event_type_affinity": q_event_type_affinity,
-    "benford_digits": q_benford_digits,
-    "fk_orphans": q_fk_orphans,
-    "event_debounce": q_event_debounce,
-    "conversion_lag": q_conversion_lag,
-    "user_behavior_entropy": q_user_behavior_entropy,
-    "km_survival": q_km_survival,
-    "hourly_acf": q_hourly_acf,
-    "rank_stability": q_rank_stability,
-    "trimmed_value_stats": q_trimmed_value_stats,
-    "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
-    "hourly_xcorr": q_hourly_xcorr,
-    "kendall_tau": q_kendall_tau,
-    "hhi_concentration": q_hhi_concentration,
-    "mann_whitney": q_mann_whitney,
-    "runs_test": q_runs_test,
-    "hill_tail_index": q_hill_tail_index,
-    "ivf_silhouette": q_ivf_silhouette,
-    "embedding_effective_rank": q_embedding_effective_rank,
-    "dedup_assortativity": q_dedup_assortativity,
-    "copurchase_lift": q_copurchase_lift,
-    "markov_entropy_rate": q_markov_entropy_rate,
-    "discount_elasticity": q_discount_elasticity,
-    "return_rate_wilson": q_return_rate_wilson,
-    "priority_segment_chisq": q_priority_segment_chisq,
-    "interpurchase_gap": q_interpurchase_gap,
-    "source_ttr": q_source_ttr,
-    "source_decile_shift": q_source_decile_shift,
-    "session_depth_hist": q_session_depth_hist,
-    "brand_pareto": q_brand_pareto,
-    "customer_rfm": q_customer_rfm,
-    "fk_fanout_stats": q_fk_fanout_stats,
-    "token_rank_drift": q_token_rank_drift,
-    "source_js_matrix": q_source_js_matrix,
-    "weekday_uniformity": q_weekday_uniformity,
-    "yearly_value_quartiles": q_yearly_value_quartiles,
-    "value_anova": q_value_anova,
-    "lognormal_jb": q_lognormal_jb,
-    "hour_profile_fit": q_hour_profile_fit,
-    "return_curve": q_return_curve,
-    "user_lifecycle_census": q_user_lifecycle_census,
-    "order_reconciliation": q_order_reconciliation,
-    "user_activity_dispersion": q_user_activity_dispersion,
-    "coldstart_rates": q_coldstart_rates,
-    "event_bigram_oov": q_event_bigram_oov,
-    "hour_circular_concentration": q_hour_circular_concentration,
-    "conversion_rate_shift": q_conversion_rate_shift,
-    "brand_yoy_growth": q_brand_yoy_growth,
-    "dup_cluster_purity": q_dup_cluster_purity,
-    "single_source_parts": q_single_source_parts,
-    "basket_diversity": q_basket_diversity,
-    "priority_leadtime": q_priority_leadtime,
-    "tax_discount_chisq": q_tax_discount_chisq,
-    "weekend_value_mw": q_weekend_value_mw,
-    "lang_length_anova": q_lang_length_anova,
-    "shard_uniformity": q_shard_uniformity,
-    "price_ending_profile": q_price_ending_profile,
-    "realized_vs_retail": q_realized_vs_retail,
-    "segment_acctbal_profile": q_segment_acctbal_profile,
-    "supplier_balance_corr": q_supplier_balance_corr,
-    "dedup_method_agreement": q_dedup_method_agreement,
-    "basket_size_value": q_basket_size_value,
-    "anomalous_days": q_anomalous_days,
-    "heldout_cross_entropy": q_heldout_cross_entropy,
-    "quality_pass_by_source": q_quality_pass_by_source,
-    "priority_mix_drift": q_priority_mix_drift,
-    "customer_brand_breadth": q_customer_brand_breadth,
-    "nation_trade_balance": q_nation_trade_balance,
-    "brand_market_presence": q_brand_market_presence,
-    "returnflag_quantity_mw": q_returnflag_quantity_mw,
-    "daypart_value_anova": q_daypart_value_anova,
-    "mllib_word2vec": q_mllib_word2vec,
-    "mllib_ivf_search": q_mllib_ivf_search,
-    "mllib_brp_neardup": q_mllib_brp_neardup,
-    "mllib_minhash_dedup": q_mllib_minhash_dedup,
-    "media_jpeg_stats": q_media_jpeg_stats,
-    "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
-    "kneser_ney_bigrams": q_kneser_ney_bigrams,
-    "ngram_novelty": q_ngram_novelty,
-    "source_compressibility": q_source_compressibility,
-    "ivf_nprobe_curve": q_ivf_nprobe_curve,
-    "discount_quantity_spearman": q_discount_quantity_spearman,
-    "nb_calibration_bins": q_nb_calibration_bins,
-}
-
-ORACLES: dict[str, str] = {
-    "mllib_als_retrieval": o_mllib_als_retrieval(),
-    "gate_champion_challenger": o_gate_champion_challenger(),
-    "knn_search": o_knn_search(),
-    "knn_search_filtered": o_knn_search_filtered(),
-    "knn_search_float": o_knn_search_float(),
-    "get_vector": o_get_vector(),
-    "get_vectors": o_get_vectors(),
-    "quantize_vectors": o_quantize_vectors(),
-    "knn_join": o_knn_join(),
-    "ann_ivf": o_ann_ivf(),
-    "ann_ivf_filtered": o_ann_ivf_filtered(),
-    "knn_l2": o_knn_l2(),
-    "knn_mips": o_knn_mips(),
-    "add_vectors": o_add_vectors(),
-    "delete_vectors": o_delete_vectors(),
-    "upsert_vectors": o_upsert_vectors(),
-    "normalize_vectors": o_normalize_vectors(),
-    "vector_stats": o_vector_stats(),
-    "label_centroids": o_label_centroids(),
-    "udtf_token_stats": o_udtf_token_stats(),
-    "label_qsum_grouped_agg": o_label_qsum_grouped_agg(),
-    "dedup_exact": o_dedup_exact(),
-    "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
-    "dedup_minhash_lsh": o_dedup_minhash_lsh(),
-    "simhash_fingerprints": o_simhash_fingerprints(),
-    "dedup_simhash": o_dedup_simhash(),
-    "dedup_embedding": o_dedup_embedding(),
-    "dedup_resolve": o_dedup_resolve(),
-    "pipeline_clean_corpus": o_pipeline_clean_corpus(),
-    "token_counts": o_token_counts(),
-    "text_quality": o_text_quality(),
-    "lang_id": o_lang_id(),
-    "doc_fingerprint": o_doc_fingerprint(),
-    "rolling_fingerprint": o_rolling_fingerprint(),
-    "tfidf_terms": o_tfidf_terms(),
-    "multimodal_join": o_multimodal_join(),
-    "media_features": o_media_features(),
-    "media_features_arrow": o_media_features(),
-    "media_resize": o_media_resize(),
-    "media_frame_sample": o_media_frame_sample(),
-    "pricing_summary": o_pricing_summary(),
-    "part_brand_stats": o_part_brand_stats(),
-    "forecast_revenue": o_forecast_revenue(),
-    "shipping_priority": o_shipping_priority(),
-    "regional_revenue": o_regional_revenue(),
-    "bilateral_trade": o_bilateral_trade(),
-    "customer_distribution": o_customer_distribution(),
-    "brand_revenue_share": o_brand_revenue_share(),
-    "customer_order_running": o_customer_order_running(),
-    "mktsegment_rollup": o_mktsegment_rollup(),
-    "bpe_merge_table": o_bpe_merge_table(),
-    "bpe_trained_fertility": o_bpe_trained_fertility(),
-    "kruskal_wallis": o_kruskal_wallis(),
-    "brown_forsythe": o_brown_forsythe(),
-    "cohens_kappa": o_cohens_kappa(),
-    "ewma_daily_value": o_ewma_daily_value(),
-    "revenue_drawdown": o_revenue_drawdown(),
-    "sign_bit_recall": o_sign_bit_recall(),
-    "matryoshka_recall": o_matryoshka_recall(),
-    "embedding_anisotropy": o_embedding_anisotropy(),
-    "ndcg_ivf": o_ndcg_ivf(),
-    "mrr_lsh": o_mrr_lsh(),
-    "kmv_distinct_users": o_kmv_distinct_users(),
-    "bloom_fpr_purchases": o_bloom_fpr_purchases(),
-    "trade_hits": o_trade_hits(),
-    "burrows_delta": o_burrows_delta(),
-    "nb_auc": o_nb_auc(),
-    "holt_linear_forecast": o_holt_linear_forecast(),
-    "theil_sen_trend": o_theil_sen_trend(),
-    "label_centroid_affinity": o_label_centroid_affinity(),
-    "value_wasserstein_drift": o_value_wasserstein_drift(),
-    "daily_max_gumbel": o_daily_max_gumbel(),
-    "bpe_encode_pieces": o_bpe_encode_pieces(),
-    "friedman_types_by_day": o_friedman_types_by_day(),
-    "mann_kendall_trend": o_mann_kendall_trend(),
-    "nb_class_f1": o_nb_class_f1(),
-    "wilcoxon_week_over_week": o_wilcoxon_week_over_week(),
-    "chao1_vocab_richness": o_chao1_vocab_richness(),
-    "approx_value_percentiles": o_approx_value_percentiles(),
-    "approx_distinct_events": o_approx_distinct_events(),
-    "mllib_logreg_gate": o_mllib_logreg_gate(),
-    "value_wasserstein_timecut": o_value_wasserstein_timecut(),
-    "kmv_custkey_overlap": o_kmv_custkey_overlap(),
-    "welch_ttest_sources": o_welch_ttest_sources(),
-    "dedup_mcnemar": o_dedup_mcnemar(),
-    "markov_stationary": o_markov_stationary(),
-    "adamic_adar_mutual_knn": o_adamic_adar_mutual_knn(),
-    "hellinger_value_drift": o_hellinger_value_drift(),
-    "gpd_tail_fit": o_gpd_tail_fit(),
-    "mahalanobis_outliers": o_mahalanobis_outliers(),
-    "pettitt_changepoint": o_pettitt_changepoint(),
-    "dow_seasonal_decomposition": o_dow_seasonal_decomposition(),
-    "ljung_box_daily": o_ljung_box_daily(),
-    "logrank_segments": o_logrank_segments(),
-    "ks_bh_fdr": o_ks_bh_fdr(),
-    "stratification_deff": o_stratification_deff(),
-    "quantization_saturation": o_quantization_saturation(),
-    "source_vocab_jaccard": o_source_vocab_jaccard(),
-    "nb_average_precision": o_nb_average_precision(),
-    "mllib_isotonic_calibration": o_mllib_isotonic_calibration(),
-    "order_priority_counts": o_order_priority_counts(),
-    "ann_lsh_multiprobe": o_ann_lsh_multiprobe(),
-    "distinct_agg_stats": o_distinct_agg_stats(),
-    "salted_segment_revenue": o_salted_segment_revenue(),
-    "events_tumbling": o_events_tumbling(),
-    "large_volume_orders": o_large_volume_orders(),
-    "brand_size_revenue": o_brand_size_revenue(),
-    "orders_priority_pivot": o_orders_priority_pivot(),
-    "orders_priority_unpivot": o_orders_priority_unpivot(),
-    "props_json_stats": o_props_json_stats(),
-    "top_dims_per_vector": o_top_dims_per_vector(),
-    "nation_market_share": o_nation_market_share(),
-    "returned_items": o_returned_items(),
-    "customer_order_frame": o_customer_order_frame(),
-    "event_type_medians": o_event_type_medians(),
-    "events_value_histogram": o_events_value_histogram(),
-    "small_quantity_revenue": o_small_quantity_revenue(),
-    "idle_rich_customers": o_idle_rich_customers(),
-    "customer_quartiles": o_customer_quartiles(),
-    "embedding_dimension_stats": o_embedding_dimension_stats(),
-    "bpe_token_counts": o_bpe_token_counts(),
-    "latest_event_per_user": o_latest_event_per_user(),
-    "deterministic_sample": o_deterministic_sample(),
-    "adjacent_doc_similarity": o_adjacent_doc_similarity(),
-    "event_transitions": o_event_transitions(),
-    "purchase_click_interval_join": o_purchase_click_interval_join(),
-    "moving_window_stats": o_moving_window_stats(),
-    "cms_heavy_hitters": o_cms_heavy_hitters(),
-    "scd2_user_state": o_scd2_user_state(),
-    "user_event_paths": o_user_event_paths(),
-    "event_outliers": o_event_outliers(),
-    "events_grouping_sets": o_events_grouping_sets(),
-    "decontaminate_corpus": o_decontaminate_corpus(),
-    "pii_scrub_stats": o_pii_scrub_stats(),
-    "stratified_corpus_sample": o_stratified_corpus_sample(),
-    "dup_cluster_sizes": o_dup_cluster_sizes(),
-    "corpus_token_share": o_corpus_token_share(),
-    "ann_pq": o_ann_pq(),
-    "event_value_regression": o_event_value_regression(),
-    "ann_ivf_pq": o_ann_ivf_pq(),
-    "semantic_dedup": o_semantic_dedup(),
-    "pack_sequences": o_pack_sequences(),
-    "build_vocab": o_build_vocab(),
-    "encode_tokens": o_encode_tokens(),
-    "corpus_stats": o_corpus_stats(),
-    "incremental_dedup": o_incremental_dedup(),
-    "value_equidepth_bins": o_value_equidepth_bins(),
-    "bm25_rank": o_bm25_rank(),
-    "top_events_per_user": o_top_events_per_user(),
-    "weighted_sample_per_lang": o_weighted_sample_per_lang(),
-    "bigram_surprisal": o_bigram_surprisal(),
-    "event_funnel": o_event_funnel(),
-    "retention_cohorts": o_retention_cohorts(),
-    "pq_encode": o_pq_encode(),
-    "ann_lsh": o_ann_lsh(),
-    "ann_pq_trained": o_ann_pq_trained(),
-    "ann_ivf_pq_trained": o_ann_ivf_pq_trained(),
-    "matview_user_spend_twin": o_matview_user_spend_twin(),
-    "dedup_gate_twin": o_dedup_gate_twin(),
-    "events_by_hour": o_events_by_hour(),
-    "nation_customer_stats": o_nation_customer_stats(),
-    "value_percentiles": o_value_percentiles(),
-    "events_cube": o_events_cube(),
-    "customer_set_ops": o_customer_set_ops(),
-    "asof_purchase_attribution": o_asof_purchase_attribution(),
-    "sessionize_events": o_sessionize_events(),
-    "hypertable_rollup": o_hypertable_rollup(),
-    "cms_user_estimates": o_cms_user_estimates(),
-    "zorder_pruning": o_zorder_pruning(),
-    "snapshot_diff": o_snapshot_diff(),
-    "bloom_prune_join": o_bloom_prune_join(),
-    "boilerplate_share": o_boilerplate_share(),
-    "repetition_stats": o_repetition_stats(),
-    "chunk_documents": o_chunk_documents(),
-    "quality_filter": o_quality_filter(),
-    "unigram_surprisal": o_unigram_surprisal(),
-    "lateship_priority_counts": o_lateship_priority_counts(),
-    "knn_classify": o_knn_classify(),
-    "top_brands_by_share": o_top_brands_by_share(),
-    "promo_revenue_share": o_promo_revenue_share(),
-    "top_supplier_revenue": o_top_supplier_revenue(),
-    "heavy_part_suppliers": o_heavy_part_suppliers(),
-    "sole_late_suppliers": o_sole_late_suppliers(),
-    "nation_profit_trend": o_nation_profit_trend(),
-    "min_cost_supplier": o_min_cost_supplier(),
-    "hybrid_rrf_search": o_hybrid_rrf_search(),
-    "training_shard_stats": o_training_shard_stats(),
-    "source_token_caps": o_source_token_caps(),
-    "event_key_skew": o_event_key_skew(),
-    "trade_pagerank": o_trade_pagerank(),
-    "fuzzy_source_pairs": o_fuzzy_source_pairs(),
-    "event_value_mad": o_event_value_mad(),
-    "zone_pruned_scan": o_zone_pruned_scan(),
-    "approx_percentile_error": o_approx_percentile_error(),
-    "media_image_stats": o_media_image_stats(),
-    "dedup_simhash_wide": o_dedup_simhash_wide(),
-    "duplicate_spans": o_duplicate_spans(),
-    "media_image_resize": o_media_image_resize(),
-    "approx_distinct_error": o_approx_distinct_error(),
-    "contamination_spans": o_contamination_spans(),
-    "scrub_spans": o_scrub_spans(),
-    "source_mixture": o_source_mixture(),
-    "interleave_audit": o_interleave_audit(),
-    "mutual_knn": o_mutual_knn(),
-    "importance_weights": o_importance_weights(),
-    "media_audio_stats": o_media_audio_stats(),
-    "media_audio_resample": o_media_audio_resample(),
-    "corpus_drift": o_corpus_drift(),
-    "hard_negatives": o_hard_negatives(),
-    "dup_source_matrix": o_dup_source_matrix(),
-    "containment_pairs": o_containment_pairs(),
-    "split_leakage": o_split_leakage(),
-    "nb_lang_confusion": o_nb_lang_confusion(),
-    "perplexity_buckets": o_perplexity_buckets(),
-    "zipf_fit": o_zipf_fit(),
-    "cluster_split_leakage": o_cluster_split_leakage(),
-    "epoch_plan": o_epoch_plan(),
-    "dedup_inflation": o_dedup_inflation(),
-    "quantization_recall": o_quantization_recall(),
-    "minhash_precision": o_minhash_precision(),
-    "contrastive_triplets": o_contrastive_triplets(),
-    "dq_violations": o_dq_violations(),
-    "tokenizer_fertility": o_tokenizer_fertility(),
-    "bpe_merge_pairs": o_bpe_merge_pairs(),
-    "unimax_epochs": o_unimax_epochs(),
-    "mmr_rerank": o_mmr_rerank(),
-    "ann_recall_curve": o_ann_recall_curve(),
-    "k_anonymity": o_k_anonymity(),
-    "resolve_keep_best": o_resolve_keep_best(),
-    "rbo_overlap": o_rbo_overlap(),
-    "ngram_coverage": o_ngram_coverage(),
-    "dedup_threshold_curve": o_dedup_threshold_curve(),
-    "minhash_estimate_error": o_minhash_estimate_error(),
-    "supplier_part_counts": o_supplier_part_counts(),
-    "neyman_allocation": o_neyman_allocation(),
-    "source_entropy": o_source_entropy(),
-    "embedding_drift": o_embedding_drift(),
-    "dedup_graph_triangles": o_dedup_graph_triangles(),
-    "heaps_law": o_heaps_law(),
-    "good_turing": o_good_turing(),
-    "truncation_stats": o_truncation_stats(),
-    "source_kl_matrix": o_source_kl_matrix(),
-    "source_lang_mi": o_source_lang_mi(),
-    "pmi_collocations": o_pmi_collocations(),
-    "bootstrap_order_ci": o_bootstrap_order_ci(),
-    "ivf_balance": o_ivf_balance(),
-    "cusum_shift": o_cusum_shift(),
-    "ks_drift": o_ks_drift(),
-    "dedup_kcore": o_dedup_kcore(),
-    "revenue_gini": o_revenue_gini(),
-    "arrival_burstiness": o_arrival_burstiness(),
-    "event_type_affinity": o_event_type_affinity(),
-    "benford_digits": o_benford_digits(),
-    "fk_orphans": o_fk_orphans(),
-    "event_debounce": o_event_debounce(),
-    "conversion_lag": o_conversion_lag(),
-    "user_behavior_entropy": o_user_behavior_entropy(),
-    "km_survival": o_km_survival(),
-    "hourly_acf": o_hourly_acf(),
-    "rank_stability": o_rank_stability(),
-    "trimmed_value_stats": o_trimmed_value_stats(),
-    "twonn_intrinsic_dim": o_twonn_intrinsic_dim(),
-    "hourly_xcorr": o_hourly_xcorr(),
-    "kendall_tau": o_kendall_tau(),
-    "hhi_concentration": o_hhi_concentration(),
-    "mann_whitney": o_mann_whitney(),
-    "runs_test": o_runs_test(),
-    "hill_tail_index": o_hill_tail_index(),
-    "ivf_silhouette": o_ivf_silhouette(),
-    "embedding_effective_rank": o_embedding_effective_rank(),
-    "dedup_assortativity": o_dedup_assortativity(),
-    "copurchase_lift": o_copurchase_lift(),
-    "markov_entropy_rate": o_markov_entropy_rate(),
-    "discount_elasticity": o_discount_elasticity(),
-    "return_rate_wilson": o_return_rate_wilson(),
-    "priority_segment_chisq": o_priority_segment_chisq(),
-    "interpurchase_gap": o_interpurchase_gap(),
-    "source_ttr": o_source_ttr(),
-    "source_decile_shift": o_source_decile_shift(),
-    "session_depth_hist": o_session_depth_hist(),
-    "brand_pareto": o_brand_pareto(),
-    "customer_rfm": o_customer_rfm(),
-    "fk_fanout_stats": o_fk_fanout_stats(),
-    "token_rank_drift": o_token_rank_drift(),
-    "source_js_matrix": o_source_js_matrix(),
-    "weekday_uniformity": o_weekday_uniformity(),
-    "yearly_value_quartiles": o_yearly_value_quartiles(),
-    "value_anova": o_value_anova(),
-    "lognormal_jb": o_lognormal_jb(),
-    "hour_profile_fit": o_hour_profile_fit(),
-    "return_curve": o_return_curve(),
-    "user_lifecycle_census": o_user_lifecycle_census(),
-    "order_reconciliation": o_order_reconciliation(),
-    "user_activity_dispersion": o_user_activity_dispersion(),
-    "coldstart_rates": o_coldstart_rates(),
-    "event_bigram_oov": o_event_bigram_oov(),
-    "hour_circular_concentration": o_hour_circular_concentration(),
-    "conversion_rate_shift": o_conversion_rate_shift(),
-    "brand_yoy_growth": o_brand_yoy_growth(),
-    "dup_cluster_purity": o_dup_cluster_purity(),
-    "single_source_parts": o_single_source_parts(),
-    "basket_diversity": o_basket_diversity(),
-    "priority_leadtime": o_priority_leadtime(),
-    "tax_discount_chisq": o_tax_discount_chisq(),
-    "weekend_value_mw": o_weekend_value_mw(),
-    "lang_length_anova": o_lang_length_anova(),
-    "shard_uniformity": o_shard_uniformity(),
-    "price_ending_profile": o_price_ending_profile(),
-    "realized_vs_retail": o_realized_vs_retail(),
-    "segment_acctbal_profile": o_segment_acctbal_profile(),
-    "supplier_balance_corr": o_supplier_balance_corr(),
-    "dedup_method_agreement": o_dedup_method_agreement(),
-    "basket_size_value": o_basket_size_value(),
-    "anomalous_days": o_anomalous_days(),
-    "heldout_cross_entropy": o_heldout_cross_entropy(),
-    "quality_pass_by_source": o_quality_pass_by_source(),
-    "priority_mix_drift": o_priority_mix_drift(),
-    "customer_brand_breadth": o_customer_brand_breadth(),
-    "nation_trade_balance": o_nation_trade_balance(),
-    "brand_market_presence": o_brand_market_presence(),
-    "returnflag_quantity_mw": o_returnflag_quantity_mw(),
-    "daypart_value_anova": o_daypart_value_anova(),
-    "mllib_word2vec": o_mllib_word2vec(),
-    "mllib_ivf_search": o_mllib_ivf_search(),
-    "mllib_brp_neardup": o_mllib_brp_neardup(),
-    "mllib_minhash_dedup": o_mllib_minhash_dedup(),
-    "media_jpeg_stats": o_media_jpeg_stats(),
-    "media_jpeg_roundtrip": o_media_jpeg_roundtrip(),
-    "kneser_ney_bigrams": o_kneser_ney_bigrams(),
-    "ngram_novelty": o_ngram_novelty(),
-    "source_compressibility": o_source_compressibility(),
-    "ivf_nprobe_curve": o_ivf_nprobe_curve(),
-    "discount_quantity_spearman": o_discount_quantity_spearman(),
-    "nb_calibration_bins": o_nb_calibration_bins(),
-}
+def __getattr__(name: str):
+    """PEP 562 lazy re-export: resolve any name a family module (or
+    _core) defines, so pre-split import sites keep working without a
+    1,500-line explicit re-export block."""
+    for fam in ("_core",) + _FAMILIES:
+        mod = _module(fam)
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

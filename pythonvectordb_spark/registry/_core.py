@@ -5,7 +5,30 @@ with zero semantic change; statement text is unchanged, only moved.
 """
 
 
+
 from __future__ import annotations
+
+# Schema-change ledger for the witness pipeline (single source of
+# truth — the registry-contract test and tools/rotation_plan.py both
+# import it): a driver CORRECTNESS row only counts as a witness for a
+# query if its round is >= the round that last changed the query's
+# OUTPUT SCHEMA; until then the query is treated as never-witnessed
+# and must sit in the registry's front prefix.
+STALE_UNTIL: dict[str, int] = {
+    # mllib_* graduated to guarantee oracles in round 5 (commit
+    # 2cf1439) — re-witnessed by the round-6 window
+    "mllib_word2vec": 6,
+    "mllib_ivf_search": 6,
+    "mllib_brp_neardup": 6,
+    "mllib_minhash_dedup": 6,
+    # raw sketches graduated from rows-only to hashable sketch-internal
+    # oracles in round 7 (KMV precedent)
+    "approx_value_percentiles": 7,
+    "approx_distinct_events": 7,
+    # round 9: extended with the GBT arm + topic-label columns
+    # (VERDICT r8 tasks 3/4) — needs a fresh witness
+    "gate_champion_challenger": 9,
+}
 
 
 from collections.abc import Callable

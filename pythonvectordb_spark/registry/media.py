@@ -322,6 +322,12 @@ def q_media_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_features_arrow(MM.text_as_media(docs))
 
 
+def o_media_features_arrow() -> str:
+    # the Arrow twin is bit-equal to the mapInPandas path by contract,
+    # so it shares the expression version's oracle verbatim
+    return o_media_features()
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: tile-and-truncate every payload to 64 bytes via
     mapInPandas (binary in/out), value-checked by md5."""

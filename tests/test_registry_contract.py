@@ -64,18 +64,8 @@ def test_never_witnessed_queries_sit_in_front():
         return
     # schema-change log: a witness row only counts if its round is >= the
     # round that changed the query's output schema
-    stale_until = {
-        # mllib_* graduated to guarantee oracles in round 5 (commit
-        # 2cf1439) — re-witnessed by the round-6 window
-        "mllib_word2vec": 6,
-        "mllib_ivf_search": 6,
-        "mllib_brp_neardup": 6,
-        "mllib_minhash_dedup": 6,
-        # raw sketches graduated from rows-only to hashable sketch-internal
-        # oracles in round 7 (KMV precedent) — need a fresh witness
-        "approx_value_percentiles": 7,
-        "approx_distinct_events": 7,
-    }
+    # single source of truth shared with tools/rotation_plan.py (r9)
+    from pythonvectordb_spark.registry._core import STALE_UNTIL as stale_until
     # the last two rows-only entries graduated to sketch-internal
     # oracles in round 7 — every registered query must carry an oracle
     rows_only = [n for n in QUERIES if n not in ORACLES]

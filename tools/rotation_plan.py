@@ -37,9 +37,15 @@ def latest_witness() -> dict[str, int]:
 
 def main() -> int:
     from pythonvectordb_spark.registry import QUERIES
+    from pythonvectordb_spark.registry._core import STALE_UNTIL
 
     order = list(QUERIES)
-    latest = latest_witness()
+    # a witness older than the query's last schema change does not
+    # count (shared ledger, round 9): such queries re-enter the
+    # never-witnessed prefix until a fresh driver row lands
+    latest = {
+        n: r for n, r in latest_witness().items() if r >= STALE_UNTIL.get(n, 1)
+    }
     pos = {n: i for i, n in enumerate(order)}
     never = [n for n in order if n not in latest]
     witnessed = sorted(
