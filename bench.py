@@ -756,6 +756,31 @@ def _decade2_rehearsal(spark, sf_dir: str) -> dict:
     return out
 
 
+def _knn_retry_needed(
+    control_start: float,
+    knn_ctrl_end: float,
+    control_end: float,
+    qps: float,
+    qps_32k: float,
+) -> bool:
+    """Decide whether the knn headline window was polluted (VERDICT r8
+    task 2; pure so tests can pin the policy). Two triggers, OR-ed:
+
+    * loaded window — the knn section's own control pair exceeded 3x
+      the run's idle floor (the floor is the min of all three run
+      controls; the end-of-run control is always fully warm);
+    * self-inconsistency — the 4,096 batch lost to the 32k batch by
+      25%+. Every clean round has the small batch FASTER (1,833 vs
+      1,331 r8; 1,509 vs 1,331 r7), so losing big is a polluted
+      window even when the controls look plausible (a co-tenant can
+      land between the control stamp and the measurement).
+    """
+    idle_floor = min(control_start, knn_ctrl_end, control_end)
+    loaded_window = max(control_start, knn_ctrl_end) > 3.0 * idle_floor
+    inconsistent = qps < 0.75 * qps_32k
+    return loaded_window or inconsistent
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -1119,19 +1144,13 @@ def main() -> None:
     # run to calm down), with its own control pair, and emit BOTH
     # readings — the artifact then adjudicates itself.
     knn_retry = None
-    idle_floor = min(control_start, knn_ctrl_end, control_end)
-    loaded_window = max(control_start, knn_ctrl_end) > 3.0 * idle_floor
-    # second, load-invariant trigger: in every clean run the 4,096
-    # batch beats the 32k batch per query (1,833 vs 1,331 r8; 1,509 vs
-    # 1,331 r7 — less data per task, same amortization); losing to it
-    # by 25%+ means the 4,096 window specifically was polluted even if
-    # the controls looked plausible
-    inconsistent = qps < 0.75 * qps_32k
-    if loaded_window or inconsistent:
+    if _knn_retry_needed(control_start, knn_ctrl_end, control_end, qps, qps_32k):
         log(
             f"bench knn headline suspect (controls {control_start}s/"
-            f"{knn_ctrl_end}s vs idle floor {idle_floor}s; qps {qps:.0f} "
-            f"vs 32k-batch {qps_32k:.0f}) -> re-measuring headline qps"
+            f"{knn_ctrl_end}s vs idle floor "
+            f"{min(control_start, knn_ctrl_end, control_end)}s; "
+            f"qps {qps:.0f} vs 32k-batch {qps_32k:.0f}) -> "
+            "re-measuring headline qps"
         )
         retry_ctrl_start = _control_query_s(spark, sf_dir)
         rtable = S.with_qvec(tiled).repartition(32).persist()
