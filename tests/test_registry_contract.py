@@ -84,3 +84,31 @@ def test_never_witnessed_queries_sit_in_front():
                 "the never-witnessed prefix so the next front-50 window "
                 "reaches it"
             )
+
+
+def test_registry_lazy_reexports_resolve():
+    """The round-9 slim __init__ replaced 1,500 explicit re-exports
+    with a module __getattr__; pre-split import sites must keep
+    working for every kind of name the single-file registry exported
+    (query/oracle functions, shared constants, helper builders), and
+    unknown names must still raise AttributeError (not return None or
+    loop)."""
+    import pytest as _pytest
+
+    import pythonvectordb_spark.registry as R
+
+    # one of each name class, spread across family modules + _core
+    for name in (
+        "q_knn_search",            # query fn (vector family)
+        "o_gate_champion_challenger",  # oracle fn (curation family)
+        "q_mllib_als_retrieval",   # mllib family
+        "load_table",              # _core helper
+        "STOPWORDS",               # _core constant
+        "STALE_UNTIL",             # the shared schema-change ledger
+    ):
+        assert getattr(R, name) is not None, name
+    # from-import form resolves through __getattr__ too
+    from pythonvectordb_spark.registry import q_pricing_summary  # noqa: F401
+
+    with _pytest.raises(AttributeError):
+        R.q_this_query_does_not_exist
