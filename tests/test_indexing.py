@@ -380,3 +380,107 @@ def test_als_purchase_retrieval_split_is_md5(spark):
     ).count()
     assert r.n_interactions == n
     assert r.n_test == n_test and r.n_train == n - n_test
+
+
+def test_fpgrowth_brand_rules_exact_mining(spark):
+    """FPGrowth on a planted basket corpus must mine the exact frequent
+    pairs and emit MLlib's confidence/lift/support for them — checked
+    against hand-computed values (the DuckDB oracle recomputes the same
+    thing at the registered SFs)."""
+    from pythonvectordb_spark.indexing import fpgrowth_brand_rules
+
+    # 20 baskets: {A,B} in all 20, C in the first 5 (so {A,C}/{B,C}
+    # and the triple {A,B,C} are frequent at min_support=0.2 -> minCount 4)
+    lineitem, part = [], [("pA", "A"), ("pB", "B"), ("pC", "C")]
+    for ok in range(20):
+        lineitem.append((ok, "pA"))
+        lineitem.append((ok, "pB"))
+        if ok < 5:
+            lineitem.append((ok, "pC"))
+    ldf = spark.createDataFrame(lineitem, "l_orderkey long, l_partkey string")
+    pdf = spark.createDataFrame(part, "p_partkey string, p_brand string")
+    rows = {
+        (r.antecedent, r.consequent): r
+        for r in fpgrowth_brand_rules(ldf, pdf, min_support=0.2).collect()
+    }
+    # pair rule A -> B: conf 20/20 = 1, lift 1/(20/20) = 1, support 1
+    r = rows[("A", "B")]
+    assert (r.confidence, r.lift, r.support) == (1.0, 1.0, 1.0)
+    # pair rule A -> C: conf 5/20 = 0.25, lift 0.25/(5/20) = 1.0
+    r = rows[("A", "C")]
+    assert (r.confidence, r.lift, r.support) == (0.25, 1.0, 0.25)
+    # pair rule C -> A: conf 5/5 = 1, lift 1/(20/20) = 1, support 0.25
+    r = rows[("C", "A")]
+    assert (r.confidence, r.lift, r.support) == (1.0, 1.0, 0.25)
+    # triple rule {A,B} -> C mirrors A -> C (B rides along everywhere)
+    r = rows[("A,B", "C")]
+    assert (r.confidence, r.lift, r.support) == (0.25, 1.0, 0.25)
+    # and {A,C} -> B is certain
+    r = rows[("A,C", "B")]
+    assert (r.confidence, r.lift, r.support) == (1.0, 1.0, 0.25)
+
+
+def test_fpgrowth_brand_rules_antecedent_cap(spark):
+    """Rules from itemsets deeper than max_antecedent+1 must be cut —
+    the filter that keeps the output SQL-enumerable at every SF."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import fpgrowth_brand_rules
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    out = fpgrowth_brand_rules(li, part, min_support=0.005)
+    n_items = out.select(
+        F.max(F.size(F.split("antecedent", ","))).alias("m")
+    ).first()["m"]
+    assert n_items <= 2
+    assert out.count() > 0
+
+
+def test_pca_compaction_audit_flags_and_census(spark):
+    """The verdict row: exact census + both guarantee flags true on the
+    real store (measured margins in the oracle contract note)."""
+    from pythonvectordb_spark.indexing import pca_compaction_audit
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    (r,) = pca_compaction_audit(emb).collect()
+    assert r.n_vectors == emb.count()
+    assert r.dim == 64 and r.k_dims == 16 and r.k == 10
+    assert r.n_queries == 32
+    assert r.explained_variance_ok == 1
+    assert r.recall_ok == 1
+
+
+def test_pca_compaction_recall_flag_is_not_tautological(spark):
+    """recall_ok must FAIL when the floor multiplier is set above what
+    a 16/64 projection of uniform-random data can reach — the flag is
+    measured, not hardcoded."""
+    from pythonvectordb_spark.indexing import pca_compaction_audit
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # floor = 40 * k/n = 0.8: measured recall is ~0.375 -> must fail
+    (r,) = pca_compaction_audit(emb, recall_floor_mult=40).collect()
+    assert r.recall_ok == 0
+
+
+def test_tvs_depth_selection_recovers_minimal_depth(spark):
+    """The parsimony rule must pick depth 1 on the axis-aligned length
+    label (validation metrics tie across the grid) and the selected
+    stump must classify the held-out split within bounds."""
+    from pythonvectordb_spark.indexing import tvs_depth_selection
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    (r,) = tvs_depth_selection(docs).collect()
+    assert r.grid_size == 3
+    assert r.selected_depth_minimal == 1
+    assert r.validation_metric_ok == 1
+    assert r.heldout_accuracy_ok == 1
+    assert r.n_test > 0 and 0 < r.n_pos_test < r.n_test

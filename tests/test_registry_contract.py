@@ -112,3 +112,46 @@ def test_registry_lazy_reexports_resolve():
 
     with _pytest.raises(AttributeError):
         R.q_this_query_does_not_exist
+
+
+def test_build_rejects_order_and_binding_asymmetry():
+    """_build() must fail loudly in BOTH directions (ADVICE r9): a name
+    in _ORDER without q_/o_ bindings already raised; a q_* binding in a
+    family module that was forgotten from _ORDER used to be silently
+    dropped (never registered, never witnessed). Pin both by rebuilding
+    against a perturbed _ORDER."""
+    import pythonvectordb_spark.registry as R
+
+    # dropping a name from _ORDER -> that family binding is now an extra
+    orig = R._ORDER
+    try:
+        R._ORDER = tuple(n for n in orig if n != "knn_search")
+        try:
+            R._build()
+        except ImportError as e:
+            assert "missing from _ORDER" in str(e) and "knn_search" in str(e)
+        else:
+            raise AssertionError("extra q_* binding did not raise")
+        # a name in _ORDER without bindings -> the original loud path
+        R._ORDER = orig + ("this_query_does_not_exist",)
+        try:
+            R._build()
+        except ImportError as e:
+            assert "without q_/o_ bindings" in str(e)
+        else:
+            raise AssertionError("unbound _ORDER name did not raise")
+    finally:
+        R._ORDER = orig
+
+
+def test_getattr_caches_resolution():
+    """__getattr__ must cache the winner in module globals (ADVICE r9):
+    repeat lookups skip the linear family-module scan and the _core-first
+    winner is frozen deterministically."""
+    import pythonvectordb_spark.registry as R
+
+    name = "o_pricing_summary"
+    R.__dict__.pop(name, None)
+    first = getattr(R, name)
+    assert name in R.__dict__ and R.__dict__[name] is first
+    assert getattr(R, name) is first
