@@ -1074,3 +1074,220 @@ def tvs_depth_selection(
             "heldout_accuracy_ok"
         ),
     )
+
+
+def prefixspan_event_paths(
+    events: DataFrame,
+    min_support: float = 0.2,
+    max_pattern_length: int = 3,
+    first_n: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """MLlib PrefixSpan sequential-pattern mining over per-user
+    event-type journeys (new round 10): the order-aware sibling of
+    `fpgrowth_brand_rules` — frequent subsequences (gaps allowed) of
+    each user's FIRST ``first_n`` events (the onboarding-funnel prefix;
+    unbounded journeys in this corpus contain every short pattern, so
+    the prefix is what makes supports discriminate) up to length
+    ``max_pattern_length``, the classic funnel-discovery /
+    next-action-mining primitive. One row per frequent pattern: the
+    comma-joined pattern, its exact sequence count (users containing it
+    as a subsequence), and support.
+
+    FULLY exact-oracled: sequential-pattern mining is deterministic —
+    DuckDB recomputes length-1/2/3 pattern supports as
+    count(DISTINCT user) over row_number-ordered (rn <= first_n)
+    self-joins with the identical minCount = ceil(min_support *
+    n_sequences) threshold (double multiply-then-ceil, bit-equal across
+    engines), and support is one correctly-rounded division of exact
+    int64 counts, ROUNDED 9. Sequence order ties break on event_id on
+    both engines.
+
+    Scale shape: sequence assembly is one map-side collect_list grouped
+    on the user key (per-user arrays, bounded by ``first_n``); Spark's
+    PrefixSpan distributes projected-database extension with work
+    proportional to total sequence length x frequent-prefix count —
+    never users squared. The ``max_pattern_length`` cap bounds both
+    the mining depth and the SQL enumeration. Only pattern rows (at
+    most |types|^max_len) leave the executors.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = (
+        events.groupBy(user_col)
+        .agg(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.col(type_col))
+                        )
+                    ),
+                    1,
+                    int(first_n),
+                ),
+                lambda s: F.array(s[type_col]),
+            ).alias("sequence")
+        )
+        .select("sequence")
+    )
+    n_seq = seqs.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    ).withColumn("_one", F.lit(1))
+    pat = PrefixSpan(
+        minSupport=float(min_support),
+        maxPatternLength=int(max_pattern_length),
+        sequenceCol="sequence",
+    ).findFrequentSequentialPatterns(seqs)
+    return (
+        pat.select(
+            F.array_join(F.flatten("sequence"), ",").alias("pattern"),
+            F.size(F.flatten("sequence")).cast("int").alias("length"),
+            F.col("freq").cast("long").alias("n_users"),
+        )
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(n_seq), "_one")
+        .select(
+            "pattern",
+            "length",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_n").cast("double"), 9
+            ).alias("support"),
+        )
+    )
+
+
+def linreg_hour_value_twin(
+    events: DataFrame, agree_eps: float = 1e-6
+) -> DataFrame:
+    """MLlib LinearRegression (exact "normal" solver) fitted beside the
+    closed-form regression aggregates (new round 10): one model of
+    event value on hour-of-day, with the HASH-CHECKED columns being the
+    exact moment-formula regr_slope / regr_intercept / regr_r2 (the
+    `event_value_regression` parity surface, ROUNDED 6 — DuckDB
+    recomputes them) and the MLlib estimator's agreement with that
+    closed form asserted as data: solver="normal" solves the same
+    least-squares system via a distributed Gramian, so |coef - slope|
+    and |intercept - intercept| must sit within ``agree_eps`` (measured
+    agreement ~1e-12; a solver regression or an accidental
+    regularization flips the flags and breaks the value hash).
+
+    Scale shape: the closed form is one map-side-combined moment
+    aggregate; the normal-equation fit is one tree-aggregated AtA/Atb
+    pass (never an iterative sweep) over the same narrow projection;
+    both reduce to 1-row frames and a broadcast join. Only the 1-row
+    verdict reaches the driver.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    d = events.select(
+        F.hour("ts").cast("double").alias("x"), F.col("value").alias("y")
+    )
+    closed = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        F.regr_slope("y", "x").alias("_slope_raw"),
+        F.regr_intercept("y", "x").alias("_icpt_raw"),
+    )
+    feat = VectorAssembler(
+        inputCols=["x"], outputCol="features", handleInvalid="error"
+    ).transform(d)
+    model = LinearRegression(
+        featuresCol="features",
+        labelCol="y",
+        solver="normal",
+        regParam=0.0,
+        elasticNetParam=0.0,
+    ).fit(feat)
+    coef = float(model.coefficients[0])
+    icpt = float(model.intercept)
+    eps = float(agree_eps)
+    return closed.select(
+        "n",
+        "slope",
+        "intercept",
+        "r2",
+        (F.abs(F.col("_slope_raw") - F.lit(coef)) < F.lit(eps))
+        .cast("long")
+        .alias("mllib_coef_agrees"),
+        (F.abs(F.col("_icpt_raw") - F.lit(icpt)) < F.lit(eps))
+        .cast("long")
+        .alias("mllib_intercept_agrees"),
+    )
+
+
+def chisq_mllib_twin(
+    orders: DataFrame, customer: DataFrame, agree_eps: float = 1e-4
+) -> DataFrame:
+    """ml.stat.ChiSquareTest beside the exact-integer contingency chi²
+    (new round 10): independence of order priority x customer market
+    segment, with the HASH-CHECKED columns being the exact-arithmetic
+    statistic surface (`stats.contingency_chisq`: n_rows, dof, chisq,
+    cramers_v — the `priority_segment_chisq` parity formula, DuckDB
+    recomputes all four) and TWO agreement flags asserted as data:
+    MLlib's degreesOfFreedom equals the exact (r-1)(c-1) dof, and
+    MLlib's statistic sits within ``agree_eps`` of the exact ROUND-6
+    chi² (both engines sum the same 25 cell terms; measured raw diff
+    ~1e-12, so the tolerance only absorbs the round-6 grain). A
+    ChiSquareTest regression or a category-indexing bug flips a flag
+    and breaks the value hash.
+
+    Category indexing is deterministic: distinct levels are
+    row_number'd in lexical order over a levels-sized frame and
+    broadcast back — never a StringIndexer (frequency-ordered, ties
+    engine-specific) and never a global window over the data.
+
+    Scale shape: one broadcast dim join feeding BOTH arms off a
+    checkpointed narrow frame; the exact arm is one map-side-combined
+    cell count (at most r x c cells); the MLlib arm aggregates the same
+    contingency counts distributively; the two level indexes are
+    levels-sized windows. Only the 1-row verdict reaches the driver.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+    from pyspark.sql import Window
+
+    from pythonvectordb_spark.operators.stats import contingency_chisq
+
+    base = (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select(
+            F.col("o_orderpriority").alias("r"), F.col("c_mktsegment").alias("c")
+        )
+        .localCheckpoint(eager=False)  # feeds the exact arm AND the MLlib arm
+    )
+    exact = contingency_chisq(base, "r", "c")
+
+    def _index(col: str) -> DataFrame:
+        w = Window.orderBy(col)
+        return base.select(col).distinct().select(
+            col, (F.row_number().over(w) - 1).cast("double").alias(f"_{col}_ix")
+        )
+
+    indexed = base.join(F.broadcast(_index("r")), "r").join(
+        F.broadcast(_index("c")), "c"
+    )
+    feat = VectorAssembler(
+        inputCols=["_c_ix"], outputCol="features", handleInvalid="error"
+    ).transform(indexed)
+    res = ChiSquareTest.test(feat, "features", "_r_ix").first()
+    ml_stat = float(res.statistics[0])
+    ml_dof = int(res.degreesOfFreedom[0])
+    eps = float(agree_eps)
+    return exact.select(
+        "n_rows",
+        "dof",
+        "chisq",
+        "cramers_v",
+        (F.col("dof") == F.lit(ml_dof)).cast("long").alias("mllib_dof_agrees"),
+        (F.abs(F.col("chisq") - F.lit(ml_stat)) < F.lit(eps))
+        .cast("long")
+        .alias("mllib_statistic_agrees"),
+    )

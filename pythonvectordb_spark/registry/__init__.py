@@ -50,13 +50,15 @@ _FAMILIES = (
     "mllib",
 )
 
-# Registry order (round-10 rotation): the three new MLlib queries
-# (FPGrowth rules, PCA compaction, TVS model selection) lead as the
-# never-witnessed prefix, then the 36-query r3 cohort and the 11
+# Registry order (round-10 rotation): the six new MLlib queries
+# (FPGrowth rules, PCA compaction, TVS model selection, PrefixSpan
+# paths, LinearRegression twin, ChiSquareTest twin) lead as the
+# never-witnessed prefix, then the 36-query r3 cohort and the 8
 # stalest r4 queries fill the front-50; everything after is
 # oldest-witness-first (the full tools/rotation_plan.py recommendation).
 _ORDER = (
     "mllib_fpgrowth_rules", "mllib_pca_compaction", "mllib_model_selection",
+    "mllib_prefixspan_paths", "mllib_linreg_twin", "mllib_chisq_twin",
     "weighted_sample_per_lang", "bigram_surprisal", "event_funnel",
     "retention_cohorts", "pq_encode", "ann_lsh", "ann_pq_trained",
     "ann_ivf_pq_trained", "matview_user_spend_twin", "dedup_gate_twin",

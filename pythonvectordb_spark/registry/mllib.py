@@ -476,3 +476,134 @@ SELECT CAST(count(*) AS BIGINT) AS n_test,
        CAST(1 AS BIGINT) AS heldout_accuracy_ok
 FROM t
 """
+
+
+def q_mllib_prefixspan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PrefixSpan sequential-pattern mining over each user's
+    first-8-event journey prefix (new round 10): frequent subsequences
+    (gaps allowed) up to length 3 at min_support 0.2 — FULLY
+    exact-oracled by DuckDB row_number-ordered self-join recomputation
+    of every pattern support (`indexing.prefixspan_event_paths`; the
+    order-aware sibling of mllib_fpgrowth_rules)."""
+    from pythonvectordb_spark.indexing import prefixspan_event_paths
+
+    return prefixspan_event_paths(load_table(spark, sf_dir, "events"))
+
+
+def o_mllib_prefixspan_paths() -> str:
+    # Contract notes: the registered binding pins min_support=0.2,
+    # max_pattern_length=3, first_n=8 (operator defaults); the `0.2`,
+    # the p1/p2/p3 enumeration depth, and the `rn <= 8` below ARE those
+    # values — change both together. minCount = ceil(0.2 * n_sequences)
+    # is the exact double multiply-then-ceil MLlib's PrefixSpan
+    # applies; sequence order ties break on event_id on both engines.
+    return """
+WITH seq AS (SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS rn
+             FROM events),
+pref AS (SELECT user_id, event_type, rn FROM seq WHERE rn <= 8),
+nseq AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM pref),
+mc AS (SELECT CAST(ceil(0.2 * n) AS BIGINT) AS m, n FROM nseq),
+p1 AS (SELECT event_type AS pattern, 1 AS length,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM pref GROUP BY 1
+       HAVING count(DISTINCT user_id) >= (SELECT m FROM mc)),
+p2 AS (SELECT a.event_type || ',' || b.event_type AS pattern, 2 AS length,
+              CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+       FROM pref a JOIN pref b ON a.user_id = b.user_id AND a.rn < b.rn
+       GROUP BY 1
+       HAVING count(DISTINCT a.user_id) >= (SELECT m FROM mc)),
+p3 AS (SELECT a.event_type || ',' || b.event_type || ',' || c.event_type
+                AS pattern, 3 AS length,
+              CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+       FROM pref a JOIN pref b ON a.user_id = b.user_id AND a.rn < b.rn
+                   JOIN pref c ON a.user_id = c.user_id AND b.rn < c.rn
+       GROUP BY 1
+       HAVING count(DISTINCT a.user_id) >= (SELECT m FROM mc)),
+allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+SELECT pattern, CAST(length AS INT) AS length, n_users,
+       round(n_users::DOUBLE / (SELECT n FROM mc)::DOUBLE, 9) AS support
+FROM allp
+"""
+
+
+def q_mllib_linreg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LinearRegression (exact normal-equation solver) beside the
+    closed-form regression aggregates on event value vs hour-of-day
+    (new round 10): the hash-checked columns are the exact moment
+    formulas (regr_slope / regr_intercept / regr_r2, the
+    event_value_regression parity surface) and the estimator's
+    agreement with that closed form asserted as data
+    (`indexing.linreg_hour_value_twin`)."""
+    from pythonvectordb_spark.indexing import linreg_hour_value_twin
+
+    return linreg_hour_value_twin(load_table(spark, sf_dir, "events"))
+
+
+def o_mllib_linreg_twin() -> str:
+    # Contract notes: the two agreement literals are guarantee flags
+    # with measured margins — |coef - regr_slope| and |intercept -
+    # regr_intercept| ~1e-12 at both SFs vs the 1e-6 tolerance
+    # (solver="normal" solves the identical least-squares system).
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept,
+       round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2,
+       CAST(1 AS BIGINT) AS mllib_coef_agrees,
+       CAST(1 AS BIGINT) AS mllib_intercept_agrees
+FROM events
+"""
+
+
+def q_mllib_chisq_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.stat.ChiSquareTest beside the exact-integer contingency chi²
+    on order priority x market segment (new round 10): the hash-checked
+    columns are the exact statistic surface (the priority_segment_chisq
+    parity formula) plus MLlib's dof equality and statistic agreement
+    asserted as data (`indexing.chisq_mllib_twin`)."""
+    from pythonvectordb_spark.indexing import chisq_mllib_twin
+
+    return chisq_mllib_twin(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def o_mllib_chisq_twin() -> str:
+    # Contract notes: the two agreement literals are guarantee flags
+    # with measured margins — MLlib's dof is exactly (r-1)(c-1) and its
+    # statistic differs from the exact-arithmetic chi² by ~1e-12 at
+    # both SFs vs the 1e-4 tolerance (which only absorbs the round-6
+    # grain of the hash-checked chisq column).
+    return """
+WITH base AS (SELECT o.o_orderpriority AS r, c.c_mktsegment AS c
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rsum FROM cells GROUP BY 1),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS csum FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+               CAST(count(DISTINCT r) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c) AS BIGINT) AS nc
+        FROM cells),
+grid AS (SELECT rm.r, cm.c, rm.rsum, cm.csum,
+                CAST(coalesce(cells.o, 0) AS BIGINT) AS o
+         FROM rm CROSS JOIN cm
+         LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+t AS (SELECT nn, nr, nc,
+             ((nn * o - rsum * csum)::HUGEINT
+              * (nn * o - rsum * csum)::HUGEINT)::DOUBLE
+             / (nn * rsum * csum)::DOUBLE AS term
+      FROM grid CROSS JOIN tot),
+g AS (SELECT max(nn) AS n_rows, max(nr) AS nr, max(nc) AS nc,
+             sum(term) AS chi
+      FROM t)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       round(chi, 6) AS chisq,
+       round(sqrt(chi / (n_rows::DOUBLE * (least(nr, nc) - 1)::DOUBLE)), 6)
+           AS cramers_v,
+       CAST(1 AS BIGINT) AS mllib_dof_agrees,
+       CAST(1 AS BIGINT) AS mllib_statistic_agrees
+FROM g
+"""

@@ -484,3 +484,89 @@ def test_tvs_depth_selection_recovers_minimal_depth(spark):
     assert r.validation_metric_ok == 1
     assert r.heldout_accuracy_ok == 1
     assert r.n_test > 0 and 0 < r.n_pos_test < r.n_test
+
+
+def test_prefixspan_event_paths_discriminates_and_counts_exact(spark):
+    """Supports over the first-8-event prefix must vary (the journey
+    prefix is what makes mining non-degenerate on this corpus), and a
+    pattern's count must equal a direct ordered-subsequence recount."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import prefixspan_event_paths
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = prefixspan_event_paths(events).collect()
+    assert rows, "no frequent patterns"
+    assert max(r.length for r in rows) <= 3
+    supports = {r.support for r in rows}
+    assert len(supports) > 1, "degenerate mining: every support equal"
+    # recount one length-2 pattern by hand: users with a strictly
+    # ordered (a then b) occurrence inside their first 8 events
+    two = min((r for r in rows if r.length == 2), key=lambda r: r.pattern)
+    a, b = two.pattern.split(",")
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    )
+    pref = events.withColumn("rn", w).filter(F.col("rn") <= 8)
+    n = (
+        pref.alias("x")
+        .join(
+            pref.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.rn") < F.col("y.rn")),
+        )
+        .filter((F.col("x.event_type") == a) & (F.col("y.event_type") == b))
+        .select("x.user_id")
+        .distinct()
+        .count()
+    )
+    assert two.n_users == n
+
+
+def test_linreg_twin_agrees_with_closed_form(spark):
+    """The normal-equation solver must reproduce the moment-formula
+    slope/intercept within 1e-6 (flags true), and the hash-checked
+    columns are the closed form itself."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import linreg_hour_value_twin
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    (r,) = linreg_hour_value_twin(events).collect()
+    assert r.mllib_coef_agrees == 1 and r.mllib_intercept_agrees == 1
+    expected = events.agg(
+        F.round(F.regr_slope("value", F.hour("ts").cast("double")), 6)
+    ).first()[0]
+    assert r.slope == expected
+
+
+def test_chisq_twin_flags_and_exact_surface(spark):
+    """MLlib's ChiSquareTest must agree with the exact-integer chi²
+    (dof exactly, statistic within the round-6 grain) and the exact
+    surface must match contingency_chisq's own output."""
+    from pythonvectordb_spark.indexing import chisq_mllib_twin
+    from pythonvectordb_spark.operators.stats import contingency_chisq
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    (r,) = chisq_mllib_twin(orders, customer).collect()
+    assert r.mllib_dof_agrees == 1 and r.mllib_statistic_agrees == 1
+    from pyspark.sql import functions as F
+
+    base = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).select(F.col("o_orderpriority").alias("r"), F.col("c_mktsegment").alias("c"))
+    (e,) = contingency_chisq(base, "r", "c").collect()
+    assert (r.n_rows, r.dof, r.chisq, r.cramers_v) == (
+        e.n_rows,
+        e.dof,
+        e.chisq,
+        e.cramers_v,
+    )
