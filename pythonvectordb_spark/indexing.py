@@ -1291,3 +1291,169 @@ def chisq_mllib_twin(
         .cast("long")
         .alias("mllib_statistic_agrees"),
     )
+
+
+def summarizer_int8_twin(
+    emb: DataFrame,
+    agree_eps: float = 1e-9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ml.stat.Summarizer beside the exact-integer per-dimension stats
+    of the quantized store (new round 10): one distributed vector
+    summary (mean / variance / min / max per dimension) checked
+    dimension-by-dimension against the posexplode integer census
+    (`embedding_dimension_stats`'s parity surface — int8 coordinates
+    make every sum / sum-of-squares / min / max EXACT int64, which
+    DuckDB recomputes bit-for-bit).
+
+    One row per dimension: the exact census columns (hash-checked) plus
+    three agreement flags asserted as data — Summarizer's mean within
+    ``agree_eps`` of sum/n, its sample variance within ``agree_eps``
+    (relative) of the exact (n*sumsq - sum²)/(n(n-1)) form (Summarizer
+    accumulates running moments, so agreement is ~1e-12, not bit-equal),
+    and min/max equal exactly. A Summarizer regression on any dimension
+    flips that dimension's flag and breaks the value hash.
+
+    Scale shape: the MLlib arm is one tree-aggregated vector summary
+    (dim-sized state per task); the exact arm is one posexplode with
+    map-side combine to dim rows; the comparison joins the dim-row
+    frame to a broadcast dim-row frame. Only dim rows reach the driver.
+    """
+    from pyspark.ml.stat import Summarizer
+
+    from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+
+    q = emb.select(
+        F.col(id_col), quantize(l2_normalize(vec_col)).alias("qvec")
+    ).localCheckpoint(eager=False)  # feeds the MLlib arm AND the census
+    vecs = q.select(
+        array_to_vector(F.transform("qvec", lambda x: x.cast("double"))).alias(
+            "v"
+        )
+    )
+    row = vecs.select(
+        Summarizer.metrics("mean", "variance", "min", "max")
+        .summary(F.col("v"))
+        .alias("s")
+    ).first()["s"]
+    spark = emb.sparkSession
+    ml = spark.createDataFrame(
+        [
+            (
+                i + 1,
+                float(row["mean"][i]),
+                float(row["variance"][i]),
+                float(row["min"][i]),
+                float(row["max"][i]),
+            )
+            for i in range(len(row["mean"]))
+        ],
+        "dim_idx int, ml_mean double, ml_var double, ml_min double, ml_max double",
+    )
+    census = (
+        q.select(F.posexplode("qvec").alias("pos", "qd"))
+        .select((F.col("pos") + 1).cast("int").alias("dim_idx"), "qd")
+        .groupBy("dim_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("qd").cast("long")).cast("long").alias("sum_q"),
+            F.sum(F.col("qd").cast("long") * F.col("qd").cast("long"))
+            .cast("long")
+            .alias("sumsq_q"),
+            F.min(F.col("qd").cast("int")).cast("int").alias("min_q"),
+            F.max(F.col("qd").cast("int")).cast("int").alias("max_q"),
+        )
+    )
+    j = census.join(F.broadcast(ml), "dim_idx")
+    n = F.col("n").cast("double")
+    exact_mean = F.col("sum_q").cast("double") / n
+    exact_var = (
+        F.col("n").cast("double") * F.col("sumsq_q").cast("double")
+        - F.col("sum_q").cast("double") * F.col("sum_q").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    eps = float(agree_eps)
+    return j.select(
+        "dim_idx",
+        "n",
+        "sum_q",
+        "sumsq_q",
+        "min_q",
+        "max_q",
+        (F.abs(F.col("ml_mean") - exact_mean) < F.lit(eps))
+        .cast("long")
+        .alias("mllib_mean_agrees"),
+        (
+            F.abs(F.col("ml_var") - exact_var)
+            < F.lit(eps) * F.greatest(F.abs(exact_var), F.lit(1.0))
+        )
+        .cast("long")
+        .alias("mllib_var_agrees"),
+        (
+            (F.col("ml_min") == F.col("min_q").cast("double"))
+            & (F.col("ml_max") == F.col("max_q").cast("double"))
+        )
+        .cast("long")
+        .alias("mllib_minmax_agrees"),
+    )
+
+
+def minmax_scale_events(events: DataFrame) -> DataFrame:
+    """ml.feature.MinMaxScaler over event values with the transform's
+    IDENTITY to the closed form asserted as data (new round 10): MLlib
+    rescales x to (x - Emin) * (1 / (Emax - Emin)) * (max - min) + min —
+    a RECIPROCAL MULTIPLY, not a division (measured: the two differ by
+    1 ULP on ~real rows, and the reciprocal form is bit-equal to MLlib
+    on every row) — and at the default [0, 1] range the trailing *1.0
+    and +0.0 are IEEE identities, so every scaled value must be
+    BIT-EQUAL to the expression (x - min) * (1.0 / (max - min)) —
+    counted per row, asserted as a zero-mismatch flag. The hash-checked
+    columns per event type are the exact count, exact raw min/max
+    (doubles compare exactly — min/max never rounds), and the ROUND-6
+    mean of the scaled column, which DuckDB recomputes with the same
+    reciprocal-multiply order from the same global min/max.
+
+    Scale shape: fit is one tree-aggregated vector min/max; transform is
+    a narrow map; the verdict is one map-side-combined group-by on the
+    5-value type key. Only type rows reach the driver.
+    """
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    feat = VectorAssembler(
+        inputCols=["value"], outputCol="_fv", handleInvalid="error"
+    ).transform(events.select("event_type", "value"))
+    model = MinMaxScaler(inputCol="_fv", outputCol="_sv").fit(feat)
+    scaled = model.transform(feat).select(
+        "event_type",
+        "value",
+        vector_to_array("_sv")[0].alias("_scaled"),
+    )
+    # global min/max via a broadcast 1-row frame (never a global window)
+    tot = events.agg(
+        F.min("value").alias("_gmin"), F.max("value").alias("_gmax")
+    ).withColumn("_one", F.lit(1))
+    s = scaled.withColumn("_one", F.lit(1)).join(F.broadcast(tot), "_one")
+    expr_scaled = (F.col("value") - F.col("_gmin")) * (
+        F.lit(1.0) / (F.col("_gmax") - F.col("_gmin"))
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.avg(expr_scaled), 6).alias("mean_scaled"),
+            F.sum((F.col("_scaled") != expr_scaled).cast("long"))
+            .cast("long")
+            .alias("_n_mismatch"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+            "mean_scaled",
+            (F.col("_n_mismatch") == 0).cast("long").alias("mllib_identity_exact"),
+        )
+    )

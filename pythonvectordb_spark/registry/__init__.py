@@ -59,6 +59,7 @@ _FAMILIES = (
 _ORDER = (
     "mllib_fpgrowth_rules", "mllib_pca_compaction", "mllib_model_selection",
     "mllib_prefixspan_paths", "mllib_linreg_twin", "mllib_chisq_twin",
+    "mllib_summarizer_twin", "mllib_minmax_scale",
     "weighted_sample_per_lang", "bigram_surprisal", "event_funnel",
     "retention_cohorts", "pq_encode", "ann_lsh", "ann_pq_trained",
     "ann_ivf_pq_trained", "matview_user_spend_twin", "dedup_gate_twin",

@@ -607,3 +607,68 @@ SELECT CAST(n_rows AS BIGINT) AS n_rows,
        CAST(1 AS BIGINT) AS mllib_statistic_agrees
 FROM g
 """
+
+
+def q_mllib_summarizer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.stat.Summarizer beside the exact-integer per-dimension census
+    of the quantized store (new round 10): one row per dimension with
+    the exact int64 sum/sumsq/min/max (hash-checked — the
+    embedding_dimension_stats parity surface) plus Summarizer's
+    mean/variance/min/max agreement asserted as data
+    (`indexing.summarizer_int8_twin`)."""
+    from pythonvectordb_spark.indexing import summarizer_int8_twin
+
+    return summarizer_int8_twin(load_table(spark, sf_dir, "embeddings"))
+
+
+def o_mllib_summarizer_twin() -> str:
+    # Contract notes: the three agreement literals are guarantee flags
+    # with measured margins — Summarizer accumulates running moments,
+    # so mean/variance agreement vs the exact integer forms is ~1e-12
+    # against the 1e-9 tolerance, and min/max equal exactly; all 64
+    # dimensions agree at both SFs.
+    qv = O.sql_qvec("embedding")
+    return f"""
+WITH q AS (SELECT {qv} AS qvec FROM embeddings)
+SELECT CAST(t.i AS INT) AS dim_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qvec[t.i]::BIGINT) AS BIGINT) AS sum_q,
+       CAST(sum(qvec[t.i]::BIGINT * qvec[t.i]::BIGINT) AS BIGINT) AS sumsq_q,
+       CAST(min(qvec[t.i]) AS INT) AS min_q,
+       CAST(max(qvec[t.i]) AS INT) AS max_q,
+       CAST(1 AS BIGINT) AS mllib_mean_agrees,
+       CAST(1 AS BIGINT) AS mllib_var_agrees,
+       CAST(1 AS BIGINT) AS mllib_minmax_agrees
+FROM q CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY t.i
+"""
+
+
+def q_mllib_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature.MinMaxScaler over event values (new round 10): the
+    fitted [0,1] rescale with per-row BIT-EQUALITY to the
+    reciprocal-multiply closed form asserted as data, beside exact
+    per-type counts, exact raw min/max, and the round-6 scaled mean
+    DuckDB recomputes (`indexing.minmax_scale_events`)."""
+    from pythonvectordb_spark.indexing import minmax_scale_events
+
+    return minmax_scale_events(load_table(spark, sf_dir, "events"))
+
+
+def o_mllib_minmax_scale() -> str:
+    # Contract notes: MLlib's transform is (x - min) * (1 / (max -
+    # min)) — a reciprocal MULTIPLY (measured 1 ULP off the plain
+    # division on real rows), so the avg below uses the identical op
+    # order; the identity literal is a guarantee flag measured
+    # zero-mismatch at both SFs.
+    return """
+WITH tot AS (SELECT min(value) AS gmin, max(value) AS gmax FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(avg((value - gmin) * (1.0 / (gmax - gmin))), 6) AS mean_scaled,
+       CAST(1 AS BIGINT) AS mllib_identity_exact
+FROM events CROSS JOIN tot
+GROUP BY event_type
+"""

@@ -570,3 +570,49 @@ def test_chisq_twin_flags_and_exact_surface(spark):
         e.chisq,
         e.cramers_v,
     )
+
+
+def test_summarizer_twin_all_dims_agree(spark):
+    """Summarizer's vector moments must agree with the exact integer
+    census on every dimension, and the census must be exact."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import summarizer_int8_twin
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = summarizer_int8_twin(emb).collect()
+    assert len(rows) == 64
+    assert all(
+        r.mllib_mean_agrees and r.mllib_var_agrees and r.mllib_minmax_agrees
+        for r in rows
+    )
+    n = emb.count()
+    assert all(r.n == n for r in rows)
+    # spot-check one dimension's exact sum against a direct recount
+    d1 = next(r for r in rows if r.dim_idx == 1)
+    from pythonvectordb_spark.functions.vector import l2_normalize, quantize
+
+    s = emb.select(
+        quantize(l2_normalize("embedding"))[0].cast("long").alias("q")
+    ).agg(F.sum("q")).first()[0]
+    assert d1.sum_q == s
+
+
+def test_minmax_scale_identity_and_range(spark):
+    """MLlib's scaled column must be bit-equal to the reciprocal-multiply
+    closed form on every row (the identity flag), and the per-type raw
+    min/max must bracket the global extrema."""
+    from pythonvectordb_spark.indexing import minmax_scale_events
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = minmax_scale_events(events).collect()
+    assert len(rows) == 5
+    assert all(r.mllib_identity_exact == 1 for r in rows)
+    gmin = min(r.min_value for r in rows)
+    gmax = max(r.max_value for r in rows)
+    assert all(gmin <= r.min_value and r.max_value <= gmax for r in rows)
+    assert all(0.0 <= r.mean_scaled <= 1.0 for r in rows)
