@@ -33,6 +33,15 @@ from pythonvectordb_spark.operators import search as S  # noqa: E402
 from pythonvectordb_spark.sources.testdata import load_table  # noqa: E402
 
 HEADLINE = [
+    # round-10 additions (MLlib workhorses + twins)
+    "mllib_fpgrowth_rules",
+    "mllib_prefixspan_paths",
+    "mllib_pca_compaction",
+    "mllib_model_selection",
+    "mllib_linreg_twin",
+    "mllib_chisq_twin",
+    "mllib_summarizer_twin",
+    "mllib_minmax_scale",
     "knn_search",
     "knn_join",
     "quantize_vectors",
@@ -662,6 +671,18 @@ def _scale_rehearsal(spark, sf_dir: str, factor: int = 10) -> dict:
             f"{r_big['n_interactions'] / max(r_small['n_interactions'], 1):.2f}x; "
             f"ctrl {als_ctrl}s)"
         )
+        # MLlib ALS persists factor/intermediate blocks internally and
+        # only releases them on JVM GC of the model; the 10x fit's
+        # residue plus the operator's lazy localCheckpoints otherwise
+        # ride into the sf10 rehearsal's memory budget (observed: a
+        # GCLocker allocation stall killed the JVM in the spans decade-2
+        # point the first time this section ran). Drop every lingering
+        # persisted block now — the later sections build their own.
+        spark.catalog.clearCache()
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     ctrl_end = _control_query_s(spark, sf_dir)
