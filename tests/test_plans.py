@@ -389,3 +389,27 @@ def test_gate_champion_challenger_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert E.has_partial_aggregate(df)
+
+
+def test_round10_mllib_queries_plan_jvm_only(spark):
+    """The eight round-10 MLlib queries stay JVM-side end-to-end: no
+    row-wise Python in any executed plan (mining/estimator internals
+    are MLlib Scala; every verdict projection is expression-only), and
+    no cartesian anywhere (the PCA audit's query fan-out is a broadcast
+    replicated join, the sign_bit_recall shape)."""
+    from pythonvectordb_spark.registry import QUERIES
+
+    for name in (
+        "mllib_fpgrowth_rules",
+        "mllib_prefixspan_paths",
+        "mllib_pca_compaction",
+        "mllib_model_selection",
+        "mllib_linreg_twin",
+        "mllib_chisq_twin",
+        "mllib_summarizer_twin",
+        "mllib_minmax_scale",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
