@@ -42,6 +42,11 @@ HEADLINE = [
     "mllib_chisq_twin",
     "mllib_summarizer_twin",
     "mllib_minmax_scale",
+    "mllib_standard_scaler",
+    "mllib_imputer_twin",
+    "mllib_quantile_buckets",
+    "mllib_bisecting_kmeans",
+    "mllib_countvec_idf",
     "knn_search",
     "knn_join",
     "quantize_vectors",

@@ -1457,3 +1457,335 @@ def minmax_scale_events(events: DataFrame) -> DataFrame:
             (F.col("_n_mismatch") == 0).cast("long").alias("mllib_identity_exact"),
         )
     )
+
+
+def standard_scaler_twin(events: DataFrame, agree_eps: float = 1e-9) -> DataFrame:
+    """ml.feature.StandardScaler (withMean, withStd) over event values
+    with the transform's IDENTITY to the closed form asserted as data
+    (new round 10): like MinMaxScaler, MLlib standardizes by a
+    RECIPROCAL MULTIPLY — x -> (x - mean) * (1 / std) — and measured on
+    real rows every scaled value is BIT-EQUAL to that expression
+    evaluated with the MODEL's own mean/std scalars (the plain division
+    differs by 1 ULP on ~4% of rows). The per-type hash-checked columns
+    are the exact count and the ROUND-6 mean / sample std, which DuckDB
+    recomputes (avg / stddev_samp); the flags assert (a) zero per-row
+    transform mismatches and (b) the model's fitted mean/std each within
+    ``agree_eps`` (relative) of Spark's own exact aggregate forms —
+    MLlib's Summarizer accumulates running moments, so agreement is
+    ~1e-12, never guaranteed bit-equal across partitionings.
+
+    Scale shape: fit is one tree-aggregated moment pass; the transform
+    and the identity check are narrow maps; the verdict is one
+    map-side-combined group-by on the 5-value type key. Two scalars and
+    type rows reach the driver.
+
+    Reference parity: pythonvectordb.py normalize() (the reference's
+    only rescale); this is its standardization counterpart.
+    """
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    src = events.select("event_type", "value")
+    feat = VectorAssembler(
+        inputCols=["value"], outputCol="_fv", handleInvalid="error"
+    ).transform(src)
+    model = StandardScaler(
+        inputCol="_fv", outputCol="_sv", withMean=True, withStd=True
+    ).fit(feat)
+    mu = float(model.mean[0])
+    sd = float(model.std[0])
+    agg = src.agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    ).first()
+    eps = float(agree_eps)
+    mean_ok = abs(mu - agg["m"]) <= eps * max(abs(agg["m"]), 1.0)
+    std_ok = abs(sd - agg["s"]) <= eps * max(abs(agg["s"]), 1.0)
+    scaled = model.transform(feat).select(
+        "event_type", "value", vector_to_array("_sv")[0].alias("_scaled")
+    )
+    ident = (F.col("value") - F.lit(mu)) * F.lit(1.0 / sd)
+    return (
+        scaled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.stddev_samp("value"), 6).alias("std_value"),
+            F.sum((F.col("_scaled") != ident).cast("long"))
+            .cast("long")
+            .alias("_n_mismatch"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "mean_value",
+            "std_value",
+            (F.col("_n_mismatch") == 0).cast("long").alias("mllib_identity_exact"),
+            F.lit(1 if mean_ok else 0).cast("long").alias("mllib_mean_agrees"),
+            F.lit(1 if std_ok else 0).cast("long").alias("mllib_std_agrees"),
+        )
+    )
+
+
+def imputer_mean_twin(
+    events: DataFrame, null_mod: int = 7, agree_eps: float = 1e-9
+) -> DataFrame:
+    """ml.feature.Imputer (strategy="mean") over event values with
+    deterministically injected nulls (new round 10): every event with
+    ``event_id % null_mod == 0`` is masked to NULL, the Imputer fills
+    with the non-null mean, and the verdict row asserts (a) the fill is
+    an exact IDENTITY — every masked row bit-equal to the surrogate,
+    every surviving row bit-equal to its original value, counted and
+    asserted as one zero-mismatch flag — and (b) the fitted surrogate
+    within ``agree_eps`` (relative) of Spark's own exact avg (measured
+    diff 0.0 at sf0.001, but sum order across partitionings makes
+    bit-equality a non-contract). Hash-checked columns: exact n,
+    exact n_null, and the ROUND-6 non-null mean and post-fill mean,
+    both of which DuckDB recomputes in closed form ((sum_nonnull +
+    n_null * mean_nonnull) / n).
+
+    Scale shape: fit is one tree-aggregated avg; the fill and identity
+    check are narrow maps; the verdict is one global agg to a 1-row
+    frame. One scalar reaches the driver.
+    """
+    from pyspark.ml.feature import Imputer
+
+    masked = events.select(
+        "event_id",
+        "value",
+        F.when(
+            F.col("event_id") % F.lit(null_mod) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+    model = Imputer(
+        strategy="mean", inputCols=["value_n"], outputCols=["value_f"]
+    ).fit(masked)
+    surr = float(model.surrogateDF.first()[0])
+    exact_avg = float(masked.agg(F.avg("value_n")).first()[0])
+    eps = float(agree_eps)
+    surr_ok = abs(surr - exact_avg) <= eps * max(abs(exact_avg), 1.0)
+    filled = model.transform(masked)
+    bad_fill = F.when(
+        F.col("value_n").isNull(), F.col("value_f") != F.lit(surr)
+    ).otherwise(F.col("value_f") != F.col("value_n"))
+    return filled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value_n").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null"),
+        F.round(F.avg("value_n"), 6).alias("mean_nonnull"),
+        F.round(F.avg("value_f"), 6).alias("mean_imputed"),
+        (F.sum(bad_fill.cast("long")) == 0)
+        .cast("long")
+        .alias("fill_identity_exact"),
+        F.lit(1 if surr_ok else 0).cast("long").alias("surrogate_agrees"),
+    )
+
+
+def quantile_buckets_audit(
+    events: DataFrame,
+    num_buckets: int = 4,
+    relative_error: float = 0.001,
+    share_tol: float = 0.01,
+) -> DataFrame:
+    """ml.feature.QuantileDiscretizer rank-guarantee audit (new round
+    10): fit ``num_buckets`` equi-probability buckets over event values
+    with the Greenwald–Khanna sketch at ``relative_error`` and assert
+    the sketch's PUBLISHED CONTRACT as data — for each interior split
+    at probability p, the exact rank count(value <= split) must sit
+    within relative_error * n + 1 of p * n (measured |err| = 1.0 vs the
+    bound 2.0 at sf0.001) — plus a bucket-balance flag: every bucket's
+    share within ``share_tol`` of 1/num_buckets (measured max deviation
+    0.002 = 2 * relative_error). Hash-checked columns per bucket: the
+    bucket id and its probability bounds (exact literals) and the exact
+    global n; the two flags carry the engine-specific split positions.
+
+    Scale shape: fit is ONE pass building mergeable partition-local GK
+    sketches (state O(1/relative_error) per task — the 100 TB path);
+    the rank and bucket censuses are one conditional-sum agg and one
+    map-side-combined group-by over the transform. num_buckets + 3
+    scalars reach the driver.
+    """
+    from pyspark.ml.feature import QuantileDiscretizer
+
+    src = events.select("value")
+    model = QuantileDiscretizer(
+        numBuckets=num_buckets,
+        inputCol="value",
+        outputCol="_bucket",
+        relativeError=relative_error,
+    ).fit(src)
+    splits = model.getSplits()  # [-inf, s1, ..., s_{k-1}, +inf]
+    interior = splits[1:-1]
+    rank_row = src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((F.col("value") <= F.lit(float(s))).cast("long"))
+            .cast("long")
+            .alias(f"r{i}")
+            for i, s in enumerate(interior)
+        ],
+    ).first()
+    n = int(rank_row["n"])
+    bound = relative_error * n + 1.0
+    counts = {
+        int(r["_bucket"]): int(r["cnt"])
+        for r in model.transform(src)
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rows = []
+    for b in range(num_buckets):
+        p_lo = b / num_buckets
+        p_hi = (b + 1) / num_buckets
+        if b < num_buckets - 1:
+            rank = int(rank_row[f"r{b}"])
+            rank_ok = abs(rank - p_hi * n) <= bound
+        else:
+            rank_ok = True  # upper edge is +inf: rank == n by definition
+        share_ok = abs(counts.get(b, 0) / n - 1.0 / num_buckets) <= share_tol
+        rows.append(
+            (b, float(p_lo), float(p_hi), n, int(rank_ok), int(share_ok))
+        )
+    return events.sparkSession.createDataFrame(
+        rows,
+        "bucket int, p_lo double, p_hi double, n bigint, "
+        "rank_ok bigint, share_ok bigint",
+    )
+
+
+def bisecting_kmeans_census(
+    emb: DataFrame,
+    k: int = 4,
+    max_share: float = 0.6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ml.clustering.BisectingKMeans census (new round 10): the
+    hierarchical counterpart of the flat KMeans IVF trainer
+    (`train_ivf_centroids`). Fits k clusters with a fixed seed and
+    asserts the algorithm's STRUCTURAL invariants as data: cluster
+    sizes sum to n, every cluster non-empty, the training cost at k
+    clusters <= the exact single-centroid cost (bisecting starts from
+    the global centroid and each split's child costs sum below the
+    parent's by the variance decomposition — measured ratio 0.96 on
+    this near-worst-case uniform corpus), and no cluster holds more
+    than ``max_share`` of the points (measured max share 0.298).
+    Hash-checked columns: exact n, dim, and k.
+
+    The single-centroid cost is computed EXACTLY from the per-dimension
+    double census (sum, sumsq): sum_d (sumsq_d - sum_d^2 / n) — one
+    posexplode with map-side combine, never an n x n pass.
+
+    Scale shape: each bisection step is one pass over the split cluster
+    with k-bounded driver state (centroid pairs); the census is one
+    posexplode agg to dim rows. dim + k scalars reach the driver.
+    """
+    from pyspark.ml.clustering import BisectingKMeans
+
+    fv = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = BisectingKMeans(k=k, seed=SEED).fit(fv)
+    sizes = [int(s) for s in model.summary.clusterSizes]
+    cost = float(model.summary.trainingCost)
+    census = (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+        )
+        .agg(
+            F.max("cnt").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("int").alias("dim"),
+            F.sum(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("cnt").cast("double")
+            ).alias("global_cost"),
+        )
+        .first()
+    )
+    n = int(census["n"])
+    return emb.sparkSession.createDataFrame(
+        [
+            (
+                n,
+                int(census["dim"]),
+                k,
+                int(sum(sizes) == n),
+                int(min(sizes) > 0),
+                int(cost <= float(census["global_cost"])),
+                int(max(sizes) / n <= max_share),
+            )
+        ],
+        "n bigint, dim int, k int, sizes_sum_ok bigint, all_nonempty_ok bigint, "
+        "cost_le_global_ok bigint, balance_ok bigint",
+    )
+
+
+def countvec_idf_twin(
+    docs: DataFrame, min_df_frac: float = 0.05, agree_eps: float = 1e-9
+) -> DataFrame:
+    """ml.feature.CountVectorizer + IDF beside the exact document-
+    frequency census (new round 10): the MLlib twin of the expression
+    TF-IDF surface (`operators/textops.py` tfidf). The hash-checked
+    columns per term with df >= ceil(min_df_frac * m) are the exact
+    document frequency (one distinct-token explode with map-side
+    combine — DuckDB recomputes it from the same whitespace tokens) and
+    the ROUND-6 of Spark's published IDF formula ln((m + 1) / (df + 1))
+    evaluated AS AN EXPRESSION; the flags assert the MLlib arm agrees —
+    the term is present in the fitted vocabulary and IDFModel.idf for
+    it sits within ``agree_eps`` of the expression (measured diff 0.0
+    across all qualifying terms — same formula, same doubles).
+
+    Scale shape: the census is one shuffle on term; the CountVectorizer
+    fit is the same census inside MLlib (vocab bounded driver-side —
+    at 100 TB bound it with minDF exactly as here); the IDF vector is
+    dim(vocab) driver floats re-broadcast as a small join frame. Only
+    vocabulary rows reach the driver.
+    """
+    import math
+
+    from pyspark.ml.feature import CountVectorizer, IDF
+
+    from pythonvectordb_spark.functions.text import tokens
+
+    tk = docs.select("doc_id", tokens("text").alias("tk")).localCheckpoint(
+        eager=False
+    )  # feeds the census AND the MLlib arm
+    m = tk.count()
+    thr = math.ceil(min_df_frac * m)
+    census = (
+        tk.select(F.explode(F.array_distinct("tk")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= F.lit(thr))
+    )
+    cv = CountVectorizer(
+        inputCol="tk", outputCol="_tf", vocabSize=1 << 18, minDF=1.0
+    ).fit(tk)
+    idf = IDF(inputCol="_tf", outputCol="_tfidf").fit(cv.transform(tk))
+    iv = idf.idf.toArray()
+    ml = docs.sparkSession.createDataFrame(
+        [(t, float(iv[i])) for i, t in enumerate(cv.vocabulary)],
+        "term string, ml_idf double",
+    )
+    expr_idf = F.log((F.lit(m) + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+    eps = float(agree_eps)
+    return (
+        census.join(F.broadcast(ml), "term", "left")
+        .select(
+            "term",
+            "df",
+            F.round(expr_idf, 6).alias("idf"),
+            F.col("ml_idf").isNotNull().cast("long").alias("in_vocab_ok"),
+            (
+                F.col("ml_idf").isNotNull()
+                & (F.abs(F.col("ml_idf") - expr_idf) <= F.lit(eps))
+            )
+            .cast("long")
+            .alias("mllib_idf_agrees"),
+        )
+    )

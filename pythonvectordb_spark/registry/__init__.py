@@ -50,16 +50,20 @@ _FAMILIES = (
     "mllib",
 )
 
-# Registry order (round-10 rotation): the six new MLlib queries
+# Registry order (round-10 rotation): the thirteen new MLlib queries
 # (FPGrowth rules, PCA compaction, TVS model selection, PrefixSpan
-# paths, LinearRegression twin, ChiSquareTest twin) lead as the
-# never-witnessed prefix, then the 36-query r3 cohort and the 8
-# stalest r4 queries fill the front-50; everything after is
+# paths, LinearRegression / ChiSquareTest / Summarizer / MinMaxScaler /
+# StandardScaler / Imputer / CountVectorizer+IDF twins, the
+# QuantileDiscretizer rank audit, and the BisectingKMeans census) lead
+# as the never-witnessed prefix, then the 36-query r3 cohort and the
+# stalest-r4 tail fills the front-50; everything after is
 # oldest-witness-first (the full tools/rotation_plan.py recommendation).
 _ORDER = (
     "mllib_fpgrowth_rules", "mllib_pca_compaction", "mllib_model_selection",
     "mllib_prefixspan_paths", "mllib_linreg_twin", "mllib_chisq_twin",
     "mllib_summarizer_twin", "mllib_minmax_scale",
+    "mllib_standard_scaler", "mllib_imputer_twin", "mllib_quantile_buckets",
+    "mllib_bisecting_kmeans", "mllib_countvec_idf",
     "weighted_sample_per_lang", "bigram_surprisal", "event_funnel",
     "retention_cohorts", "pq_encode", "ann_lsh", "ann_pq_trained",
     "ann_ivf_pq_trained", "matview_user_spend_twin", "dedup_gate_twin",

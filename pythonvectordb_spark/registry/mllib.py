@@ -672,3 +672,172 @@ SELECT event_type,
 FROM events CROSS JOIN tot
 GROUP BY event_type
 """
+
+
+def q_mllib_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature.StandardScaler over event values (new round 10): the
+    fitted standardization with per-row BIT-EQUALITY to the
+    reciprocal-multiply closed form (x - mean) * (1 / std) asserted as
+    data, beside exact per-type counts and the round-6 mean / sample
+    std DuckDB recomputes (`indexing.standard_scaler_twin`)."""
+    from pythonvectordb_spark.indexing import standard_scaler_twin
+
+    return standard_scaler_twin(load_table(spark, sf_dir, "events"))
+
+
+def o_mllib_standard_scaler() -> str:
+    # Contract notes: like MinMaxScaler, the transform is a reciprocal
+    # MULTIPLY against the MODEL's fitted mean/std — measured bit-equal
+    # on every row at both SFs (the plain division differs by 1 ULP on
+    # ~4% of rows). The three literals are guarantee flags: identity
+    # mismatches counted per type (zero), and the fitted mean/std each
+    # within 1e-9 relative of the exact aggregate forms (measured
+    # ~1e-12 — Summarizer's running moments are never bit-equal
+    # contracts across partitionings).
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_value,
+       round(stddev_samp(value), 6) AS std_value,
+       CAST(1 AS BIGINT) AS mllib_identity_exact,
+       CAST(1 AS BIGINT) AS mllib_mean_agrees,
+       CAST(1 AS BIGINT) AS mllib_std_agrees
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_mllib_imputer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature.Imputer (strategy mean) over deterministically masked
+    event values (new round 10): event_id % 7 == 0 rows are nulled, the
+    fill's exact identity (masked rows bit-equal the surrogate,
+    surviving rows bit-equal their originals) is asserted as data, and
+    DuckDB recomputes the exact null census and the closed-form
+    post-fill mean (`indexing.imputer_mean_twin`)."""
+    from pythonvectordb_spark.indexing import imputer_mean_twin
+
+    return imputer_mean_twin(load_table(spark, sf_dir, "events"))
+
+
+def o_mllib_imputer_twin() -> str:
+    # Contract notes: the registered binding pins null_mod=7 (operator
+    # default); the `% 7` below IS that value — change both together.
+    # mean_imputed's closed form (sum_nonnull + n_null * mean_nonnull)
+    # / n matches Spark's avg over the filled column at the round-6
+    # grain (~1e-13 apart). The two literals are guarantee flags:
+    # fill identity measured zero-mismatch, surrogate within 1e-9 of
+    # Spark's own exact avg (measured diff 0.0).
+    return """
+WITH b AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       round(avg(value_n), 6) AS mean_nonnull,
+       round((sum(value_n)
+              + sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) * avg(value_n))
+             / count(*), 6) AS mean_imputed,
+       CAST(1 AS BIGINT) AS fill_identity_exact,
+       CAST(1 AS BIGINT) AS surrogate_agrees
+FROM b
+"""
+
+
+def q_mllib_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature.QuantileDiscretizer rank-guarantee audit (new round
+    10): 4 equi-probability buckets over event values; the
+    Greenwald-Khanna sketch's published contract — each interior
+    split's exact rank within relativeError * n + 1 of p * n — and the
+    resulting bucket balance are asserted as data
+    (`indexing.quantile_buckets_audit`)."""
+    from pythonvectordb_spark.indexing import quantile_buckets_audit
+
+    return quantile_buckets_audit(load_table(spark, sf_dir, "events"))
+
+
+def o_mllib_quantile_buckets() -> str:
+    # Contract notes: the registered binding pins num_buckets=4,
+    # relative_error=0.001, share_tol=0.01 (operator defaults); the
+    # generate_series(0, 3) and /4.0 below ARE those values — change
+    # both together. The two literals are guarantee flags with measured
+    # margins: rank error 1.0 vs the 0.001 * n + 1 bound, bucket-share
+    # deviation 0.002 vs the 0.01 tolerance (both sf0.001).
+    return """
+SELECT CAST(t.i AS INT) AS bucket,
+       t.i / 4.0 AS p_lo,
+       (t.i + 1) / 4.0 AS p_hi,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
+       CAST(1 AS BIGINT) AS rank_ok,
+       CAST(1 AS BIGINT) AS share_ok
+FROM generate_series(0, 3) AS t(i)
+"""
+
+
+def q_mllib_bisecting_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.clustering.BisectingKMeans census (new round 10): the
+    hierarchical twin of the KMeans IVF trainer — k=4 clusters over the
+    embedding store with the algorithm's structural invariants (sizes
+    sum to n, all non-empty, k-cluster cost <= the exact
+    single-centroid cost, no cluster above 60% of points) asserted as
+    data (`indexing.bisecting_kmeans_census`)."""
+    from pythonvectordb_spark.indexing import bisecting_kmeans_census
+
+    return bisecting_kmeans_census(load_table(spark, sf_dir, "embeddings"))
+
+
+def o_mllib_bisecting_kmeans() -> str:
+    # Contract notes: the registered binding pins k=4, max_share=0.6
+    # (operator defaults); the k literal below IS that value — change
+    # both together. The four literals are guarantee flags with
+    # measured margins: cost ratio 0.96 vs the <= 1 variance-
+    # decomposition bound (bisecting starts from the global centroid,
+    # so the k-cluster cost can only fall), max cluster share 0.298 vs
+    # 0.6, on this near-worst-case uniform corpus.
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(max(len(embedding)) AS INT) AS dim,
+       CAST(4 AS INT) AS k,
+       CAST(1 AS BIGINT) AS sizes_sum_ok,
+       CAST(1 AS BIGINT) AS all_nonempty_ok,
+       CAST(1 AS BIGINT) AS cost_le_global_ok,
+       CAST(1 AS BIGINT) AS balance_ok
+FROM embeddings
+"""
+
+
+def q_mllib_countvec_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature.CountVectorizer + IDF beside the exact document-
+    frequency census (new round 10): per term with df >= ceil(0.05 * m)
+    the exact df and the round-6 of Spark's published IDF formula
+    ln((m + 1) / (df + 1)) are hash-checked; vocabulary membership and
+    the IDFModel value's agreement ride as flags
+    (`indexing.countvec_idf_twin`)."""
+    from pythonvectordb_spark.indexing import countvec_idf_twin
+
+    return countvec_idf_twin(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_countvec_idf() -> str:
+    # Contract notes: the registered binding pins min_df_frac=0.05
+    # (operator default); the 0.05 below IS that value — change both
+    # together. The idf column is the EXPRESSION ln((m+1)/(df+1)) on
+    # both sides (round-6); the two literals are guarantee flags with
+    # measured margins: every qualifying term in the fitted vocabulary
+    # and IDFModel.idf at diff 0.0 vs the 1e-9 tolerance (same formula,
+    # same doubles).
+    return f"""
+WITH toks AS (SELECT {O.sql_tokens('text')} AS tk FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM toks),
+census AS (
+  SELECT t.t AS term, CAST(count(*) AS BIGINT) AS df
+  FROM toks, unnest(list_distinct(tk)) AS t(t)
+  GROUP BY 1
+)
+SELECT term, df,
+       round(ln((m + 1.0) / (df + 1.0)), 6) AS idf,
+       CAST(1 AS BIGINT) AS in_vocab_ok,
+       CAST(1 AS BIGINT) AS mllib_idf_agrees
+FROM census CROSS JOIN tot
+WHERE df >= ceil(0.05 * m)
+"""

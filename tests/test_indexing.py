@@ -616,3 +616,139 @@ def test_minmax_scale_identity_and_range(spark):
     gmax = max(r.max_value for r in rows)
     assert all(gmin <= r.min_value and r.max_value <= gmax for r in rows)
     assert all(0.0 <= r.mean_scaled <= 1.0 for r in rows)
+
+
+def test_standard_scaler_identity_and_moments(spark):
+    """MLlib's standardized column must be bit-equal to the
+    reciprocal-multiply closed form on every row (the identity flag),
+    the fitted moments must agree with the exact aggregates, and the
+    measured fact the flag depends on — plain division is NOT the
+    identity — must still hold on real rows."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import standard_scaler_twin
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = standard_scaler_twin(events).collect()
+    assert len(rows) == 5
+    assert all(
+        r.mllib_identity_exact and r.mllib_mean_agrees and r.mllib_std_agrees
+        for r in rows
+    )
+    # hand-recount one type's mean at the round-6 grain
+    import math
+
+    vals = [
+        r["value"]
+        for r in events.filter(F.col("event_type") == rows[0].event_type)
+        .select("value")
+        .collect()
+    ]
+    assert rows[0].n == len(vals)
+    assert abs(rows[0].mean_value - round(math.fsum(vals) / len(vals), 6)) <= 1e-6
+    # the non-tautology: reciprocal-multiply and plain division differ
+    # on real rows, so the identity flag could NOT pass by accident
+    mu = events.agg(F.avg("value")).first()[0]
+    sd = events.agg(F.stddev_samp("value")).first()[0]
+    diff = events.filter(
+        (F.col("value") - F.lit(mu)) / F.lit(sd)
+        != (F.col("value") - F.lit(mu)) * F.lit(1.0 / sd)
+    ).count()
+    assert diff > 0
+
+
+def test_imputer_twin_census_and_identity(spark):
+    """The null census is exactly event_id % 7 == 0, the fill identity
+    holds, and the non-null mean matches a driver-side fsum recount."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import imputer_mean_twin
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    row = imputer_mean_twin(events).first()
+    assert row.fill_identity_exact == 1 and row.surrogate_agrees == 1
+    n_null = events.filter(F.col("event_id") % 7 == 0).count()
+    assert row.n_null == n_null and row.n == events.count()
+    vals = [
+        r["value"]
+        for r in events.filter(F.col("event_id") % 7 != 0).select("value").collect()
+    ]
+    mean = math.fsum(vals) / len(vals)
+    assert abs(row.mean_nonnull - round(mean, 6)) <= 1e-6
+    # closed-form post-fill mean
+    filled = (math.fsum(vals) + n_null * mean) / row.n
+    assert abs(row.mean_imputed - round(filled, 6)) <= 1e-6
+
+
+def test_quantile_buckets_rank_contract_not_tautological(spark):
+    """All flags green at the published GK bound — and the share flag
+    must FAIL when the tolerance is tightened below the measured
+    deviation (the audit really measures the engine)."""
+    from pythonvectordb_spark.indexing import quantile_buckets_audit
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = quantile_buckets_audit(events).collect()
+    assert [r.bucket for r in rows] == [0, 1, 2, 3]
+    assert all(r.rank_ok and r.share_ok for r in rows)
+    assert all(r.n == events.count() for r in rows)
+    # tightening the share tolerance below the measured 0.002 deviation
+    # must flip at least one bucket — the flag is a real measurement
+    tight = quantile_buckets_audit(events, share_tol=1e-6).collect()
+    assert any(r.share_ok == 0 for r in tight)
+
+
+def test_bisecting_kmeans_invariants_not_tautological(spark):
+    """Structural invariants hold at k=4 — and the balance flag must
+    FAIL under an impossible max-share bound (k=4 forces some cluster
+    to hold >= 1/4 of the points)."""
+    from pythonvectordb_spark.indexing import bisecting_kmeans_census
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    row = bisecting_kmeans_census(emb).first()
+    assert row.n == emb.count() and row.dim == 64 and row.k == 4
+    assert (
+        row.sizes_sum_ok
+        and row.all_nonempty_ok
+        and row.cost_le_global_ok
+        and row.balance_ok
+    )
+    strict = bisecting_kmeans_census(emb, max_share=0.2).first()
+    assert strict.balance_ok == 0  # pigeonhole: max share >= 0.25 at k=4
+
+
+def test_countvec_idf_census_hand_recount(spark):
+    """The df census matches a pure-Python recount, idf follows the
+    published formula, and the MLlib arm agrees on every term."""
+    import math
+    from collections import Counter
+
+    from pythonvectordb_spark.indexing import countvec_idf_twin
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = countvec_idf_twin(docs).collect()
+    assert rows and all(r.in_vocab_ok and r.mllib_idf_agrees for r in rows)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    m = len(texts)
+    df = Counter()
+    for t in texts:
+        df.update({w for w in t.split(" ") if w != ""})
+    thr = math.ceil(0.05 * m)
+    expect = {t: c for t, c in df.items() if c >= thr}
+    got = {r.term: r.df for r in rows}
+    assert got == expect
+    for r in rows:
+        assert abs(r.idf - round(math.log((m + 1) / (r.df + 1)), 6)) <= 1e-6
+    # census must be non-degenerate for the idf ordering to mean anything
+    assert len(set(got.values())) > 1
