@@ -47,6 +47,7 @@ HEADLINE = [
     "mllib_quantile_buckets",
     "mllib_bisecting_kmeans",
     "mllib_countvec_idf",
+    "mllib_multiclass_eval",
     "knn_search",
     "knn_join",
     "quantize_vectors",

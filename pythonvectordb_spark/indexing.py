@@ -1789,3 +1789,102 @@ def countvec_idf_twin(
             .alias("mllib_idf_agrees"),
         )
     )
+
+
+def multiclass_eval_twin(docs: DataFrame, agree_eps: float = 1e-9) -> DataFrame:
+    """ml.evaluation.MulticlassClassificationEvaluator beside the exact
+    confusion-matrix metrics of the NB language gate (new round 10):
+    closes the last untouched MLlib module (ml.evaluation) with the
+    twin discipline. The per-doc predictions come from the SAME shared
+    NB pipeline the oracled confusion matrix uses (argmax on ROUNDED
+    scores with class tie-break — `operators/curation.py`
+    nb_classifier_confusion's engine-portable decision boundary), so
+    the confusion counts are exact integers in both engines; accuracy /
+    weighted precision / weighted recall / weighted F1 are computed
+    from those integers term-by-term (per true class: w_c = n_true_c/n,
+    precision_c = tp_c/n_pred_c else 0, recall_c = tp_c/n_true_c,
+    f1_c = 2PR/(P+R) else 0 — Spark's published MulticlassMetrics
+    definitions, summed over TRUE classes) and hash-checked at the
+    round-6 grain. The evaluator runs on a deterministic LEXICAL class
+    indexing (the chisq_mllib_twin precedent — never StringIndexer) and
+    contributes four agreement flags at ``agree_eps`` absolute.
+
+    Scale shape: one shared NB train+score pipeline (checkpointed),
+    one argmax window, one C x C grouped count — only confusion cells
+    reach the driver; the evaluator's four passes run over the
+    two-double-column per-doc frame. The verdict is one literal row.
+    """
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.sql import Window
+
+    from pythonvectordb_spark.operators.curation import _nb_doc_scores
+
+    sc = _nb_doc_scores(docs, (F.col("doc_id") % 2) == 0, "lang", "text", "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("_lbl", F.col("cls").alias("_pred"))
+        .localCheckpoint(eager=False)  # feeds the confusion AND the evaluator
+    )
+    conf = {
+        (r["_lbl"], r["_pred"]): int(r["n"])
+        for r in pred.groupBy("_lbl", "_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    true_classes = sorted({lbl for lbl, _ in conf})
+    all_classes = sorted({c for pair in conf for c in pair})
+    n_test = sum(conf.values())
+    wp = wr = f1 = 0.0
+    tp_sum = 0
+    for c in true_classes:
+        n_true = sum(v for (l, _), v in conf.items() if l == c)
+        n_pred = sum(v for (_, p), v in conf.items() if p == c)
+        tp = conf.get((c, c), 0)
+        tp_sum += tp
+        prec = tp / n_pred if n_pred > 0 else 0.0
+        rec = tp / n_true
+        w_c = n_true / n_test
+        wp += w_c * prec
+        wr += w_c * rec
+        f1 += w_c * (2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0)
+    acc = tp_sum / n_test
+
+    idx = {c: float(i) for i, c in enumerate(all_classes)}
+    mapping = F.create_map(
+        *[x for c in all_classes for x in (F.lit(c), F.lit(idx[c]))]
+    )
+    ev_df = pred.select(
+        mapping[F.col("_lbl")].alias("label"),
+        mapping[F.col("_pred")].alias("prediction"),
+    )
+    eps = float(agree_eps)
+    flags = []
+    for metric, expected in (
+        ("accuracy", acc),
+        ("weightedPrecision", wp),
+        ("weightedRecall", wr),
+        ("f1", f1),
+    ):
+        got = MulticlassClassificationEvaluator(
+            metricName=metric, labelCol="label", predictionCol="prediction"
+        ).evaluate(ev_df)
+        flags.append(int(abs(got - expected) <= eps))
+    return docs.sparkSession.createDataFrame(
+        [
+            (
+                n_test,
+                round(acc, 6),
+                round(wp, 6),
+                round(wr, 6),
+                round(f1, 6),
+                *flags,
+            )
+        ],
+        "n_test bigint, accuracy double, weighted_precision double, "
+        "weighted_recall double, f1 double, acc_agrees bigint, "
+        "wp_agrees bigint, wr_agrees bigint, f1_agrees bigint",
+    )

@@ -63,7 +63,7 @@ _ORDER = (
     "mllib_prefixspan_paths", "mllib_linreg_twin", "mllib_chisq_twin",
     "mllib_summarizer_twin", "mllib_minmax_scale",
     "mllib_standard_scaler", "mllib_imputer_twin", "mllib_quantile_buckets",
-    "mllib_bisecting_kmeans", "mllib_countvec_idf",
+    "mllib_bisecting_kmeans", "mllib_countvec_idf", "mllib_multiclass_eval",
     "weighted_sample_per_lang", "bigram_surprisal", "event_funnel",
     "retention_cohorts", "pq_encode", "ann_lsh", "ann_pq_trained",
     "ann_ivf_pq_trained", "matview_user_spend_twin", "dedup_gate_twin",

@@ -841,3 +841,68 @@ SELECT term, df,
 FROM census CROSS JOIN tot
 WHERE df >= ceil(0.05 * m)
 """
+
+
+def q_mllib_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.evaluation.MulticlassClassificationEvaluator beside the exact
+    confusion-derived metrics of the NB language gate (new round 10):
+    accuracy / weighted precision / weighted recall / weighted F1
+    computed from the oracled confusion matrix's exact integers
+    (Spark's published MulticlassMetrics definitions, per true class),
+    with the evaluator's four readings agreeing within 1e-9 as flags
+    (`indexing.multiclass_eval_twin`)."""
+    from pythonvectordb_spark.indexing import multiclass_eval_twin
+
+    return multiclass_eval_twin(load_table(spark, sf_dir, "documents"))
+
+
+def o_mllib_multiclass_eval() -> str:
+    # Contract notes: the confusion CTE IS o_nb_lang_confusion() —
+    # single-sourced, so the two queries can never drift; the metric
+    # terms mirror Spark's MulticlassMetrics exactly (weights from TRUE
+    # class counts, precision 0 when a class is never predicted, f1
+    # 0 when P+R == 0). The four literals are guarantee flags with
+    # measured margins: all evaluator readings within 1e-9 of the
+    # exact forms at both SFs.
+    from pythonvectordb_spark.registry.curation import o_nb_lang_confusion
+
+    return f"""
+WITH conf AS ({o_nb_lang_confusion()}),
+n AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_test FROM conf),
+truec AS (SELECT lang AS cls, CAST(sum(n_docs) AS BIGINT) AS n_true
+          FROM conf GROUP BY 1),
+predc AS (SELECT predicted AS cls, CAST(sum(n_docs) AS BIGINT) AS n_pred
+          FROM conf GROUP BY 1),
+tpc AS (SELECT lang AS cls, CAST(sum(n_docs) AS BIGINT) AS tp
+        FROM conf WHERE lang = predicted GROUP BY 1),
+per AS (
+  SELECT t.cls, t.n_true,
+         COALESCE(p.n_pred, 0) AS n_pred,
+         COALESCE(x.tp, 0) AS tp
+  FROM truec t
+  LEFT JOIN predc p ON t.cls = p.cls
+  LEFT JOIN tpc x ON t.cls = x.cls
+),
+terms AS (
+  SELECT per.cls,
+         per.tp,
+         (per.n_true::DOUBLE / n.n_test) AS w_c,
+         (CASE WHEN per.n_pred > 0
+               THEN per.tp::DOUBLE / per.n_pred ELSE 0.0 END) AS prec,
+         (per.tp::DOUBLE / per.n_true) AS rec
+  FROM per CROSS JOIN n
+)
+SELECT n.n_test,
+       round(sum(tp)::DOUBLE / n.n_test, 6) AS accuracy,
+       round(sum(w_c * prec), 6) AS weighted_precision,
+       round(sum(w_c * rec), 6) AS weighted_recall,
+       round(sum(w_c * (CASE WHEN prec + rec > 0.0
+                             THEN 2 * prec * rec / (prec + rec)
+                             ELSE 0.0 END)), 6) AS f1,
+       CAST(1 AS BIGINT) AS acc_agrees,
+       CAST(1 AS BIGINT) AS wp_agrees,
+       CAST(1 AS BIGINT) AS wr_agrees,
+       CAST(1 AS BIGINT) AS f1_agrees
+FROM terms CROSS JOIN n
+GROUP BY n.n_test
+"""

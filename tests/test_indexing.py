@@ -752,3 +752,31 @@ def test_countvec_idf_census_hand_recount(spark):
         assert abs(r.idf - round(math.log((m + 1) / (r.df + 1)), 6)) <= 1e-6
     # census must be non-degenerate for the idf ordering to mean anything
     assert len(set(got.values())) > 1
+
+
+def test_multiclass_eval_twin_hand_recount(spark):
+    """The evaluator twin's metrics must match a from-scratch confusion
+    recount (via the already-pinned confusion operator), the evaluator
+    must agree on all four, and weightedRecall must equal accuracy (the
+    known identity Sum w_c * tp_c/n_true_c = Sum tp_c / n)."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.indexing import multiclass_eval_twin
+    from pythonvectordb_spark.operators.curation import nb_classifier_confusion
+    from pythonvectordb_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    row = multiclass_eval_twin(docs).first()
+    assert row.acc_agrees and row.wp_agrees and row.wr_agrees and row.f1_agrees
+    assert row.weighted_recall == row.accuracy
+    conf = {
+        (r["lang"], r["predicted"]): r["n_docs"]
+        for r in nb_classifier_confusion(docs, (F.col("doc_id") % 2) == 0).collect()
+    }
+    n = sum(conf.values())
+    tp = sum(v for (l, p), v in conf.items() if l == p)
+    assert row.n_test == n
+    assert abs(row.accuracy - round(tp / n, 6)) <= 1e-6
+    # non-degenerate: the gate must beat uniform chance on >= 5 classes
+    assert 0 < row.accuracy < 1 and row.f1 > 0

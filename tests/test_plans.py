@@ -392,7 +392,7 @@ def test_gate_champion_challenger_plan_shape(spark):
 
 
 def test_round10_mllib_queries_plan_jvm_only(spark):
-    """The thirteen round-10 MLlib queries stay JVM-side end-to-end: no
+    """The fourteen round-10 MLlib queries stay JVM-side end-to-end: no
     row-wise Python in any executed plan (mining/estimator internals
     are MLlib Scala; every verdict projection is expression-only), and
     no cartesian anywhere (the PCA audit's query fan-out is a broadcast
@@ -413,6 +413,7 @@ def test_round10_mllib_queries_plan_jvm_only(spark):
         "mllib_quantile_buckets",
         "mllib_bisecting_kmeans",
         "mllib_countvec_idf",
+        "mllib_multiclass_eval",
     ):
         df = QUERIES[name](spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
