@@ -191,6 +191,54 @@ def lsh_band_signatures_int8_vec(
     return _sigs(F.col(qv) if isinstance(qv, str) else qv)
 
 
+def lsh_band_signatures_vec(
+    vec_col: Column | str, band_planes: "list[list[list[float]]]"
+) -> Column:
+    """Arrow-vectorized twin of
+    ``operators.search.lsh_band_signatures_expr`` (FLOAT planes over the
+    raw float vector), added in the round-10 optimization pass: the
+    interpreted HOF expression costs bands x bits x dim multiply-adds
+    per row in Catalyst's interpreter (guide §4.2 — 20x5x64 = 6,400
+    interpreted ops/row dominated every multiprobe query's execution);
+    here the same arithmetic runs as dim numpy vector ops per batch.
+
+    Bit-equality argument (the ``pq_code_arrow`` discipline): the
+    expression computes ``CAST(elem AS DOUBLE)`` (float32→float64,
+    exact) times the literal double plane coefficient, accumulated by a
+    LEFT-ASSOCIATIVE sequential fold from 0.0 over ascending j. The
+    kernel mirrors each step: float64 upcast, an explicit j-ascending
+    ``acc = acc + X[:, j] * P[:, j]`` loop (vectorized ACROSS rows and
+    planes, sequential WITHIN each dot — numpy's pairwise-summed ``@``
+    would NOT match), and the same ``>= 0`` sign rule with ``1 << i``
+    weights. Same doubles in, same op order, same signatures — pinned
+    by test against the expression twin.
+
+    Marked nondeterministic so a downstream filter referencing the
+    column is not duplicated into two ArrowEvalPython nodes (guide
+    §4.4).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    flat = [p for bp in band_planes for p in bp]
+    P = np.asarray(flat, dtype=np.float64)  # (bands*bits, dim)
+    n_bands, n_bits = len(band_planes), len(band_planes[0])
+    dim = P.shape[1]
+    weights = (1 << np.arange(n_bits, dtype=np.int64))[None, :]
+
+    @pandas_udf("array<int>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)  # exact upcast
+        acc = np.zeros((len(X), P.shape[0]), dtype=np.float64)
+        for j in range(dim):  # ascending-j sequential accumulation
+            acc = acc + X[:, j : j + 1] * P[None, :, j][0][None, :]
+        b = (acc >= 0.0).reshape(len(X), n_bands, n_bits)
+        sigs = (b * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(sigs))
+
+    _sigs = _sigs.asNondeterministic()
+    return _sigs(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def cosine_similarity_int8(query: Column | str, qvec: Column | str) -> Column:
     """K1: reference score semantics (pythonvectordb.py:25-67).
 

@@ -1669,3 +1669,99 @@ def test_method_mcnemar_no_discordance_null(spark):
     (r,) = method_mcnemar(docs, p, p).collect()
     assert r.n10 == 0 and r.n01 == 0
     assert r.mcnemar_chi2 is None and r.mcnemar_chi2_cc is None
+
+
+def test_labeled_scorer_matches_expression_and_mask_edges(spark):
+    """Round-10 optimization pin: the one-pass label-masked BLAS scorer
+    behind hard_negatives/contrastive_triplets emits (a) scores
+    bit-equal to the symmetric-int8 expression kernel, (b) no
+    same-label row in diff mode / no cross-label row in same mode even
+    when a query's valid pool is smaller than k (the -2.0 mask-fill
+    must never leak), and (c) the full valid pool when it has fewer
+    than k members."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.functions.vector import cosine_similarity_int8_sym
+    from pythonvectordb_spark.operators.search import (
+        _corpus_qmat_labeled,
+        scored_from_qmat_labeled,
+        with_qvec,
+    )
+
+    def unit(theta):
+        return [float(x) for x in [math.cos(theta), math.sin(theta)] + [0.0] * 62]
+
+    # label 'b' has a single member: in diff mode its valid pool is 4
+    # rows (< k=5); in same mode its valid pool is only itself
+    rows = [
+        (1, unit(0.00), "a"),
+        (2, unit(0.01), "a"),
+        (3, unit(0.10), "b"),
+        (4, unit(1.50), "a"),
+        (5, unit(1.52), "a"),
+    ]
+    emb = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    )
+    qids, qmat, qlabels = _corpus_qmat_labeled(emb, "vec_id", "embedding", "label")
+    got = scored_from_qmat_labeled(
+        emb, qids, qmat, qlabels, k_same=5, k_diff=5
+    ).collect()
+    labels = {1: "a", 2: "a", 3: "b", 4: "a", 5: "a"}
+    for r in got:
+        assert r.score >= -1.0 - 1e-12  # the -2.0 mask fill never leaks
+        if r.is_same:
+            assert labels[r.query_id] == labels[r.vec_id]
+        else:
+            assert labels[r.query_id] != labels[r.vec_id]
+    # anchor 3 (sole 'b'): diff pool = the 4 'a' rows, same pool = self
+    diff3 = {r.vec_id for r in got if r.query_id == 3 and not r.is_same}
+    same3 = {r.vec_id for r in got if r.query_id == 3 and r.is_same}
+    assert diff3 == {1, 2, 4, 5} and same3 == {3}
+    # bit-equality with the expression kernel on every emitted pair
+    exp = {
+        (r.vec_id, r.other): r.s
+        for r in emb.alias("x")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("other"), F.col("qvec").alias("qv2")
+            ),
+            how="cross",
+        )
+        .select(
+            "vec_id",
+            "other",
+            cosine_similarity_int8_sym(F.col("qvec"), F.col("qv2")).alias("s"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert exp[(r.vec_id, r.query_id)] == r.score, (r.vec_id, r.query_id)
+
+
+def test_lsh_float_sigs_vec_bit_equal_to_expr(spark):
+    """Round-10 optimization pin: the Arrow float-plane signature
+    kernel must stay bit-equal to the HOF expression twin on the real
+    embeddings — the kernel mirrors the expression's ascending-j
+    sequential float64 fold exactly, so equality is total (no FP
+    tolerance), which is what licenses it in ann_lsh_multiprobe_search."""
+    from pyspark.sql import functions as F
+
+    from pythonvectordb_spark.functions.vector import lsh_band_signatures_vec
+    from pythonvectordb_spark.operators.dedup import lsh_band_planes
+    from pythonvectordb_spark.operators.search import lsh_band_signatures_expr
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    for bands, bits in ((20, 5), (24, 4)):
+        planes = lsh_band_planes(bands, bits)
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        both = emb.select(
+            lsh_band_signatures_vec("embedding", planes).alias("a"),
+            lsh_band_signatures_expr("embedding", planes).alias("b"),
+        )
+        n_bad = both.filter(F.col("a") != F.col("b")).count()
+        assert n_bad == 0, (bands, bits)
+        first = both.first()
+        assert len(first.a) == bands
