@@ -891,11 +891,17 @@ def pca_compaction_audit(
     proj = model.transform(feats).select(
         F.col(id_col), vector_to_array("pcs").alias("_p")
     )
-    base = (
-        emb.select(F.col(id_col), quantize(l2_normalize(vec_col)).alias("_qv"))
-        .join(proj, id_col)
-        .localCheckpoint(eager=False)
-    )
+    from pythonvectordb_spark.util import ensure_parallelism
+
+    # the audit panel scores |panel| x n interpreted pairs over this
+    # frame; a one-file scan would run them on one core (guide §2.5;
+    # no-op at scale — round-10 optimization: 5.0 -> 4.1 s at sf0.1,
+    # the remainder is the PCA fit itself)
+    base = ensure_parallelism(
+        emb.select(F.col(id_col), quantize(l2_normalize(vec_col)).alias("_qv")).join(
+            proj, id_col
+        )
+    ).localCheckpoint(eager=False)
     queries = base.filter(F.col(id_col) < int(n_queries)).select(
         F.col(id_col).alias("query_id"),
         F.col("_qv").alias("_qq"),

@@ -871,6 +871,11 @@ def _nb_doc_scores(
     the rounded-score discipline documented on
     `nb_classifier_confusion` (its original body; also feeds
     `nb_calibration_bins`)."""
+    # NOTE (round-10 optimization pass): fanning this scan out via
+    # ensure_parallelism was measured SLOWER at sf0.1 (nb_auc 1.7 ->
+    # 2.4 s — the tokenize is cheap enough that the extra exchange and
+    # 32-task scheduling outweigh the parallelism), so the one-partition
+    # scan stands; the groupBys below already shuffle to full width.
     toks = df.select(
         F.col(id_col),
         F.col(label_col).alias("_lbl"),

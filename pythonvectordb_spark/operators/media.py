@@ -246,7 +246,13 @@ def text_as_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from pythonvectordb_spark.util import ensure_parallelism
+
+    # one small parquet file = one core doing every codec call (guide
+    # §2.5 input skew; round-10 optimization) - no-op at scale
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(_build, _PNG_PAYLOAD_SCHEMA)
 
 
@@ -578,7 +584,13 @@ def text_as_jpeg(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
                 payloads.append(jpeg_encode(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from pythonvectordb_spark.util import ensure_parallelism
+
+    # one small parquet file = one core doing every codec call (guide
+    # §2.5 input skew; round-10 optimization) - no-op at scale
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(_build, _PNG_PAYLOAD_SCHEMA)
 
 
@@ -685,5 +697,11 @@ def media_jpeg_roundtrip_error(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from pythonvectordb_spark.util import ensure_parallelism
+
+    # one small parquet file = one core doing every codec call (guide
+    # §2.5 input skew; round-10 optimization) - no-op at scale
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(_run, MEDIA_JPEG_ERROR_SCHEMA)

@@ -219,9 +219,16 @@ def bootstrap_mean_ci(
     """
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).cast("string").alias("_id"),
-        F.col(cents_col).cast("long").alias("_x"),
+    from pythonvectordb_spark.util import ensure_parallelism
+
+    # n_boot md5+conv evaluations per row is the heavy step; a one-file
+    # scan would run all of them on one core (guide §2.5 input skew;
+    # round-10 optimization: 5.2 s -> 1.6 s at sf0.1). No-op at scale.
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(cents_col).cast("long").alias("_x"),
+        )
     ).localCheckpoint(eager=False)
     u = F.conv(
         F.substring(

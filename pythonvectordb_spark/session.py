@@ -43,6 +43,14 @@ def get_spark(app_name: str = "pythonvectordb-spark", master: str | None = None)
         # filters at the source instead of post-scan (4.1+ opt-in)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # guide §9: let the planner pick shuffled-hash join when its size
+        # conditions are met (sort-merge only when the build side could
+        # not fit; AQE still rewrites at runtime). Round-10 A/B over a
+        # 20-query subset: -10..-20% wall. constraintPropagation=false
+        # was measured equal-or-better on wall but REJECTED: it drops
+        # the inferred IsNotNull pushdowns the plan pins assert and made
+        # the advisor's duplicated-subtree sweep flag 7 queries.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

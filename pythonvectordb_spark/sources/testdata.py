@@ -37,6 +37,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.join.preferSortMergeJoin", "false"),
     ):
         try:
             if spark.conf.get(k, None) != v:

@@ -337,7 +337,13 @@ def test_ks_bh_pair_matrix_is_equi_join(spark):
     df = QUERIES["ks_bh_fdr"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # any equi-join strategy satisfies the contract (the session prefers
+    # shuffled-hash over sort-merge since the round-10 optimization)
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
 
 
 def test_vocab_jaccard_joins_on_shingle(spark):
