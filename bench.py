@@ -1374,7 +1374,18 @@ def main() -> None:
         out["knn_qps_50k_retry"] = knn_retry["qps"]
         out["knn_retry_control_s"] = knn_retry["control_query_s"]
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # VERDICT r10 item 7: the one-line JSON now carries 240 timings plus
+    # rehearsals; round 9's round-over-round comparison was lost because
+    # the captured tail truncated mid-line. Persist the identical JSON to
+    # a file beside the repo so a truncated stdout capture can never void
+    # a round's baseline. The printed contract line is unchanged.
+    try:
+        with open(os.path.join(REPO, "bench_last.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line remains the contract
+    print(line)
 
 
 if __name__ == "__main__":

@@ -130,6 +130,14 @@ def embedding_drift(
     shape the 48-hash MinHash signature agg uses; Catalyst handles
     hundreds of agg expressions in one pass.
     """
+    # Contract note (ADVICE r10): this shape assumes every row carries a
+    # non-null, fixed-width `qvec` (true of the quantized-embedding frames
+    # all registered bindings pass). posexplode emits nothing for a
+    # NULL/empty vector, so such rows would no longer count toward
+    # n_a/n_b, and all components are summed rather than the first `dim`;
+    # `dim` is retained in the signature for binding compatibility (the
+    # registered inputs are exactly dim-wide, so it is not re-checked
+    # here — a width audit belongs in validate.*, not in this agg).
     # Round-10 optimization (guide §1.2/§7.2): the former shape — one
     # groupBy with 2*dim+2 unrolled agg columns plus 3*dim-term
     # dot/norm sum expressions — built a ~60 KB plan whose per-action

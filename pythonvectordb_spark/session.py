@@ -44,9 +44,16 @@ def get_spark(app_name: str = "pythonvectordb-spark", master: str | None = None)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # guide §9: let the planner pick shuffled-hash join when its size
-        # conditions are met (sort-merge only when the build side could
-        # not fit; AQE still rewrites at runtime). Round-10 A/B over a
-        # 20-query subset: -10..-20% wall. constraintPropagation=false
+        # conditions are met. Round-10 A/B over a 20-query subset:
+        # -10..-20% wall. Failure-mode note (ADVICE r10): AQE only ever
+        # PROMOTES joins (to broadcast / shuffled-hash) — it never demotes
+        # a planned ShuffledHashJoin back to sort-merge, so a build-side
+        # partition that outgrows executor memory at true scale fails the
+        # task instead of spilling like SMJ would. The exposure is gated
+        # by the planner's own size conditions (canBuildLocalHashMapBySize:
+        # plan stats < advisoryPartitionSizeInBytes * numPartitions) plus
+        # AQE skew-join splitting; monitor build-side sizes when raising
+        # advisoryPartitionSizeInBytes. constraintPropagation=false
         # was measured equal-or-better on wall but REJECTED: it drops
         # the inferred IsNotNull pushdowns the plan pins assert and made
         # the advisor's duplicated-subtree sweep flag 7 queries.

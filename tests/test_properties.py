@@ -1741,6 +1741,90 @@ def test_labeled_scorer_matches_expression_and_mask_edges(spark):
         assert exp[(r.vec_id, r.query_id)] == r.score, (r.vec_id, r.query_id)
 
 
+def test_labeled_scorer_null_label_semantics(spark):
+    """Round-11 pin (ADVICE r10): NULL-label rows behave exactly as in
+    the per-class plan — never an anchor (label == lab filter), never a
+    same-label candidate, and never a different-label negative
+    (`label != lab` is NULL for a NULL label). Non-null labels ABSENT
+    from the anchor set stay eligible as diff-negatives (old
+    `label != lab` = TRUE)."""
+    import math
+
+    from pythonvectordb_spark.operators.search import (
+        _corpus_qmat_labeled,
+        scored_from_qmat_labeled,
+        with_qvec,
+    )
+
+    def unit(theta):
+        return [float(x) for x in [math.cos(theta), math.sin(theta)] + [0.0] * 62]
+
+    rows = [
+        (1, unit(0.00), "a"),
+        (2, unit(0.01), "a"),
+        (3, unit(0.02), None),  # NULL label: excluded everywhere
+        (4, unit(0.03), "b"),
+        (5, unit(0.04), "a"),
+    ]
+    emb = with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    )
+    qids, qmat, qlabels = _corpus_qmat_labeled(emb, "vec_id", "embedding", "label")
+    assert 3 not in set(qids.tolist())  # NULL-label row is not an anchor
+    assert None not in qlabels
+    got = scored_from_qmat_labeled(
+        emb, qids, qmat, qlabels, k_same=5, k_diff=5
+    ).collect()
+    # row 3 never appears as a candidate in either arm
+    assert all(r.vec_id != 3 for r in got), [r for r in got if r.vec_id == 3]
+    # every anchor still sees the full non-null pool in its arms
+    diff1 = {r.vec_id for r in got if r.query_id == 1 and not r.is_same}
+    same1 = {r.vec_id for r in got if r.query_id == 1 and r.is_same}
+    assert diff1 == {4} and same1 == {1, 2, 5}
+    # an anchor subset (only 'a' anchors): label 'b' is unknown to the
+    # anchor codes but must remain a diff-negative, unlike NULL
+    keep = [i for i, lab in enumerate(qlabels) if lab == "a"]
+    got2 = scored_from_qmat_labeled(
+        emb, qids[keep], qmat[keep], [qlabels[i] for i in keep], k_same=5, k_diff=5
+    ).collect()
+    diff2 = {r.vec_id for r in got2 if r.query_id == 1 and not r.is_same}
+    assert diff2 == {4}  # 'b' eligible, NULL row still excluded
+
+
+def test_miner_anchor_blocks_bit_equal_to_single_gather(spark, monkeypatch):
+    """Round-11 pin (VERDICT r10 item 6): the blocked anchor gather —
+    toLocalIterator slices + one scorer pass per block — must produce
+    EXACTLY the single-gather miners' output. Block width 2 forces the
+    multi-block union path on a 6-row corpus; block boundaries align
+    with the scorer's QCHUNK sub-matrices, so scores are bit-equal and
+    the Window top-k sees the identical candidate multiset."""
+    import math
+
+    from pythonvectordb_spark.operators import search as S
+
+    def unit(theta):
+        return [float(x) for x in [math.cos(theta), math.sin(theta)] + [0.0] * 62]
+
+    rows = [
+        (1, unit(0.00), "a"),
+        (2, unit(0.01), "a"),
+        (3, unit(0.10), "b"),
+        (4, unit(1.50), "a"),
+        (5, unit(1.52), "b"),
+        (6, unit(0.70), "c"),
+    ]
+    emb = S.with_qvec(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    )
+    base_hn = sorted(map(tuple, S.hard_negatives(emb, k=2).collect()))
+    base_ct = sorted(map(tuple, S.contrastive_triplets(emb).collect()))
+    monkeypatch.setattr(S, "MINER_ANCHOR_BLOCK", 2)
+    blk_hn = sorted(map(tuple, S.hard_negatives(emb, k=2).collect()))
+    blk_ct = sorted(map(tuple, S.contrastive_triplets(emb).collect()))
+    assert blk_hn == base_hn
+    assert blk_ct == base_ct
+
+
 def test_lsh_float_sigs_vec_bit_equal_to_expr(spark):
     """Round-10 optimization pin: the Arrow float-plane signature
     kernel must stay bit-equal to the HOF expression twin on the real

@@ -36,9 +36,13 @@ def main() -> None:
     if mode == "plan":
         os.makedirs(out, exist_ok=True)
         for n in names:
+            # build the DataFrame ONCE (ADVICE r10): plan construction is
+            # itself seconds for literal-heavy queries, and building it
+            # twice doubled exactly the cost this mode exists to measure
+            df = QUERIES[n](spark, sf_dir)
             try:
-                plan = QUERIES[n](spark, sf_dir)._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-                    QUERIES[n](spark, sf_dir)._jdf.queryExecution(), "formatted"
+                plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+                    df._jdf.queryExecution(), "formatted"
                 )
             except Exception:
                 import io
@@ -46,7 +50,7 @@ def main() -> None:
 
                 buf = io.StringIO()
                 with redirect_stdout(buf):
-                    QUERIES[n](spark, sf_dir).explain("formatted")
+                    df.explain("formatted")
                 plan = buf.getvalue()
             with open(os.path.join(out, f"{n}.txt"), "w") as f:
                 f.write(plan)
