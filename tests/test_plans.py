@@ -369,16 +369,17 @@ def test_ljung_box_single_window_pass(spark):
 
 
 def test_als_retrieval_plan_shape(spark):
-    """The only cartesian in the ALS plan is MLlib's blocked recommend
-    (ml.recommendation frames on both sides); the evaluation itself is
-    equi-joins, and no Python touches the data path."""
+    """The recommend arm is the broadcast-item-factor BLAS pass (round
+    11): ONE Arrow MapInPandas over the user factors — no cartesian,
+    no row-wise BatchEvalPython anywhere; the evaluation itself is
+    equi-joins with the train-item exclusion an equi anti-join."""
     from pythonvectordb_spark.registry import QUERIES
 
     df = QUERIES["mllib_als_retrieval"](spark, SF_SMOKE)
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
-    assert plan.count("CartesianProduct") == 1
-    assert "ml.recommendation" in plan  # the blocked-recommend wrapper
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1  # the broadcast gemm top-k arm
     assert "BatchEvalPython" not in plan
     assert "LeftAnti" in plan  # train-item exclusion is an equi anti-join
 

@@ -1849,3 +1849,61 @@ def test_lsh_float_sigs_vec_bit_equal_to_expr(spark):
         assert n_bad == 0, (bands, bits)
         first = both.first()
         assert len(first.a) == bands
+
+
+def test_pair_common_counts_grouped_equals_self_join(spark):
+    """Round-11 pin: the grouped map-side pair emission used when
+    ``max_df`` is set must produce EXACTLY the classic inverted-index
+    self-join's (id_a, id_b, n_common) multiset — including the df-cap
+    semantics (a shingle shared by more than max_df docs contributes no
+    pairs and no common counts). max_df=2 on a real corpus forces the
+    cap to bite."""
+    from pythonvectordb_spark.operators.dedup import (
+        _pair_common_counts,
+        _shingled,
+    )
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = _shingled(docs, "text", "doc_id", 3).localCheckpoint(eager=False)
+    inv = sh.select(F.col("doc_id"), F.explode("sh").alias("shingle"))
+    for max_df in (2, 50):
+        grouped = {
+            (r.id_a, r.id_b): r.n_common
+            for r in _pair_common_counts(inv, "doc_id", max_df).collect()
+        }
+        # the max_df=None branch IS the classic self-join; apply the cap
+        # externally so both plans see the identical kept inverted index
+        keep = inv.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        inv_kept = inv.join(keep.select("shingle"), "shingle")
+        joined = {
+            (r.id_a, r.id_b): r.n_common
+            for r in _pair_common_counts(inv_kept, "doc_id", None).collect()
+        }
+        assert grouped == joined, max_df
+        assert len(grouped) > 0, max_df
+
+
+def test_method_pair_sets_equals_independent_detectors(spark):
+    """Round-11 pin: the fused dual-detector builder (one shingle pass,
+    one hashed index, one combined groupBy) must emit EXACTLY the pair
+    sets of the independently-run detectors — minhash (id_a, id_b,
+    jaccard) and simhash (id_a, id_b, hamming) both."""
+    from pythonvectordb_spark.operators.dedup import (
+        method_pair_sets,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from pythonvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fa, fb = method_pair_sets(docs, threshold=0.2, max_hamming=8)
+    ia = minhash_lsh_pairs(docs, threshold=0.2)
+    ib = simhash_pairs(docs, max_hamming=8)
+    fused_a = {tuple(r) for r in fa.collect()}
+    fused_b = {tuple(r) for r in fb.collect()}
+    indep_a = {tuple(r) for r in ia.collect()}
+    indep_b = {tuple(r) for r in ib.collect()}
+    assert fused_a == indep_a
+    assert fused_b == indep_b
+    assert len(fused_a) > 0 and len(fused_b) > 0
