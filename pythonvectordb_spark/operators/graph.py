@@ -489,10 +489,21 @@ def hits(
     <=|nodes| doubles per group — the `trade_pagerank` precedent).
 
     Scale shape (size-gated like `pagerank._iterate_small` — the
-    registered input is the nation-grain graph): per round two
-    broadcast joins + two grouped sums over the edge list; the
-    normalization constant is a one-row broadcast. Each round's frames
-    are lazily checkpointed so the unrolled lineage stays linear.
+    registered input is the nation-grain graph): ONE LINEAR PLAN, zero
+    per-round driver actions (round 11). The previous shape lazily
+    checkpointed auth/hub and broadcast a one-row sum every round —
+    localCheckpoint forces physical planning (and, under AQE, stage
+    jobs) at BUILD time, so the query paid ~10 tiny barrier jobs of
+    driver work before one 0.14 s job. Rounds are now SPARSE: only
+    nodes with in/out mass carry rows (an absent node is exactly the
+    0.0 the old coalesce materialized — a zero score contributes zero
+    terms to the next round's sums and nothing to the normalizer), so
+    each round is one join + one grouped sum per direction with L1
+    normalization via a whole-partition window over the same non-null
+    raw set the old one-row aggregate summed; every node reappears via
+    one left join at the end. Alternating A/B at sf0.1: 4.5 -> 2.96 s
+    best, output exactly equal. The window's single partition is safe
+    by the same size gate as `pagerank._iterate_small`.
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -506,45 +517,30 @@ def hits(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    wall = Window.partitionBy()
     hub = nodes.select("node", F.lit(1.0 / float(n_nodes)).alias("hub"))
     auth = None
     for _ in range(int(iterations)):
-        araw = (
-            e.join(hub.withColumnRenamed("node", "_sn"), e.src == F.col("_sn"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("w") * F.col("hub")).alias("raw"))
-        )
-        asum = araw.agg(F.sum("raw").alias("s")).withColumn("_one", F.lit(1))
         auth = (
-            nodes.withColumn("_one", F.lit(1))
-            .join(F.broadcast(asum), "_one")
-            .join(araw, nodes.node == araw.dst, "left")
-            .select(
-                "node",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("s")).alias("auth"),
-            )
-            .localCheckpoint(eager=False)
+            e.join(hub.withColumnRenamed("node", "_sn"), e.src == F.col("_sn"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("raw"))
+            .select("node", (F.col("raw") / F.sum("raw").over(wall)).alias("auth"))
         )
-        hraw = (
-            e.join(auth.withColumnRenamed("node", "_dn"), e.dst == F.col("_dn"))
-            .groupBy("src")
-            .agg(F.sum(F.col("w") * F.col("auth")).alias("raw"))
-        )
-        hsum = hraw.agg(F.sum("raw").alias("s")).withColumn("_one", F.lit(1))
         hub = (
-            nodes.withColumn("_one", F.lit(1))
-            .join(F.broadcast(hsum), "_one")
-            .join(hraw, nodes.node == hraw.src, "left")
-            .select(
-                "node",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("s")).alias("hub"),
-            )
-            .localCheckpoint(eager=False)
+            e.join(auth.withColumnRenamed("node", "_dn"), e.dst == F.col("_dn"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("raw"))
+            .select("node", (F.col("raw") / F.sum("raw").over(wall)).alias("hub"))
         )
     return (
-        nodes.join(hub, "node")
-        .join(auth, "node")
-        .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("auth", F.lit(0.0)), 6).alias("auth"),
+        )
     )
 
 
@@ -602,25 +598,23 @@ def markov_stationary(
         .localCheckpoint(eager=True)
     )
     n_states = states.count()
+    # ONE LINEAR PLAN, zero per-round driver actions (round 11 — the
+    # `hits` treatment): rounds are sparse (a state with no incoming
+    # mass is exactly the 0.0 the old coalesce materialized — zero
+    # terms in the next round's sums, nothing in the normalizer, which
+    # sums the same non-null raw set the old one-row aggregate did;
+    # renormalizing guards mass leaked through no-out-edge states) and
+    # every state reappears via one left join at the end. The previous
+    # shape lazily checkpointed v each round — localCheckpoint forces
+    # physical planning (and AQE stage jobs) at BUILD time.
+    wall = Window.partitionBy()
     v = states.select("s", F.lit(1.0 / float(n_states)).alias("v"))
     for _ in range(int(iterations)):
-        raw = (
-            trans.join(v.withColumnRenamed("s", "_fs"), trans.from_s == F.col("_fs"))
-            .groupBy("to_s")
-            .agg(F.sum(F.col("p") * F.col("v")).alias("raw"))
-        )
-        # rows with no outgoing edges would leak mass; the event chain
-        # is strongly connected in practice, but renormalize anyway
-        tot = raw.agg(F.sum("raw").alias("t")).withColumn("_one", F.lit(1))
         v = (
-            states.withColumn("_one", F.lit(1))
-            .join(F.broadcast(tot), "_one")
-            .join(raw, states.s == raw.to_s, "left")
-            .select(
-                "s",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias("v"),
-            )
-            .localCheckpoint(eager=False)
+            trans.join(v.withColumnRenamed("s", "_fs"), trans.from_s == F.col("_fs"))
+            .groupBy(F.col("to_s").alias("s"))
+            .agg(F.sum(F.col("p") * F.col("v")).alias("raw"))
+            .select("s", (F.col("raw") / F.sum("raw").over(wall)).alias("v"))
         )
     emp = events.groupBy(F.col(type_col).alias("s")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
@@ -629,7 +623,7 @@ def markov_stationary(
         "_one", F.lit(1)
     )
     return (
-        states.join(v, "s")
+        states.join(v, "s", "left")
         .join(emp, "s")
         .withColumn("_one", F.lit(1))
         .join(F.broadcast(tot_e), "_one")
@@ -639,7 +633,7 @@ def markov_stationary(
             F.round(
                 F.col("n_events").cast("double") / F.col("nt").cast("double"), 6
             ).alias("empirical_share"),
-            F.round("v", 6).alias("stationary_p"),
+            F.round(F.coalesce("v", F.lit(0.0)), 6).alias("stationary_p"),
         )
     )
 
